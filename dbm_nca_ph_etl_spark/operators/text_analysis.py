@@ -1,0 +1,118 @@
+"""Text-analysis operators (north-star extension surface).
+
+Language ID, quality scoring, token counting, and document
+fingerprinting over a document table — all JVM-side column
+expressions (split/regexp/array HOFs), no Python in the hot path,
+so a 100 TB corpus pass is a single codegen'd projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbm_nca_ph_etl_spark.functions.scalars import hash64
+from dbm_nca_ph_etl_spark.operators.dedup import tokens
+
+# Tiny deterministic stopword inventories for heuristic language ID.
+# (A real deployment swaps in full lists / a fastText model via
+# mapInPandas; the operator contract is identical.)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "im", "ein", "mit"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish sub-token count: alphanumeric runs + standalone
+    punctuation marks, via regexp extraction."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are punctuation."""
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    return F.when(nonspace > 0, punct.cast("double") / nonspace.cast("double")).otherwise(0.0)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards reasonable length,
+    penalizes punctuation soup and stopword-free token streams.
+    Deterministic, SQL-replayable (oracle-checked)."""
+    tc = token_count(text).cast("double")
+    length_score = F.least(tc / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(1.0) - punct_ratio(text) * 5.0, F.lit(0.0))
+    sw_score = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    return F.round((length_score + punct_penalty + sw_score) / 3.0, 6)
+
+
+def lang_scores(text: Column) -> list[Column]:
+    """Per-language stopword hit counts (the language-ID votes)."""
+    toks = tokens(text)
+    cols = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias(f"score_{lang}")
+        )
+    return cols
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of stopword votes, 'und' when no
+    stopword hits at all. Ties broken by fixed language order
+    (en > es > fr > de) — deterministic and oracle-replayable."""
+    toks = tokens(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # forward iteration with strict '>' means the FIRST language in
+    # dict order wins ties (en > es > fr > de)
+    for lang in STOPWORDS:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 60-bit hash of the normalized text
+    (lower, collapse whitespace, strip punctuation) — stable under
+    formatting noise; md5-derived so the oracle replays it."""
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    return hash64(norm)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document stats projection."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_actual"),
+        token_count(t).alias("n_tokens"),
+        word_token_count(t).alias("n_subtokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio_en"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

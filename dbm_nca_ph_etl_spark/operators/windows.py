@@ -1,0 +1,146 @@
+"""Ordered / window kernel (SURVEY §2.3, W1-W4).
+
+The reference's cleaning semantics depend on implicit pandas row
+order; Spark has no implicit order, so every operator here takes
+explicit ordering columns and is partition-invariant by construction
+(property-tested in tests/test_windows.py).
+
+Scale notes: all four operators are single-shuffle window functions
+partitioned by a group key (release / user). At 100 TB the window
+partition is the unit of parallelism — groups (one PDF release, one
+user's event stream) are small and numerous, so the shuffle is
+well-balanced and no group ever exceeds executor memory. None of
+these collect to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _window(partition_by: Sequence[str], order_by: Sequence[str]) -> Window:
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def forward_fill(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """W1 — forward-fill nulls from the last non-null value above.
+
+    Parity: pd_data_cleaner.py:31-32 (``""→NaN`` then ``ffill()``);
+    empty-string→null conversion is the caller's job (P6).
+    ``last(ignorenulls)`` over an unbounded-preceding row frame is a
+    single window pass — no self-join, no driver loop.
+    """
+    w = _window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out_col or col, F.last(F.col(col), ignorenulls=True).over(w))
+
+
+def segment_by_change(
+    df: DataFrame,
+    key_col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    out_col: str = "segment_id",
+) -> DataFrame:
+    """W2 — change-point segmentation: a new segment id whenever
+    ``key_col`` differs from the previous row's value.
+
+    Parity: the reference *inserts spacer rows* at group boundaries
+    (pd_data_cleaner.py:70-97); we reproduce the downstream effect
+    (group delimiting) without row insertion — lag + running sum.
+    """
+    w = _window(partition_by, order_by)
+    changed = (
+        F.lag(F.col(key_col)).over(w).isNull()
+        | (F.lag(F.col(key_col)).over(w) != F.col(key_col))
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(changed).over(wsum))
+
+
+def segment_by_flag(
+    df: DataFrame,
+    flag: Column,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    out_col: str = "segment_id",
+) -> DataFrame:
+    """W4 segmentation step — start a new segment on rows where
+    ``flag`` is true (the reference's all-empty spacer rows,
+    pd_data_cleaner.py:152-156). Running sum of the boundary flag.
+    """
+    w = _window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out_col, F.sum(flag.cast("int")).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    partition_by: Sequence[str],
+    gap: int = 1800,
+    out_col: str = "session_id",
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Time-gap sessionization: a new session when the gap since the
+    previous event exceeds ``gap``, expressed in the unit of
+    ``ts_col`` (seconds for epoch-second columns, µs for ``ts_us``).
+    Same lag+cumsum pattern as W2 — the reference's spacer logic
+    generalized to event time (north-star events workload).
+    ``order_by`` defaults to the timestamp; pass extra tiebreak
+    columns for determinism when timestamps can collide.
+    """
+    w = _window(partition_by, list(order_by) if order_by else [ts_col])
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > F.lit(gap))
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(new_session).over(wsum))
+
+
+def ordered_collect(value: str | Column, order_by: str | Column) -> Column:
+    """Collect values into an array pinned to explicit order.
+
+    Spark's ``collect_list`` is partition-order-dependent; collecting
+    ``struct(order, value)`` + ``array_sort`` + field projection makes
+    order deterministic — the engine-wide convention called out in
+    SURVEY §4 ("custom #2").
+    """
+    o = F.col(order_by) if isinstance(order_by, str) else order_by
+    v = F.col(value) if isinstance(value, str) else value
+    arr = F.array_sort(F.collect_list(F.struct(o.alias("o"), v.alias("v"))))
+    return F.transform(arr, lambda s: s["v"])
+
+
+def leading_run_concat(arr: Column, sep: str = " ") -> Column:
+    """W3 — join array items with ``sep``, stopping at the first
+    null/empty item (keep only the *leading* run).
+
+    Parity: ``_join_col_to_str`` (pd_data_cleaner.py:120-132) — the
+    break-at-first-empty is load-bearing: trailing stray text after a
+    blank line does NOT belong to the record field.
+    Pure array HOFs: position-of-first-empty → slice → concat_ws.
+    """
+    is_empty = lambda x: x.isNull() | (F.trim(x) == "")  # noqa: E731
+    # index of first empty element, 0 if none
+    first_empty = F.coalesce(
+        F.array_position(
+            F.transform(arr, lambda x: is_empty(x)), F.lit(True)
+        ),
+        F.lit(0),
+    )
+    keep_n = F.when(first_empty > 0, first_empty - 1).otherwise(F.size(arr))
+    return F.concat_ws(sep, F.slice(arr, 1, keep_n))

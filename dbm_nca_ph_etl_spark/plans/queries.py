@@ -1,0 +1,1029 @@
+"""The engine's query catalog (driver contract, SURVEY.md §2).
+
+Each entry pairs a Spark DataFrame program with an ANSI-SQL oracle
+that DuckDB runs on the same parquet views. Conventions that make the
+order-insensitive value-hash comparison deterministic:
+
+- every computed column is aliased identically on both sides;
+- floating aggregates are ``round()``-ed (2 dp for money sums, 6 dp
+  for ratios/averages) so partial-aggregation order cannot flip a ULP
+  into a hash mismatch;
+- timestamps that reach the output are formatted to strings, so
+  engine timestamp precision (µs vs ns) and session timezones can't
+  leak into values;
+- all hashes derive from md5 (``functions.scalars.hash64``) — DuckDB
+  replays signatures bit-for-bit;
+- every top-k has a total-order tiebreak.
+
+Reference parity is noted per query as (SURVEY §2 operator ids).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbm_nca_ph_etl_spark.functions.scalars import coerce_double
+from dbm_nca_ph_etl_spark.operators import dedup as D
+from dbm_nca_ph_etl_spark.operators import similarity as S
+from dbm_nca_ph_etl_spark.operators import text_analysis as T
+from dbm_nca_ph_etl_spark.operators import windows as W
+from dbm_nca_ph_etl_spark.sources.catalog import load_table
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        QUERIES[name] = Query(name, fn, oracle, doc, tags)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Phase 1 — core relational kernel (SURVEY §2.2, §2.4-2.6, §2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 6)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan→filter→hash-agg (A1/A4, P4, F10 casts). "
+    "Map-side partial aggregation; filter+projection pushed to parquet.",
+    tags=("relational", "bench"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "filter_project_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           year(o_orderdate)::INT                 AS o_year,
+           split_part(o_orderpriority, '-', 2)    AS priority_name
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    """,
+    doc="Projection+predicate pushdown (P2/P4/P8, F5/F7). The parquet "
+    "scan must show PushedFilters on status+price and a 5-column ReadSchema.",
+    tags=("relational",),
+)
+def filter_project_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.where((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+        F.element_at(F.split("o_orderpriority", "-"), 2).alias("priority_name"),
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+    WITH rev AS (
+      SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date, rev.revenue
+    FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+    ORDER BY rev.revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    doc="agg→join→top-k (A1, J-pattern, O1-O3). Rounded revenue + "
+    "orderkey tiebreak give a total order.",
+    tags=("relational", "bench"),
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT r.r_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT c.c_custkey)                            AS n_customers
+    FROM customer c
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Flagship rollup (NCA 'amount per department/agency' analog, "
+    "A1+J2): fact-fact shuffle join lineitem⋈orders, broadcast dims. "
+    "This is entry()'s query.",
+    tags=("relational", "bench", "flagship"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "customers_no_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (J1's 'missing in DB ⇒ new' branch).",
+    tags=("relational",),
+)
+def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "big_spender_semi",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+    """,
+    doc="Left-semi join (J1's 'present ⇒ compare' branch).",
+    tags=("relational",),
+)
+def big_spender_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "incremental_change_detect",
+    """
+    WITH db AS (
+      SELECT c_custkey AS id, round(c_acctbal, 0) AS meta
+      FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    scraped AS (
+      SELECT c_custkey AS id,
+             round(c_acctbal, 0) + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS meta
+      FROM customer
+    )
+    SELECT s.id,
+           CASE WHEN db.id IS NULL THEN 'insert'
+                WHEN db.meta <> s.meta THEN 'update'
+                ELSE 'skip' END AS action
+    FROM scraped s LEFT JOIN db ON s.id = db.id
+    """,
+    doc="J1 decision ladder (releases_scraper.py:101-124): left join a "
+    "'DB snapshot' vs a 'scraped snapshot', classify insert/update/skip "
+    "from null-ness and metadata drift.",
+    tags=("relational",),
+)
+def incremental_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    db = cust.where(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("id"), F.round("c_acctbal", 0).alias("meta")
+    )
+    scraped = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.round("c_acctbal", 0)
+            + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)
+        ).alias("meta"),
+    )
+    j = scraped.alias("s").join(db.alias("db"), on="id", how="left")
+    return j.select(
+        "id",
+        F.when(F.col("db.meta").isNull(), "insert")
+        .when(F.col("db.meta") != F.col("s.meta"), "update")
+        .otherwise("skip")
+        .alias("action"),
+    )
+
+
+@register(
+    "first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS first_order_date
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Deterministic dropDuplicates (A2): survivor pinned by "
+    "(orderdate, orderkey) — Spark's dropDuplicates alone is "
+    "partition-order-dependent, so the engine's dedup is a window.",
+    tags=("relational", "window"),
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_order_date"),
+        )
+    )
+
+
+@register(
+    "token_frequency",
+    """
+    SELECT tok, count(*) AS n
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    )
+    WHERE length(tok) > 3
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 25
+    """,
+    doc="Explode+agg+top-k (A3 explode analog, F1/F7): the unnest path "
+    "the NCA allocation explode uses, over document tokens.",
+    tags=("relational", "text"),
+)
+def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(D.tokens(F.col("text"))).alias("tok"))
+        .where(F.length("tok") > 3)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(25)
+    )
+
+
+@register(
+    "scalar_kitchen_sink",
+    """
+    SELECT p_partkey,
+           lower(p_name)                                   AS name_lower,
+           replace(lower(p_brand), '#', '_')               AS brand_norm,
+           split_part(p_type, ' ', 1)                      AS type_first,
+           split_part(p_type, ' ', -1)                     AS type_last,
+           contains(p_type, 'BRASS')                       AS has_brass,
+           regexp_extract(p_brand, '([0-9]+)', 1)          AS brand_digits,
+           concat_ws('-', p_brand, p_size::VARCHAR)        AS brand_size,
+           CAST(round(p_retailprice * 100, 0) AS BIGINT)   AS price_cents
+    FROM part
+    """,
+    doc="Scalar function kernel in one projection (F1-F8, F10/F11): "
+    "lower/replace/split/regexp/concat/casts — all codegen, no UDF.",
+    tags=("relational", "functions"),
+)
+def scalar_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.regexp_replace(F.lower("p_brand"), "#", "_").alias("brand_norm"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_first"),
+        F.element_at(F.split("p_type", " "), -1).alias("type_last"),
+        F.col("p_type").contains("BRASS").alias("has_brass"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_digits"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_size").cast("string")).alias("brand_size"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("price_cents"),
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="JSON decode (F12, the SQS message-body round-trip): "
+    "get_json_object → typed bucket → agg.",
+    tags=("relational", "functions"),
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "date_parse_roundtrip",
+    """
+    SELECT event_id, date_str,
+           strftime(try_strptime(date_str, '%m/%d/%Y'), '%Y-%m-%dT%H:%M:%S') AS iso_ts
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_id % 13 = 0 THEN 'not a date'
+                  ELSE strftime(ts, '%m/%d/%Y') END AS date_str
+      FROM events
+    )
+    WHERE event_id < 2000
+    """,
+    doc="Date coerce round-trip (F9, pd_data_cleaner.py:135-137): "
+    "format → parse-with-coerce (junk → null) → ISO re-serialize.",
+    tags=("relational", "functions"),
+)
+def date_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    date_str = F.when(F.col("event_id") % 13 == 0, F.lit("not a date")).otherwise(
+        F.date_format("ts", "MM/dd/yyyy")
+    )
+    parsed = F.try_to_timestamp(F.col("date_str"), F.lit("MM/dd/yyyy"))
+    return e.select("event_id", date_str.alias("date_str")).select(
+        "event_id",
+        "date_str",
+        F.date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+    )
+
+@register(
+    "numeric_coerce",
+    """
+    SELECT p_partkey,
+           TRY_CAST(replace(
+             CASE WHEN p_partkey % 3 = 0 THEN p_partkey::VARCHAR || ',999.25'
+                  WHEN p_partkey % 3 = 1 THEN 'N/A'
+                  ELSE p_retailprice::VARCHAR END, ',', '') AS DOUBLE) AS amount
+    FROM part
+    """,
+    doc="Numeric coerce (F10, pd_data_cleaner.py:169-172): comma-strip "
+    "+ try_cast, junk → null — the allocation amount parse.",
+    tags=("relational", "functions"),
+)
+def numeric_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    raw = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.col("p_partkey").cast("string"), F.lit(",999.25")))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("N/A"))
+        .otherwise(F.col("p_retailprice").cast("string"))
+    )
+    return p.select("p_partkey", coerce_double(raw).alias("amount"))
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT r_name, n_name,
+           grouping(r_name)::INT AS g_region, grouping(n_name)::INT AS g_nation,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    doc="Hierarchical rollup (region→nation→grand total) with grouping "
+    "flags — beyond-reference agg surface (SURVEY §2.4 note).",
+    tags=("relational",),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("r_name", "n_name", "g_region", "g_nation", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 2 — ordered/window kernel (SURVEY §2.3, W1-W4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ffill_events",
+    """
+    SELECT event_id, user_id,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_ffill
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    """,
+    doc="W1 forward-fill (pd_data_cleaner.py:31-32): error events "
+    "nullify the metric; last non-null above wins. Single window pass, "
+    "explicit (ts, event_id) order — partition-invariant.",
+    tags=("window", "bench"),
+)
+def ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    filled = W.forward_fill(
+        e, "v", partition_by=["user_id"], order_by=["ts_us", "event_id"], out_col="value_ffill"
+    )
+    return filled.select("event_id", "user_id", F.round("value_ffill", 2).alias("value_ffill"))
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, value, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_sec,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="W2 change-point sessionization (the spacer-insertion semantics "
+    "of pd_data_cleaner.py:70-97 generalized to 30-min event-time gaps): "
+    "lag → boundary flag → running sum → per-session agg.",
+    tags=("window", "bench"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    s = W.sessionize(
+        e, "ts_us", partition_by=["user_id"], gap=1800 * 1_000_000,
+        order_by=["ts_us", "event_id"],
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("ts_us") - F.min("ts_us")) / 1000000).cast("long").alias("duration_sec"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "leading_run_events",
+    """
+    WITH r AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN '' ELSE event_type END AS t,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    fe AS (
+      SELECT user_id, min(rn) AS first_empty FROM r WHERE t = '' GROUP BY user_id
+    )
+    SELECT r.user_id,
+           coalesce(string_agg(t, ' ' ORDER BY rn)
+                      FILTER (WHERE rn < coalesce(first_empty, 9223372036854775807)),
+                    '') AS leading_types
+    FROM r LEFT JOIN fe ON r.user_id = fe.user_id
+    GROUP BY r.user_id
+    """,
+    doc="W3 leading-run join (_join_col_to_str, pd_data_cleaner.py:120-132): "
+    "space-join values per group but STOP at the first empty — trailing "
+    "runs are dropped, not skipped. Ordered collect + array HOFs.",
+    tags=("window",),
+)
+def leading_run_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn(
+        "t", F.when(F.col("event_type") == "error", "").otherwise(F.col("event_type"))
+    )
+    order_key = F.col("ts_us") * 100000 + F.col("event_id") % 100000
+    grouped = e.groupBy("user_id").agg(
+        W.ordered_collect(F.col("t"), F.struct(F.col("ts_us"), F.col("event_id"))).alias("arr")
+    )
+    return grouped.select(
+        "user_id", W.leading_run_concat(F.col("arr")).alias("leading_types")
+    )
+
+
+@register(
+    "segment_reassembly",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, value,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS boundary,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, event_type, value, boundary, rn,
+             sum(boundary) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS segment_id
+      FROM r
+    )
+    SELECT user_id, segment_id,
+           string_agg(event_type, ' ' ORDER BY rn) AS types_joined,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM seg
+    WHERE boundary = 0
+    GROUP BY user_id, segment_id
+    """,
+    doc="W4 stateful reassembly (pd_data_cleaner.py:152-163): boundary "
+    "rows split segments; within a segment values string-append in "
+    "document order. lag/cumsum segmentation + ordered collect — no "
+    "iterrows, no driver loop.",
+    tags=("window", "bench"),
+)
+def segment_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    seg = W.segment_by_flag(
+        e,
+        (F.col("event_type") == "error"),
+        partition_by=["user_id"],
+        order_by=["ts_us", "event_id"],
+    )
+    return (
+        seg.where(F.col("event_type") != "error")
+        .groupBy("user_id", "segment_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                W.ordered_collect(
+                    F.col("event_type"), F.struct(F.col("ts_us"), F.col("event_id"))
+                ),
+            ).alias("types_joined"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling-window rollup (T1/T2 batch analog; Structured "
+    "Streaming runs the identical plan incrementally via window(ts)).",
+    tags=("window", "streaming", "bench"),
+)
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 3 — LLM-data-pipeline extensions (SURVEY §2.11, north star)
+# ---------------------------------------------------------------------------
+
+# DuckDB twins of operators/dedup.py's tokenizer + shingler, spliced
+# into several oracles below.
+_SQL_TOKENS = "list_filter(string_split_regex(lower({t}), '\\s+'), x -> x <> '')"
+_SQL_SHINGLES = f"""
+    CASE WHEN len({_SQL_TOKENS.format(t='{t}')}) >= 3 THEN
+      list_distinct(list_transform(
+        generate_series(0, len({_SQL_TOKENS.format(t='{t}')}) - 3),
+        i -> array_to_string(({_SQL_TOKENS.format(t='{t}')})[i+1:i+3], ' ')))
+    ELSE [array_to_string({_SQL_TOKENS.format(t='{t}')}, ' ')] END
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+          FROM documents GROUP BY md5(text)) keep
+      ON d.doc_id = keep.doc_id
+    """,
+    doc="Exact dedup via content digest (extension; generalizes A2): "
+    "groupBy(min) on md5 + semi-join back. Uniform hash key — no skew "
+    "at any scale.",
+    tags=("dedup", "bench"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES.format(t='text')}) AS shingle
+      FROM documents WHERE doc_id < 100
+    ),
+    hashed AS (
+      SELECT doc_id, h::INT AS h,
+             ('0x' || substr(md5(shingle || '#' || h::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM shingled CROSS JOIN generate_series(0, 15) AS t(h)
+    )
+    SELECT doc_id, h, min(hv) AS minhash
+    FROM hashed GROUP BY doc_id, h
+    """,
+    doc="MinHash signatures (16 hashes over distinct 3-word shingles). "
+    "md5-derived hash family so the oracle replays bits exactly. "
+    "Explode×seeds → min-groupBy (map-side combinable).",
+    tags=("dedup",),
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return D.minhash_signatures(d)
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a perturbed copy of every 25th doc (id+100000,
+    one token appended) — guarantees near-dup pairs exist at any SF so
+    the LSH pipeline's output is non-trivially checkable."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.where(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzduplicatemarker")).alias("text"),
+        )
+    )
+    return d.unionByName(dups)
+
+
+_SQL_NEAR_DUP_BASE = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' zzduplicatemarker' AS text
+      FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH docs2 AS ({_SQL_NEAR_DUP_BASE}),
+    shingled AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES.format(t='text')}) AS shingle FROM docs2
+    ),
+    hashed AS (
+      SELECT doc_id, h::INT AS h,
+             ('0x' || substr(md5(shingle || '#' || h::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM shingled CROSS JOIN generate_series(0, 15) AS t(h)
+    ),
+    sigs AS (
+      SELECT doc_id, h, min(hv) AS minhash FROM hashed GROUP BY doc_id, h
+    ),
+    buckets AS (
+      SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS bucket
+      FROM sigs GROUP BY doc_id, h // 4
+    )
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH banding (16 hashes, 4 bands × 4 rows): candidate "
+    "pairs share ≥1 band bucket; the self-join runs per bucket — "
+    "Σ bucket², never N². Input salted with known near-dups.",
+    tags=("dedup", "bench"),
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_docs_with_near_dups(spark, sf_dir))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH docs2 AS ({_SQL_NEAR_DUP_BASE}),
+    shingled AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES.format(t='text')}) AS shingle FROM docs2
+    ),
+    hashed AS (
+      SELECT doc_id, h::INT AS h,
+             ('0x' || substr(md5(shingle || '#' || h::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM shingled CROSS JOIN generate_series(0, 15) AS t(h)
+    ),
+    sigs AS (
+      SELECT doc_id, h, min(hv) AS minhash FROM hashed GROUP BY doc_id, h
+    ),
+    buckets AS (
+      SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS bucket
+      FROM sigs GROUP BY doc_id, h // 4
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES.format(t='text')} AS s FROM docs2)
+    SELECT c.a, c.b,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / len(list_distinct(sa.s || sb.s))::DOUBLE, 6) AS jaccard
+    FROM cands c JOIN sh sa ON c.a = sa.doc_id JOIN sh sb ON c.b = sb.doc_id
+    """,
+    doc="Exact n-gram Jaccard verification of LSH candidates (the "
+    "verify stage of near-dup dedup): array_intersect/union sizes on "
+    "distinct shingle sets.",
+    tags=("dedup",),
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs2 = _docs_with_near_dups(spark, sf_dir)
+    cands = D.minhash_lsh_pairs(docs2)
+    return D.ngram_jaccard_pairs(cands, docs2)
+
+
+@register(
+    "simhash_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN generate_series(0, 31) AS t(b)
+      GROUP BY doc_id, b
+    ),
+    packed AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)::BIGINT AS simhash32
+      FROM votes GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(p.simhash32, 0)::BIGINT AS simhash32
+    FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+    """,
+    doc="SimHash fingerprints (32-bit, token-multiplicity votes): "
+    "near-dups differ in few bits. Spark side is one codegen'd "
+    "aggregate HOF per row — no explode, no shuffle at all.",
+    tags=("dedup",),
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", D.simhash(F.col("text"), bits=32).alias("simhash32"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS cos_sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)::INT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Brute-force exact cosine top-k (extension): broadcast query "
+    "set × corpus, array-HOF dot products (JVM, no UDF), per-query "
+    "window rank. The correctness baseline for the LSH variant.",
+    tags=("similarity", "bench"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # approximate by design: recall < 1 vs the exact oracle
+    doc="Random-hyperplane LSH ANN (extension, scale path): bucket-join "
+    "on sign signatures then exact re-rank within buckets. No SQL "
+    "oracle — approximate result; correctness = recall vs "
+    "ann_cosine_topk, asserted in tests/test_similarity.py.",
+    tags=("similarity",),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+_SQL_STOP_EN = "['the','and','of','to','a','in','is','it','that','for']"
+_SQL_STOP_ES = "['el','la','de','que','y','en','un','los','se','por']"
+_SQL_STOP_FR = "['le','la','de','et','les','des','un','une','du','que']"
+_SQL_STOP_DE = "['der','die','das','und','ist','von','den','im','ein','mit']"
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_TOKENS.format(t='text')} AS toks,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             length(text)::INT AS n_chars_actual,
+             len(toks)::INT AS n_tokens,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::INT AS n_subtokens,
+             CASE WHEN nonspace > 0 THEN punct::DOUBLE / nonspace::DOUBLE ELSE 0.0 END AS pr,
+             CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, x -> list_contains({_SQL_STOP_EN}, x)))::DOUBLE
+                 / len(toks)::DOUBLE ELSE 0.0 END AS swr,
+             len(toks)::DOUBLE AS tc
+      FROM base
+    )
+    SELECT doc_id, n_chars_actual, n_tokens, n_subtokens,
+           round(pr, 6) AS punct_ratio,
+           round(swr, 6) AS stopword_ratio_en,
+           round((least(tc / 100.0, 1.0)
+                  + greatest(1.0 - pr * 5.0, 0.0)
+                  + least(swr * 5.0, 1.0)) / 3.0, 6) AS quality
+    FROM m
+    """,
+    doc="Text quality metrics (extension): char/token/subtoken counts, "
+    "punctuation + stopword ratios, composite quality score — one "
+    "codegen'd projection over the corpus.",
+    tags=("text", "bench"),
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars_actual"),
+        T.token_count(t).alias("n_tokens"),
+        T.word_token_count(t).alias("n_subtokens"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio_en"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(toks, x -> list_contains({_SQL_STOP_EN}, x))) AS s_en,
+             len(list_filter(toks, x -> list_contains({_SQL_STOP_ES}, x))) AS s_es,
+             len(list_filter(toks, x -> list_contains({_SQL_STOP_FR}, x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains({_SQL_STOP_DE}, x))) AS s_de
+      FROM (SELECT lang, {_SQL_TOKENS.format(t='text')} AS toks FROM documents)
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS lang_pred,
+           count(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+    doc="Heuristic language ID (stopword argmax, en>es>fr>de tie "
+    "order) × true label — the confusion matrix of the lang_id "
+    "operator.",
+    tags=("text",),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5(trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+              '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprint (extension): 60-bit md5 of "
+    "normalization(lower, strip punct, collapse ws) — stable under "
+    "formatting noise; the dedup/incremental-load join key.",
+    tags=("text", "dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))

@@ -1,0 +1,69 @@
+"""Parquet table catalog over the driver testdata layout.
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``
+(TESTDATA.md). Reads are plain ``spark.read.parquet`` so Catalyst
+gets predicate pushdown, column pruning and partition-sized splits
+for free — at 100 TB the same call reads a partitioned lake
+directory and nothing in the engine changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one catalog table. Filters/projections applied by the
+    caller reach the parquet reader (PushedFilters / ReadSchema).
+
+    ``events.ts`` is physically ``TIMESTAMP(NANOS)``, which Spark's
+    parquet reader rejects; we read it as a long (nanosAsLong) and
+    rebuild a session-timezone-independent TIMESTAMP_NTZ via exact
+    decimal interval arithmetic (no LTZ hop, so results cannot shift
+    with the driver session's timezone). A raw ``ts_us`` epoch column
+    is kept for window/gap arithmetic — DuckDB's ``epoch_us(ts)`` on
+    the naive timestamp is its exact oracle twin.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    ts_us = (F.col("ts") / 1000).cast("long")
+    ts_ntz = F.expr(
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
+        "cast(cast(ts / 1000 as long) as decimal(20, 0)) / 1000000)"
+    )
+    return raw.select(
+        "event_id",
+        ts_ntz.alias("ts"),
+        ts_us.alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
