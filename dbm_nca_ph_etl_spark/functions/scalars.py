@@ -90,3 +90,22 @@ def hash64(c: Column) -> Column:
 def hash_bucket(c: Column, seed: int) -> Column:
     """Seeded variant of :func:`hash64` for hash families."""
     return hash64(F.concat(c, F.lit(f"#{seed}")))
+
+
+def let(value: Column, body) -> Column:
+    """Bind ``value`` once and reference it many times in ``body``.
+
+    Catalyst does not common-subexpression-eliminate across lambda
+    boundaries, so an expression used N times inside a HOF is
+    evaluated N times. ``transform`` over a single-element array turns
+    the value into a lambda variable — evaluated exactly once —
+    making O(tokens²) shingle expressions O(tokens).
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def hash48(c: Column) -> Column:
+    """48-bit md5-derived hash (first 12 hex chars). Small enough that
+    an affine universal-hash step ``(a*x + b) mod p`` with 15-bit
+    ``a`` stays inside signed-64 arithmetic in any engine."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")

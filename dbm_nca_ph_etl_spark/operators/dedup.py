@@ -32,10 +32,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dbm_nca_ph_etl_spark.functions.scalars import hash64
+from dbm_nca_ph_etl_spark.functions.scalars import hash48, hash64, let
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
+
+# MinHash hash family: one 48-bit md5 pre-hash per shingle, then
+# h_i(x) = (a_i * x + b_i) mod P — md5 is the expensive part, so it
+# runs ONCE per shingle instead of once per (shingle, seed). a_i is
+# 15-bit odd (a*x < 2^63, no overflow anywhere), P is a Mersenne prime.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def _minhash_family(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients from a fixed LCG — identical
+    constants are spliced into the DuckDB oracle SQL."""
+    state, out = 12345, []
+    for _ in range(num_hashes):
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        a = (state % 16381) * 2 + 1
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append((a, state))
+    return out
 
 
 def tokens(text: Column) -> Column:
@@ -47,15 +65,20 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles (space-joined) of a text column.
 
     Built with sequence+transform HOFs — stays in codegen; no UDF.
+    The token array is let-bound so tokenization runs once per row,
+    not once per shingle index (O(tokens), not O(tokens²)).
     """
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))  # noqa: E731
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, F.transform(idx, shingle_at)).otherwise(
-            F.array(F.concat_ws(" ", toks))
+
+    def shingle(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            ).otherwise(F.array(F.concat_ws(" ", toks)))
         )
-    )
+
+    return let(tokens(text), shingle)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -71,6 +94,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def minhash_signature_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as ONE array column — computed
+    entirely with array HOFs: shingle → 48-bit pre-hash (one md5 per
+    shingle), then per seed ``array_min`` of the affine map. No
+    explode, no shuffle: a 100 TB corpus signs itself in a single
+    codegen'd projection. Output: (id, sig: array<bigint>[num_hashes]).
+    """
+    fam = _minhash_family(num_hashes)
+
+    def affine(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    pre_hashes = F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: hash48(s))
+    # let-bind the pre-hash array: referenced 16×, must evaluate once —
+    # project-collapse could otherwise inline the md5 work per seed.
+    sig = let(
+        pre_hashes,
+        lambda pre: F.array(*[F.array_min(F.transform(pre, affine(a, b))) for a, b in fam]),
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -78,22 +129,12 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: for seed h, min over shingles
-    of hash64(shingle || '#h'). Output: (id, h, minhash).
-
-    Explode(shingles) × explode(seeds) then min-groupBy — the min is
-    map-side combined, so the shuffle carries one row per (doc, h).
-    """
-    shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingle_arr"))
-    exploded = shingled.select(
-        id_col, F.explode("shingle_arr").alias("shingle")
-    ).withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
-    hashed = exploded.select(
-        id_col,
-        "h",
-        hash64(F.concat(F.col("shingle"), F.lit("#"), F.col("h").cast("string"))).alias("hv"),
+    """Long-form MinHash signature (id, h, minhash) — posexplode of
+    the array signature (16 rows/doc, trivially cheap)."""
+    wide = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_n)
+    return wide.select(
+        id_col, F.posexplode("sig").alias("h", "minhash")
     )
-    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -110,28 +151,49 @@ def minhash_lsh_pairs(
     self-join happens per bucket, so complexity is Σ bucket², not N².
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sigs.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-    buckets = (
-        banded.groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("h", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                ).cast("binary")
-            ).alias("bucket")
+    wide = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_n)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", band * rows_per_band + 1, rows_per_band),
+                            lambda m: m.cast("string"),
+                        ),
+                    ).cast("binary")
+                ).alias("bucket"),
+            )
+            for band in range(bands)
+        ]
+    )
+    buckets = wide.select(
+        F.col(id_col), F.explode(band_keys).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    # One groupBy instead of a self-join: a self-join would recompute
+    # the whole signature pipeline for each side; collecting ids per
+    # bucket signs the corpus exactly once, and pair generation is an
+    # in-bucket HOF (Σ bucket², never N²). Degenerate buckets are a
+    # data-quality signal; they stay bounded because band keys carry
+    # rows_per_band minhashes of entropy.
+    ids_sorted = F.array_sort(F.collect_list(id_col))
+    pairs_in_bucket = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
     )
-    a = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
-    b = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
-        a.join(b, on=["band", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.groupBy("band", "bucket")
+        .agg(ids_sorted.alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pairs_in_bucket).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
 

@@ -725,17 +725,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest({_SQL_SHINGLES.format(t='text')}) AS shingle
       FROM documents WHERE doc_id < 100
     ),
+    pre AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM shingled
+    ),
     hashed AS (
       SELECT doc_id, h::INT AS h,
-             ('0x' || substr(md5(shingle || '#' || h::VARCHAR), 1, 15))::BIGINT AS hv
-      FROM shingled CROSS JOIN generate_series(0, 15) AS t(h)
+             ([2557, 21041, 27717, 22863, 845, 29229, 30923, 19617, 21031, 18641, 30861, 30047, 14075, 20097, 17409, 24897][h+1]::BIGINT * x
+              + [654583775, 229283573, 1051550459, 794471793, 803550167, 370913197, 1381971571, 2121308585, 996984527, 1343235941, 1511588075, 2103497953, 956612807, 1588911645, 33727075, 88489753][h+1]::BIGINT) % 2305843009213693951 AS hv
+      FROM pre CROSS JOIN generate_series(0, 15) AS t(h)
     )
     SELECT doc_id, h, min(hv) AS minhash
     FROM hashed GROUP BY doc_id, h
     """,
     doc="MinHash signatures (16 hashes over distinct 3-word shingles). "
     "md5-derived hash family so the oracle replays bits exactly. "
-    "Explode×seeds → min-groupBy (map-side combinable).",
+    "One md5 per shingle + affine family, array-HOF mins — no shuffle.",
     tags=("dedup",),
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,10 +777,14 @@ _SQL_NEAR_DUP_BASE = """
     shingled AS (
       SELECT doc_id, unnest({_SQL_SHINGLES.format(t='text')}) AS shingle FROM docs2
     ),
+    pre AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM shingled
+    ),
     hashed AS (
       SELECT doc_id, h::INT AS h,
-             ('0x' || substr(md5(shingle || '#' || h::VARCHAR), 1, 15))::BIGINT AS hv
-      FROM shingled CROSS JOIN generate_series(0, 15) AS t(h)
+             ([2557, 21041, 27717, 22863, 845, 29229, 30923, 19617, 21031, 18641, 30861, 30047, 14075, 20097, 17409, 24897][h+1]::BIGINT * x
+              + [654583775, 229283573, 1051550459, 794471793, 803550167, 370913197, 1381971571, 2121308585, 996984527, 1343235941, 1511588075, 2103497953, 956612807, 1588911645, 33727075, 88489753][h+1]::BIGINT) % 2305843009213693951 AS hv
+      FROM pre CROSS JOIN generate_series(0, 15) AS t(h)
     ),
     sigs AS (
       SELECT doc_id, h, min(hv) AS minhash FROM hashed GROUP BY doc_id, h
@@ -806,10 +814,14 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled AS (
       SELECT doc_id, unnest({_SQL_SHINGLES.format(t='text')}) AS shingle FROM docs2
     ),
+    pre AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM shingled
+    ),
     hashed AS (
       SELECT doc_id, h::INT AS h,
-             ('0x' || substr(md5(shingle || '#' || h::VARCHAR), 1, 15))::BIGINT AS hv
-      FROM shingled CROSS JOIN generate_series(0, 15) AS t(h)
+             ([2557, 21041, 27717, 22863, 845, 29229, 30923, 19617, 21031, 18641, 30861, 30047, 14075, 20097, 17409, 24897][h+1]::BIGINT * x
+              + [654583775, 229283573, 1051550459, 794471793, 803550167, 370913197, 1381971571, 2121308585, 996984527, 1343235941, 1511588075, 2103497953, 956612807, 1588911645, 33727075, 88489753][h+1]::BIGINT) % 2305843009213693951 AS hv
+      FROM pre CROSS JOIN generate_series(0, 15) AS t(h)
     ),
     sigs AS (
       SELECT doc_id, h, min(hv) AS minhash FROM hashed GROUP BY doc_id, h
