@@ -1,0 +1,88 @@
+"""Dedup operator tests: exact survivors, MinHash recall on known
+near-dups, SimHash locality, Jaccard exactness."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Row
+
+from dbm_nca_ph_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    minhash_signature_array,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE),  # exact dup of 1
+        Row(doc_id=3, text=BASE + " extra trailing words here"),  # near dup
+        Row(doc_id=4, text="completely different content about spark query engines and shuffles"),
+        Row(doc_id=5, text="another unrelated document mentioning parquet and catalyst optimizer"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(text="a b c d"), Row(text="x y")])
+    got = [r.s for r in df.select(word_shingles(F.col("text")).alias("s")).collect()]
+    assert sorted(got[0]) == ["a b c", "b c d"]
+    assert got[1] == ["x y"]  # shorter than n → whole text as one shingle
+
+
+def test_minhash_identical_signatures_for_identical_text(docs):
+    sigs = {r.doc_id: r.sig for r in minhash_signature_array(docs).collect()}
+    assert sigs[1] == sigs[2]
+    # near-dup shares most minhashes
+    same = sum(1 for a, b in zip(sigs[1], sigs[3]) if a == b)
+    assert same >= 8
+    diff = sum(1 for a, b in zip(sigs[1], sigs[4]) if a == b)
+    assert diff <= 4
+
+
+def test_lsh_finds_known_pairs(docs):
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_jaccard_values(docs):
+    pairs = docs.sparkSession.createDataFrame([Row(a=1, b=2), Row(a=1, b=4)])
+    got = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(pairs, docs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 4)] == 0.0
+
+
+def test_minhash_dedup_end_to_end(docs):
+    kept = sorted(r.doc_id for r in minhash_dedup(docs, threshold=0.5).collect())
+    assert kept == [1, 4, 5]  # 2 (exact) and 3 (near) deduped into 1
+
+
+def test_simhash_locality(docs):
+    fps = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash(F.col("text"), 32).alias("sh")).collect()
+    }
+    assert fps[1] == fps[2]
+    ham_near = bin(fps[1] ^ fps[3]).count("1")
+    ham_far = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 6

@@ -1,0 +1,110 @@
+"""Partition-invariance property tests for the ordered kernel.
+
+The classic Spark port bug (SURVEY §5): any operator that silently
+depends on collect_list/partition order breaks when the input is
+repartitioned. Every W1-W4 operator must produce identical results
+under adversarial repartitioning.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Row
+
+from dbm_nca_ph_etl_spark.operators.windows import (
+    forward_fill,
+    leading_run_concat,
+    ordered_collect,
+    segment_by_change,
+    segment_by_flag,
+    sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def scattered(spark):
+    """A deterministic event-ish table, shuffled and oddly partitioned."""
+    rng = random.Random(42)
+    rows = []
+    for g in range(5):
+        for i in range(200):
+            rows.append(
+                Row(
+                    g=g,
+                    i=i,
+                    v=None if i % 7 == 0 else float(rng.randint(0, 100)),
+                    k=f"K{rng.randint(0, 3)}",
+                    ts=1_700_000_000 + i * 60 + rng.randint(0, 5),
+                )
+            )
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows).repartition(13, "k")
+
+
+def rows_set(df):
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+def test_forward_fill_partition_invariant(scattered):
+    a = forward_fill(scattered, "v", ["g"], ["i"], out_col="f")
+    b = forward_fill(scattered.repartition(3), "v", ["g"], ["i"], out_col="f")
+    c = forward_fill(scattered.coalesce(1), "v", ["g"], ["i"], out_col="f")
+    assert rows_set(a) == rows_set(b) == rows_set(c)
+
+
+def test_forward_fill_semantics(spark):
+    df = spark.createDataFrame(
+        [Row(g=1, i=1, v="a"), Row(g=1, i=2, v=None), Row(g=1, i=3, v=None),
+         Row(g=1, i=4, v="b"), Row(g=1, i=5, v=None)]
+    )
+    out = {r.i: r.v for r in forward_fill(df, "v", ["g"], ["i"]).collect()}
+    assert out == {1: "a", 2: "a", 3: "a", 4: "b", 5: "b"}
+
+
+def test_segment_by_change(spark):
+    df = spark.createDataFrame(
+        [Row(g=1, i=i, k=k) for i, k in enumerate(["a", "a", "b", "b", "a", "c"])]
+    )
+    out = {r.i: r.segment_id for r in segment_by_change(df, "k", ["g"], ["i"]).collect()}
+    assert out == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 4}
+
+
+def test_segment_by_flag_partition_invariant(scattered):
+    flag = F.col("k") == "K0"
+    a = segment_by_flag(scattered, flag, ["g"], ["i"])
+    b = segment_by_flag(scattered.repartition(7, "g"), flag, ["g"], ["i"])
+    assert rows_set(a) == rows_set(b)
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [Row(u=1, t=0), Row(u=1, t=100), Row(u=1, t=2000), Row(u=1, t=2100),
+         Row(u=2, t=50)]
+    )
+    out = sessionize(df, "t", ["u"], gap=1000)
+    got = {(r.u, r.t): r.session_id for r in out.collect()}
+    assert got == {(1, 0): 1, (1, 100): 1, (1, 2000): 2, (1, 2100): 2, (2, 50): 1}
+
+
+def test_ordered_collect_pins_order(scattered):
+    agg_a = scattered.groupBy("g").agg(ordered_collect("v", "i").alias("arr"))
+    agg_b = (
+        scattered.repartition(17)
+        .groupBy("g")
+        .agg(ordered_collect("v", "i").alias("arr"))
+    )
+    assert rows_set(agg_a) == rows_set(agg_b)
+    one = agg_a.where(F.col("g") == 0).collect()[0].arr
+    assert len(one) == 200  # nulls preserved, order pinned by i
+
+
+def test_leading_run_concat(spark):
+    df = spark.createDataFrame(
+        [Row(arr=["a", "b", "", "c"]), Row(arr=["", "x"]), Row(arr=["p", "q"]),
+         Row(arr=[None, "y"]), Row(arr=[])]
+    )
+    got = [r.s for r in df.select(leading_run_concat(F.col("arr")).alias("s")).collect()]
+    assert got == ["a b", "", "p q", "", ""]
