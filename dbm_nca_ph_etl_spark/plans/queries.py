@@ -1039,3 +1039,30 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Phase 4 — the NCA cleaner itself, oracle-checked end-to-end
+# ---------------------------------------------------------------------------
+
+from dbm_nca_ph_etl_spark.plans import nca_queries as _nca  # noqa: E402
+
+register(
+    "nca_clean_records",
+    _nca.NCA_RECORDS_ORACLE,
+    doc="FULL NCA cleaner (records side) vs an independent SQL "
+    "replication: synthesize a release document from orders+lineitem, "
+    "run nca/cleaner.py on Spark, replicate spacer/ffill/leading-run/"
+    "header-removal semantics in DuckDB. One hash match = whole "
+    "pipeline parity (pd_data_cleaner.py:22-60).",
+    tags=("nca", "window", "bench"),
+)(_nca.nca_clean_records)
+
+register(
+    "nca_clean_allocations",
+    _nca.NCA_ALLOCATIONS_ORACLE,
+    doc="FULL NCA cleaner (allocations side): explode + segment "
+    "reassembly + coerce/drop semantics (pd_data_cleaner.py:143-173) "
+    "vs the SQL replication.",
+    tags=("nca", "window", "bench"),
+)(_nca.nca_clean_allocations)
