@@ -1066,3 +1066,104 @@ register(
     "vs the SQL replication.",
     tags=("nca", "window", "bench"),
 )(_nca.nca_clean_allocations)
+
+
+# ---------------------------------------------------------------------------
+# Phase 4b — ingestion edge (SURVEY §2.1 S1/S2, §2.9 T2/F13)
+# ---------------------------------------------------------------------------
+
+from dbm_nca_ph_etl_spark.sources.releases import (  # noqa: E402
+    derive_releases,
+    plan_page_batches,
+)
+
+
+@register(
+    "release_derivation",
+    """
+    WITH links AS (
+      SELECT 'part ' || p_partkey::VARCHAR AS title,
+             'https://dbm.example/files/' ||
+             CASE p_partkey % 5
+               WHEN 0 THEN 'NCA_' || (2020 + p_partkey % 8)::VARCHAR || '.pdf'
+               WHEN 1 THEN 'UPDATED_NCA_' || p_partkey::VARCHAR || '.PDF'
+               WHEN 2 THEN 'NCA_notes.pdf'
+               WHEN 3 THEN 'budget_' || (2020 + p_partkey % 8)::VARCHAR || '.pdf'
+               ELSE 'NCA_' || (2020 + p_partkey % 8)::VARCHAR || '.html'
+             END AS url
+      FROM part
+    ),
+    matched AS (
+      SELECT title, url,
+             regexp_extract(url, '/([^/]*)$', 1) AS filename
+      FROM links
+      WHERE regexp_matches(url, '(?i).*NCA.*\\.pdf$')
+    ),
+    derived AS (
+      SELECT title, url, filename,
+             CASE WHEN upper(filename) LIKE '%UPDATED%' THEN 2026
+                  WHEN regexp_extract(filename, '(\\d{4})', 1) <> ''
+                  THEN regexp_extract(filename, '(\\d{4})', 1)::INT
+             END AS year
+      FROM matched
+    )
+    SELECT title, url, filename, year, 'id_' || year::VARCHAR AS id
+    FROM derived
+    WHERE year IS NOT NULL AND year >= 2024
+    """,
+    doc="S1/S2 release derivation as one codegen'd projection+filter: "
+    "regex link filter, filename split, year extract, UPDATED→current "
+    "year, id synthesis, null-year drop, oldest-year predicate "
+    "(bs4_scraper.py:18-63). Links synthesized from `part`.",
+    tags=("ingest",),
+)
+def release_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://dbm.example/files/"),
+        F.when(F.col("p_partkey") % 5 == 0,
+               F.concat(F.lit("NCA_"), (2020 + F.col("p_partkey") % 8).cast("string"), F.lit(".pdf")))
+        .when(F.col("p_partkey") % 5 == 1,
+              F.concat(F.lit("UPDATED_NCA_"), F.col("p_partkey").cast("string"), F.lit(".PDF")))
+        .when(F.col("p_partkey") % 5 == 2, F.lit("NCA_notes.pdf"))
+        .when(F.col("p_partkey") % 5 == 3,
+              F.concat(F.lit("budget_"), (2020 + F.col("p_partkey") % 8).cast("string"), F.lit(".pdf")))
+        .otherwise(
+            F.concat(F.lit("NCA_"), (2020 + F.col("p_partkey") % 8).cast("string"), F.lit(".html"))),
+    )
+    links = p.select(
+        F.concat(F.lit("part "), F.col("p_partkey").cast("string")).alias("title"),
+        url.alias("url"),
+    )
+    return derive_releases(links, current_year=2026, oldest_year=2024)
+
+
+@register(
+    "page_batch_plan",
+    """
+    WITH rel AS (
+      SELECT 'id_' || p_partkey::VARCHAR AS id, p_size AS page_count
+      FROM part WHERE p_partkey % 11 = 0
+    ),
+    exploded AS (
+      SELECT id, page_count,
+             unnest(range(1, page_count + 1, 10)) AS start_page_num
+      FROM rel WHERE page_count >= 1
+    )
+    SELECT id, page_count, start_page_num,
+           least(start_page_num + 9, page_count) AS end_page_num,
+           ((start_page_num - 1) // 10 + 1) AS batch_num
+    FROM exploded
+    """,
+    doc="T2/F13 page-batch fan-out plan (release_batcher.py:21-31): "
+    "explode(sequence) into (start,end,batch_num) page ranges — the "
+    "reference's SQS fan-out as partition fan-out.",
+    tags=("ingest",),
+)
+def page_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 11 == 0)
+    rel = p.select(
+        F.concat(F.lit("id_"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_size").alias("page_count"),
+    )
+    return plan_page_batches(rel, batch_size=10)

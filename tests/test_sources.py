@@ -1,0 +1,164 @@
+"""Ingestion-edge tests: release derivation (S1/S2), page batching
+(T2/F13), and the PDF table source plumbing (S5-S9) via the
+deterministic FAKEPDF parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from dbm_nca_ph_etl_spark.nca import clean_raw_rows, promote_header
+from dbm_nca_ph_etl_spark.sources.pdf_source import (
+    FakeTableParser,
+    extract_raw_cells,
+    get_parser,
+    make_fake_pdf,
+    with_pdf_info,
+)
+from dbm_nca_ph_etl_spark.sources.releases import (
+    derive_releases,
+    plan_page_batches,
+)
+
+LINKS = [
+    ("NCA 2024 listing", "https://dbm.gov.example/releases/NCA_2024.pdf"),
+    ("NCA 2023 listing", "https://dbm.gov.example/releases/NCA_2023.pdf"),
+    ("Updated NCA", "https://dbm.gov.example/releases/UPDATED_NCA.PDF"),
+    ("no year", "https://dbm.gov.example/releases/NCA_LATEST.pdf"),
+    ("not a pdf", "https://dbm.gov.example/releases/NCA_2024.html"),
+    ("not NCA", "https://dbm.gov.example/releases/budget_2024.pdf"),
+    ("lowercase ok", "https://dbm.gov.example/r/nca_2025.pdf"),
+]
+
+
+def links_df(spark):
+    return spark.createDataFrame(
+        [Row(title=t, url=u) for t, u in LINKS], "title string, url string"
+    )
+
+
+class TestDeriveReleases:
+    def test_derivation(self, spark):
+        out = derive_releases(
+            links_df(spark), current_year=2026, oldest_year=2024
+        ).collect()
+        by_file = {r.filename: r for r in out}
+        # kept: NCA_2024.pdf (2024), UPDATED (→2026), nca_2025.pdf
+        assert set(by_file) == {"NCA_2024.pdf", "UPDATED_NCA.PDF", "nca_2025.pdf"}
+        assert by_file["NCA_2024.pdf"].year == 2024
+        assert by_file["NCA_2024.pdf"].id == "id_2024"
+        assert by_file["UPDATED_NCA.PDF"].year == 2026
+        assert by_file["nca_2025.pdf"].id == "id_2025"
+
+    def test_oldest_year_filter(self, spark):
+        years = {
+            r.year
+            for r in derive_releases(
+                links_df(spark), current_year=2026, oldest_year=2023
+            ).collect()
+        }
+        assert years == {2023, 2024, 2025, 2026}
+
+
+class TestPlanPageBatches:
+    def test_ranges(self, spark):
+        rel = spark.createDataFrame(
+            [Row(id="a", page_count=23), Row(id="b", page_count=10), Row(id="c", page_count=0)]
+        )
+        out = plan_page_batches(rel, batch_size=10).collect()
+        got = sorted((r.id, r.batch_num, r.start_page_num, r.end_page_num) for r in out)
+        assert got == [
+            ("a", 1, 1, 10),
+            ("a", 2, 11, 20),
+            ("a", 3, 21, 23),
+            ("b", 1, 1, 10),
+        ]
+
+
+PAGE1 = [
+    ["NCA Number", "NCA Type", "Released Date"],
+    ["NCA-1", "Regular", "01/15/2024"],
+    [None, "wrapped", None],
+]
+PAGE2 = [
+    ["NCA-2", "Special", "02/20/2024"],
+]
+
+
+class TestFakePdf:
+    def test_roundtrip(self):
+        blob = make_fake_pdf([PAGE1, PAGE2], created_at="D:2024", modified_at="D:2025")
+        p = FakeTableParser()
+        assert p.page_count(blob) == 2
+        assert p.metadata(blob) == ("D:2024", "D:2025")
+        assert p.extract_page(blob, 1) == PAGE1
+        assert p.extract_page(blob, 2) == PAGE2
+
+    def test_get_parser_falls_back(self):
+        # container has no pdfplumber -> auto must yield the fake
+        assert isinstance(get_parser("auto"), FakeTableParser)
+
+
+class TestExtractRawCells:
+    def files(self, spark):
+        rows = [
+            Row(release_id="id_2024", content=make_fake_pdf([PAGE1, PAGE2])),
+            Row(release_id="id_2025", content=make_fake_pdf([[["only", "row"]]])),
+        ]
+        return spark.createDataFrame(rows, "release_id string, content binary")
+
+    def test_order_and_content(self, spark):
+        out = extract_raw_cells(self.files(spark), FakeTableParser(), batch_size=1)
+        got = sorted(
+            (r.release_id, r.page_num, r.row_idx, list(r.cells)) for r in out.collect()
+        )
+        assert got == [
+            ("id_2024", 1, 0, PAGE1[0]),
+            ("id_2024", 1, 1, PAGE1[1]),
+            ("id_2024", 1, 2, PAGE1[2]),
+            ("id_2024", 2, 0, PAGE2[0]),
+            ("id_2025", 1, 0, [["only", "row"]][0]),
+        ]
+
+    def test_with_pdf_info(self, spark):
+        out = with_pdf_info(
+            spark.createDataFrame(
+                [Row(release_id="x", content=make_fake_pdf([PAGE1], "c", "m"))],
+                "release_id string, content binary",
+            ),
+            FakeTableParser(),
+        ).collect()[0]
+        assert (out.page_count, out.file_meta_created_at, out.file_meta_modified_at) == (
+            1,
+            "c",
+            "m",
+        )
+
+
+class TestEndToEndIngestion:
+    def test_pdf_to_clean(self, spark):
+        """binary → raw cells → promote_header → cleaner: the whole
+        reference worker path (handlers/worker.py:48-117) in one plan."""
+        doc = [
+            [
+                "NCA Number", "NCA Type", "Released Date", "Department",
+                "Agency", "Operating Unit", "Amount", "Purpose",
+            ],
+            ["NCA-7", "Regular", "01/15/2024", "DepEd", None, None, None, "To cover"],
+            [None, None, None, None, "AG-1", "OU-1", "1,000.50", None],
+            [None, None, None, None, None, None, None, None],
+            [None, None, None, None, "AG-2", "OU-2", "2000", None],
+        ]
+        files = spark.createDataFrame(
+            [Row(release_id="id_2024", content=make_fake_pdf([doc]))],
+            "release_id string, content binary",
+        )
+        cells = extract_raw_cells(files, FakeTableParser())
+        records, allocations = clean_raw_rows(promote_header(cells))
+        rec = records.collect()
+        assert len(rec) == 1 and rec[0].nca_number == "NCA-7"
+        assert rec[0].released_date == "2024-01-15T00:00:00"
+        allocs = sorted(
+            (a.agency, a.operating_unit, a.amount) for a in allocations.collect()
+        )
+        assert allocs == [("AG-1", "OU-1", 1000.5), ("AG-2", "OU-2", 2000.0)]
