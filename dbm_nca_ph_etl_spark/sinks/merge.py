@@ -1,0 +1,153 @@
+"""Table sinks: upsert / append / delete / cascade over a parquet lake.
+
+Reference parity (SURVEY §2.1 S10-S14, §2.5 J3, §2.9 T6):
+- S10 chunked upsert ``on_conflict=key``  (supabase_repository.py:59-65)
+  → :func:`upsert_parquet` — left-anti join + union overwrite; new
+  rows win on key conflict (the reference's last-write-wins).
+- S11 chunked insert (supabase_repository.py:67-71)
+  → :func:`append_parquet` — ``mode("append")``.
+- S14 delete-by-key + J3 FK cascade (supabase_repository.py:41-43,
+  supabase_schema.sql:29,40) → :meth:`NCAStore.delete_releases` —
+  explicit multi-table delete by semi/anti join (no FK engine in a
+  lake; the cascade is spelled out).
+- T6 at-least-once + idempotent load → :meth:`NCAStore.load_batch` —
+  records upsert on ``nca_number``; allocations are delete-then-insert
+  per incoming ``release_id``, which FIXES the reference's replay
+  hazard (plain-inserted allocations duplicate on redelivery,
+  supabase_repository.py:50-53) while converging to the same state on
+  clean runs. Divergence documented in SURVEY §7.
+
+Implementation note: without a transactional table format, an
+in-place overwrite of a parquet dir Spark is lazily reading from is
+unsafe (read-under-write). Rewrites go to a fresh ``.tmp`` directory,
+then swap atomically-enough for a local lake (rename). On a real
+deployment these three functions map 1:1 onto Delta/Iceberg
+``MERGE INTO`` / ``DELETE`` and inherit real ACID; the engine's call
+sites don't change — that's why the sink is an interface.
+
+Scale: the anti-join side is the *incoming* batch — small relative to
+the base table — so Spark broadcasts it and the "merge" is one scan
+of the base plus a hash probe; no base-table shuffle. Partition the
+base dir by a stable key (year for release, release_id bucket for
+record/allocation) and the scan prunes to touched partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def _rewrite(df: DataFrame, path: str) -> None:
+    """Write df to a temp dir then swap it into place (safe rewrite
+    while the old dir is still a lazy read source)."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if _exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if _exists(old):
+        shutil.rmtree(old)
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    """S11 — plain append."""
+    df.write.mode("append").parquet(path)
+
+
+def upsert_parquet(
+    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+) -> None:
+    """S10/T6 — merge ``df`` into the parquet table at ``path`` on
+    ``keys``: matching base rows are replaced, new rows inserted.
+    ``df`` must be key-unique (callers dedup first; the NCA cleaner
+    already emits one row per key)."""
+    incoming = df.dropDuplicates(keys)
+    if not _exists(path):
+        _rewrite(incoming, path)
+        return
+    base = spark.read.parquet(path)
+    kept = base.join(F.broadcast(incoming.select(*keys)), on=keys, how="left_anti")
+    _rewrite(kept.unionByName(incoming), path)
+
+
+def delete_by_keys(
+    spark: SparkSession, path: str, keys_df: DataFrame, key_cols: list[str]
+) -> None:
+    """S14 — delete base rows whose key appears in ``keys_df``."""
+    if not _exists(path):
+        return
+    base = spark.read.parquet(path)
+    kept = base.join(
+        F.broadcast(keys_df.select(*key_cols).dropDuplicates()),
+        on=key_cols,
+        how="left_anti",
+    )
+    _rewrite(kept, path)
+
+
+class NCAStore:
+    """The three-table NCA lake (release 1→N record 1→N allocation,
+    supabase_schema.sql:6-41) with explicit-cascade semantics."""
+
+    def __init__(self, spark: SparkSession, base_dir: str) -> None:
+        self.spark = spark
+        self.base = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.base, table)
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def upsert_releases(self, releases: DataFrame) -> None:
+        """supabase_repository.py:37-39 — upsert on ``id``."""
+        upsert_parquet(self.spark, releases, self.path("release"), ["id"])
+
+    def load_batch(self, records: DataFrame, allocations: DataFrame) -> None:
+        """T6 — idempotent batch load. Records upsert on nca_number
+        (reference parity); allocations delete-then-insert per
+        incoming release_id (replay-safe divergence, see module doc).
+        """
+        records = records.cache()
+        if records.isEmpty():  # nca_db_loader.py:19-31 short-circuit
+            return
+        upsert_parquet(self.spark, records, self.path("record"), ["nca_number"])
+        rids = allocations.select("release_id").dropDuplicates()
+        if _exists(self.path("allocation")):
+            delete_by_keys(self.spark, self.path("allocation"), rids, ["release_id"])
+            append_parquet(allocations, self.path("allocation"))
+        else:
+            _rewrite(allocations, self.path("allocation"))
+
+    def delete_releases(self, release_ids: DataFrame) -> None:
+        """S14+J3 — delete releases and cascade: records by
+        release_id, then allocations by the deleted records'
+        nca_numbers (the FK chain spelled out as joins)."""
+        ids = release_ids.select("id").dropDuplicates().cache()
+        if _exists(self.path("record")):
+            rec = self.read("record")
+            doomed_ncas = rec.join(
+                F.broadcast(ids), rec["release_id"] == ids["id"], "left_semi"
+            ).select("nca_number")
+            if _exists(self.path("allocation")):
+                delete_by_keys(
+                    self.spark, self.path("allocation"), doomed_ncas, ["nca_number"]
+                )
+            delete_by_keys(
+                self.spark,
+                self.path("record"),
+                ids.withColumnRenamed("id", "release_id"),
+                ["release_id"],
+            )
+        delete_by_keys(self.spark, self.path("release"), ids, ["id"])

@@ -1,0 +1,111 @@
+"""Sink tests: upsert merge, delete, FK-cascade, and replay-idempotent
+NCA loading (SURVEY §2.1 S10-S14, §2.5 J3, §2.9 T6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from dbm_nca_ph_etl_spark.sinks import NCAStore, upsert_parquet
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestUpsertParquet:
+    def test_insert_then_update(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)]),
+            p,
+            ["k"],
+        )
+        # replay with one update + one insert: last write wins on 'b'
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([Row(k="b", v=20), Row(k="c", v=3)]),
+            p,
+            ["k"],
+        )
+        assert rows(spark.read.parquet(p), "k", "v") == [("a", 1), ("b", 20), ("c", 3)]
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = spark.createDataFrame([Row(k="a", v=1)])
+        upsert_parquet(spark, df, p, ["k"])
+        upsert_parquet(spark, df, p, ["k"])
+        assert rows(spark.read.parquet(p), "k", "v") == [("a", 1)]
+
+
+def mk_store(spark, tmp_path):
+    store = NCAStore(spark, str(tmp_path / "lake"))
+    store.upsert_releases(
+        spark.createDataFrame([Row(id="id_2024", year=2024), Row(id="id_2025", year=2025)])
+    )
+    records = spark.createDataFrame(
+        [
+            Row(nca_number="N1", department="DepEd", release_id="id_2024"),
+            Row(nca_number="N2", department="DOH", release_id="id_2025"),
+        ]
+    )
+    allocations = spark.createDataFrame(
+        [
+            Row(nca_number="N1", agency="A1", amount=10.0, release_id="id_2024"),
+            Row(nca_number="N1", agency="A2", amount=20.0, release_id="id_2024"),
+            Row(nca_number="N2", agency="B1", amount=30.0, release_id="id_2025"),
+        ]
+    )
+    store.load_batch(records, allocations)
+    return store, records, allocations
+
+
+class TestNCAStore:
+    def test_load_and_replay(self, spark, tmp_path):
+        store, records, allocations = mk_store(spark, tmp_path)
+        # replaying the same batch must NOT duplicate allocations
+        # (the reference WOULD duplicate here — T6 divergence)
+        store.load_batch(records, allocations)
+        assert store.read("record").count() == 2
+        assert rows(store.read("allocation"), "nca_number", "agency", "amount") == [
+            ("N1", "A1", 10.0),
+            ("N1", "A2", 20.0),
+            ("N2", "B1", 30.0),
+        ]
+
+    def test_partial_release_reload(self, spark, tmp_path):
+        """Re-extracting one release replaces only its allocations."""
+        store, _, _ = mk_store(spark, tmp_path)
+        store.load_batch(
+            spark.createDataFrame(
+                [Row(nca_number="N1", department="DepEd-2", release_id="id_2024")]
+            ),
+            spark.createDataFrame(
+                [Row(nca_number="N1", agency="A9", amount=99.0, release_id="id_2024")]
+            ),
+        )
+        assert rows(store.read("allocation"), "nca_number", "agency") == [
+            ("N1", "A9"),
+            ("N2", "B1"),
+        ]
+        # record upserted in place
+        assert rows(store.read("record"), "nca_number", "department") == [
+            ("N1", "DepEd-2"),
+            ("N2", "DOH"),
+        ]
+
+    def test_cascade_delete(self, spark, tmp_path):
+        store, _, _ = mk_store(spark, tmp_path)
+        store.delete_releases(spark.createDataFrame([Row(id="id_2024")]))
+        assert rows(store.read("release"), "id") == [("id_2025",)]
+        assert rows(store.read("record"), "nca_number") == [("N2",)]
+        assert rows(store.read("allocation"), "nca_number") == [("N2",)]
+
+    def test_empty_batch_short_circuit(self, spark, tmp_path):
+        store, _, _ = mk_store(spark, tmp_path)
+        empty_r = store.read("record").limit(0)
+        empty_a = store.read("allocation").limit(0)
+        store.load_batch(empty_r, empty_a)
+        assert store.read("record").count() == 2
+        assert store.read("allocation").count() == 3
