@@ -1167,3 +1167,93 @@ def page_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").alias("page_count"),
     )
     return plan_page_batches(rel, batch_size=10)
+
+
+# ---------------------------------------------------------------------------
+# Phase 6 — event-time window operators (streaming/events.py; batch
+# mode here so DuckDB can replay them — the streaming plan is
+# identical plus a watermark)
+# ---------------------------------------------------------------------------
+
+from dbm_nca_ph_etl_spark.streaming import events as EV  # noqa: E402
+
+
+@register(
+    "tumbling_window_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="window(ts, '1 hour') fixed windows — the native streaming "
+    "twin of hourly_rollup's date_trunc; epoch-aligned on NTZ so the "
+    "driver session timezone cannot shift buckets.",
+    tags=("window", "streaming"),
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.tumbling_window_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH ks AS (SELECT unnest(range(4)) AS k),
+    expanded AS (
+      SELECT event_type,
+             make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000)
+               AS window_start_ts
+      FROM events, ks
+    )
+    SELECT strftime(window_start_ts, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    doc="window(ts, '1 hour', '15 minutes') sliding windows: each "
+    "event expands into width/slide=4 overlapping windows JVM-side "
+    "(no self-join); oracle replays the expansion with a range cross "
+    "join.",
+    tags=("window", "streaming"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.sliding_window_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "session_window_stats",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+      SELECT user_id, value, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="session_window(ts, '30 minutes') gap sessions — the "
+    "streaming-native twin of the batch lag/cumsum sessionizer "
+    "(merging state incrementally instead of re-sorting history); "
+    "session end = last event + gap, boundary exclusive.",
+    tags=("window", "streaming", "bench"),
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.session_window_stats(_t(spark, sf_dir, "events"))

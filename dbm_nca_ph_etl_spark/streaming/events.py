@@ -1,0 +1,108 @@
+"""Event-time window operators (north-star extension; SURVEY §2.11).
+
+The reference has no event-time engine (its "streaming" is SQS
+micro-batching, §2.9) — these operators are the extension surface the
+`events` testdata exists for. Each works identically on batch and
+streaming DataFrames; on a stream the watermark bounds state so a
+100 TB/day event feed ages out window state instead of accumulating
+it. All pure built-ins (``window`` / ``session_window`` generate
+expressions inside codegen; the aggregation is a hash agg partial →
+final on the window+key shuffle).
+
+Timestamps are emitted as formatted strings so oracle comparison is
+timezone/precision-proof (catalog convention, plans/queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _watermarked(events: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Apply the watermark only on streams (batch plans don't need
+    one). Spark requires the event-time column to be LTZ `timestamp`
+    on streams — cast NTZ columns before streaming (the catalog's
+    batch `events.ts` is NTZ for oracle timezone-proofing; a real feed
+    arrives as epoch/LTZ anyway)."""
+    return events.withWatermark(ts_col, delay) if events.isStreaming else events
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    ts_col: str = "ts",
+    key: str = "event_type",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-(window, key) count + value sum over fixed windows."""
+    w = F.window(ts_col, width)
+    return (
+        _watermarked(events, ts_col, watermark)
+        .groupBy(w.alias("w"), F.col(key))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    key: str = "event_type",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Overlapping-window counts: each event lands in width/slide
+    windows (Spark expands this without a self-join)."""
+    w = F.window(ts_col, width, slide)
+    return (
+        _watermarked(events, ts_col, watermark)
+        .groupBy(w.alias("w"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessions per key via ``session_window`` — the
+    streaming-native twin of the batch lag/cumsum sessionizer
+    (operators/windows.sessionize); state is merged incrementally
+    instead of re-sorted, so an always-on stream needs no full-key
+    shuffle history."""
+    w = F.session_window(ts_col, gap)
+    return (
+        _watermarked(events, ts_col, watermark)
+        .groupBy(w.alias("w"), F.col(key))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col(key),
+            F.date_format("w.start", _FMT).alias("session_start"),
+            F.date_format("w.end", _FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

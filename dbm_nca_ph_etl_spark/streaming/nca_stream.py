@@ -1,0 +1,71 @@
+"""The NCA pipeline as a Structured Streaming job (SURVEY §2.9).
+
+Reference topology → engine mapping:
+- SQS queue between stages (T1)      → a watched inbox directory;
+  each dropped parquet file of raw rows is one "message batch".
+- Lambda worker per batch (T2)       → ``foreachBatch``: each
+  micro-batch runs the pure cleaner and the idempotent store load.
+- at-least-once + idempotent upsert (T6) → replays of a micro-batch
+  converge because :meth:`NCAStore.load_batch` is idempotent; the
+  checkpoint dir gives exactly-once file tracking on top.
+- idle-detection teardown (T4/T5)    → ``trigger(availableNow=True)``
+  drains the inbox and terminates — the 15-minute CloudWatch
+  alarm dance (initialize_aws.py:487-513) becomes one flag.
+- DLQ after 1 attempt (T1)           → cleaner failures in a batch
+  quarantine that batch's rows to ``<store>/dlq`` instead of
+  killing the stream (try/except dead-letter, same redrive shape).
+
+Scale: the cleaner is shuffle-partitioned by release_id inside each
+micro-batch; ``maxFilesPerTrigger`` bounds batch size the way the
+reference bounds Lambda batch size (queue_batch_size=1,
+initialize_aws.py:101). State lives in the store, not the stream —
+no streaming aggregation state to size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbm_nca_ph_etl_spark.nca.cleaner import clean_raw_rows
+from dbm_nca_ph_etl_spark.nca.schemas import RAW_ROWS_SCHEMA
+from dbm_nca_ph_etl_spark.sinks.merge import NCAStore, append_parquet
+
+
+def run_nca_pipeline(
+    spark: SparkSession,
+    inbox_dir: str,
+    store: NCAStore,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Stream raw-rows parquet drops from ``inbox_dir`` into the
+    three-table store. Returns after the inbox drains when
+    ``available_now`` (the reference's teardown semantics); otherwise
+    runs until ``query.stop()`` (T5 trigger-disable)."""
+    reader = spark.readStream.schema(RAW_ROWS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(inbox_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            records, allocations = clean_raw_rows(batch_df)
+            store.load_batch(records, allocations)
+        except Exception:
+            # dead-letter the raw rows (maxReceiveCount:1 semantics)
+            append_parquet(batch_df, os.path.join(store.base, "dlq"))
+
+    writer = raw.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - long-running mode
+        writer.start()

@@ -1,0 +1,135 @@
+"""Streaming-layer tests: queue-message codec (S15/S16), the
+micro-batch NCA pipeline (T1/T2/T4/T6) with checkpointed replays and
+a DLQ, and event-time windows running in genuine streaming mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dbm_nca_ph_etl_spark.nca.schemas import RAW_ROWS_SCHEMA
+from dbm_nca_ph_etl_spark.sinks import NCAStore
+from dbm_nca_ph_etl_spark.streaming import (
+    RELEASE_MSG_SCHEMA,
+    decode_messages,
+    encode_messages,
+    run_nca_pipeline,
+    tumbling_window_counts,
+)
+
+
+class TestMessages:
+    def test_roundtrip(self, spark):
+        rel = spark.createDataFrame(
+            [
+                Row(
+                    id="id_2024",
+                    title="t",
+                    url="u",
+                    filename="f.pdf",
+                    year=2024,
+                    page_count=3,
+                    file_meta_created_at=None,
+                    file_meta_modified_at=None,
+                )
+            ],
+            RELEASE_MSG_SCHEMA,
+        )
+        body = encode_messages(rel)
+        assert body.columns == ["body"]
+        back = decode_messages(body, RELEASE_MSG_SCHEMA).collect()[0]
+        assert (back.id, back.year, back.page_count) == ("id_2024", 2024, 3)
+        assert back.file_meta_created_at is None
+
+
+def raw_rows(spark, release_id, ncas):
+    rows = []
+    for i, (nca, amount) in enumerate(ncas):
+        base = i * 10
+        rows += [
+            Row(
+                release_id=release_id, page_num=0, row_idx=base,
+                nca_number=nca, nca_type="Regular", released_date="01/15/2024",
+                department="DepEd", agency="", operating_unit="", amount="",
+                purpose="To cover",
+            ),
+            Row(
+                release_id=release_id, page_num=0, row_idx=base + 1,
+                nca_number="", nca_type="", released_date="", department="",
+                agency="AG-1", operating_unit="OU-1", amount=amount, purpose="",
+            ),
+        ]
+    return spark.createDataFrame(rows, RAW_ROWS_SCHEMA)
+
+
+class TestNcaPipeline:
+    def test_micro_batches_and_restart(self, spark, tmp_path):
+        inbox = str(tmp_path / "inbox")
+        ckpt = str(tmp_path / "ckpt")
+        store = NCAStore(spark, str(tmp_path / "lake"))
+        os.makedirs(inbox)
+
+        raw_rows(spark, "id_2024", [("N1", "100.00"), ("N2", "1,500.50")]).coalesce(
+            1
+        ).write.mode("append").parquet(inbox)
+        run_nca_pipeline(spark, inbox, store, ckpt, max_files_per_trigger=1)
+        assert store.read("record").count() == 2
+
+        # second drop + restart from the same checkpoint: only the new
+        # file is processed, replays don't duplicate
+        raw_rows(spark, "id_2025", [("N3", "7.25")]).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+        run_nca_pipeline(spark, inbox, store, ckpt, max_files_per_trigger=1)
+        run_nca_pipeline(spark, inbox, store, ckpt, max_files_per_trigger=1)
+
+        recs = {r.nca_number: r for r in store.read("record").collect()}
+        assert set(recs) == {"N1", "N2", "N3"}
+        allocs = sorted(
+            (a.nca_number, a.amount) for a in store.read("allocation").collect()
+        )
+        assert allocs == [("N1", 100.0), ("N2", 1500.5), ("N3", 7.25)]
+
+
+class TestStreamingWindows:
+    def test_tumbling_on_stream(self, spark, tmp_path, sf_dir):
+        """The SAME operator code runs as an incremental streaming agg:
+        feed events parquet through a file stream into a memory sink
+        with availableNow, compare against the batch answer."""
+        from dbm_nca_ph_etl_spark.sources.catalog import load_table
+
+        # watermarks need an LTZ event-time column (Spark rejects NTZ
+        # streams); session tz is UTC so the cast is value-preserving
+        events = (
+            load_table(spark, sf_dir, "events")
+            .limit(500)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .cache()
+        )
+        src = str(tmp_path / "events_src")
+        events.write.parquet(src)
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            tumbling_window_counts(stream)
+            .writeStream.format("memory")
+            .queryName("tw_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.window_start, r.event_type, r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM tw_test").collect()
+        )
+        want = sorted(
+            (r.window_start, r.event_type, r.n_events, r.sum_value)
+            for r in tumbling_window_counts(events).collect()
+        )
+        assert got == want and len(got) > 0
