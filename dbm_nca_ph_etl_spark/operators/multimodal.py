@@ -1,0 +1,211 @@
+"""Multimodal (image/audio/video) column operators.
+
+North-star extension (BASELINE.json; SURVEY §2.11): treat media as
+opaque ``binary`` columns plus a typed metadata struct, with decode /
+feature-extract / resize / frame-sample implemented as Arrow-batched
+pandas UDFs over ``mapInPandas``. The container ships no image/audio
+libraries, so the *codec* layer is pluggable:
+
+- :class:`PILImageDecoder` — the real thing, behind an import-try;
+  constructing it without Pillow raises ``NotImplementedError``.
+- :class:`FakeGrayscaleDecoder` — a clearly-marked deterministic
+  stand-in that interprets the blob as a row-major ``height x width``
+  grayscale byte grid (meta-driven). Every Spark-side piece — schema,
+  partitioning, UDF signatures, Arrow batch shapes, explode topology —
+  is identical to the real-codec path and is what the tests pin.
+
+Scale design: media blobs dominate row size, so these operators never
+shuffle content. Feature extraction and resizing are map-only
+(mapInPandas preserves partitioning); frame sampling explodes rows
+but only emits the *sampled* frames. ``spark.sql.files.maxPartitionBytes``
+sizes scan partitions; Arrow batches bound executor memory per UDF
+call (`spark.sql.execution.arrow.maxRecordsPerBatch` for huge blobs).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id bigint, modality string, fmt string, content binary, "
+    "meta struct<width:int, height:int, channels:int, sample_rate:int, n_frames:int>"
+)
+
+
+# -----------------------------------------------------------------------
+# Codec layer (pluggable; the only stubbed piece)
+# -----------------------------------------------------------------------
+
+
+class PILImageDecoder:
+    """Real image decode via Pillow — unavailable in this container;
+    construction fails fast with NotImplementedError."""
+
+    def __init__(self) -> None:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "PILImageDecoder needs the optional 'Pillow' package; "
+                "install it or use FakeGrayscaleDecoder."
+            ) from e
+        self._pil = __import__("PIL.Image", fromlist=["Image"])
+
+    def decode(self, content: bytes, meta) -> np.ndarray:  # pragma: no cover
+        import io
+
+        return np.asarray(self._pil.open(io.BytesIO(content)).convert("L"))
+
+    def encode(self, pixels: np.ndarray) -> bytes:  # pragma: no cover
+        import io
+
+        buf = io.BytesIO()
+        self._pil.fromarray(pixels).save(buf, format="PNG")
+        return buf.getvalue()
+
+
+class FakeGrayscaleDecoder:
+    """DETERMINISTIC FAKE codec: blob = row-major grayscale grid of
+    ``meta.height x meta.width`` bytes (truncate/zero-pad to fit)."""
+
+    def decode(self, content: bytes, meta) -> np.ndarray:
+        w, h = int(meta["width"]), int(meta["height"])
+        arr = np.frombuffer(content, dtype=np.uint8)[: w * h]
+        if arr.size < w * h:
+            arr = np.pad(arr, (0, w * h - arr.size))
+        return arr.reshape(h, w)
+
+    def encode(self, pixels: np.ndarray) -> bytes:
+        return pixels.astype(np.uint8).tobytes()
+
+
+# -----------------------------------------------------------------------
+# Asset synthesis (testdata adapter — documents.text as fake blobs)
+# -----------------------------------------------------------------------
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from ``documents``: content is the
+    utf-8 text bytes; modality cycles image/audio/video by doc_id;
+    meta is derived from blob length. Pure column expressions — the
+    point is a reproducible binary+meta table, not realism."""
+    n = F.octet_length(F.col("text"))
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    width = F.lit(16)
+    height = F.greatest((n / 16).cast("int"), F.lit(1))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.when(modality == "image", F.lit("fakegray"))
+        .when(modality == "audio", F.lit("pcm8"))
+        .otherwise(F.lit("rawvideo"))
+        .alias("fmt"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.struct(
+            width.alias("width"),
+            height.alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(8000).alias("sample_rate"),
+            F.greatest((n / 64).cast("int"), F.lit(1)).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+# -----------------------------------------------------------------------
+# Operators
+# -----------------------------------------------------------------------
+
+
+def byte_stats(assets: DataFrame) -> DataFrame:
+    """Per-asset blob statistics (the feature-extract step): length,
+    mean/max byte, distinct byte count. Real numpy over Arrow batches;
+    map-only, no shuffle."""
+
+    def stats(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for aid, content in zip(b["asset_id"], b["content"]):
+                a = np.frombuffer(bytes(content), dtype=np.uint8)
+                out.append(
+                    (
+                        aid,
+                        int(a.size),
+                        round(float(a.mean()), 6) if a.size else 0.0,
+                        int(a.max()) if a.size else 0,
+                        int(np.unique(a).size),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "n_bytes", "mean_byte", "max_byte", "n_distinct_bytes"],
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        stats,
+        schema="asset_id bigint, n_bytes int, mean_byte double, max_byte int, n_distinct_bytes int",
+    )
+
+
+def resize_images(assets: DataFrame, out_w: int, out_h: int, decoder=None) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode image assets.
+    With the fake codec the resample math (index grid) is exactly what
+    a real pipeline runs on decoded pixels."""
+    decoder = decoder or FakeGrayscaleDecoder()
+
+    def resize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for aid, content, meta in zip(b["asset_id"], b["content"], b["meta"]):
+                px = decoder.decode(bytes(content), meta)
+                ys = (np.arange(out_h) * px.shape[0] / out_h).astype(int)
+                xs = (np.arange(out_w) * px.shape[1] / out_w).astype(int)
+                rows.append((aid, decoder.encode(px[np.ix_(ys, xs)]), out_w, out_h))
+            yield pd.DataFrame(rows, columns=["asset_id", "content", "width", "height"])
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "content", "meta")
+        .mapInPandas(
+            resize, schema="asset_id bigint, content binary, width int, height int"
+        )
+    )
+
+
+def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sample video assets: split the blob into ``meta.n_frames``
+    equal frames, keep every ``every_n``-th, emit per-frame stats.
+    Fan-out happens AFTER sampling so only kept frames materialize."""
+
+    def frames(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for aid, content, meta in zip(b["asset_id"], b["content"], b["meta"]):
+                blob = np.frombuffer(bytes(content), dtype=np.uint8)
+                nf = max(int(meta["n_frames"]), 1)
+                fs = blob.size // nf
+                if fs == 0:
+                    continue
+                for i in range(0, nf, every_n):
+                    fr = blob[i * fs : (i + 1) * fs]
+                    rows.append((aid, i, int(fr.size), round(float(fr.mean()), 6)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "n_frame_bytes", "frame_mean_byte"]
+            )
+
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "content", "meta")
+        .mapInPandas(
+            frames,
+            schema="asset_id bigint, frame_idx int, n_frame_bytes int, frame_mean_byte double",
+        )
+    )

@@ -1257,3 +1257,117 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.session_window_stats(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Phase 7 — multimodal binary columns (operators/multimodal.py).
+# Assets are synthesized deterministically from documents.text, so the
+# DuckDB oracle can replay byte-exact semantics via ord(substr(...))
+# (the corpus is pure ASCII: byte == code point).
+# ---------------------------------------------------------------------------
+
+from dbm_nca_ph_etl_spark.operators import multimodal as M  # noqa: E402
+
+
+def _assets(spark, sf_dir):
+    return M.synthesize_assets(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_byte_stats",
+    """
+    WITH chars AS (
+      SELECT doc_id, ord(substr(text, p.p, 1)) AS b
+      FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS p(p)
+    )
+    SELECT doc_id AS asset_id,
+           count(*) AS n_bytes,
+           round(avg(b), 6) AS mean_byte,
+           max(b) AS max_byte,
+           count(DISTINCT b) AS n_distinct_bytes
+    FROM chars
+    GROUP BY doc_id
+    """,
+    doc="Binary-column feature extraction: Arrow-batched numpy stats "
+    "per blob (mapInPandas, map-only — blobs never shuffle). Oracle "
+    "unrolls the blob char-by-char.",
+    tags=("multimodal", "bench"),
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.byte_stats(_assets(spark, sf_dir))
+
+
+@register(
+    "video_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id, text, length(text) AS n,
+             greatest(length(text) // 64, 1) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT doc_id, text, n // n_frames AS fs,
+             unnest(range(0, n_frames, 4)) AS frame_idx
+      FROM v WHERE n // n_frames >= 1
+    ),
+    b AS (
+      SELECT doc_id, frame_idx,
+             ord(substr(text, frame_idx * fs + p.p + 1, 1)) AS byte
+      FROM f, LATERAL unnest(range(0, fs)) AS p(p)
+    )
+    SELECT doc_id AS asset_id, frame_idx,
+           count(*) AS n_frame_bytes,
+           round(avg(byte), 6) AS frame_mean_byte
+    FROM b
+    GROUP BY doc_id, frame_idx
+    """,
+    doc="Video frame sampling: blob → n_frames equal frames, keep "
+    "every 4th, per-frame stats. Fan-out after sampling so dropped "
+    "frames never materialize.",
+    tags=("multimodal",),
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.sample_frames(_assets(spark, sf_dir), every_n=4)
+
+
+@register(
+    "image_resize_stats",
+    """
+    WITH v AS (
+      SELECT doc_id, text, length(text) AS n,
+             greatest(length(text) // 16, 1) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    grid AS (
+      SELECT doc_id, text, n, h,
+             unnest(range(0, 8)) AS r
+      FROM v
+    ),
+    cells AS (
+      SELECT doc_id, text, n, h, r, unnest(range(0, 8)) AS c
+      FROM grid
+    ),
+    px AS (
+      SELECT doc_id,
+             CASE WHEN (r * h // 8) * 16 + c * 2 < n
+                  THEN ord(substr(text, (r * h // 8) * 16 + c * 2 + 1, 1))
+                  ELSE 0 END AS byte
+      FROM cells
+    )
+    SELECT doc_id AS asset_id,
+           count(*) AS n_bytes,
+           round(avg(byte), 6) AS mean_byte,
+           max(byte) AS max_byte,
+           count(DISTINCT byte) AS n_distinct_bytes
+    FROM px
+    GROUP BY doc_id
+    """,
+    doc="decode → nearest-neighbor resize to 8x8 → stats, all inside "
+    "one Arrow pass (FakeGrayscaleDecoder: blob as 16-wide grayscale "
+    "grid). Oracle replays the index grid arithmetic exactly.",
+    tags=("multimodal",),
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.byte_stats(
+        M.resize_images(_assets(spark, sf_dir), out_w=8, out_h=8)
+    )

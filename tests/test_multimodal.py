@@ -1,0 +1,79 @@
+"""Multimodal operator tests: codec fallback, decode/resize math,
+frame sampling topology, Arrow batch plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from dbm_nca_ph_etl_spark.operators.multimodal import (
+    FakeGrayscaleDecoder,
+    PILImageDecoder,
+    byte_stats,
+    resize_images,
+    sample_frames,
+    synthesize_assets,
+)
+
+
+class TestCodecs:
+    def test_pil_unavailable_fails_fast(self):
+        with pytest.raises(NotImplementedError):
+            PILImageDecoder()
+
+    def test_fake_decode_pad_and_truncate(self):
+        d = FakeGrayscaleDecoder()
+        meta = {"width": 4, "height": 2}
+        px = d.decode(bytes(range(6)), meta)  # 6 bytes into 4x2 → pad 2
+        assert px.shape == (2, 4)
+        assert px[1].tolist() == [4, 5, 0, 0]
+        px2 = d.decode(bytes(range(100)), meta)  # truncate
+        assert px2[1].tolist() == [4, 5, 6, 7]
+        assert d.encode(px) == bytes([0, 1, 2, 3, 4, 5, 0, 0])
+
+
+def docs_df(spark):
+    texts = [
+        (0, "a" * 64),           # image (0 % 3 == 0)
+        (1, "bc" * 40),          # audio
+        (2, "".join(chr(65 + i % 26) for i in range(256))),  # video
+    ]
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t)) for i, t in texts]
+    )
+
+
+class TestOperators:
+    def test_synthesize_schema(self, spark):
+        a = synthesize_assets(docs_df(spark))
+        got = {r.asset_id: r for r in a.collect()}
+        assert got[0].modality == "image" and got[0].fmt == "fakegray"
+        assert got[2].modality == "video"
+        assert bytes(got[0].content) == b"a" * 64
+        assert got[0].meta.width == 16 and got[0].meta.height == 4
+        assert got[2].meta.n_frames == 4
+
+    def test_byte_stats(self, spark):
+        s = {r.asset_id: r for r in byte_stats(synthesize_assets(docs_df(spark))).collect()}
+        assert s[0].n_bytes == 64
+        assert s[0].mean_byte == float(ord("a"))
+        assert s[0].n_distinct_bytes == 1
+        assert s[1].max_byte == ord("c")
+
+    def test_resize_nearest_neighbor(self, spark):
+        out = resize_images(synthesize_assets(docs_df(spark)), 8, 8).collect()
+        assert len(out) == 1  # only the image asset
+        r = out[0]
+        assert (r.width, r.height) == (8, 8) and len(bytes(r.content)) == 64
+        assert bytes(r.content) == b"a" * 64
+
+    def test_sample_frames(self, spark):
+        out = sample_frames(synthesize_assets(docs_df(spark)), every_n=4).collect()
+        # only video (asset 2): 4 frames of 64 bytes, every 4th → frame 0
+        assert [(r.asset_id, r.frame_idx, r.n_frame_bytes) for r in out] == [(2, 0, 64)]
+        expect = np.frombuffer(
+            "".join(chr(65 + i % 26) for i in range(64)).encode(), dtype=np.uint8
+        ).mean()
+        assert out[0].frame_mean_byte == round(float(expect), 6)
