@@ -1371,3 +1371,64 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.byte_stats(
         M.resize_images(_assets(spark, sf_dir), out_w=8, out_h=8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 7b — embedding near-dup + IVF ANN (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs, exact all-(i<j) "
+    "baseline (dedup extension). The LSH variant is the scale path; "
+    "this is its recall oracle.",
+    tags=("similarity", "dedup"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+register(
+    "embedding_near_dup_lsh",
+    None,  # approximate recall by design → rows-only check
+    doc="LSH-bucketed near-dup pairs: multi-table hyperplane buckets "
+    "→ candidate pairs → exact cosine filter (precision 1.0, recall "
+    "tunable). The O(n·bucket) plan that replaces the O(n²) cross "
+    "join at 100 TB.",
+    tags=("similarity", "dedup", "bench"),
+)(
+    lambda spark, sf_dir: S.lsh_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+)
+
+
+register(
+    "ann_ivf_topk",
+    None,  # approximate recall by design → rows-only check
+    doc="IVF ANN top-k: deterministic coarse codebook, corpus "
+    "partitioned by nearest cell, queries probe 4/16 cells and "
+    "re-rank exactly. n_probe=n_centroids degrades to brute force "
+    "(test invariant tests/test_similarity.py).",
+    tags=("similarity",),
+)(
+    lambda spark, sf_dir: S.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10),
+        k=10,
+        n_centroids=16,
+        n_probe=4,
+    )
+)

@@ -47,11 +47,64 @@ def test_lsh_recall_on_testdata(spark, sf_dir):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in lsh_bucket_topk(emb, queries, k=10, num_planes=6).collect()
+        for r in lsh_bucket_topk(emb, queries, k=10, num_planes=4, num_tables=8).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # approximate by design; hyperplane LSH with 6 planes on 64-dim
+    # approximate by design; 8 tables x 4 planes on 64-dim
     # random-ish embeddings should recover a solid fraction
     assert recall >= 0.3, f"recall {recall}"
     # everything LSH returns must be a genuine vector pair (sanity)
     assert all(q != n for q, n in approx)
+
+
+def test_ivf_full_probe_equals_exact(spark, sf_dir):
+    """n_probe == n_centroids degrades IVF to brute force — results
+    must match cosine_topk exactly (same rounding + tiebreaks)."""
+    from dbm_nca_ph_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 5")
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    )
+    full_probe = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).collect()
+    )
+    assert exact == full_probe
+
+
+def test_ivf_partial_probe_subset(spark, sf_dir):
+    """Partial probing returns plausible neighbors: every result pair
+    is a real corpus pair and per-query result count is ≤ k."""
+    from dbm_nca_ph_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(emb, emb.where("vec_id < 5"), k=5, n_centroids=8, n_probe=2)
+    counts = {r.query_id: r["count"] for r in out.groupBy("query_id").count().collect()}
+    assert counts and all(c <= 5 for c in counts.values())
+
+
+def test_near_dup_lsh_precision_and_recall(spark, sf_dir):
+    """LSH near-dup pairs ⊆ exact pairs (precision 1.0 — false
+    positives are filtered by the exact cosine check)."""
+    from dbm_nca_ph_etl_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in lsh_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    assert set(approx) <= set(exact)
+    for pair, sim in approx.items():
+        assert sim == exact[pair]
+    if exact:
+        assert len(approx) / len(exact) >= 0.2, (len(approx), len(exact))
