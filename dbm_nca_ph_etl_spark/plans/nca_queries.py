@@ -63,8 +63,8 @@ def synthesize_nca_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
     )
 
-    rel = F.concat(F.lit("id_"), ((F.col("o_orderkey") % 4) + 2021).cast("string"))
-    rel_li = F.concat(F.lit("id_"), ((F.col("l_orderkey") % 4) + 2021).cast("string"))
+    rel = F.concat(F.lit("id_"), ((F.col("o_orderkey") % 97) + 1000).cast("string"))
+    rel_li = F.concat(F.lit("id_"), ((F.col("l_orderkey") % 97) + 1000).cast("string"))
     nca = F.concat(F.lit("NCA-"), F.col("o_orderkey").cast("string"))
     base_o = F.col("o_orderkey") * 1000
 
@@ -139,7 +139,7 @@ _SQL_SYNTH = """
   li AS (SELECT l.* FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey),
   raw0 AS (
     -- header repeats
-    SELECT 'id_' || (o_orderkey % 4 + 2021)::VARCHAR AS release_id,
+    SELECT 'id_' || (o_orderkey % 97 + 1000)::VARCHAR AS release_id,
            o_orderkey * 1000 + 0 AS row_idx,
            'NCA Number' AS nca_number, 'NCA Type' AS nca_type,
            'Released Date' AS released_date, 'Department' AS department,
@@ -148,7 +148,7 @@ _SQL_SYNTH = """
     FROM o WHERE o_orderkey % 310 = 0
     UNION ALL
     -- record row
-    SELECT 'id_' || (o_orderkey % 4 + 2021)::VARCHAR,
+    SELECT 'id_' || (o_orderkey % 97 + 1000)::VARCHAR,
            o_orderkey * 1000 + 1,
            'NCA-' || o_orderkey::VARCHAR, o_orderpriority,
            strftime(o_orderdate, '%m/%d/%Y'),
@@ -157,21 +157,21 @@ _SQL_SYNTH = """
     FROM o
     UNION ALL
     -- continuation
-    SELECT 'id_' || (o_orderkey % 4 + 2021)::VARCHAR,
+    SELECT 'id_' || (o_orderkey % 97 + 1000)::VARCHAR,
            o_orderkey * 1000 + 2, '', '', '', '', '', '', '', 'order requirements'
     FROM o
     UNION ALL
     -- blank + stray (leading-run break)
-    SELECT 'id_' || (o_orderkey % 4 + 2021)::VARCHAR,
+    SELECT 'id_' || (o_orderkey % 97 + 1000)::VARCHAR,
            o_orderkey * 1000 + 3, '', '', '', '', '', '', '', ''
     FROM o WHERE o_orderkey % 3 = 0
     UNION ALL
-    SELECT 'id_' || (o_orderkey % 4 + 2021)::VARCHAR,
+    SELECT 'id_' || (o_orderkey % 97 + 1000)::VARCHAR,
            o_orderkey * 1000 + 4, '', '', '', '', '', '', '', 'stray text'
     FROM o WHERE o_orderkey % 3 = 0
     UNION ALL
     -- allocation main rows
-    SELECT 'id_' || (l_orderkey % 4 + 2021)::VARCHAR,
+    SELECT 'id_' || (l_orderkey % 97 + 1000)::VARCHAR,
            l_orderkey * 1000 + 10 + l_linenumber * 3,
            '', '', '', '',
            'AG-' || l_suppkey::VARCHAR,
@@ -184,7 +184,7 @@ _SQL_SYNTH = """
     FROM li
     UNION ALL
     -- wrapped allocation text
-    SELECT 'id_' || (l_orderkey % 4 + 2021)::VARCHAR,
+    SELECT 'id_' || (l_orderkey % 97 + 1000)::VARCHAR,
            l_orderkey * 1000 + 10 + l_linenumber * 3 + 1,
            '', '', '', '', 'wrapped', '',
            CASE WHEN l_linenumber = 1 THEN '1,234.50'
@@ -194,7 +194,7 @@ _SQL_SYNTH = """
     FROM li WHERE l_linenumber = 2
     UNION ALL
     -- spacer after every allocation
-    SELECT 'id_' || (l_orderkey % 4 + 2021)::VARCHAR,
+    SELECT 'id_' || (l_orderkey % 97 + 1000)::VARCHAR,
            l_orderkey * 1000 + 10 + l_linenumber * 3 + 2,
            '', '', '', '', '', '', '', ''
     FROM li
