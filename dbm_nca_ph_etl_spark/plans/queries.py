@@ -1432,3 +1432,69 @@ register(
         n_probe=4,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: set operations + grouping sets (SURVEY §2.7 —
+# absent from the reference, free from Spark; exercised so the SQL
+# surface is demonstrably complete)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets over the pricing dimensions — one pass, "
+    "partial-agg per grouping set (Expand + hash agg).",
+    tags=("relational",),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "customers_retained",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    doc="INTERSECT (set semantics — dedups both sides): customers "
+    "ordering in both years.",
+    tags=("relational",),
+)
+def customers_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@register(
+    "customers_churned",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    doc="EXCEPT: customers who ordered in 1995 but not 1996 — the "
+    "left-anti shape the incremental sync uses, as a set op.",
+    tags=("relational",),
+)
+def customers_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)

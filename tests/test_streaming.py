@@ -133,3 +133,47 @@ class TestStreamingWindows:
             for r in tumbling_window_counts(events).collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestStatefulDedup:
+    def test_cross_batch_dedup(self, spark, tmp_path):
+        """Keys repeated across micro-batches are emitted exactly once,
+        and the first batch's row wins."""
+        from dbm_nca_ph_etl_spark.streaming.stateful import streaming_dedup
+
+        src = str(tmp_path / "docs_src")
+        schema = "doc_id long, text string, batch int"
+        # batch files written in name order; file source picks them up
+        # one per trigger with maxFilesPerTrigger=1
+        spark.createDataFrame(
+            [(1, "one-a", 1), (2, "two-a", 1), (1, "one-dup-same-batch", 1)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(2, "two-b", 2), (3, "three-b", 2)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_dedup(stream, "doc_id", order_col="text")
+            .writeStream.format("memory")
+            .queryName("dedup_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.doc_id: r.text
+            for r in spark.sql("SELECT * FROM dedup_test").collect()
+        }
+        assert set(got) == {1, 2, 3}
+        assert got[1] == "one-a"          # order_col winner in batch
+        assert got[3] == "three-b"
+        # 2 appeared in both batches; whichever batch ran first wins —
+        # with file order that's batch 1
+        assert got[2] == "two-a"
