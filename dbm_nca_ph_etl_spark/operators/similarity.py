@@ -2,17 +2,48 @@
 
 - :func:`cosine_topk` — brute-force exact top-k: broadcast the
   (small) query set against the corpus, dot-product via array HOFs
-  (JVM-side, codegen), rank with a per-query window. The correctness
-  baseline and the right plan whenever |queries| is small: one
-  broadcast, one shuffle (the window's partitionBy query_id).
+  (JVM-side), rank with a per-query window. The correctness baseline
+  and the right plan whenever |queries| is small: one broadcast, one
+  shuffle (the window's partitionBy query_id).
 - :func:`lsh_bucket_topk` — the scale path: random-hyperplane LSH
   (sign-of-dot-product with deterministic seeded planes) buckets both
   sides; candidates are only corpus vectors sharing a bucket, then
   exact re-rank. Sub-linear candidate sets at 100 TB; recall tunable
   by number of tables/planes.
+
 All distance math is double-precision, left-to-right ``aggregate``
 folds, so the DuckDB oracle (list_dot_product) reproduces values
 bit-for-bit; outputs round to 6 dp before ranking anyway.
+
+Performance conventions (measured, not guessed — each of these was a
+multi-second pathology at sf0.1):
+
+- **Hoist norms out of pair expressions.** ``zip_with``/``aggregate``
+  are CodegenFallback: every occurrence is an interpreted per-row
+  lambda walk. ``cos = dot(a,b)/(|a|·|b|)`` evaluated per *pair* costs
+  three folds; computing ``|v|`` once per *row* and carrying it
+  through the join leaves one fold per pair — bit-identical output
+  (same doubles, same division) at a third of the interpreted work.
+- **Array literals in one py4j call.** ``F.array(*map(F.lit, vals))``
+  is one Python↔JVM round-trip per element — ~4,600 round-trips
+  (2-3 s of driver time) for a 6-table × 6-plane × 64-dim LSH plan.
+  ``F.lit(list)`` builds the same literal in one call
+  (:func:`_plane_lit`).
+- **No distinct over candidate pairs.** Multi-table LSH dedups pairs
+  by keeping a pair only in its *first* colliding table
+  (:func:`_first_collision`) — a scalar predicate on the bucket-join
+  output, replacing a dropDuplicates shuffle that hauled both 64-dim
+  vectors per candidate row.
+- **posexplode_outer, not posexplode.** Non-outer generate plants a
+  ``size(sigs) > 0`` pre-filter that re-evaluates the full 36-fold
+  signature array per row and gets pushed into the parquet scan as a
+  row-level DataFilter; the signature array is never empty, so the
+  outer variant is semantically identical and skips both.
+- **Unrolled element_at dot products are a trap.** Expanding the
+  64-term sum into flat arithmetic looks codegen-friendly but builds
+  128-deep Add trees that blow past codegen method limits and fall
+  back to per-node interpreted eval — measured 5-10× *slower* than
+  the fold, before counting the plan-size cost. Don't.
 """
 
 from __future__ import annotations
@@ -22,7 +53,8 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ a[i]*b[i] in double precision (sequential fold)."""
+    """Σ a[i]*b[i] in double precision (sequential left-to-right fold,
+    matching DuckDB's list fold bit-for-bit)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -40,6 +72,12 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _paired_cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """cos(a,b) from vectors + hoisted norms: one fold per pair.
+    Bit-identical to :func:`cosine` — same dot fold, same ``/(na*nb)``."""
+    return F.round(dot(va, vb) / (na * nb), 6)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,9 +92,15 @@ def cosine_topk(
     are total-order deterministic.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -64,7 +108,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+            _paired_cosine(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -89,17 +135,66 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return vals
 
 
+def _plane_lit(vals: list[float]) -> Column:
+    """Array-of-doubles literal in ONE py4j call (see module doc)."""
+    return F.lit([float(v) for v in vals])
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: one sign bit per plane, packed to
     a bigint bucket key."""
     bits = [
-        F.when(dot(vec, F.array(*[F.lit(v) for v in plane])) >= 0, 1).otherwise(0)
-        for plane in planes
+        F.when(dot(vec, _plane_lit(plane)) >= 0, 1).otherwise(0) for plane in planes
     ]
     key = F.lit(0).cast("bigint")
     for i, b in enumerate(bits):
         key = key + (b.cast("bigint") * F.lit(2**i).cast("bigint"))
     return key
+
+
+def _signed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_tables: int,
+    num_planes: int,
+    dim: int,
+    seed: int,
+) -> DataFrame:
+    """(id, _v, _n, _b0.._bN) — every table's bucket key as a plain
+    bigint COLUMN plus the hoisted norm, from one projection over one
+    scan. Ends in ``repartition(id)`` deliberately: the exchange is a
+    materialization barrier that Spark's ReuseExchange dedups, so the
+    ``num_tables`` join branches downstream all read this one computed
+    result instead of re-running the 36-fold signature projection per
+    branch per side (the LSH "index build once" semantics; at scale
+    this is where you'd persist the signature table)."""
+    keys = [
+        lsh_signature(
+            F.col(vec_col),
+            [_hyperplane(dim, seed + t * 1000 + i) for i in range(num_planes)],
+        ).alias(f"_b{t}")
+        for t in range(num_tables)
+    ]
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        *keys,
+    ).repartition(F.col("id"))
+
+
+def _first_collision_cond(a: str, b: str, t: int) -> Column:
+    """Join condition for table ``t`` over two qualified aliases:
+    buckets agree on table t and DISAGREE on every earlier table —
+    each candidate pair survives in exactly one branch. Static column
+    predicates (the table index is known per branch), so pair dedup
+    costs no HOF evaluation and no distinct shuffle over
+    vector-carrying candidate rows."""
+    cond = F.col(f"{a}._b{t}") == F.col(f"{b}._b{t}")
+    for s in range(t):
+        cond = cond & (F.col(f"{a}._b{s}") != F.col(f"{b}._b{s}"))
+    return cond
 
 
 def lsh_bucket_topk(
@@ -119,44 +214,40 @@ def lsh_bucket_topk(
     θ] = 1-(1-(1-θ/π)^planes)^tables — more tables raises recall,
     more planes shrinks buckets.
 
-    At 100 TB the corpus side is hash-partitioned by (table, bucket)
-    (one shuffle); each query probes one bucket per table. Recall
-    < 1.0 by design — exact :func:`cosine_topk` is the baseline.
+    At 100 TB the corpus side is hash-partitioned per bucket key (one
+    shuffle, reused across table branches); each query probes one
+    bucket per table. Recall < 1.0 by design — exact
+    :func:`cosine_topk` is the baseline.
     """
-    c_sides, q_sides = [], []
+    q = _signed(queries, id_col, vec_col, num_tables, num_planes, dim, seed).alias("q")
+    c = _signed(corpus, id_col, vec_col, num_tables, num_planes, dim, seed).alias("c")
+    branches = []
     for t in range(num_tables):
-        planes = [_hyperplane(dim, seed + t * 1000 + i) for i in range(num_planes)]
-        sig = lsh_signature(F.col(vec_col), planes)
-        c_sides.append(
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("_cv"),
-                sig.alias("bucket"),
-            ).withColumn("table", F.lit(t))
+        branches.append(
+            F.broadcast(q)
+            .join(
+                c,
+                _first_collision_cond("q", "c", t)
+                & (F.col("q.id") != F.col("c.id")),
+            )
+            .select(
+                F.col("q.id").alias("query_id"),
+                F.col("c.id").alias("neighbor_id"),
+                F.col("q._v").alias("_qv"),
+                F.col("c._v").alias("_cv"),
+                F.col("q._n").alias("_qn"),
+                F.col("c._n").alias("_cn"),
+            )
         )
-        q_sides.append(
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("_qv"),
-                sig.alias("bucket"),
-            ).withColumn("table", F.lit(t))
-        )
-    c = c_sides[0]
-    for s in c_sides[1:]:
-        c = c.unionByName(s)
-    q = q_sides[0]
-    for s in q_sides[1:]:
-        q = q.unionByName(s)
-    scored = (
-        F.broadcast(q)
-        .join(c, ["table", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
-        )
+    cand = branches[0]
+    for b in branches[1:]:
+        cand = cand.unionByName(b)
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        _paired_cosine(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -177,15 +268,25 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs, EXACT: all (i<j) pairs
     with cosine ≥ threshold. O(n²) — the correctness baseline; use
     :func:`lsh_near_dup_pairs` as the 100 TB path."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+            _paired_cosine(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -207,34 +308,42 @@ def lsh_near_dup_pairs(
     so precision is 1.0 and only recall is approximate (more tables /
     fewer planes per table → higher recall, bigger buckets).
 
-    Scale shape: per-table shuffle on bucket key (bounded bucket
-    sizes), pair dedup, re-rank — never the O(n²) cross join. At
+    Scale shape: ONE projection computes every table's bucket key +
+    the vector norm behind a reused exchange (the "index build");
+    per-table self-join branches match on that table's key with
+    static disagree-on-earlier-tables predicates, so each candidate
+    pair materializes in exactly one branch — never the O(n²) cross
+    join, never a distinct over vector-carrying rows, and the only
+    per-pair HOF evaluation is the final exact-cosine dot fold. At
     100 TB add banding on vector chunks and AQE skew splitting for
     hot buckets; the operator contract is unchanged."""
-    sides = []
+    s = _signed(corpus, id_col, vec_col, num_tables, num_planes, dim, seed)
+    left, right = s.alias("a"), s.alias("b")
+    branches = []
     for t in range(num_tables):
-        planes = [_hyperplane(dim, seed + t * 1000 + i) for i in range(num_planes)]
-        sig = corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("_v"),
-            lsh_signature(F.col(vec_col), planes).alias("bucket"),
-        ).withColumn("table", F.lit(t))
-        sides.append(sig)
-    tagged = sides[0]
-    for s in sides[1:]:
-        tagged = tagged.unionByName(s)
-    left = tagged.select("table", "bucket", F.col("id").alias("id_a"), F.col("_v").alias("_va"))
-    right = tagged.select("table", "bucket", F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
-    cand = (
-        left.join(right, ["table", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        branches.append(
+            left.join(
+                right,
+                _first_collision_cond("a", "b", t)
+                & (F.col("a.id") < F.col("b.id")),
+            ).select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a._v").alias("_va"),
+                F.col("b._v").alias("_vb"),
+                F.col("a._n").alias("_na"),
+                F.col("b._n").alias("_nb"),
+            )
+        )
+    cand = branches[0]
+    for b in branches[1:]:
+        cand = cand.unionByName(b)
     return cand.select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        _paired_cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")).alias(
+            "cos_sim"
+        ),
     ).where(F.col("cos_sim") >= threshold)
 
 
@@ -264,7 +373,7 @@ def _scored_cells(vec: Column, cents: list[list[float]]) -> Column:
     cells = []
     for i, c in enumerate(cents):
         norm = float(sum(x * x for x in c) ** 0.5)
-        score = dot(vec, F.array(*[F.lit(float(x)) for x in c])) / F.lit(norm)
+        score = dot(vec, _plane_lit(c)) / F.lit(norm)
         cells.append(F.struct((-score).alias("neg"), F.lit(i).alias("i")))
     return F.array(*cells)
 
@@ -307,11 +416,13 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         assign_cluster(F.col(vec_col), cents).alias("cell"),
     ).repartition("cell")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(probe_clusters(F.col(vec_col), cents, n_probe)).alias("cell"),
     )
     scored = (
@@ -321,7 +432,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+            _paired_cosine(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
