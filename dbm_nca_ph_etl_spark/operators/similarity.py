@@ -135,9 +135,24 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return vals
 
 
+def _array_lit_sql(vals: list[float]) -> str:
+    """``array(0.1D, ...)`` literal as SQL text. ``repr`` is Python's
+    shortest round-trip form, and Catalyst's double parser restores
+    the identical IEEE value, so going through text loses nothing."""
+    return "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+
+
 def _plane_lit(vals: list[float]) -> Column:
-    """Array-of-doubles literal in ONE py4j call (see module doc)."""
-    return F.lit([float(v) for v in vals])
+    """Array-of-doubles literal parsed JVM-side in ONE py4j call.
+    ``F.array(*map(F.lit, vals))`` is a py4j round-trip per element
+    and even ``F.lit(list)`` converts element-wise (~1.2 s of driver
+    time for a 36×64 plane set); an expr string is microseconds."""
+    return F.expr(_array_lit_sql(vals))
+
+
+def _plane_matrix_lit(planes: list[list[float]]) -> Column:
+    """array<array<double>> literal (all planes) in one py4j call."""
+    return F.expr("array(" + ",".join(_array_lit_sql(p) for p in planes) + ")")
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
@@ -162,26 +177,48 @@ def _signed(
     seed: int,
 ) -> DataFrame:
     """(id, _v, _n, _b0.._bN) — every table's bucket key as a plain
-    bigint COLUMN plus the hoisted norm, from one projection over one
-    scan. Ends in ``repartition(id)`` deliberately: the exchange is a
-    materialization barrier that Spark's ReuseExchange dedups, so the
-    ``num_tables`` join branches downstream all read this one computed
-    result instead of re-running the 36-fold signature projection per
-    branch per side (the LSH "index build once" semantics; at scale
-    this is where you'd persist the signature table)."""
-    keys = [
-        lsh_signature(
-            F.col(vec_col),
-            [_hyperplane(dim, seed + t * 1000 + i) for i in range(num_planes)],
-        ).alias(f"_b{t}")
+    bigint column plus the hoisted norm: the LSH "index build once"
+    table that every downstream join branch shares.
+
+    Two deliberate shapes, both measured at sf0.1:
+
+    - **All sign bits in ONE ``transform`` over an array-of-planes
+      literal**, keys derived by ``element_at`` arithmetic on the
+      bits array — instead of ``tables × planes`` separate fold
+      expressions. Same seeds, same left-to-right fold, same packing,
+      so keys are bit-identical; but the expression tree (and with it
+      driver-side plan build + analysis, previously ~6 s of a ~7 s
+      query) shrinks ~``tables×planes``-fold.
+    - **``persist()``** so the signature projection materializes once
+      and all ``num_tables`` join branches (both sides) read it back.
+      An exchange barrier is NOT enough: column pruning gives each
+      branch a different projection (branch t reads ``_b0.._bt``), so
+      the exchanges stop being equal and ReuseExchange never fires —
+      the signatures re-compute per branch per side. At 100 TB this
+      persist is a written signature table."""
+    planes = [
+        _hyperplane(dim, seed + t * 1000 + i)
         for t in range(num_tables)
+        for i in range(num_planes)
     ]
-    return df.select(
+    bits = F.transform(
+        _plane_matrix_lit(planes),
+        lambda p: F.when(dot(F.col(vec_col), p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    signed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
-        *keys,
-    ).repartition(F.col("id"))
+        bits.alias("_bits"),
+    )
+    keys = []
+    for t in range(num_tables):
+        key = F.lit(0).cast("bigint")
+        for i in range(num_planes):
+            bit = F.element_at("_bits", t * num_planes + i + 1).cast("bigint")
+            key = key + bit * F.lit(2**i).cast("bigint")
+        keys.append(key.alias(f"_b{t}"))
+    return signed.select("id", "_v", "_n", *keys).localCheckpoint(eager=True)
 
 
 def _first_collision_cond(a: str, b: str, t: int) -> Column:
@@ -214,9 +251,9 @@ def lsh_bucket_topk(
     θ] = 1-(1-(1-θ/π)^planes)^tables — more tables raises recall,
     more planes shrinks buckets.
 
-    At 100 TB the corpus side is hash-partitioned per bucket key (one
-    shuffle, reused across table branches); each query probes one
-    bucket per table. Recall < 1.0 by design — exact
+    At 100 TB the signed corpus is a persisted signature table
+    (see :func:`_signed`) hash-joined per bucket key; each query
+    probes one bucket per table. Recall < 1.0 by design — exact
     :func:`cosine_topk` is the baseline.
     """
     q = _signed(queries, id_col, vec_col, num_tables, num_planes, dim, seed).alias("q")
