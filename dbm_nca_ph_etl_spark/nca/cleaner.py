@@ -158,6 +158,24 @@ def clean_raw_rows(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     8 VALID_COLUMNS as nullable strings). Output: RECORDS_SCHEMA,
     ALLOCATIONS_SCHEMA.
     """
+    grouped = _grouped(raw)
+    return _records(grouped), _allocations(grouped)
+
+
+def clean_records(raw: DataFrame) -> DataFrame:
+    """Records output only — builds (and analyzes) just the records
+    plan; the allocations branch costs real driver time per call."""
+    return _records(_grouped(raw))
+
+
+def clean_allocations(raw: DataFrame) -> DataFrame:
+    """Allocations output only (see :func:`clean_records`)."""
+    return _allocations(_grouped(raw))
+
+
+def _grouped(raw: DataFrame) -> DataFrame:
+    """Shared prefix: spacers → header removal → ffill → grouped
+    ordered collect (one row per (release_id, nca_number))."""
     spaced = _with_group_spacers(raw)
     spaced = _remove_header_rows(spaced)
 
@@ -174,21 +192,44 @@ def clean_raw_rows(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     # groups (pd_data_cleaner.py:33)
     filled = filled.where(F.col("nca_number").isNotNull())
 
-    # A1 — groupBy + ordered collects. Record fields take the
+    # A1 — groupBy + ordered collects. ONE struct collect + one
+    # array_sort per group (the order key is unique per row, so the
+    # lexicographic struct sort is exactly the row order), then each
+    # field is a projection off the sorted array — instead of a
+    # collect_list + sort per field (7×the agg state and interpreted
+    # sort work for identical output). Record fields take the
     # leading-run join (W3); allocation fields keep the full ordered
     # list (identity agg) with empties normalized to "".
     okey = F.struct(*[F.col(c) for c in order])
-    aggs = [
-        leading_run_concat(ordered_collect(F.col(f), okey)).alias(f)
-        for f in RECORD_FIELDS
-    ] + [
-        ordered_collect(F.coalesce(F.col(f), F.lit("")), okey).alias(f)
-        for f in ALLOC_FIELDS
-    ]
-    grouped = filled.groupBy("release_id", "nca_number").agg(*aggs)
+    fields = list(RECORD_FIELDS) + list(ALLOC_FIELDS)
+    rows_arr = F.array_sort(
+        F.collect_list(
+            F.struct(okey.alias("_o"), *[F.col(f).alias(f) for f in fields])
+        )
+    )
+    def _field(f: str):
+        # NB: a plain one-parameter lambda — a `lambda s, f=f:` default
+        # arg makes pyspark think it's the (element, index) form.
+        return F.transform("_rows", lambda s: s.getField(f))
 
+    def _field_filled(f: str):
+        return F.transform("_rows", lambda s: F.coalesce(s.getField(f), F.lit("")))
+
+    return (
+        filled.groupBy("release_id", "nca_number")
+        .agg(rows_arr.alias("_rows"))
+        .select(
+            "release_id",
+            "nca_number",
+            *[leading_run_concat(_field(f)).alias(f) for f in RECORD_FIELDS],
+            *[_field_filled(f).alias(f) for f in ALLOC_FIELDS],
+        )
+    )
+
+
+def _records(grouped: DataFrame) -> DataFrame:
     # records (pd_data_cleaner.py:134-141): trim, ISO date coerce
-    records = grouped.select(
+    return grouped.select(
         "nca_number",
         F.trim("nca_type").alias("nca_type"),
         coerce_timestamp_iso(F.trim("released_date")).alias("released_date"),
@@ -197,6 +238,8 @@ def clean_raw_rows(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         "release_id",
     )
 
+
+def _allocations(grouped: DataFrame) -> DataFrame:
     # allocations (pd_data_cleaner.py:143-173):
     # explode the per-group lists with an all-empty spacer prepended to
     # every group (the reference re-runs spacer insertion on the
@@ -260,7 +303,7 @@ def clean_raw_rows(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     # P10 — drop fully-empty reassemblies; P9/F10 — amount coerce, drop
     # unparseable (pd_data_cleaner.py:164-172)
-    allocations = (
+    return (
         assembled.where(
             ~(
                 _is_empty(F.col("agency"))
@@ -277,4 +320,3 @@ def clean_raw_rows(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .where(F.col("amount").isNotNull())
     )
-    return records, allocations

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbm_nca_ph_etl_spark.nca.cleaner import clean_raw_rows
+from dbm_nca_ph_etl_spark.nca.cleaner import clean_allocations, clean_records
 from dbm_nca_ph_etl_spark.nca.schemas import VALID_COLUMNS
 from dbm_nca_ph_etl_spark.sources.catalog import load_table
 
@@ -37,13 +37,11 @@ HEADER_CELLS = [
     "Purpose",
 ]
 
-def _row(release_id, row_idx, nca="", typ="", date="", dept="", ag="", ou="", am="", pu=""):
+def _cells(row_idx, nca="", typ="", date="", dept="", ag="", ou="", am="", pu=""):
     def c(x):
         return F.lit(x) if isinstance(x, str) else x
 
-    return [
-        release_id.alias("release_id"),
-        F.lit(0).alias("page_num"),
+    return F.struct(
         row_idx.cast("long").alias("row_idx"),
         c(nca).alias("nca_number"),
         c(typ).alias("nca_type"),
@@ -53,14 +51,27 @@ def _row(release_id, row_idx, nca="", typ="", date="", dept="", ag="", ou="", am
         c(ou).alias("operating_unit"),
         c(am).alias("amount"),
         c(pu).alias("purpose"),
-    ]
+    )
+
+
+def _explode_variants(df: DataFrame, release_id, variants: list) -> DataFrame:
+    """One scan → all synthetic rows: each source row carries an array
+    of row-variant structs (conditional variants are null-struct via
+    otherwise-less ``when``), filtered and exploded. Replaces an
+    8-branch ``unionByName`` that re-scanned orders 5× and ran the
+    lineitem⋈orders join 3× — same rows, one pass per table, and a
+    plan the analyzer walks once instead of per branch."""
+    rows = F.filter(F.array(*variants), lambda x: x.isNotNull())
+    return df.select(
+        release_id.alias("release_id"), F.explode_outer(rows).alias("_c")
+    ).select("release_id", F.lit(0).alias("page_num"), "_c.*")
 
 
 def synthesize_nca_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic raw-rows document from orders+lineitem."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 31 == 0)
     li = load_table(spark, sf_dir, "lineitem").join(
-        o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
+        F.broadcast(o.select("o_orderkey")), F.col("l_orderkey") == F.col("o_orderkey")
     )
 
     rel = F.concat(F.lit("id_"), ((F.col("o_orderkey") % 97) + 1000).cast("string"))
@@ -68,24 +79,23 @@ def synthesize_nca_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     nca = F.concat(F.lit("NCA-"), F.col("o_orderkey").cast("string"))
     base_o = F.col("o_orderkey") * 1000
 
-    header = o.where(F.col("o_orderkey") % 310 == 0).select(
-        *_row(rel, base_o + 0, *HEADER_CELLS)
-    )
-    record = o.select(
-        *_row(
-            rel,
-            base_o + 1,
-            nca=nca,
-            typ=F.col("o_orderpriority"),
-            date=F.date_format("o_orderdate", "MM/dd/yyyy"),
-            dept=F.concat(F.lit("DEPT-"), (F.col("o_custkey") % 10).cast("string")),
-            pu=F.concat(F.lit("To cover "), F.col("o_orderstatus")),
-        )
-    )
-    continuation = o.select(*_row(rel, base_o + 2, pu="order requirements"))
-    blank = o.where(F.col("o_orderkey") % 3 == 0).select(*_row(rel, base_o + 3))
-    stray = o.where(F.col("o_orderkey") % 3 == 0).select(
-        *_row(rel, base_o + 4, pu="stray text")
+    o_part = _explode_variants(
+        o,
+        rel,
+        [
+            F.when(F.col("o_orderkey") % 310 == 0, _cells(base_o + 0, *HEADER_CELLS)),
+            _cells(
+                base_o + 1,
+                nca=nca,
+                typ=F.col("o_orderpriority"),
+                date=F.date_format("o_orderdate", "MM/dd/yyyy"),
+                dept=F.concat(F.lit("DEPT-"), (F.col("o_custkey") % 10).cast("string")),
+                pu=F.concat(F.lit("To cover "), F.col("o_orderstatus")),
+            ),
+            _cells(base_o + 2, pu="order requirements"),
+            F.when(F.col("o_orderkey") % 3 == 0, _cells(base_o + 3)),
+            F.when(F.col("o_orderkey") % 3 == 0, _cells(base_o + 4, pu="stray text")),
+        ],
     )
 
     base_l = F.col("l_orderkey") * 1000 + 10 + F.col("l_linenumber") * 3
@@ -94,39 +104,33 @@ def synthesize_nca_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_linenumber") == 7, F.lit("N/A"))
         .otherwise(F.round("l_extendedprice", 2).cast("string"))
     )
-    alloc_main = li.select(
-        *_row(
-            rel_li,
-            base_l,
-            ag=F.concat(F.lit("AG-"), F.col("l_suppkey").cast("string")),
-            ou=F.concat(F.lit("OU-"), (F.col("l_partkey") % 50).cast("string")),
-            am=F.when(F.col("l_linenumber") == 2, F.lit("")).otherwise(amount_expr),
-        )
+    li_part = _explode_variants(
+        li,
+        rel_li,
+        [
+            _cells(
+                base_l,
+                ag=F.concat(F.lit("AG-"), F.col("l_suppkey").cast("string")),
+                ou=F.concat(F.lit("OU-"), (F.col("l_partkey") % 50).cast("string")),
+                am=F.when(F.col("l_linenumber") == 2, F.lit("")).otherwise(amount_expr),
+            ),
+            F.when(
+                F.col("l_linenumber") == 2,
+                _cells(base_l + 1, ag="wrapped", am=amount_expr),
+            ),
+            _cells(base_l + 2),
+        ],
     )
-    alloc_wrap = li.where(F.col("l_linenumber") == 2).select(
-        *_row(rel_li, base_l + 1, ag="wrapped", am=amount_expr)
-    )
-    alloc_spacer = li.select(*_row(rel_li, base_l + 2))
 
-    return (
-        header.unionByName(record)
-        .unionByName(continuation)
-        .unionByName(blank)
-        .unionByName(stray)
-        .unionByName(alloc_main)
-        .unionByName(alloc_wrap)
-        .unionByName(alloc_spacer)
-    )
+    return o_part.unionByName(li_part)
 
 
 def nca_clean_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    records, _ = clean_raw_rows(synthesize_nca_raw(spark, sf_dir))
-    return records
+    return clean_records(synthesize_nca_raw(spark, sf_dir))
 
 
 def nca_clean_allocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, allocations = clean_raw_rows(synthesize_nca_raw(spark, sf_dir))
-    return allocations
+    return clean_allocations(synthesize_nca_raw(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
