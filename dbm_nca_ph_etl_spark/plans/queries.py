@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbm_nca_ph_etl_spark.functions.scalars import coerce_double
+from dbm_nca_ph_etl_spark.operators import asof as A
 from dbm_nca_ph_etl_spark.operators import dedup as D
 from dbm_nca_ph_etl_spark.operators import similarity as S
 from dbm_nca_ph_etl_spark.operators import text_analysis as T
@@ -1498,3 +1499,96 @@ def customers_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
     y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
     return y95.subtract(y96)
+
+
+# ---------------------------------------------------------------------------
+# As-of + range joins (north-star extensions; operators/asof.py).
+# DuckDB's native ASOF JOIN is the oracle for the point-in-time join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT c.event_id, c.user_id,
+           e.event_id AS asof_event_id,
+           CASE WHEN e.event_id IS NOT NULL
+                THEN (epoch_us(c.ts) - epoch_us(e.ts)) // 1000000 END
+             AS staleness_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND epoch_us(c.ts) >= epoch_us(e.ts)
+    """,
+    doc="Point-in-time join: each click gets the most recent "
+    "at-or-before error of the same user (operators/asof.py — union "
+    "+ one keyed window, not a range join; oracle is DuckDB's native "
+    "ASOF JOIN).",
+    tags=("join", "events", "bench"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    j = A.asof_join(
+        clicks, errors, on=["user_id"], ts_col="ts_us", payload_cols=["event_id"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        F.floor((F.col("ts_us") - F.col("asof_ts")) / F.lit(1000000))
+        .cast("long")
+        .alias("staleness_sec"),
+    )
+
+
+@register(
+    "range_join_events",
+    """
+    WITH err AS (
+      SELECT event_id AS error_id, user_id,
+             epoch_us(ts) AS start_us, epoch_us(ts) + 21600000000 AS end_us
+      FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e.error_id, e.user_id,
+           count(*) AS n_clicks,
+           round(sum(c.value), 2) AS click_value
+    FROM err e JOIN clk c
+      ON c.user_id = e.user_id AND c.ts_us BETWEEN e.start_us AND e.end_us
+    GROUP BY e.error_id, e.user_id
+    """,
+    doc="Interval join: clicks within 6 h after each error, "
+    "per user (operators/asof.py range_join_buckets — bucketed "
+    "equi-join prefilter, never |events|x|intervals| per key).",
+    tags=("join", "events"),
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.lit(21_600_000_000)).alias("end_us"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select("user_id", "ts_us", "value")
+    j = A.range_join_buckets(
+        clk,
+        err,
+        on=["user_id"],
+        ts_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        bucket_width=21_600_000_000,
+    )
+    return j.groupBy("error_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("click_value"),
+    )
