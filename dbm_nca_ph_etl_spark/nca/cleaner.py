@@ -13,9 +13,13 @@ repeated-header removal (:99-118, :29)     → normalized-equality filter (P3)
 groupby + join/identity aggs (:33-45)      → groupBy + ordered collect (A1)
 _join_col_to_str leading run (:120-132)    → leading_run_concat (W3)
 records: date coerce + dedup (:134-141)    → coerce_timestamp_iso + per-group
-spacers on grouped df (:149)               → inter-group boundary (sorted keys)
-explode (:151)                             → posexplode(arrays_zip) (A3)
-stateful reassembly loop (:152-163)        → segment cumsum + ordered concat (W4)
+spacers on grouped df (:149) + explode
+(:151) + reassembly loop (:152-163)        → segment cumsum + ordered concat (W4)
+                                             directly over filled rows (the
+                                             collect→explode round-trip is a
+                                             no-op and is skipped; A3 explode
+                                             is exercised by token_frequency /
+                                             multimodal instead)
 cast + drop invalid (:164-172)             → coerce_double + filters (P9/P10)
 
 Engine-wide conventions (SURVEY §4): every collect is pinned to
@@ -158,24 +162,24 @@ def clean_raw_rows(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     8 VALID_COLUMNS as nullable strings). Output: RECORDS_SCHEMA,
     ALLOCATIONS_SCHEMA.
     """
-    grouped = _grouped(raw)
-    return _records(grouped), _allocations(grouped)
+    filled = _filled(raw)
+    return _records(_grouped(filled)), _allocations(filled)
 
 
 def clean_records(raw: DataFrame) -> DataFrame:
     """Records output only — builds (and analyzes) just the records
     plan; the allocations branch costs real driver time per call."""
-    return _records(_grouped(raw))
+    return _records(_grouped(_filled(raw)))
 
 
 def clean_allocations(raw: DataFrame) -> DataFrame:
     """Allocations output only (see :func:`clean_records`)."""
-    return _allocations(_grouped(raw))
+    return _allocations(_filled(raw))
 
 
-def _grouped(raw: DataFrame) -> DataFrame:
-    """Shared prefix: spacers → header removal → ffill → grouped
-    ordered collect (one row per (release_id, nca_number))."""
+def _filled(raw: DataFrame) -> DataFrame:
+    """Shared prefix: spacers → header removal → ''→null + ffill —
+    the ordered row stream both outputs consume."""
     spaced = _with_group_spacers(raw)
     spaced = _remove_header_rows(spaced)
 
@@ -184,36 +188,36 @@ def _grouped(raw: DataFrame) -> DataFrame:
         "nca_number",
         F.when(_is_empty(F.col("nca_number")), None).otherwise(F.trim("nca_number")),
     )
-    order = ["page_num", "row_idx", "_seq"]
     filled = forward_fill(
-        spaced, "nca_number", partition_by=["release_id"], order_by=order
+        spaced, "nca_number", partition_by=["release_id"], order_by=_ORDER
     )
     # rows before the first NCA have no key — pandas groupby drops NaN
     # groups (pd_data_cleaner.py:33)
-    filled = filled.where(F.col("nca_number").isNotNull())
+    return filled.where(F.col("nca_number").isNotNull())
 
-    # A1 — groupBy + ordered collects. ONE struct collect + one
-    # array_sort per group (the order key is unique per row, so the
-    # lexicographic struct sort is exactly the row order), then each
-    # field is a projection off the sorted array — instead of a
-    # collect_list + sort per field (7×the agg state and interpreted
-    # sort work for identical output). Record fields take the
-    # leading-run join (W3); allocation fields keep the full ordered
-    # list (identity agg) with empties normalized to "".
-    okey = F.struct(*[F.col(c) for c in order])
-    fields = list(RECORD_FIELDS) + list(ALLOC_FIELDS)
+
+_ORDER = ["page_num", "row_idx", "_seq"]
+
+
+def _grouped(filled: DataFrame) -> DataFrame:
+    # A1 — groupBy + ordered collects (records side only; allocations
+    # stream straight off the filled rows in _allocations). ONE struct
+    # collect + one array_sort per group (the order key is unique per
+    # row, so the lexicographic struct sort is exactly the row order),
+    # then each field is a projection off the sorted array — instead
+    # of a collect_list + sort per field. Record fields take the
+    # leading-run join (W3).
+    okey = F.struct(*[F.col(c) for c in _ORDER])
     rows_arr = F.array_sort(
         F.collect_list(
-            F.struct(okey.alias("_o"), *[F.col(f).alias(f) for f in fields])
+            F.struct(okey.alias("_o"), *[F.col(f).alias(f) for f in RECORD_FIELDS])
         )
     )
+
     def _field(f: str):
         # NB: a plain one-parameter lambda — a `lambda s, f=f:` default
         # arg makes pyspark think it's the (element, index) form.
         return F.transform("_rows", lambda s: s.getField(f))
-
-    def _field_filled(f: str):
-        return F.transform("_rows", lambda s: F.coalesce(s.getField(f), F.lit("")))
 
     return (
         filled.groupBy("release_id", "nca_number")
@@ -222,7 +226,6 @@ def _grouped(raw: DataFrame) -> DataFrame:
             "release_id",
             "nca_number",
             *[leading_run_concat(_field(f)).alias(f) for f in RECORD_FIELDS],
-            *[_field_filled(f).alias(f) for f in ALLOC_FIELDS],
         )
     )
 
@@ -239,45 +242,18 @@ def _records(grouped: DataFrame) -> DataFrame:
     )
 
 
-def _allocations(grouped: DataFrame) -> DataFrame:
-    # allocations (pd_data_cleaner.py:143-173):
-    # explode the per-group lists with an all-empty spacer prepended to
-    # every group (the reference re-runs spacer insertion on the
-    # grouped frame, :149 — on grouped rows every adjacent pair
-    # differs, so every group gets a leading boundary when groups are
-    # concatenated in sorted-key order; prepending one spacer per group
-    # yields the identical segment structure without a global sort).
-    zipped = F.concat(
-        F.array(
-            F.struct(
-                F.lit("").alias("agency"),
-                F.lit("").alias("operating_unit"),
-                F.lit("").alias("amount"),
-            )
-        ),
-        F.arrays_zip(
-            F.col("agency").alias("agency"),
-            F.col("operating_unit").alias("operating_unit"),
-            F.col("amount").alias("amount"),
-        ),
-    )
-    exploded = grouped.select(
-        "release_id",
-        "nca_number",
-        F.posexplode(zipped).alias("pos", "cell"),
-    ).select(
-        "release_id",
-        "nca_number",
-        "pos",
-        F.col("cell.agency").alias("agency"),
-        F.col("cell.operating_unit").alias("operating_unit"),
-        F.col("cell.amount").alias("amount"),
-    )
-
-    # W4 — segment on all-empty rows, then ordered string-append per
-    # segment (the reference's stateful loop, :152-163). The segment
-    # key is (nca_number, cumsum) — segments never span groups because
-    # of the prepended spacer.
+def _allocations(filled: DataFrame) -> DataFrame:
+    # allocations (pd_data_cleaner.py:143-173), straight off the
+    # filled rows. The reference groups, re-runs spacer insertion on
+    # the grouped frame (:149 — on grouped rows every adjacent pair
+    # differs, so every group opens with a boundary), explodes, and
+    # reassembles segments (:152-163). That per-group leading spacer
+    # plus the per-row cumsum means: segment_id = 1 + (# of all-empty
+    # rows at-or-before this row within the group) — computable as a
+    # W4 window directly over the SAME filled rows the collect would
+    # have gathered, in the same order. Dropping the collect→explode
+    # round-trip removes a full-width ObjectHashAggregate shuffle of
+    # every cell; output is row-for-row identical (oracle-checked).
     all_empty = (
         _is_empty(F.col("agency"))
         & _is_empty(F.col("operating_unit"))
@@ -285,13 +261,21 @@ def _allocations(grouped: DataFrame) -> DataFrame:
     )
     wseg = (
         Window.partitionBy("release_id", "nca_number")
-        .orderBy("pos")
+        .orderBy(*_ORDER)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    seg = exploded.withColumn("segment_id", F.sum(all_empty.cast("int")).over(wseg))
+    seg = filled.withColumn(
+        "segment_id", F.sum(all_empty.cast("int")).over(wseg) + 1
+    )
+
+    okey = F.struct(*[F.col(c) for c in _ORDER])
 
     def joined(f: str) -> Column:
-        return F.trim(F.concat_ws(" ", ordered_collect(F.col(f), F.col("pos"))))
+        return F.trim(
+            F.concat_ws(
+                " ", ordered_collect(F.coalesce(F.col(f), F.lit("")), okey)
+            )
+        )
 
     assembled = (
         seg.groupBy("release_id", "nca_number", "segment_id")
