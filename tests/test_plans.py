@@ -1,0 +1,130 @@
+"""Physical-plan assertions — the 100 TB scale contract, pinned.
+
+Correctness tests prove the operators compute the right rows; these
+prove Catalyst produces the plans we designed for (SURVEY §4): filters
+and projections reach the parquet scan, dimension joins broadcast
+(never sort-merge on a small side), aggregations are two-phase
+(map-side partial), top-k is rank-limited before the shuffle, and
+every operator stays within its shuffle budget. A regression here is
+invisible at sf0.001 correctness but catastrophic at 100 TB — so it
+fails CI instead.
+
+Plans are inspected pre-execution (the deterministic Catalyst output;
+AQE may further coalesce at runtime but never adds exchanges).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def exchanges(plan: str) -> int:
+    # hash/range/single-partition exchanges; BroadcastExchange is NOT a
+    # shuffle (small-side replication) and is counted separately.
+    return len(re.findall(r"\bExchange (hash|range|Single)", plan))
+
+
+def q(spark, sf_dir, name):
+    return plan_of(QUERIES[name].fn(spark, sf_dir))
+
+
+def test_scan_pushdown_filter_project(spark, sf_dir):
+    p = q(spark, sf_dir, "filter_project_orders")
+    assert "PushedFilters: [IsNotNull(o_orderstatus)" in p
+    assert "EqualTo(o_orderstatus,O)" in p
+    assert "GreaterThan(o_total" in p
+    # column pruning: the 9-column table is read as 6 columns; the wide
+    # comment/clerk columns never leave the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)", p)
+    assert m and "o_comment" not in m.group(1) and "o_clerk" not in m.group(1)
+
+
+def test_agg_is_two_phase_single_shuffle(spark, sf_dir):
+    p = q(spark, sf_dir, "pricing_summary")
+    assert "partial_sum" in p, "map-side combine missing"
+    assert exchanges(p) == 1, p
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+
+
+def test_star_join_broadcasts_every_dim(spark, sf_dir):
+    p = q(spark, sf_dir, "revenue_by_nation")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p, "a dimension fell off the broadcast path"
+
+
+def test_topk_rank_limited_before_shuffle(spark, sf_dir):
+    p = q(spark, sf_dir, "top_parts_per_supplier")
+    # WindowGroupLimit(Partial) keeps only k rows per group per map task
+    # — the shuffle moves O(k·groups), not O(rows)
+    assert "WindowGroupLimit" in p
+    assert exchanges(p) == 1
+
+
+def test_shuffle_budgets(spark, sf_dir):
+    """Each operator's shuffle count is a design property (documented in
+    its module docstring) — pin it so a refactor can't silently double
+    the data movement."""
+    budgets = {
+        "nca_clean_records": 2,
+        "nca_clean_allocations": 2,
+        "asof_join_events": 1,
+        "range_join_events": 1,
+        "ffill_events": 1,
+        "sessionize_events": 1,
+        "dedup_exact": 1,
+        "minhash_lsh_pairs": 2,
+        "ann_cosine_topk": 1,
+        "rolling_customer_spend": 1,
+        "segment_reassembly": 2,
+        "hourly_rollup": 1,
+        "first_order_per_customer": 1,
+    }
+    over = {}
+    for name, budget in budgets.items():
+        n = exchanges(q(spark, sf_dir, name))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded (got, budget): {over}"
+
+
+def test_no_sort_merge_joins_anywhere(spark, sf_dir):
+    """Every equi-join in the catalog has a broadcastable side at any
+    scale (dims, LSH buckets, synthesized headers). SMJ appearing means
+    a broadcast hint was dropped or a size estimate regressed."""
+    offenders = []
+    for name in (
+        "revenue_by_nation",
+        "customers_no_orders",
+        "big_spender_semi",
+        "incremental_change_detect",
+        "nca_clean_records",
+        "range_join_events",
+        "embedding_near_dup_pairs",
+    ):
+        if "SortMergeJoin" in q(spark, sf_dir, name):
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, sf_dir):
+    """The scan→filter→project pipeline compiles to generated code
+    (no interpreted row iterators in the hot path)."""
+    df = QUERIES["filter_project_orders"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert re.search(r"\*\(\d+\) (Project|Filter)", p), p
+
+
+@pytest.mark.parametrize("name", ["pricing_summary", "cube_revenue"])
+def test_lineitem_scan_prunes_columns(spark, sf_dir, name):
+    p = q(spark, sf_dir, name)
+    m = re.search(r"ReadSchema: struct<([^>]*)", p)
+    assert m is not None
+    assert "l_comment" not in m.group(1), "full-width lineitem scan"
