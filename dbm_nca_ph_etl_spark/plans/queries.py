@@ -1810,3 +1810,335 @@ def nation_name_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 1)
         .select("name_a", "name_b", dist.alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth, round 2 — grouping sets, ordered string-agg,
+# lead/lag gaps, rank distributions, profiling histograms, conditional
+# aggregates, scalar subqueries, UNION ALL, array HOFs, approx aggs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT GROUPING(o_orderstatus)::INT   AS g_status,
+           GROUPING(o_orderpriority)::INT AS g_priority,
+           o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*)                    AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="GROUPING SETS beyond rollup/cube (SURVEY §2.4 extension): "
+    "three explicit grouping levels in ONE shuffle (Spark Expand + "
+    "single hash-agg, not three scans + union). grouping() flags "
+    "disambiguate real NULL keys from subtotal rows.",
+    tags=("relational",),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "g_status", "g_priority", "o_orderstatus", "o_orderpriority",
+            "revenue", "n_orders",
+        )
+    )
+
+
+@register(
+    "order_priorities_csv",
+    """
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities_csv,
+           count(DISTINCT o_orderpriority)::INT AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Ordered string aggregation (listagg pattern). Spark has no "
+    "ordered string_agg, so the engine convention applies: "
+    "collect_set → array_sort → array_join, which is deterministic "
+    "under any partitioning (SURVEY §4 ordered-collect convention).",
+    tags=("relational",),
+)
+def order_priorities_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    prios = F.array_sort(F.collect_set("o_orderpriority"))
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(prios, ",").alias("priorities_csv"),
+        F.size(prios).alias("n_priorities"),
+    )
+
+
+@register(
+    "order_gap_days",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders
+    )
+    SELECT o_custkey,
+           count(*)::INT              AS n_orders,
+           round(avg(gap), 6)         AS avg_gap_days,
+           max(gap)::INT              AS max_gap_days
+    FROM gaps GROUP BY o_custkey HAVING count(gap) >= 1
+    """,
+    doc="Inter-event gap analysis via lag() (W1-family ordered "
+    "window, SURVEY §2.3): one shuffle on the partition key serves "
+    "both the window and the downstream agg (no re-shuffle — same "
+    "key). Tie-broken ordering keeps it deterministic.",
+    tags=("relational", "window"),
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_orders"),
+            F.round(F.avg("gap"), 6).alias("avg_gap_days"),
+            F.max("gap").cast("int").alias("max_gap_days"),
+            F.count("gap").alias("_n_gaps"),
+        )
+        .where(F.col("_n_gaps") >= 1)
+        .drop("_n_gaps")
+    )
+
+
+@register(
+    "top_percentile_customers",
+    """
+    SELECT n_name, c_custkey, c_acctbal,
+           round(pr, 6) AS pct_rank,
+           round(cd, 6) AS cume_d
+    FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             percent_rank() OVER (PARTITION BY n_name ORDER BY c_acctbal) AS pr,
+             cume_dist()    OVER (PARTITION BY n_name ORDER BY c_acctbal) AS cd
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE pr >= 0.95
+    """,
+    doc="Rank-distribution windows (percent_rank / cume_dist): top-5% "
+    "account balances per nation. Broadcast dim join, then one "
+    "window shuffle on the nation key; value ties share a rank so "
+    "the result is partitioning-independent.",
+    tags=("relational", "window"),
+)
+def top_percentile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy("c_acctbal")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name", "c_custkey", "c_acctbal",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .where(F.col("pr") >= 0.95)
+        .select(
+            "n_name", "c_custkey", "c_acctbal",
+            F.round("pr", 6).alias("pct_rank"),
+            F.round("cd", 6).alias("cume_d"),
+        )
+    )
+
+
+@register(
+    "totalprice_histogram",
+    """
+    SELECT least(floor(o_totalprice / 50000), 9)::INT AS bucket,
+           count(*)                 AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+    doc="Fixed-width histogram profiling (data-quality primitive for "
+    "the training-data pipeline): pure column arithmetic bucket key, "
+    "single map-side-combined agg — a one-pass profile at any scale.",
+    tags=("relational",),
+)
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "conditional_order_stats",
+    """
+    SELECT year(o_orderdate)::INT AS o_year,
+           count(*)                                            AS n_total,
+           count(*) FILTER (WHERE o_orderstatus = 'O')         AS n_open,
+           count(*) FILTER (WHERE o_orderpriority LIKE '1-%')  AS n_urgent,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+                                                               AS revenue_finished,
+           round(avg(CASE WHEN o_orderstatus = 'O'
+                          THEN o_totalprice END), 6)           AS avg_open_price
+    FROM orders GROUP BY 1
+    """,
+    doc="Conditional aggregation (count_if / FILTER clause semantics) "
+    "— many predicates in ONE scan+agg instead of N filtered scans. "
+    "count_if and when() both fold into the same partial agg.",
+    tags=("relational",),
+)
+def conditional_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    return o.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(is_o).alias("n_open"),
+        F.count_if(F.col("o_orderpriority").like("1-%")).alias("n_urgent"),
+        F.round(F.sum(F.when(is_f, F.col("o_totalprice")).otherwise(0.0)), 2).alias(
+            "revenue_finished"
+        ),
+        F.round(F.avg(F.when(is_o, F.col("o_totalprice"))), 6).alias("avg_open_price"),
+    )
+
+
+@register(
+    "brands_above_avg_retail",
+    """
+    SELECT p_brand,
+           count(*)                     AS n_parts,
+           round(avg(p_retailprice), 6) AS avg_brand_price
+    FROM part
+    WHERE p_retailprice > 1.04 * (SELECT avg(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+    doc="Uncorrelated scalar subquery: the global average is a "
+    "1-row aggregate broadcast into the filter (crossJoin of a "
+    "broadcast singleton — no shuffle of the fact side beyond the "
+    "final agg). The pattern that replaces driver-side collect() of "
+    "a scalar.",
+    tags=("relational",),
+)
+def brands_above_avg_retail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    avg_price = p.agg(F.avg("p_retailprice").alias("_gavg"))
+    return (
+        p.crossJoin(F.broadcast(avg_price))
+        .where(F.col("p_retailprice") > 1.04 * F.col("_gavg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_brand_price"),
+        )
+    )
+
+
+@register(
+    "nation_parties_union",
+    """
+    SELECT n_name, party_kind, count(*) AS n
+    FROM (
+      SELECT c_nationkey AS nk, 'customer' AS party_kind FROM customer
+      UNION ALL
+      SELECT s_nationkey, 'supplier' FROM supplier
+    ) p JOIN nation ON p.nk = n_nationkey
+    GROUP BY n_name, party_kind
+    """,
+    doc="UNION ALL over heterogenous sources (SURVEY §2.7 — the "
+    "reference's page-table concatenation generalized): unionByName "
+    "is a zero-shuffle plan node; the single agg after the broadcast "
+    "dim join is the only exchange.",
+    tags=("relational",),
+)
+def nation_parties_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    parties = c.select(
+        F.col("c_nationkey").alias("nk"), F.lit("customer").alias("party_kind")
+    ).unionByName(
+        s.select(F.col("s_nationkey").alias("nk"), F.lit("supplier").alias("party_kind"))
+    )
+    return (
+        parties.join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name", "party_kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "embedding_array_stats",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id < 200)
+    SELECT vec_id,
+           len(e)::INT                                    AS dim,
+           round(sqrt(list_dot_product(e, e)), 4)         AS l2_norm,
+           round(list_sum(e[1:8]) / 8.0, 6)               AS mean_first8,
+           round(list_max(e), 6)                          AS max_val,
+           round(list_min(e), 6)                          AS min_val,
+           len(list_filter(e, x -> x > 0))::INT           AS n_positive
+    FROM v
+    """,
+    doc="Array higher-order-function kitchen sink over the embedding "
+    "column: aggregate/slice/filter/min/max stay inside codegen (no "
+    "Python), the access pattern every vector operator in "
+    "operators/similarity.py builds on.",
+    tags=("similarity", "relational"),
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sumsq = F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x)
+    first8 = F.aggregate(F.slice(e, 1, 8), F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sumsq), 4).alias("l2_norm"),
+        F.round(first8 / 8.0, 6).alias("mean_first8"),
+        F.round(F.array_max(e), 6).alias("max_val"),
+        F.round(F.array_min(e), 6).alias("min_val"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "approx_user_stats",
+    None,  # approximate by design (HLL + quantile sketch); bounds
+    # asserted vs exact aggregates in tests/test_plans.py
+    doc="Sketch aggregates for 100 TB profiling: approx_count_distinct "
+    "(HyperLogLog++, mergeable, O(1) memory) and percentile_approx "
+    "(quantile sketch) — the scale substitutes for exact "
+    "count(DISTINCT)/percentile sorts. No SQL oracle: sketch values "
+    "are implementation-defined; tests assert ≤2% HLL error and "
+    "quantile-bracket containment vs exact.",
+    tags=("relational",),
+)
+def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

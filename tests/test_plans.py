@@ -128,3 +128,41 @@ def test_lineitem_scan_prunes_columns(spark, sf_dir, name):
     m = re.search(r"ReadSchema: struct<([^>]*)", p)
     assert m is not None
     assert "l_comment" not in m.group(1), "full-width lineitem scan"
+
+
+def test_approx_aggs_track_exact(spark, sf_dir):
+    """approx_user_stats has no SQL oracle (sketch values are
+    implementation-defined) — its correctness contract is an error
+    bound vs the exact aggregates, asserted here."""
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["approx_user_stats"].fn(spark, sf_dir).collect()
+    }
+    from dbm_nca_ph_etl_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        # HLL++ at rsd=0.01: allow 5x the configured rsd as hard bound
+        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.05 * e["users"])
+        assert a["n_events"] == e["n"]
+        q50, q90, q99 = a["value_quantiles"]
+        assert e["vmin"] <= q50 <= q90 <= q99 <= e["vmax"]
+        # the approx median lands within 10% of the exact median's span
+        span = e["vmax"] - e["vmin"]
+        assert abs(q50 - e["p50"]) <= 0.1 * span
