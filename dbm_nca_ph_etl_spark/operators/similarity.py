@@ -48,6 +48,8 @@ multi-second pathology at sf0.1):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -180,44 +182,52 @@ def _signed(
     bigint column plus the hoisted norm: the LSH "index build once"
     table that every downstream join branch shares.
 
-    Two deliberate shapes, both measured at sf0.1:
+    Shapes, all measured at sf0.1:
 
-    - **All sign bits in ONE ``transform`` over an array-of-planes
-      literal**, keys derived by ``element_at`` arithmetic on the
-      bits array — instead of ``tables × planes`` separate fold
-      expressions. Same seeds, same left-to-right fold, same packing,
-      so keys are bit-identical; but the expression tree (and with it
-      driver-side plan build + analysis, previously ~6 s of a ~7 s
-      query) shrinks ~``tables×planes``-fold.
-    - **``persist()``** so the signature projection materializes once
-      and all ``num_tables`` join branches (both sides) read it back.
-      An exchange barrier is NOT enough: column pruning gives each
-      branch a different projection (branch t reads ``_b0.._bt``), so
-      the exchanges stop being equal and ReuseExchange never fires —
-      the signatures re-compute per branch per side. At 100 TB this
-      persist is a written signature table."""
+    - **Sign bits via one Arrow-batched pandas UDF** (numpy matmul
+      ``V @ P.T`` then bit-packing). The fold-based alternative —
+      36 `aggregate` folds per row — is CodegenFallback: ~2,300
+      interpreted lambda steps/row dominated the whole query (>1 s
+      for 2,000 rows). Dense vector×matrix is the one place Python
+      wins: BLAS does the batch in microseconds and Arrow moves it
+      once per batch. Bucket keys are *partitioning* metadata (the
+      output is re-ranked by exact JVM-fold cosine), so the matmul's
+      different summation order — which can flip a sign only when a
+      dot product sits within a ULP of 0 — affects recall, never
+      correctness; the norm ``_n`` stays a JVM fold so downstream
+      cosines bit-match the exact operators.
+    - **``localCheckpoint``** so the signature projection
+      materializes once and all ``num_tables`` join branches (both
+      sides) read it back. An exchange barrier is NOT enough: column
+      pruning gives each branch a different projection (branch t
+      reads ``_b0.._bt``), so the exchanges stop being equal and
+      ReuseExchange never fires — the signatures re-compute per
+      branch per side. At 100 TB this persist is a written signature
+      table."""
     planes = [
         _hyperplane(dim, seed + t * 1000 + i)
         for t in range(num_tables)
         for i in range(num_planes)
     ]
-    bits = F.transform(
-        _plane_matrix_lit(planes),
-        lambda p: F.when(dot(F.col(vec_col), p) >= 0, F.lit(1)).otherwise(F.lit(0)),
-    )
+    pmat = np.asarray(planes, dtype=np.float64).T  # dim × (tables·planes)
+    packer = np.asarray([1 << i for i in range(num_planes)], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def bucket_keys(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)  # batch × dim
+        bits = (v @ pmat) >= 0.0  # batch × (tables·planes)
+        keys = bits.reshape(len(v), -1, num_planes) @ packer  # batch × tables
+        return pd.Series(list(keys.astype(np.int64)))
+
     signed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
-        bits.alias("_bits"),
+        bucket_keys(F.col(vec_col)).alias("_keys"),
     )
-    keys = []
-    for t in range(num_tables):
-        key = F.lit(0).cast("bigint")
-        for i in range(num_planes):
-            bit = F.element_at("_bits", t * num_planes + i + 1).cast("bigint")
-            key = key + bit * F.lit(2**i).cast("bigint")
-        keys.append(key.alias(f"_b{t}"))
+    keys = [
+        F.element_at("_keys", t + 1).alias(f"_b{t}") for t in range(num_tables)
+    ]
     return signed.select("id", "_v", "_n", *keys).localCheckpoint(eager=True)
 
 

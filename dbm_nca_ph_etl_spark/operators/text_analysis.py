@@ -116,3 +116,67 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def chunk_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Sliding-window document chunking (the training-data prep step
+    that feeds tokenizers): fixed-width character windows every
+    ``stride`` chars (overlap = chunk_chars - stride). Pure column
+    arithmetic — ``sequence`` + ``transform`` + ``posexplode`` — so
+    chunking 100 TB is one codegen'd generate, no Python.
+
+    Chunk count = floor((len-1)/stride)+1 (≥1 even for short docs), so
+    every character belongs to at least one chunk and the last chunk
+    may be short — the dominant convention for LLM pretraining shards.
+    """
+    t = F.col(text_col)
+    last = F.greatest(F.floor((F.length(t) - 1) / stride), F.lit(0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: t.substr(i * stride + 1, F.lit(chunk_chars)),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        id_col,
+        "chunk_idx",
+        "chunk",
+        F.length("chunk").alias("chunk_len"),
+    )
+
+
+# Redaction patterns: intentionally conservative/deterministic (no \b
+# lookarounds that differ across regex engines).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{4}-\d{3}-\d{4}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email addresses and phone-shaped tokens with typed
+    placeholder tags. One pass per pattern, JVM regex — the shape of
+    any scrubbing stage (PII, boilerplate, markup) in a corpus
+    pipeline."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def pii_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII counts + a fingerprint of the redacted text
+    (compact equality proof that redaction matched the oracle)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.length(redact_pii(t)).alias("redacted_len"),
+        hash64(redact_pii(t)).alias("redacted_fp"),
+    )

@@ -2142,3 +2142,75 @@ def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest((length(text) - 1) // 150, 0))) AS i
+      FROM documents
+    )
+    SELECT doc_id, i::INT AS chunk_idx,
+           substring(text, 1 + i * 150, 200) AS chunk,
+           length(substring(text, 1 + i * 150, 200))::INT AS chunk_len
+    FROM idx
+    """,
+    doc="Sliding-window chunking for LLM shard prep (extension): "
+    "200-char windows, 150-char stride, sequence+transform+posexplode "
+    "— one codegen'd generate per doc, no Python, no shuffle.",
+    tags=("text", "bench"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.chunk_text(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_scrub_stats",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact user' || doc_id::VARCHAR ||
+             '@example.com or 0917-555-' ||
+             lpad((doc_id % 10000)::VARCHAR, 4, '0') || '.' AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g'),
+               '\\d{{4}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g') AS redacted
+      FROM aug
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::INT AS n_emails,
+           len(regexp_extract_all(text, '\\d{{4}}-\\d{{3}}-\\d{{4}}'))::INT AS n_phones,
+           length(redacted)::INT AS redacted_len,
+           ('0x' || substring(md5(redacted), 1, 15))::BIGINT AS redacted_fp
+    FROM red
+    """,
+    doc="PII scrubbing (extension): deterministic synthetic email+phone "
+    "appended per doc, then regex redaction to typed tags; counts + "
+    "md5 fingerprint of the redacted text prove byte-exact parity "
+    "with the oracle. Single projection — corpus-scale scrubbing is "
+    "one pass.",
+    tags=("text",),
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 0917-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return T.pii_stats(aug)
