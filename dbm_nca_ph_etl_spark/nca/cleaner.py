@@ -61,7 +61,6 @@ from dbm_nca_ph_etl_spark.nca.schemas import (
 from dbm_nca_ph_etl_spark.operators.windows import (
     forward_fill,
     leading_run_concat,
-    ordered_collect,
 )
 
 
@@ -197,6 +196,7 @@ def _filled(raw: DataFrame) -> DataFrame:
 
 
 _ORDER = ["page_num", "row_idx", "_seq"]
+_ALLOC_PARTS = ["agency", "operating_unit", "amount"]
 
 
 def _grouped(filled: DataFrame) -> DataFrame:
@@ -268,21 +268,34 @@ def _allocations(filled: DataFrame) -> DataFrame:
         "segment_id", F.sum(all_empty.cast("int")).over(wseg) + 1
     )
 
+    # ONE struct collect + one array_sort per segment (okey is unique
+    # per row, so the lexicographic struct sort is exactly the row
+    # order), then each field is a projection off the sorted array —
+    # same single-collect shape as _grouped, instead of a collect_list
+    # + array_sort per field (3× the ObjectHashAggregate work).
     okey = F.struct(*[F.col(c) for c in _ORDER])
+    rows_arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                okey.alias("_o"),
+                *[F.coalesce(F.col(f), F.lit("")).alias(f) for f in _ALLOC_PARTS],
+            )
+        )
+    )
 
     def joined(f: str) -> Column:
+        # NB: plain one-parameter lambda (see _grouped)
         return F.trim(
-            F.concat_ws(
-                " ", ordered_collect(F.coalesce(F.col(f), F.lit("")), okey)
-            )
+            F.concat_ws(" ", F.transform("_rows", lambda s: s.getField(f)))
         )
 
     assembled = (
         seg.groupBy("release_id", "nca_number", "segment_id")
-        .agg(
-            joined("agency").alias("agency"),
-            joined("operating_unit").alias("operating_unit"),
-            joined("amount").alias("amount"),
+        .agg(rows_arr.alias("_rows"))
+        .select(
+            "release_id",
+            "nca_number",
+            *[joined(f).alias(f) for f in _ALLOC_PARTS],
         )
     )
     # P10 — drop fully-empty reassemblies; P9/F10 — amount coerce, drop
