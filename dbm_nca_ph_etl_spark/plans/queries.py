@@ -2214,3 +2214,101 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return T.pii_stats(aug)
+
+
+@register(
+    "forecast_revenue_filter",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure filter+agg with every predicate pushed "
+    "to the parquet scan (range on shipdate, between on discount, "
+    "bound on quantity) — the canonical 'scan only what you need' "
+    "query; at 100 TB this is I/O-bound and prunes both row groups "
+    "and columns.",
+    tags=("relational", "bench"),
+)
+def forecast_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "late_shipment_priorities",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS as a LEFT SEMI join with a "
+    "non-equi residual (shipdate > orderdate + 60d). The equi key "
+    "(orderkey) carries the join; the interval predicate is the "
+    "residual filter — one shuffle pair, no row explosion from "
+    "multi-match orders.",
+    tags=("relational",),
+)
+def late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "customer_order_profile",
+    """
+    SELECT c_custkey,
+           count(o_orderkey)::INT             AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    doc="LEFT OUTER join with zero-extension (customers with no "
+    "orders keep a 0-count row): count(col) skips the null-extended "
+    "side, coalesce pins the sum. The outer-join complement to the "
+    "anti-join (customers_no_orders) and semi-join queries.",
+    tags=("relational",),
+)
+def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("int").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )

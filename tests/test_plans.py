@@ -166,3 +166,26 @@ def test_approx_aggs_track_exact(spark, sf_dir):
         # the approx median lands within 10% of the exact median's span
         span = e["vmax"] - e["vmin"]
         assert abs(q50 - e["p50"]) <= 0.1 * span
+
+
+def test_q6_pushes_every_predicate(spark, sf_dir):
+    """forecast_revenue_filter is only right at scale if all four
+    predicates reach the parquet scan (row-group pruning)."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        p = q(spark, sf_dir, "forecast_revenue_filter")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in p, frag
+    m = re.search(r"ReadSchema: struct<([^>]*)", p)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
