@@ -2312,3 +2312,549 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "shipping_priority_topk",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: dim-filter semi-reduction (customer segment) "
+    "→ fact-fact join → hash agg → global top-k. The customer side is "
+    "broadcast after its filter; TakeOrderedAndProject replaces a full "
+    "sort. Ordered by the ROUNDED revenue + orderkey tiebreak so the "
+    "limit frontier is engine-invariant.",
+    tags=("relational",),
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "nation_volume_trade",
+    """
+    SELECT n1.n_name                                         AS supp_nation,
+           n2.n_name                                         AS cust_nation,
+           year(l_shipdate)::INT                             AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier
+    JOIN lineitem  ON s_suppkey = l_suppkey
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN customer  ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair trade volume. Two "
+    "aliased scans of the same dim (nation) broadcast onto the fact "
+    "spine; the OR-of-pairs predicate is evaluated post-join but the "
+    "per-side IN('NATION_1','NATION_2') implied filters are pushed "
+    "into each broadcast so the spine shrinks before the shuffle agg.",
+    tags=("relational",),
+)
+def nation_volume_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ["NATION_1", "NATION_2"]
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(s.select("s_suppkey", "supp_nation")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.select("c_custkey", "cust_nation"), F.col("c_custkey") == F.col("o_custkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "returned_item_revenue",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE
+             AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue ranking. Quarter "
+    "window pushed to the orders scan, returnflag to lineitem; "
+    "customer+nation broadcast; top-20 on the rounded measure with a "
+    "key tiebreak (deterministic limit frontier). The per-line product "
+    "is fixed to DECIMAL(18,4) before summing: decimal addition is "
+    "exact and associative, so partial-agg order (which differs "
+    "between engines and across cluster sizes) cannot move the sum "
+    "across a 2dp rounding boundary.",
+    tags=("relational",),
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+           count(*)                                            AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: conditional-share ratio over a broadcast "
+    "dim join. Month predicate pushed to the lineitem scan; part is "
+    "broadcast; both sums fold into ONE hash aggregate (no second "
+    "pass for the denominator).",
+    tags=("relational",),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "brand_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*)                                          AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive brand/size/"
+    "quantity clauses across BOTH join sides. Catalyst derives the "
+    "per-side implied filters — p_brand IN (...) AND p_size<=35 onto "
+    "the part scan, l_quantity BETWEEN 1 AND 40 onto lineitem — so "
+    "the OR does not defeat pushdown; residual evaluated post-join.",
+    tags=("relational",),
+)
+def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.where(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    SELECT c_nationkey::INT          AS nationkey,
+           count(*)                  AS n_custs,
+           round(sum(c_acctbal), 2)  AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: scalar-subquery threshold (global positive-"
+    "balance average, broadcast as a 1-row cross join) + NOT EXISTS "
+    "as a LEFT ANTI join against recent orders (dormant since 1999), "
+    "then per-nation rollup. The date predicate pushes to the orders "
+    "scan BEFORE the anti join; the probe reads only o_custkey + "
+    "o_orderdate (column-pruned).",
+    tags=("relational",),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            o.where(
+                F.col("o_orderdate")
+                >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "supplier_nation_yearly_revenue",
+    """
+    SELECT n_name,
+           year(o_orderdate)::INT                            AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY n_name, o_year
+    """,
+    doc="TPC-H Q9 shape (sans partsupp): per-nation, per-year revenue "
+    "for one part class. Part filter applied before its broadcast so "
+    "the 5-way join reduces the spine early; single shuffle at the "
+    "final (nation, year) agg.",
+    tags=("relational",),
+)
+def supplier_nation_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "weekly_order_stats",
+    """
+    SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           count(*)                                              AS n_orders,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS total,
+           floor((sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)::DOUBLE
+                 / count(*))::BIGINT AS avg_price_cents
+    FROM orders
+    GROUP BY week_start
+    """,
+    doc="Calendar rollup on ISO week boundaries (date_trunc 'week' is "
+    "Monday-based in both engines). The truncation is a pure column "
+    "expression, so the agg is one shuffle keyed by ~350 weeks — at "
+    "100 TB the same plan holds with partial map-side aggregation "
+    "collapsing each scan partition to <=n_weeks rows. Money flows "
+    "through DECIMAL (exact, order-independent sums); the average is "
+    "reported in integer cents via floor, which no engine's float "
+    "rounding mode can flip (round(x, n) CAN: a quotient landing on "
+    "the half-way digit splits Java shortest-repr vs binary rounding).",
+    tags=("relational",),
+)
+def weekly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+                "week_start"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+            F.floor(
+                (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_price_cents"),
+        )
+    )
+
+
+@register(
+    "train_val_test_split",
+    """
+    SELECT doc_id,
+           CASE WHEN nib < 12 THEN 'train'
+                WHEN nib < 14 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1 AS nib
+      FROM documents
+    )
+    """,
+    doc="Deterministic 75/12.5/12.5 train/val/test split by hashing "
+    "the stable document key (md5 first nibble) — the standard "
+    "leakage-free dataset split for LLM training corpora. Pure column "
+    "expression: no shuffle, no sampling nondeterminism, identical "
+    "assignment on any cluster size or row order; new documents land "
+    "in a stable split forever (no reshuffling on incremental loads).",
+    tags=("llm", "text"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    nib = F.expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    return d.select(
+        "doc_id",
+        F.when(nib < 12, "train").when(nib < 14, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans FROM lineitem
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', count(*) FROM lineitem
+      WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', count(*) FROM lineitem
+      WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+    UNION ALL
+    SELECT 'orders->customer', count(*) FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', count(*) FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+    UNION ALL
+    SELECT 'supplier->nation', count(*) FROM supplier
+      WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
+    UNION ALL
+    SELECT 'nation->region', count(*) FROM nation
+      WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
+    """,
+    doc="Data-quality audit: orphan-count per FK edge of the star "
+    "schema (SURVEY J2 — the reference delegates referential "
+    "integrity to Postgres FK constraints; a lake engine must check "
+    "it explicitly). Each edge is a LEFT ANTI join probing only the "
+    "parent key column; dim-sided probes broadcast, the two fact-"
+    "sided ones shuffle once each.",
+    tags=("relational", "quality"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(label, child, child_key, parent, parent_key):
+        ch = _t(spark, sf_dir, child).select(child_key)
+        pa = _t(spark, sf_dir, parent).select(parent_key)
+        small_parent = parent in ("nation", "region", "part", "supplier", "customer")
+        pa = F.broadcast(pa) if small_parent else pa
+        return (
+            ch.join(pa, F.col(child_key) == F.col(parent_key), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    edges = [
+        orphans("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        orphans("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        orphans("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        orphans("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        orphans("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        orphans("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        orphans("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n  AS (SELECT count(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 4) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, tfidf
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document — the classic corpus "
+    "keyword/relevance operator for LLM data curation. Tokenize "
+    "(ascii-alnum runs) → per-doc term counts → document frequency → "
+    "tf*ln(N/df). Ranking uses the integer (tf DESC, df ASC, term) "
+    "order, never the float score, so cross-engine ln() ULP noise "
+    "cannot flip the frontier. Two shuffles (doc-term agg, term df "
+    "agg joined back); df table broadcast; N is a 1-row cross join — "
+    "at 100 TB the df side is the only wide state and it is "
+    "vocabulary-sized, not corpus-sized.",
+    tags=("llm", "text"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )

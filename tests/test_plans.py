@@ -86,6 +86,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "segment_reassembly": 2,
         "hourly_rollup": 1,
         "first_order_per_customer": 1,
+        "weekly_order_stats": 1,
+        "train_val_test_split": 0,
+        "tfidf_top_terms": 5,
     }
     over = {}
     for name, budget in budgets.items():
@@ -189,3 +192,64 @@ def test_q6_pushes_every_predicate(spark, sf_dir):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",")
     ) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_tpch_shapes_stay_on_broadcast_path(spark, sf_dir):
+    """Q3/Q7/Q9/Q10/Q14/Q19 shapes: every dim join broadcasts, and the
+    whole query fits in ONE shuffle (the final agg). At 100 TB the
+    fact spine streams through map-side joins; a second exchange here
+    means a dim fell off the broadcast path."""
+    offenders = {}
+    for name in (
+        "shipping_priority_topk",
+        "nation_volume_trade",
+        "returned_item_revenue",
+        "promo_revenue_share",
+        "supplier_nation_yearly_revenue",
+        "brand_quantity_revenue",
+    ):
+        p = q(spark, sf_dir, name)
+        if "SortMergeJoin" in p or exchanges(p) > 1:
+            offenders[name] = (exchanges(p), "SortMergeJoin" in p)
+    assert not offenders, offenders
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """Q3/Q10 top-k: a global TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), never a full global sort."""
+    for name in ("shipping_priority_topk", "returned_item_revenue"):
+        assert "TakeOrderedAndProject" in q(spark, sf_dir, name), name
+
+
+def test_q19_or_of_ands_pushes_per_side_filters(spark, sf_dir):
+    """The disjunction of conjunctions mixes columns from both join
+    sides; Catalyst must still derive the per-side implied filters
+    (CNF extraction) and push them into each parquet scan — otherwise
+    the scan reads every row at 100 TB and filters post-join."""
+    p = q(spark, sf_dir, "brand_quantity_revenue")
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    li_scan = next(l for l in scans if "l_quantity" in l)
+    part_scan = next(l for l in scans if "p_brand" in l)
+    assert re.search(r"DataFilters: \[[^\]]*l_quantity", li_scan), li_scan
+    assert re.search(r"DataFilters: \[[^\]]*p_brand", part_scan), part_scan
+
+
+def test_split_assignment_is_partition_invariant(spark, sf_dir):
+    """The md5-nibble split must assign identically regardless of
+    physical layout (the leakage-free guarantee): repartitioned input
+    produces byte-identical (doc_id, split) pairs."""
+    base = QUERIES["train_val_test_split"].fn(spark, sf_dir)
+    rows = {r.doc_id: r.split for r in base.collect()}
+    from dbm_nca_ph_etl_spark.sources.catalog import load_table
+    import pyspark.sql.functions as F2
+
+    d = load_table(spark, sf_dir, "documents").repartition(7, "lang")
+    nib = F2.expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    again = d.select(
+        "doc_id",
+        F2.when(nib < 12, "train").when(nib < 14, "val").otherwise("test").alias("split"),
+    )
+    assert {r.doc_id: r.split for r in again.collect()} == rows
+    assert set(rows.values()) <= {"train", "val", "test"}
