@@ -2858,3 +2858,242 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+@register(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', p_size::DOUBLE FROM part
+    """,
+    doc="UNPIVOT / melt (wide→long reshaping — the inverse of "
+    "pivot_priority_revenue): one row per (key, measure). Spark's "
+    "native unpivot lowers to Expand (each input row emitted k times "
+    "in-place), so there is NO shuffle and NO re-scan per measure — "
+    "the UNION ALL oracle formulation would scan the table k times.",
+    tags=("relational",),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "nation_revenue_share",
+    """
+    WITH rev AS (
+      SELECT n_name,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name,
+           round(r, 2)::DOUBLE AS revenue,
+           floor(r::DOUBLE * 1000000 / (sum(r) OVER ())::DOUBLE)::BIGINT
+             AS share_ppm
+    FROM rev
+    """,
+    doc="Percent-of-total (ratio_to_report): per-nation revenue and "
+    "its share of the global total via an unpartitioned window over "
+    "the 25-row aggregate — the window runs on the POST-agg rows, so "
+    "the single-partition exchange moves n_nations rows, not the "
+    "fact table. Share reported as floor parts-per-million over "
+    "decimal-exact sums (engine-invariant; round() on a float ratio "
+    "is not).",
+    tags=("relational", "window"),
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("r")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("r", 2).cast("double").alias("revenue"),
+        F.floor(
+            F.col("r").cast("double") * 1000000 / F.sum("r").over(w).cast("double")
+        ).alias("share_ppm"),
+    )
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH old AS (SELECT c_custkey, c_acctbal FROM customer),
+    new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal + 50.25
+      FROM customer WHERE c_custkey % 31 = 0
+    )
+    SELECT coalesce(old.c_custkey, new.c_custkey) AS c_custkey,
+           CASE WHEN old.c_custkey IS NULL THEN 'added'
+                WHEN new.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           old.c_acctbal AS old_acctbal,
+           new.c_acctbal AS new_acctbal
+    FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
+    WHERE old.c_custkey IS NULL OR new.c_custkey IS NULL
+       OR old.c_acctbal <> new.c_acctbal
+    """,
+    doc="Snapshot diff / table-version comparison — the ETL "
+    "regression primitive (what changed between yesterday's load and "
+    "today's?): FULL OUTER join on the key, classify added/removed/"
+    "changed, drop the unchanged majority. One shuffle pair co-"
+    "partitions both snapshots; at 100 TB both sides hash-partition "
+    "by key and the unchanged rows never leave the join stage. The "
+    "'new' snapshot is synthesized deterministically (drops %97, "
+    "perturbs %5, adds %31 keys).",
+    tags=("relational", "etl"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    old = c.select("c_custkey", "c_acctbal")
+    new = (
+        c.where(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 31 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                (F.col("c_acctbal") + 50.25).alias("c_acctbal"),
+            )
+        )
+    )
+    o, nw = old.alias("o"), new.alias("nw")
+    j = o.join(nw, F.col("o.c_custkey") == F.col("nw.c_custkey"), "full_outer")
+    return j.where(
+        F.col("o.c_custkey").isNull()
+        | F.col("nw.c_custkey").isNull()
+        | (F.col("o.c_acctbal") != F.col("nw.c_acctbal"))
+    ).select(
+        F.coalesce(F.col("o.c_custkey"), F.col("nw.c_custkey")).alias("c_custkey"),
+        F.when(F.col("o.c_custkey").isNull(), "added")
+        .when(F.col("nw.c_custkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("o.c_acctbal").alias("old_acctbal"),
+        F.col("nw.c_acctbal").alias("new_acctbal"),
+    )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+    doc="Ordered conversion funnel (view → click-after-view → "
+    "purchase-after-click) — the standard product-analytics sequence "
+    "query. Each stage is a per-user min-timestamp agg semi-reduced "
+    "by a broadcast of the previous stage's (user, t) frontier: the "
+    "event fact is scanned per stage with the type filter pushed "
+    "down, and only user-level frontiers (tiny vs the fact) move. "
+    "The 'after' constraint is a non-equi residual on the broadcast "
+    "join, not a window over the whole stream.",
+    tags=("window", "events"),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+
+    def stage(etype, prev):
+        s = e.where(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(
+                F.broadcast(prev),
+                (F.col("user_id") == F.col("_pu")) & (F.col("ts_us") > F.col("_pt")),
+            )
+        return s.groupBy("user_id").agg(F.min("ts_us").alias("t"))
+
+    def frontier(df):
+        return df.select(F.col("user_id").alias("_pu"), F.col("t").alias("_pt"))
+
+    v = stage("view", None)
+    c = stage("click", frontier(v))
+    p = stage("purchase", frontier(c))
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@register(
+    "scd2_purchase_history",
+    """
+    SELECT user_id,
+           epoch_us(ts)                        AS valid_from_us,
+           lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+           CASE WHEN lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+             THEN 1 ELSE 0 END                 AS is_current,
+           round(value, 2)                     AS value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="SCD Type-2 history derivation: each change event becomes a "
+    "validity interval [valid_from, valid_to) with an is_current "
+    "flag — the standard dimension-versioning transform an ETL "
+    "engine must provide (the reference's upsert sink overwrites; "
+    "this keeps history). One window pass (lead over user, time); "
+    "type filter pushed to the scan.",
+    tags=("window", "etl"),
+)
+def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    valid_to = F.lead("ts_us").over(w)
+    return e.select(
+        "user_id",
+        F.col("ts_us").alias("valid_from_us"),
+        valid_to.alias("valid_to_us"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+        F.round("value", 2).alias("value"),
+    )

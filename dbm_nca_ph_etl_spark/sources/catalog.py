@@ -47,10 +47,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
-    ts_us = (F.col("ts") / 1000).cast("long")
+    # `ts div 1000`, NOT `ts / 1000`: the nanosecond epoch (~1.7e18)
+    # exceeds double's 2^53 exact-integer range, so float division is
+    # off by ±1 µs on some rows; integer div is exact and matches
+    # DuckDB's epoch_us() truncation bit-for-bit.
+    ts_us = F.expr("ts div 1000")
     ts_ntz = F.expr(
         "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
-        "cast(cast(ts / 1000 as long) as decimal(20, 0)) / 1000000)"
+        "cast(ts div 1000 as decimal(20, 0)) / 1000000)"
     )
     return raw.select(
         "event_id",
