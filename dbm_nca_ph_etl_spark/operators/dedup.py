@@ -289,3 +289,71 @@ def simhash(text: Column, bits: int = 32) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     ).cast("bigint")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list → the
+    duplicate-CLUSTER step of near-dup dedup (LSH emits pairs; keeping
+    one doc per transitive cluster needs components, or chains
+    a~b~c leak b and c as separate survivors).
+
+    Iterative min-label propagation: every node starts labeled with
+    its own id; each round every node takes the min label over itself
+    and its neighbors; fixpoint when no label changes. Rounds needed =
+    graph diameter — near-dup clusters are shallow (stars/short
+    chains), so this converges in 2-3 rounds in practice; ``max_iter``
+    bounds adversarial chains. All arithmetic is integer min — fully
+    deterministic on any partitioning/cluster size.
+
+    Scale: each round is one shuffle (groupBy dst) + a key-colocated
+    join; ``localCheckpoint`` cuts lineage so round N's plan doesn't
+    replay rounds 1..N-1. The per-round convergence check is a count
+    action (the standard Spark iterative-algorithm shape — GraphX/
+    GraphFrames do the same); nothing is collected to the driver.
+
+    Returns ``(id, cluster_id)`` for every node that appears in a
+    pair; ``cluster_id`` is the min node id of the component (its
+    canonical representative).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -3097,3 +3097,110 @@ def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
         F.round("value", 2).alias("value"),
     )
+
+
+_SQL_LSH_CANDS = """
+    shingled AS (
+      SELECT doc_id, unnest({sh}) AS shingle FROM docs2
+    ),
+    pre AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM shingled
+    ),
+    hashed AS (
+      SELECT doc_id, h::INT AS h,
+             ([2557, 21041, 27717, 22863, 845, 29229, 30923, 19617, 21031, 18641, 30861, 30047, 14075, 20097, 17409, 24897][h+1]::BIGINT * x
+              + [654583775, 229283573, 1051550459, 794471793, 803550167, 370913197, 1381971571, 2121308585, 996984527, 1343235941, 1511588075, 2103497953, 956612807, 1588911645, 33727075, 88489753][h+1]::BIGINT) % 2305843009213693951 AS hv
+      FROM pre CROSS JOIN generate_series(0, 15) AS t(h)
+    ),
+    sigs AS (
+      SELECT doc_id, h, min(hv) AS minhash FROM hashed GROUP BY doc_id, h
+    ),
+    buckets AS (
+      SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS bucket
+      FROM sigs GROUP BY doc_id, h // 4
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE docs2 AS ({_SQL_NEAR_DUP_BASE}),
+    {_SQL_LSH_CANDS.format(sh=_SQL_SHINGLES.format(t='text'))},
+    edges AS (SELECT a, b FROM cands UNION SELECT b, a FROM cands),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS x FROM nodes
+      UNION
+      SELECT r.id, e.b AS x FROM reach r JOIN edges e ON e.a = r.x
+    )
+    SELECT id AS doc_id, min(x) AS cluster_id,
+           CASE WHEN id = min(x) THEN 1 ELSE 0 END AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    doc="Near-dup CLUSTERING: connected components over the MinHash-"
+    "LSH candidate pairs (transitive closure — pair output alone "
+    "cannot dedup chains a~b~c). Spark side is iterative min-label "
+    "propagation (operators/dedup.connected_components: one shuffle "
+    "per round, localCheckpoint lineage cuts, converges in diameter "
+    "rounds); the oracle is DuckDB's recursive CTE computing the same "
+    "components exactly. cluster_id = min doc_id of the component "
+    "(the canonical survivor).",
+    tags=("dedup",),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs2 = _docs_with_near_dups(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs2)
+    comp = D.connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.when(F.col("id") == F.col("cluster_id"), 1).otherwise(0).alias(
+            "is_canonical"
+        ),
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE docs2 AS ({_SQL_NEAR_DUP_BASE}),
+    {_SQL_LSH_CANDS.format(sh=_SQL_SHINGLES.format(t='text'))},
+    edges AS (SELECT a, b FROM cands UNION SELECT b, a FROM cands),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS x FROM nodes
+      UNION
+      SELECT r.id, e.b AS x FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    clusters AS (SELECT id, min(x) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id, d.n_chars
+    FROM (SELECT doc_id, length(text) AS n_chars FROM docs2) d
+    LEFT JOIN clusters c ON d.doc_id = c.id
+    WHERE c.id IS NULL OR c.cluster_id = d.doc_id
+    """,
+    doc="End-to-end dedup materialization: the corpus minus every "
+    "non-canonical near-dup cluster member (docs untouched by any "
+    "pair survive unconditionally). Composition of LSH pairs → "
+    "components → LEFT ANTI on losers — the full production dedup "
+    "pipeline as one query.",
+    tags=("dedup",),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs2 = _docs_with_near_dups(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs2)
+    comp = D.connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("_loser")
+    )
+    return (
+        docs2.join(
+            F.broadcast(losers), docs2.doc_id == F.col("_loser"), "left_anti"
+        ).select("doc_id", F.length("text").alias("n_chars"))
+    )

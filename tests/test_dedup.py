@@ -86,3 +86,34 @@ def test_simhash_locality(docs):
     ham_far = bin(fps[1] ^ fps[4]).count("1")
     assert ham_near < ham_far
     assert ham_near <= 6
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A chain a~b~c must collapse to ONE cluster (pairs alone can't);
+    disjoint components keep distinct labels; untouched nodes absent."""
+    from dbm_nca_ph_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=2, b=3), Row(a=3, b=4), Row(a=10, b=11), Row(a=20, b=21)]
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_partition_invariant(spark):
+    from dbm_nca_ph_etl_spark.operators.dedup import connected_components
+
+    rows = [Row(a=i, b=i + 1) for i in range(0, 40, 2)] + [
+        Row(a=i, b=i + 2) for i in range(0, 38, 4)
+    ]
+    one = {
+        (r.id, r.cluster_id)
+        for r in connected_components(spark.createDataFrame(rows)).collect()
+    }
+    many = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            spark.createDataFrame(rows).repartition(13)
+        ).collect()
+    }
+    assert one == many and len(one) > 0
