@@ -446,6 +446,7 @@ def ivf_topk(
     n_probe: int = 4,
     dim: int = 64,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their nearest-centroid cell;
     each query probes its ``n_probe`` nearest cells and re-ranks
@@ -453,9 +454,13 @@ def ivf_topk(
     exact brute force (the test invariant); smaller n_probe trades
     recall for a ~n_probe/n_centroids candidate fraction.
 
+    ``centroids`` overrides the seeded random codebook — pass
+    :func:`kmeans_train` output for a trained index (better recall at
+    the same n_probe: cells then follow the data distribution).
+
     Scale shape: corpus is hash-partitioned by cell (one shuffle,
     done once and cacheable); queries broadcast; no cross join."""
-    cents = _centroids(n_centroids, dim, seed)
+    cents = centroids if centroids is not None else _centroids(n_centroids, dim, seed)
     # repartition = the IVF index shape (corpus co-located by cell)
     # AND an exchange barrier so Catalyst's projection collapse can't
     # inline the 16-fold assignment into the join and re-evaluate it
@@ -492,3 +497,64 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[float]]:
+    """Spherical k-means (Lloyd) codebook training for the IVF index.
+
+    Each iteration is ONE distributed pass: assign every vector to its
+    nearest centroid (the same flat-fold ``_scored_cells`` expression
+    the IVF index uses — JVM codegen, no UDF), then a single groupBy
+    producing per-cell counts, per-dimension sums and the mean best-
+    cosine. Only the k×(dim+2) aggregate rows reach the driver — the
+    model state, as in MLlib — never the corpus. Centroid update =
+    L2-normalized cell mean (spherical variant: assignment maximizes
+    cosine, so centroids live on the unit sphere); empty cells keep
+    their previous centroid.
+
+    Deterministic: seeded init, integer argmax tiebreaks, and the
+    per-cell float sums are the only order-dependent quantity (ULP
+    noise — the objective monotonicity test tolerates it).
+
+    Returns ``(centroids, objectives)`` where objectives[i] is the
+    mean best-cosine measured during iteration i's assignment pass —
+    non-decreasing for Lloyd.
+    """
+    cents = _centroids(k, dim, seed)
+    objectives: list[float] = []
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        best = F.element_at(F.array_sort(_scored_cells(F.col("_v"), cents)), 1)
+        assigned = corpus.select(vec_d.alias("_v")).select(
+            "_v",
+            best.getField("i").alias("cell"),
+            (-best.getField("neg") / l2_norm(F.col("_v"))).alias("_cos"),
+        )
+        stats = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_cos").alias("s"),
+            *[
+                F.sum(F.element_at("_v", i + 1)).alias(f"d{i}")
+                for i in range(dim)
+            ],
+        )
+        rows = stats.collect()
+        new_cents = [list(c) for c in cents]
+        total, nrows = 0.0, 0
+        for r in rows:
+            total += r["s"]
+            nrows += r["n"]
+            mean = [r[f"d{i}"] / r["n"] for i in range(dim)]
+            nrm = sum(x * x for x in mean) ** 0.5
+            if nrm > 0:
+                new_cents[r["cell"]] = [x / nrm for x in mean]
+        objectives.append(total / max(nrows, 1))
+        cents = new_cents
+    return cents, objectives

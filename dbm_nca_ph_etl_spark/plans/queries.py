@@ -3204,3 +3204,85 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(losers), docs2.doc_id == F.col("_loser"), "left_anti"
         ).select("doc_id", F.length("text").alias("n_chars"))
     )
+
+
+@register(
+    "ann_ivf_trained_topk",
+    None,  # iterative float training — no closed-form SQL oracle;
+    # correctness pinned by test_similarity (Lloyd monotonicity +
+    # full-probe == exact brute force)
+    doc="IVF ANN over a TRAINED codebook: 3 Lloyd iterations of "
+    "spherical k-means (operators/similarity.kmeans_train — one "
+    "distributed assign+aggregate pass per iteration, only k×(dim+2) "
+    "model rows ever reach the driver), then the standard IVF probe. "
+    "Trained cells follow the data distribution, so recall at fixed "
+    "n_probe beats the seeded-random codebook.",
+    tags=("similarity",),
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = S.kmeans_train(emb, k=16, iters=3)
+    return S.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=10,
+        n_probe=4,
+        centroids=cents,
+    )
+
+
+@register(
+    "peak_concurrency",
+    """
+    WITH pts AS (
+      SELECT o_orderdate AS t, 1 AS delta FROM orders
+      UNION ALL
+      SELECT o_orderdate + INTERVAL 30 DAY, -1 FROM orders
+    ),
+    swept AS (SELECT t, sum(delta) AS d FROM pts GROUP BY t),
+    run AS (
+      SELECT t, sum(d) OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrent
+      FROM swept
+    )
+    SELECT max(concurrent)::BIGINT AS peak,
+           strftime(min(CASE WHEN concurrent =
+             (SELECT max(concurrent) FROM run) THEN t END),
+             '%Y-%m-%d') AS first_peak_date
+    FROM run
+    """,
+    doc="Interval sweep-line: max simultaneous open intervals (order "
+    "active = [orderdate, orderdate+30d)). Classic +1/-1 delta "
+    "encoding → per-instant net → running prefix sum → argmax with "
+    "first-instant tiebreak. The running sum windows over the "
+    "PRE-AGGREGATED distinct instants (~2.4k rows), not the fact "
+    "table — at 100 TB the delta agg stays distributed and only the "
+    "instant spine passes through the single-partition prefix scan "
+    "(or a two-pass range-partitioned prefix sum if the spine itself "
+    "is huge). All-integer arithmetic: engine-invariant.",
+    tags=("relational", "window"),
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(F.col("o_orderdate").alias("t"), F.lit(1).alias("delta")).unionByName(
+        o.select(
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    swept = pts.groupBy("t").agg(F.sum("delta").alias("d"))
+    w = (
+        Window.partitionBy()
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = swept.select("t", F.sum("d").over(w).alias("concurrent"))
+    wall = Window.partitionBy()
+    run2 = run.withColumn("_mx", F.max("concurrent").over(wall))
+    return run2.agg(
+        F.max("concurrent").alias("peak"),
+        F.date_format(
+            F.min(F.when(F.col("concurrent") == F.col("_mx"), F.col("t"))),
+            "yyyy-MM-dd",
+        ).alias("first_peak_date"),
+    )

@@ -108,3 +108,38 @@ def test_near_dup_lsh_precision_and_recall(spark, sf_dir):
         assert sim == exact[pair]
     if exact:
         assert len(approx) / len(exact) >= 0.2, (len(approx), len(exact))
+
+
+def test_kmeans_objective_monotone_and_unit_centroids(spark, sf_dir):
+    """Lloyd guarantee: the assignment objective (mean best-cosine)
+    never decreases across iterations; spherical centroids stay unit."""
+    from dbm_nca_ph_etl_spark.operators.similarity import kmeans_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, objs = kmeans_train(emb, k=8, iters=4)
+    assert len(objs) == 4
+    for prev, nxt in zip(objs, objs[1:]):
+        assert nxt >= prev - 1e-9, objs
+    for c in cents:
+        assert abs(sum(x * x for x in c) ** 0.5 - 1.0) < 1e-9
+
+
+def test_trained_ivf_full_probe_equals_exact(spark, sf_dir):
+    """A trained codebook changes the cells, not the math: full probe
+    must still reproduce brute force exactly."""
+    from dbm_nca_ph_etl_spark.operators.similarity import ivf_topk, kmeans_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 5")
+    cents, _ = kmeans_train(emb, k=8, iters=2)
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    )
+    trained = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivf_topk(
+            emb, queries, k=5, n_probe=8, centroids=cents
+        ).collect()
+    )
+    assert exact == trained
