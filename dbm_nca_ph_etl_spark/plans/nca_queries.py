@@ -70,8 +70,18 @@ def _explode_variants(df: DataFrame, release_id, variants: list) -> DataFrame:
 def synthesize_nca_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic raw-rows document from orders+lineitem."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 31 == 0)
-    li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(o.select("o_orderkey")), F.col("l_orderkey") == F.col("o_orderkey")
+    # l_orderkey % 31 == 0 is implied by the equi-join against the
+    # filtered orders side, but Catalyst cannot derive modulo
+    # membership through a join — stating it explicitly drops ~97% of
+    # lineitem before the broadcast probe (measured ~25% off the
+    # synthesis stage at sf0.1).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 31 == 0)
+        .join(
+            F.broadcast(o.select("o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
     )
 
     rel = F.concat(F.lit("id_"), ((F.col("o_orderkey") % 97) + 1000).cast("string"))
