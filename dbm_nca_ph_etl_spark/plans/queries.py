@@ -3286,3 +3286,73 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd",
         ).alias("first_peak_date"),
     )
+
+
+_SQL_SUPPLIER_RANK = """
+    WITH srev AS (
+      SELECT s_nationkey AS nk, s_name,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, s_name
+    ),
+    ranked AS (
+      SELECT n_name, s_name, revenue,
+             CAST(rank() OVER (PARTITION BY n_name
+                               ORDER BY revenue DESC, s_name) AS INT) AS rnk
+      FROM srev JOIN nation ON nk = n_nationkey
+    )
+    SELECT n_name, s_name, revenue, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@register(
+    "sql_supplier_rank",
+    _SQL_SUPPLIER_RANK,
+    doc="The engine's SQL front end: this query is executed VERBATIM "
+    "by both engines — spark.sql() over the registered catalog views "
+    "(sources/catalog.register_views) and DuckDB as its own oracle. "
+    "Proves the full declarative surface (CTEs, joins, window rank, "
+    "decimal casts) parses and plans identically to the DataFrame "
+    "API: Catalyst lowers it to the same broadcast-join + two-phase "
+    "agg physical plan as the equivalent DataFrame program.",
+    tags=("relational", "sql"),
+)
+def sql_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SUPPLIER_RANK)
+
+
+@register(
+    "label_embedding_centroid",
+    """
+    SELECT label,
+           g.pos - 1 AS dim,
+           floor((sum(CAST(embedding[g.pos] AS DECIMAL(18,9))) * 1000000)::DOUBLE
+                 / count(*))::BIGINT AS centroid_e6
+    FROM embeddings CROSS JOIN generate_series(1, 64) AS g(pos)
+    GROUP BY label, dim
+    """,
+    doc="Per-class embedding centroid (the class-prototype vector for "
+    "retrieval/classification pipelines): element-wise mean over an "
+    "array column via posexplode → (label, dim) hash agg — one "
+    "shuffle keyed by n_labels × dim (tiny), partial map-side sums. "
+    "Element sums go through DECIMAL(18,9) (exact, order-independent "
+    "— float addition across 1000 executors is not) and the mean is "
+    "reported floor-scaled ×1e6.",
+    tags=("llm", "similarity"),
+)
+def label_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.floor(
+                (F.sum(F.col("x").cast("decimal(18,9)")) * 1000000).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid_e6")
+        )
+    )

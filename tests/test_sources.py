@@ -162,3 +162,51 @@ class TestEndToEndIngestion:
             (a.agency, a.operating_unit, a.amount) for a in allocations.collect()
         )
         assert allocs == [("AG-1", "OU-1", 1000.5), ("AG-2", "OU-2", 2000.0)]
+
+
+class TestTextFormats:
+    """CSV/JSONL round trips preserve schema, values, and nulls —
+    the interchange contract for corpus pipelines."""
+
+    def _sample(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [
+                Row(doc_id=1, text='say "hi",\nnewline', score=1.5, tag=None),
+                Row(doc_id=2, text=None, score=None, tag="ok"),
+                Row(doc_id=3, text="plain", score=-0.25, tag="x,y"),
+            ]
+        ).withColumn("ts", F.lit("2024-03-01 10:20:30.123456").cast("timestamp_ntz"))
+
+    def test_csv_roundtrip(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sources.formats import read_csv, write_csv
+
+        df = self._sample(spark)
+        path = str(tmp_path / "docs_csv")
+        write_csv(df, path)
+        back = read_csv(spark, path, schema=df.schema)
+        assert back.schema == df.schema
+        key = lambda r: r.doc_id
+        assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key)
+
+    def test_jsonl_roundtrip(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sources.formats import read_jsonl, write_jsonl
+
+        df = self._sample(spark)
+        path = str(tmp_path / "docs_jsonl")
+        write_jsonl(df, path)
+        back = read_jsonl(spark, path, schema=df.schema)
+        assert back.schema == df.schema
+        key = lambda r: r.doc_id
+        assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key)
+
+    def test_explicit_schema_required(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dbm_nca_ph_etl_spark.sources.formats import read_csv, read_jsonl
+
+        with _pytest.raises(ValueError):
+            read_csv(spark, str(tmp_path))
+        with _pytest.raises(ValueError):
+            read_jsonl(spark, str(tmp_path))
