@@ -3356,3 +3356,78 @@ def label_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_e6")
         )
     )
+
+
+@register(
+    "hourly_grid_ffill",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+    hr AS (
+      SELECT user_id, t - t % 3600000000 AS hour_us,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_e6
+      FROM e GROUP BY user_id, t - t % 3600000000
+    ),
+    span AS (
+      SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1 FROM hr GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+      FROM span
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour_us, hr.sum_e6,
+             CASE WHEN hr.sum_e6 IS NULL THEN 0 ELSE 1 END AS observed
+      FROM grid g LEFT JOIN hr ON g.user_id = hr.user_id AND g.hour_us = hr.hour_us
+    )
+    SELECT user_id, hour_us,
+           last_value(sum_e6 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum_e6,
+           observed
+    FROM joined
+    """,
+    doc="Time-series resampling: snap events to a dense per-user "
+    "hourly grid (sequence + explode — no calendar table needed), "
+    "LEFT JOIN the observed hourly aggregates, forward-fill the gaps "
+    "(W1 over the grid). The missing piece between raw events and "
+    "windowed aggs: rollups only emit hours that HAVE events; "
+    "downstream models need the empty hours too. All-integer (µs "
+    "epochs, decimal-exact sums scaled 1e6) — engine-invariant. "
+    "Scale: grid explode is per-user-bounded, the join and window "
+    "share the user_id partitioning — two shuffles total.",
+    tags=("window", "events"),
+)
+def hourly_grid_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    HOUR = 3600000000
+    e = _t(spark, sf_dir, "events")
+    hr = (
+        e.withColumn("hour_us", F.col("ts_us") - F.col("ts_us") % HOUR)
+        .groupBy("user_id", "hour_us")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("sum_e6")
+        )
+    )
+    grid = (
+        hr.groupBy("user_id")
+        .agg(F.min("hour_us").alias("h0"), F.max("hour_us").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.lit(HOUR).cast("long"))).alias(
+                "hour_us"
+            ),
+        )
+    )
+    joined = grid.join(hr, ["user_id", "hour_us"], "left").withColumn(
+        "observed", F.when(F.col("sum_e6").isNull(), 0).otherwise(1)
+    )
+    filled = W.forward_fill(
+        joined,
+        "sum_e6",
+        partition_by=["user_id"],
+        order_by=["hour_us"],
+        out_col="value_sum_e6",
+    )
+    return filled.select("user_id", "hour_us", "value_sum_e6", "observed")
