@@ -3431,3 +3431,81 @@ def hourly_grid_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="value_sum_e6",
     )
     return filled.select("user_id", "hour_us", "value_sum_e6", "observed")
+
+
+@register(
+    "repetition_stats",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    hof AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct_words,
+             CASE WHEN len(ws) >= 2
+                  THEN len(ws) - 1 - len(list_distinct(
+                         list_transform(range(len(ws)-1),
+                                        i -> ws[i+1] || ' ' || ws[i+2])))
+                  ELSE 0 END AS dup_bigrams
+      FROM w
+    ),
+    tf AS (
+      SELECT doc_id, unnest(ws) AS word FROM w
+    ),
+    counts AS (
+      SELECT doc_id, word, count(*) AS c FROM tf GROUP BY doc_id, word
+    ),
+    top AS (SELECT doc_id, max(c) AS top_word_count FROM counts GROUP BY doc_id)
+    SELECT h.doc_id, h.n_words, h.n_distinct_words, h.dup_bigrams,
+           coalesce(t.top_word_count, 0) AS top_word_count
+    FROM hof h LEFT JOIN top t ON h.doc_id = t.doc_id
+    """,
+    doc="Gopher/C4-style repetition quality signals per document: "
+    "word count, distinct-word count, duplicate-bigram count and the "
+    "most-repeated word's frequency — the inputs to the standard "
+    "'excessive repetition' corpus filters. Distinct/bigram metrics "
+    "are pure array HOFs (narrow, no shuffle, whole-stage codegen); "
+    "only the top-word frequency needs the explode → (doc, word) agg "
+    "path, joined back broadcast. All-integer outputs.",
+    tags=("llm", "text"),
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda x: x != "")
+    n = F.size("ws")
+    bigrams = F.zip_with(
+        F.slice("ws", 1, n - 1),
+        F.slice("ws", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    hof = d.select("doc_id", ws.alias("ws")).select(
+        "doc_id",
+        "ws",
+        n.alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct_words"),
+        F.when(n >= 2, n - 1 - F.size(F.array_distinct(bigrams)))
+        .otherwise(0)
+        .alias("dup_bigrams"),
+    )
+    top = (
+        hof.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+    return (
+        hof.drop("ws")
+        .join(F.broadcast(top), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            "dup_bigrams",
+            F.coalesce("top_word_count", F.lit(0)).alias("top_word_count"),
+        )
+    )

@@ -177,3 +177,51 @@ class TestStatefulDedup:
         # 2 appeared in both batches; whichever batch ran first wins —
         # with file order that's batch 1
         assert got[2] == "two-a"
+
+
+class TestStreamStaticJoin:
+    def test_stream_enriched_with_static_dim(self, spark, tmp_path, sf_dir):
+        """Stream-static broadcast enrichment: a micro-batched event
+        stream joined against a static user-segment dimension — the
+        standard streaming enrichment topology (dim re-read per
+        micro-batch, no state store needed for stream-static equi
+        joins). Result must equal the batch join."""
+        from dbm_nca_ph_etl_spark.sources.catalog import load_table
+
+        events = (
+            load_table(spark, sf_dir, "events")
+            .limit(400)
+            .select("event_id", "user_id", "event_type", "value")
+            .cache()
+        )
+        segments = spark.range(0, 200).select(
+            F.col("id").alias("user_id"),
+            F.when(F.col("id") % 3 == 0, "gold")
+            .when(F.col("id") % 3 == 1, "silver")
+            .otherwise("bronze")
+            .alias("segment"),
+        )
+        src = str(tmp_path / "ev_src")
+        events.write.parquet(src)
+
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        enriched = stream.join(F.broadcast(segments), "user_id", "left").select(
+            "event_id", "user_id", "event_type", "value", "segment"
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("enrich_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.event_id, r.user_id, r.event_type, r.value, r.segment)
+            for r in spark.sql("SELECT * FROM enrich_test").collect()
+        )
+        want = sorted(
+            (r.event_id, r.user_id, r.event_type, r.value, r.segment)
+            for r in events.join(F.broadcast(segments), "user_id", "left").collect()
+        )
+        assert got == want and len(got) == 400
