@@ -3509,3 +3509,97 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("top_word_count", F.lit(0)).alias("top_word_count"),
         )
     )
+
+
+@register(
+    "small_quantity_part_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*)                             AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: correlated scalar-aggregate subquery "
+    "(per-part 20%-of-average quantity threshold). Catalyst "
+    "decorrelates it into a per-part aggregate joined back onto the "
+    "fact — no per-row re-execution of the subquery. The threshold "
+    "compare is deterministic cross-engine: quantity sums are exact "
+    "small-integer doubles, so avg*0.2 is bit-identical. The "
+    "brand filter pushes to the part scan BEFORE its broadcast; the "
+    "per-part avg aggregates the unfiltered lineitem (semantics!) "
+    "but only (partkey, quantity) columns move.",
+    tags=("relational",),
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    thresholds = li.groupBy(F.col("l_partkey").alias("_tp")).agg(
+        (0.2 * F.avg("l_quantity")).alias("_thresh")
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("_tp"))
+        .where(F.col("l_quantity") < F.col("_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "large_quantity_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 180
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: the IN-subquery with HAVING plans as a "
+    "LEFT SEMI join against the pre-aggregated order quantities — "
+    "the fact reduces BEFORE the customer join, so the expensive "
+    "3-way join only sees qualifying orders. Quantity sums are exact "
+    "integer-valued doubles; top-20 orders by (totalprice, orderkey) "
+    "is a TakeOrderedAndProject.",
+    tags=("relational",),
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "_bk"), F.col("o_orderkey") == F.col("_bk"), "left_semi")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )

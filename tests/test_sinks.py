@@ -109,3 +109,36 @@ class TestNCAStore:
         store.load_batch(empty_r, empty_a)
         assert store.read("record").count() == 2
         assert store.read("allocation").count() == 3
+
+
+class TestCompaction:
+    def test_compact_reduces_files_and_preserves_rows(self, spark, tmp_path, sf_dir):
+        from dbm_nca_ph_etl_spark.sinks.maintenance import compact_parquet
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src = str(tmp_path / "sprawl")
+        docs.repartition(37).write.parquet(src)
+        assert len(spark.read.parquet(src).inputFiles()) >= 37
+
+        dst = str(tmp_path / "compacted")
+        n_out = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+        got_files = spark.read.parquet(dst).inputFiles()
+        assert len(got_files) == n_out < 37
+
+        key = lambda r: r.doc_id
+        assert sorted(spark.read.parquet(dst).collect(), key=key) == sorted(
+            docs.collect(), key=key
+        )
+
+    def test_compact_refuses_overwrite(self, spark, tmp_path, sf_dir):
+        import pytest as _pytest
+
+        from dbm_nca_ph_etl_spark.sinks.maintenance import compact_parquet
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src = str(tmp_path / "src2")
+        docs.write.parquet(src)
+        dst = str(tmp_path / "dst2")
+        compact_parquet(spark, src, dst)
+        with _pytest.raises(Exception):
+            compact_parquet(spark, src, dst)  # mode("error"): no clobber
