@@ -3603,3 +3603,138 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "audio_frame_energy",
+    """
+    WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+    chars AS (
+      SELECT doc_id, p.p - 1 AS idx, ord(substr(text, p.p, 1)) AS b
+      FROM a, LATERAL unnest(range(1, length(text) + 1)) AS p(p)
+    )
+    SELECT doc_id AS asset_id,
+           (idx // 64)::INT AS frame_idx,
+           count(*)::INT AS n_samples,
+           sum((b - 128) * (b - 128))::BIGINT AS energy
+    FROM chars GROUP BY doc_id, idx // 64
+    """,
+    doc="Audio leg of the multimodal pattern: 8-bit PCM blobs decoded "
+    "zero-copy (numpy frombuffer in Arrow-batched mapInPandas), "
+    "windowed into 64-sample frames, per-frame DC-centred energy as "
+    "exact int64. The oracle recomputes the same sums from the "
+    "generator text char-by-char — a true independent check of the "
+    "binary round trip, not of a stubbed decode.",
+    tags=("multimodal",),
+)
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators import multimodal as M2
+
+    return M2.pcm_window_energy(_assets(spark, sf_dir))
+
+
+@register(
+    "local_supplier_revenue",
+    """
+    SELECT n_name,
+           round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 proper — the cyclic join: supplier joins on BOTH "
+    "the lineitem FK and c_nationkey = s_nationkey (local-supplier "
+    "constraint), closing a cycle customer→orders→lineitem→supplier→"
+    "customer. The nation residual rides the broadcast supplier join; "
+    "region/nation prune the supplier side before broadcast; year "
+    "predicate pushes to the orders scan. Decimal-exact revenue.",
+    tags=("relational",),
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH fo AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+      FROM orders GROUP BY o_custkey
+    ),
+    act AS (
+      SELECT DISTINCT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS m
+      FROM orders
+    )
+    SELECT CAST(fo.m0 AS INT) AS cohort_month_idx,
+           CAST(act.m - fo.m0 AS INT) AS month_offset,
+           count(*) AS n_customers
+    FROM act JOIN fo ON act.o_custkey = fo.o_custkey
+    GROUP BY cohort_month_idx, month_offset
+    """,
+    doc="Cohort retention matrix — the standard growth-analytics "
+    "rollup: customers bucketed by first-order month, counted per "
+    "months-since-cohort offset. Month index is the integer "
+    "year*12+month (no float months_between). Two aggs share the "
+    "custkey partitioning: min-month and distinct-activity both hash "
+    "on o_custkey, then one broadcast-joined rollup keyed by the "
+    "~80×80 (cohort, offset) matrix.",
+    tags=("relational", "window"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    fo = o.select("o_custkey", midx).groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    act = o.select("o_custkey", midx).distinct()
+    return (
+        act.join(fo, "o_custkey")
+        .groupBy(
+            F.col("m0").cast("int").alias("cohort_month_idx"),
+            (F.col("m") - F.col("m0")).cast("int").alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -77,3 +77,19 @@ class TestOperators:
             "".join(chr(65 + i % 26) for i in range(64)).encode(), dtype=np.uint8
         ).mean()
         assert out[0].frame_mean_byte == round(float(expect), 6)
+
+
+def test_pcm_window_energy_partial_last_frame(spark):
+    """A blob whose length is not a multiple of the frame size emits a
+    short final frame with the correct sample count and energy."""
+    from pyspark.sql import Row
+
+    from dbm_nca_ph_etl_spark.operators.multimodal import pcm_window_energy
+
+    content = bytes([128] * 64 + [130] * 10)  # frame0 silent, frame1 partial
+    assets = spark.createDataFrame(
+        [Row(asset_id=1, modality="audio", content=content)]
+    )
+    rows = {r.frame_idx: r for r in pcm_window_energy(assets).collect()}
+    assert rows[0].n_samples == 64 and rows[0].energy == 0
+    assert rows[1].n_samples == 10 and rows[1].energy == 10 * 4
