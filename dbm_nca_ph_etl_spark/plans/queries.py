@@ -3738,3 +3738,92 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    )
+    WHERE rk <= 20
+    """,
+    doc="Deterministic stratified sampling: exactly k docs per "
+    "stratum (lang), chosen by ranking on the key's md5 — uniform "
+    "like a random reservoir but reproducible on any cluster size, "
+    "row order, or rerun (the property corpus pipelines need: the "
+    "same sample ships to eval every time). WindowGroupLimit prunes "
+    "to k rows per stratum per map task before the single shuffle.",
+    tags=("llm", "text"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 20)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "price_trend_by_nation",
+    """
+    WITH pts AS (
+      SELECT c_nationkey AS nk,
+             CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS x,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    sums AS (
+      SELECT nk, count(*) AS n,
+             sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+             sum(y) AS sy, sum(x * y) AS sxy
+      FROM pts GROUP BY nk
+    )
+    SELECT CAST(nk AS INT) AS nationkey, n,
+           floor(1000000.0 * (n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))::BIGINT
+             AS slope_e6
+    FROM sums
+    """,
+    doc="Per-group OLS trend (regr_slope semantics) made "
+    "engine-invariant: the four moment sums accumulate EXACTLY "
+    "(integer day offsets; decimal prices), so the closed-form slope "
+    "(nΣxy−ΣxΣy)/(nΣxx−ΣxΣx) divides identical doubles on every "
+    "engine; reported floor-scaled 1e6. One shuffle (per-nation "
+    "moments via map-side partial sums) — the pattern for any "
+    "group-wise regression at 100 TB: ship moments, not points.",
+    tags=("relational",),
+)
+def price_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pts = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_nationkey").alias("nk"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    sums = pts.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, sxy = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    return sums.select(
+        F.col("nk").cast("int").alias("nationkey"),
+        "n",
+        F.floor(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)).alias(
+            "slope_e6"
+        ),
+    )
