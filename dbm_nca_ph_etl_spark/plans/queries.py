@@ -3827,3 +3827,266 @@ def price_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_e6"
         ),
     )
+
+
+@register(
+    "order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape — customer order-count distribution: an "
+    "outer join whose ON clause carries an extra filter (the filter "
+    "must ride the join condition, NOT a WHERE — a WHERE would turn "
+    "the outer join inner and drop zero-order customers), a per-key "
+    "count that must include the zero groups, then a second tiny "
+    "rollup keyed by the count itself. Two shuffles: hash(custkey) "
+    "for the join+first agg (shared partitioning), then the ~40-key "
+    "distribution agg. Reference parity: J1 anti-semantics + A4.",
+    tags=("relational",),
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "top_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS rev_d
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(rev_d, 2)::DOUBLE AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE rev_d = (SELECT max(rev_d) FROM rev)
+    """,
+    doc="TPC-H Q15 shape — top supplier by quarterly revenue: an "
+    "aggregated 'view' filtered by its own global max (scalar "
+    "subquery). The max comparison runs on the EXACT decimal sum, "
+    "never the rounded double, so ties and near-ties are engine-"
+    "invariant. Spark takes the max via an empty-frame window over "
+    "the post-agg frame (~10k rows), avoiding a second scan of "
+    "lineitem that the naive self-referencing subquery would cost.",
+    tags=("relational",),
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev_d")
+        )
+    )
+    top = rev.withColumn("mx", F.max("rev_d").over(Window.partitionBy())).where(
+        F.col("rev_d") == F.col("mx")
+    )
+    return (
+        F.broadcast(top)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("rev_d", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "sole_supplier_orders",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, count(*) AS n_lines,
+             min(l_suppkey) AS lo, max(l_suppkey) AS hi
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS n_orders
+    FROM per_order JOIN supplier ON lo = s_suppkey
+    WHERE n_lines >= 2 AND lo = hi
+    GROUP BY s_name
+    ORDER BY n_orders DESC, s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 shape — EXISTS(same supplier) AND NOT EXISTS"
+    "(other supplier) over lineitem, decorrelated: per-order min/max "
+    "suppkey equality detects 'sole supplier' in ONE hash-agg pass "
+    "(one shuffle), where the textbook count(DISTINCT l_suppkey) "
+    "formulation would cost a second expand shuffle and the literal "
+    "double-correlated-subquery plan would self-join lineitem twice. "
+    "Supplier names ride a broadcast; top-k via TakeOrderedAndProject.",
+    tags=("relational",),
+)
+def sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("l_suppkey").alias("lo"),
+        F.max("l_suppkey").alias("hi"),
+    )
+    return (
+        per_order.where((F.col("n_lines") >= 2) & (F.col("lo") == F.col("hi")))
+        .join(F.broadcast(s), F.col("lo") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "nation_market_share",
+    """
+    SELECT o_year,
+           floor(1000000.0 * nat_rev / total_rev)::BIGINT AS share_ppm
+    FROM (
+      SELECT year(o_orderdate)::INT AS o_year,
+             sum(CASE WHEN n_name = 'NATION_7'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END)   AS nat_rev,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4)))                   AS total_rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY o_year
+    )
+    """,
+    doc="TPC-H Q8 shape — market share: one nation's fraction of "
+    "total supplier revenue per order-year, computed as a single "
+    "conditional aggregate (numerator = CASE inside sum) rather than "
+    "two passes + a join. Decimal-exact sums; the ratio divides "
+    "identical doubles on both engines, reported floor-ppm. One "
+    "shuffle on the ~7 year keys; supplier→nation rides a broadcast.",
+    tags=("relational",),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "n_name"
+    )
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_7", vol).otherwise(zero)).alias(
+                "nat_rev"
+            ),
+            F.sum(vol).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        F.floor(
+            1000000.0 * F.col("nat_rev").cast("double") / F.col("total_rev").cast("double")
+        ).alias("share_ppm"),
+    )
+
+
+@register(
+    "median_quantity_by_flag",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (median / p90) per group — "
+    "the sort-based aggregate Spark's `percentile` implements "
+    "(quantile_cont in DuckDB): both engines interpolate linearly "
+    "between the two adjacent order statistics, so results match to "
+    "rounding. Exact medians need the full per-group value multiset "
+    "(unlike sum/avg there is no lossless partial) — at 100 TB the "
+    "play is approx_percentile with a bounded sketch; this exact "
+    "variant is the oracle-checkable ground truth the sketch is "
+    "judged against.",
+    tags=("relational", "window"),
+)
+def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
+    )
+
+
+@register(
+    "monthly_revenue_growth",
+    """
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS month_idx,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY month_idx
+    )
+    SELECT CAST(month_idx AS INT) AS month_idx,
+           round(rev, 2)::DOUBLE AS revenue,
+           floor(1000000.0 * (rev - lag(rev) OVER (ORDER BY month_idx))
+                 / lag(rev) OVER (ORDER BY month_idx))::BIGINT AS growth_ppm
+    FROM m
+    """,
+    doc="Month-over-month growth: time-bucketed decimal-exact revenue "
+    "series, then lag() over the global month order. The unpartitioned "
+    "window runs AFTER aggregation, on ~80 rows — a single-partition "
+    "exchange of a tiny frame, which is the correct 100 TB shape "
+    "(never window the raw fact table globally). First month's growth "
+    "is NULL by construction on both engines.",
+    tags=("relational", "window"),
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("month_idx")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.partitionBy().orderBy("month_idx")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        F.col("month_idx").cast("int").alias("month_idx"),
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.floor(
+            1000000.0
+            * (F.col("rev").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+        ).alias("growth_ppm"),
+    )
