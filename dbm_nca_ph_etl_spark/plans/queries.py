@@ -4090,3 +4090,247 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / prev.cast("double")
         ).alias("growth_ppm"),
     )
+
+
+@register(
+    "column_profile",
+    """
+    SELECT 'o_orderkey' AS column_name,
+           count(o_orderkey) AS n_nonnull,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+    doc="Whole-table data-quality profile (ANALYZE-style): per column "
+    "non-null count, exact distinct count, min and max — the audit a "
+    "training-data pipeline runs before trusting a new drop. ONE scan "
+    "computes all 24 aggregates (the multi-distinct Expand multiplies "
+    "rows 6x map-side but keeps a single shuffle), then `stack` "
+    "unpivots 1 row x 24 cols into the 6-row profile with no extra "
+    "exchange — vs the oracle's naive 6-scan UNION ALL. min/max "
+    "normalize through type-stable string forms (decimal cents for "
+    "doubles, second-precision strftime for timestamps) so engine "
+    "float-repr and timestamp-precision differences can't leak in. "
+    "At 100 TB swap count(DISTINCT) for approx_count_distinct and "
+    "this same plan profiles any table in one pass.",
+    tags=("relational", "profiling"),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    dec_s = lambda c: F.col(c).cast("decimal(18,2)").cast("string")
+    ts_s = lambda c: F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+    raw_s = lambda c: F.col(c).cast("string")
+    specs = [
+        ("o_orderkey", raw_s),
+        ("o_custkey", raw_s),
+        ("o_orderstatus", lambda c: F.col(c)),
+        ("o_totalprice", dec_s),
+        ("o_orderdate", ts_s),
+        ("o_orderpriority", lambda c: F.col(c)),
+    ]
+    # min/max aggregate the raw column; stringification happens after
+    # the agg so the conversion runs once on 1 row, not per input row
+    wide = o.agg(
+        *[
+            a
+            for c, _ in specs
+            for a in (
+                F.count(F.col(c)).alias(f"nn_{c}"),
+                F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+                F.min(F.col(c)).alias(f"min_{c}"),
+                F.max(F.col(c)).alias(f"max_{c}"),
+            )
+        ]
+    )
+    converted = wide.select(
+        "*",
+        *[conv(f"min_{c}").alias(f"mins_{c}") for c, conv in specs],
+        *[conv(f"max_{c}").alias(f"maxs_{c}") for c, conv in specs],
+    )
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mins_{c}, maxs_{c}" for c, _ in specs
+    )
+    return converted.select(
+        F.expr(
+            f"stack({len(specs)}, {stack_args})"
+            " AS (column_name, n_nonnull, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS curr_type, count(*) AS n
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, curr_type
+    """,
+    doc="Event-type transition matrix (first-order Markov counts): "
+    "lag() over each user's time-ordered stream pairs every event "
+    "with its predecessor, then a global rollup counts each "
+    "(prev → curr) edge. Total order inside a user ((ts, event_id) "
+    "tiebreak) makes the pairing deterministic. One shuffle on "
+    "user_id for the window; the transition rollup reduces to "
+    "|types|² rows so its exchange is negligible. The sessionize/"
+    "funnel family's missing piece: funnels test ONE path, this "
+    "materializes the whole graph.",
+    tags=("events", "window"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "order_value_zscore",
+    """
+    WITH m AS (
+      SELECT o_custkey,
+             count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2)))  AS s1,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS s2
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 5
+    )
+    SELECT o_orderkey, o.o_custkey,
+           floor(1000000.0 * (o_totalprice - CAST(s1 AS DOUBLE) / n)
+                 / sqrt(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+             ::BIGINT AS z_ppm
+    FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+    WHERE CAST(s2 AS DOUBLE) / n
+          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 1e-9
+      AND abs(o_totalprice - CAST(s1 AS DOUBLE) / n)
+          > 1.5 * sqrt(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+    """,
+    doc="Per-group z-score outlier flagging (population moments): "
+    "customers with ≥5 orders get mean/variance from EXACT decimal "
+    "sums (s1, s2 — both lossless partial aggregates, so the 100 TB "
+    "map-side combine is free), then each order's |x−μ| > 1.5σ "
+    "outliers surface with a floor-ppm z-score. Decimal→double "
+    "conversion is deterministic (nearest double), and both engines "
+    "evaluate the identical expression tree after it, so no partial-sum "
+    "ordering can flip a ULP. One shuffle on o_custkey shared by the "
+    "agg and the join-back; the moments frame is ~customer-count "
+    "rows. The normalization primitive feature pipelines standardize "
+    "with.",
+    tags=("relational", "profiling"),
+)
+def order_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    m = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(p).alias("s1"),
+            F.sum(p * p).alias("s2"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return (
+        o.join(m, "o_custkey")
+        .where(
+            (var > 1e-9)
+            & (F.abs(F.col("o_totalprice") - mean) > 1.5 * F.sqrt(var))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(
+                1000000.0 * (F.col("o_totalprice") - mean) / F.sqrt(var)
+            ).alias("z_ppm"),
+        )
+    )
+
+
+@register(
+    "trailing_spend_30d",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2)::DOUBLE
+             AS spend_30d,
+           count(*) OVER w AS n_orders_30d
+    FROM (SELECT *, datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS day_idx
+          FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing 30-day spend per customer — a RANGE frame over a "
+    "day index, the time-based sibling of rolling_customer_spend's "
+    "ROWS frame: the window widens to however many orders landed in "
+    "the last 30 days (same-day orders are frame peers in both "
+    "engines, so no tiebreak ambiguity — peers enter the frame "
+    "together by definition of RANGE). Decimal-exact running sum. "
+    "One shuffle on o_custkey; per-customer sort on the ~10-order "
+    "frame is trivial. At 100 TB this is the feature-engineering "
+    "workhorse (trailing activity windows) and the frame bound "
+    "pushes into a single pass — no self-join explosion.",
+    tags=("relational", "window"),
+)
+def trailing_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "day_idx",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_idx")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
