@@ -4062,8 +4062,11 @@ def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(month_idx AS INT) AS month_idx,
            round(rev, 2)::DOUBLE AS revenue,
-           floor(1000000.0 * (rev - lag(rev) OVER (ORDER BY month_idx))
-                 / lag(rev) OVER (ORDER BY month_idx))::BIGINT AS growth_ppm
+           floor(1000000.0
+                 * (CAST(rev AS DOUBLE)
+                    - CAST(lag(rev) OVER (ORDER BY month_idx) AS DOUBLE))
+                 / CAST(lag(rev) OVER (ORDER BY month_idx) AS DOUBLE)
+                )::BIGINT AS growth_ppm
     FROM m
     """,
     doc="Month-over-month growth: time-bucketed decimal-exact revenue "
