@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -34,28 +35,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table. Filters/projections applied by the
     caller reach the parquet reader (PushedFilters / ReadSchema).
 
-    ``events.ts`` is physically ``TIMESTAMP(NANOS)``, which Spark's
-    parquet reader rejects; we read it as a long (nanosAsLong) and
-    rebuild a session-timezone-independent TIMESTAMP_NTZ via exact
-    decimal interval arithmetic (no LTZ hop, so results cannot shift
-    with the driver session's timezone). A raw ``ts_us`` epoch column
-    is kept for window/gap arithmetic — DuckDB's ``epoch_us(ts)`` on
-    the naive timestamp is its exact oracle twin.
+    ``events.ts`` carries an extra ``ts_us`` epoch-microsecond column
+    for window/gap arithmetic — DuckDB's ``epoch_us(ts)`` on the naive
+    timestamp is its exact oracle twin. Two physical encodings exist
+    across testdata generations: ``TIMESTAMP(NANOS)`` (rejected by
+    Spark's reader — read as long via nanosAsLong and rebuilt into a
+    TIMESTAMP_NTZ with exact decimal interval arithmetic, no LTZ hop
+    so results cannot shift with the session timezone) and plain
+    ``timestamp[us]`` (read natively as TIMESTAMP_NTZ; ``ts_us`` is a
+    session-timezone-independent timestampdiff from the NTZ epoch).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
-    # `ts div 1000`, NOT `ts / 1000`: the nanosecond epoch (~1.7e18)
-    # exceeds double's 2^53 exact-integer range, so float division is
-    # off by ±1 µs on some rows; integer div is exact and matches
-    # DuckDB's epoch_us() truncation bit-for-bit.
-    ts_us = F.expr("ts div 1000")
-    ts_ntz = F.expr(
-        "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
-        "cast(ts div 1000 as decimal(20, 0)) / 1000000)"
-    )
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        # `ts div 1000`, NOT `ts / 1000`: the nanosecond epoch (~1.7e18)
+        # exceeds double's 2^53 exact-integer range, so float division is
+        # off by ±1 µs on some rows; integer div is exact and matches
+        # DuckDB's epoch_us() truncation bit-for-bit.
+        ts_us = F.expr("ts div 1000")
+        ts_ntz = F.expr(
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
+            "cast(ts div 1000 as decimal(20, 0)) / 1000000)"
+        )
+    else:
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        ts_ntz = F.col("ts")
     return raw.select(
         "event_id",
         ts_ntz.alias("ts"),
