@@ -4337,3 +4337,239 @@ def trailing_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend_30d"),
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 — training-data curation pack: decontamination, shard packing,
+# boilerplate filtering, deterministic weighted sampling
+# ---------------------------------------------------------------------------
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _token_array(col: str = "text"):
+    """Lower-cased ascii-alnum token array (same tokenizer as
+    tfidf_top_terms; DuckDB twin: list_filter(string_split_regex(
+    lower(text), '[^a-z0-9]+'), x -> x <> ''))."""
+    return F.filter(
+        F.split(F.lower(F.col(col)), _TOKEN_SPLIT), lambda x: x != ""
+    )
+
+
+def _word_ngrams(ws, n: int):
+    """All order-n word n-grams of token array ``ws`` as space-joined
+    strings; empty array when the doc has fewer than n tokens."""
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "benchmark_decontamination",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 8
+                         THEN list_transform(range(len(ws) - 7),
+                                             i -> array_to_string(ws[i+1:i+8], ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM w
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+    SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_hit
+    FROM tr JOIN ev USING (gram)
+    GROUP BY tr.doc_id
+    """,
+    doc="Benchmark decontamination — the standard pre-training hygiene "
+    "pass: flag training documents that share any 8-word-gram with a "
+    "held-out eval set (here the doc_id%10==0 slice stands in for the "
+    "benchmark corpus). Train docs explode to positional 8-grams; the "
+    "eval side reduces to a DISTINCT gram set that is benchmark-sized "
+    "(MMLU/GSM8K ~10^6 grams), so it BROADCASTS — the 100 TB train "
+    "side never shuffles on gram, each task probes a hash set. Output "
+    "is per-doc distinct-hit counts; a removal pass is a left_anti on "
+    "the hit doc_ids. 8 is the n-gram order used by GPT-3/PaLM-style "
+    "decontamination.",
+    tags=("llm", "text"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(_word_ngrams(_token_array(), 8)).alias("gram")
+    )
+    ev = g.where(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    tr = g.where(F.col("doc_id") % 10 != 0)
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("gram")).alias("n_hit"))
+    )
+
+
+@register(
+    "shard_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+               - n_tokens AS cum_before
+      FROM t
+    )
+    SELECT CAST(cum_before // 4096 AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY shard_id
+    """,
+    doc="Token-budget shard packing — assign documents to contiguous "
+    "~4096-token output shards by exclusive prefix sum of token "
+    "counts: shard_id = floor(tokens_before / budget). The oracle's "
+    "global window is the semantic spec; the engine runs "
+    "operators/windows.prefix_sum — range-partition + partition-local "
+    "running sums + a metadata-sized offset frame — so NO single task "
+    "ever sees the whole table (the naive global window funnels 100 TB "
+    "through one reducer; this shape is why the operator exists). "
+    "Deterministic: doc_id is a total order. Per-shard stats verify "
+    "every shard lands within one doc of the budget.",
+    tags=("llm", "text", "scale"),
+)
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(_token_array()).cast("long").alias("n_tokens"))
+    c = W.prefix_sum(t, "n_tokens", ["doc_id"], out_col="cum_before")
+    return (
+        c.withColumn("shard_id", F.expr("cum_before div 4096"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "boilerplate_ngram_stats",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 5
+                         THEN list_transform(range(len(ws) - 4),
+                                             i -> array_to_string(ws[i+1:i+5], ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM w
+    ),
+    top AS (
+      SELECT gram FROM (
+        SELECT gram, count(*) AS c FROM g GROUP BY gram
+        ORDER BY c DESC, gram ASC LIMIT 100)
+    ),
+    per AS (
+      SELECT g.doc_id, count(*) AS n_grams, count(t.gram) AS n_boiler
+      FROM g LEFT JOIN top t USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_boiler,
+           CAST((1000000 * n_boiler) // n_grams AS BIGINT) AS boiler_ppm
+    FROM per
+    """,
+    doc="Inter-document boilerplate detection (C4/RefinedWeb-style): "
+    "corpus-global top-100 5-grams by frequency (nav bars, cookie "
+    "banners, license headers), then each document's fraction of "
+    "positions covered by them. Complements repetition_stats (INTRA-"
+    "doc repetition) with the CROSS-doc signal. Gram counts partial-"
+    "aggregate map-side; the top-100 frontier uses the integer "
+    "(count DESC, gram ASC) total order — ties at the boundary "
+    "resolve identically on both engines — and broadcasts back as a "
+    "vocabulary-independent 100-row set. boiler_ppm is exact integer "
+    "division: no float ratio can drift. At 100 TB swap the exact "
+    "top-k for a count-min/heavy-hitters sketch; the join shape stays.",
+    tags=("llm", "text"),
+)
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(_word_ngrams(_token_array(), 5)).alias("gram")
+    )
+    cnt = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    wtop = Window.orderBy(F.desc("c"), F.asc("gram"))
+    top = (
+        cnt.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= 100)
+        .select(F.col("gram").alias("top_gram"))
+    )
+    per = (
+        g.join(F.broadcast(top), g["gram"] == top["top_gram"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("top_gram").alias("n_boiler"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        F.expr("(1000000 * n_boiler) div n_grams").alias("boiler_ppm"),
+    )
+
+
+@register(
+    "weighted_doc_sample",
+    """
+    WITH m AS (SELECT max(n_chars) AS mx FROM documents)
+    SELECT doc_id, n_chars FROM documents, m
+    WHERE ((doc_id * 2654435761) % 4294967296) * mx * 2
+          < n_chars * 4294967296
+    """,
+    doc="Deterministic length-weighted Bernoulli sampling: keep each "
+    "document with probability 0.5 * n_chars / max(n_chars) — longer "
+    "docs (more tokens) are proportionally more likely to survive, "
+    "the standard importance-weighting when token budget, not doc "
+    "count, is the constraint. The uniform draw is a Knuth "
+    "multiplicative hash of the stable key ((doc_id * 2654435761) "
+    "mod 2^32), NOT rand(): the decision is a pure column predicate, "
+    "identical on every engine, cluster size, row order and rerun — "
+    "resampling a 100 TB corpus is a metadata-only filter, and "
+    "incremental loads keep prior keep/drop decisions. The "
+    "comparison is all-int64 (no float rounding at the boundary); "
+    "max(n_chars) is a 1-row broadcast.",
+    tags=("llm", "sampling"),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    m = d.agg(F.max("n_chars").alias("mx"))
+    return (
+        d.crossJoin(F.broadcast(m))
+        .where(
+            ((F.col("doc_id") * 2654435761) % 4294967296) * F.col("mx") * 2
+            < F.col("n_chars") * 4294967296
+        )
+        .select("doc_id", "n_chars")
+    )

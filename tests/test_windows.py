@@ -108,3 +108,39 @@ def test_leading_run_concat(spark):
     )
     got = [r.s for r in df.select(leading_run_concat(F.col("arr")).alias("s")).collect()]
     assert got == ["a b", "", "p q", "", ""]
+
+
+class TestPrefixSum:
+    def test_matches_naive_global_window(self, spark):
+        from pyspark.sql import Window
+
+        from dbm_nca_ph_etl_spark.operators.windows import prefix_sum
+
+        df = spark.createDataFrame(
+            [Row(k=i, v=(i * 37) % 11 + 1) for i in range(500)]
+        ).repartition(7)
+        got = prefix_sum(df, "v", ["k"], out_col="p")
+        w = (
+            Window.orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = df.withColumn("p", (F.sum("v").over(w) - F.col("v")).cast("long"))
+        assert rows_set(got) == rows_set(want)
+
+    def test_partition_invariant(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import prefix_sum
+
+        rng = random.Random(7)
+        rows = [Row(k=i, v=rng.randint(0, 50)) for i in range(300)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows)
+        a = prefix_sum(df.repartition(17), "v", ["k"], out_col="p")
+        b = prefix_sum(df.coalesce(1), "v", ["k"], out_col="p", num_partitions=3)
+        assert rows_set(a) == rows_set(b)
+
+    def test_exclusive_first_row_zero(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import prefix_sum
+
+        df = spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20), Row(k=3, v=5)])
+        got = {r["k"]: r["p"] for r in prefix_sum(df, "v", ["k"], out_col="p").collect()}
+        assert got == {1: 0, 2: 10, 3: 30}
