@@ -106,3 +106,44 @@ def session_window_stats(
             "sum_value",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "5 minutes",
+    watermark: str = "10 minutes",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with the
+    right events of the same ``key`` whose timestamp falls in
+    ``[left.ts, left.ts + within]`` — the click→error attribution /
+    impression→conversion shape.
+
+    Both sides carry watermarks and the join condition bounds the
+    time skew, which is what lets Spark EVICT buffered state: without
+    the interval bound a stream-stream equi-join must hold both
+    streams forever. State per side ≈ (watermark + within) of data —
+    at 100 TB/day this is the difference between a bounded state
+    store and an unbounded one. Works identically on batch frames
+    (no watermark applied; same join condition) so the streaming
+    result is directly testable against the batch answer.
+
+    Output columns are prefixed (``l_``/``r_``) — stream-stream joins
+    forbid post-join renames of the event-time columns, so the
+    projection happens before the join.
+    """
+    lcols = [F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
+    rcols = [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    lw = _watermarked(left, ts_col, watermark).select(*lcols)
+    rw = _watermarked(right, ts_col, watermark).select(*rcols)
+    lts, rts = f"{left_prefix}{ts_col}", f"{right_prefix}{ts_col}"
+    cond = (
+        (F.col(f"{left_prefix}{key}") == F.col(f"{right_prefix}{key}"))
+        & (F.col(rts) >= F.col(lts))
+        & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond)

@@ -225,3 +225,145 @@ class TestStreamStaticJoin:
             for r in events.join(F.broadcast(segments), "user_id", "left").collect()
         )
         assert got == want and len(got) == 400
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, tmp_path, sf_dir):
+        """Watermarked stream-stream interval join (click→error
+        attribution within 5 min) equals the batch join on the same
+        frames — and the interval bound is what keeps state finite."""
+        from dbm_nca_ph_etl_spark.sources.catalog import load_table
+        from dbm_nca_ph_etl_spark.streaming.events import (
+            stream_stream_interval_join,
+        )
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .limit(600)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .select("event_id", "ts", "user_id", "event_type")
+            .cache()
+        )
+        clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+        errors = ev.where(F.col("event_type") == "error").drop("event_type")
+        csrc, esrc = str(tmp_path / "clicks"), str(tmp_path / "errors")
+        clicks.write.parquet(csrc)
+        errors.write.parquet(esrc)
+
+        cs = spark.readStream.schema(clicks.schema).parquet(csrc)
+        es = spark.readStream.schema(errors.schema).parquet(esrc)
+        q = (
+            stream_stream_interval_join(cs, es)
+            .select("l_event_id", "r_event_id")
+            .writeStream.format("memory")
+            .queryName("ssj_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.l_event_id, r.r_event_id)
+            for r in spark.sql("SELECT * FROM ssj_test").collect()
+        )
+        want = sorted(
+            (r.l_event_id, r.r_event_id)
+            for r in stream_stream_interval_join(clicks, errors)
+            .select("l_event_id", "r_event_id")
+            .collect()
+        )
+        assert got == want and len(got) > 0
+
+
+def _write_aged(spark, rows, schema, src, age_sec):
+    """Append one parquet file and backdate it so the file stream
+    source (which orders pending files by modification time, oldest
+    first) processes writes in call order — same-second writes
+    otherwise tie and the batch order becomes path-random."""
+    import os
+    import time
+
+    (
+        spark.createDataFrame(rows, schema)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    t = time.time() - age_sec
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            path = os.path.join(root, f)
+            if os.path.getmtime(path) > t:
+                os.utime(path, (t, t))
+
+
+class TestWatermarkLateData:
+    def test_late_rows_dropped_after_watermark(self, spark, tmp_path):
+        """Append-mode windowed agg with a 5-min watermark: a row
+        arriving after its window was finalized and evicted is
+        DROPPED (no duplicate emission, no resurrected state). Late
+        filtering uses the PREVIOUS batch's watermark while eviction
+        uses the current one (eventTimeWatermarkForLateEvents vs
+        ForEviction), so the late row lands two batches after the
+        watermark-advancing row. No reference analog: SQS redelivers,
+        it never reasons about event time."""
+        from dbm_nca_ph_etl_spark.streaming.events import (
+            tumbling_window_counts,
+        )
+
+        schema = "event_id long, ts string, event_type string, value double"
+        src = str(tmp_path / "late_src")
+        # batch 0: three rows in W0=[10:00,10:05) + one at 10:20 that
+        # drags the watermark to 10:15
+        _write_aged(
+            spark,
+            [
+                (1, "2024-01-01 10:00:30", "click", 1.0),
+                (2, "2024-01-01 10:01:00", "click", 1.0),
+                (3, "2024-01-01 10:04:00", "click", 1.0),
+                (4, "2024-01-01 10:20:00", "click", 1.0),
+            ],
+            schema,
+            src,
+            age_sec=180,
+        )
+        # batch 1: watermark 10:15 active -> W0 finalized with 3 rows
+        _write_aged(
+            spark, [(6, "2024-01-01 10:21:00", "click", 1.0)], schema, src, age_sec=120
+        )
+        # batch 2: LATE row for the already-evicted W0 -> dropped
+        _write_aged(
+            spark, [(5, "2024-01-01 10:01:30", "click", 1.0)], schema, src, age_sec=60
+        )
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            tumbling_window_counts(stream, width="5 minutes", watermark="5 minutes")
+            .writeStream.format("memory")
+            .queryName("late_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            r.window_start: r.n_events
+            for r in spark.sql("SELECT * FROM late_test").collect()
+        }
+        # W0 finalized with the 3 on-time rows; the late row is
+        # dropped (not re-emitted); windows past the final watermark
+        # ([10:20,10:25)) are never emitted in append mode
+        assert rows == {"2024-01-01 10:00:00": 3}
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        assert dropped == 1
