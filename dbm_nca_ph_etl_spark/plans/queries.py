@@ -4573,3 +4573,41 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars")
     )
+
+
+@register(
+    "lang_balanced_sample",
+    """
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT min(cnt) AS mn FROM c)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN c USING (lang), m
+    WHERE ((d.doc_id * 2654435761) % 4294967296) * c.cnt
+          < m.mn * 4294967296
+    """,
+    doc="Corpus mixture rebalancing — downsample every language to "
+    "the size of the rarest one (rate = min_count/count per lang), "
+    "the data-mixing step that keeps a multilingual pre-training mix "
+    "from being swamped by the head language. Per-doc keep decisions "
+    "reuse the weighted_doc_sample multiplicative-hash uniform: pure "
+    "integer column predicate, identical across engines/cluster "
+    "sizes/reruns, and a new document's fate never changes as the "
+    "corpus grows a batch (rates drift only as counts do). The "
+    "per-lang count table is lang-cardinality-sized → broadcast; the "
+    "100 TB scan never shuffles. Generalizes to arbitrary target "
+    "mixtures by replacing mn with a per-lang target column.",
+    tags=("llm", "sampling"),
+)
+def lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.agg(F.min("cnt").alias("mn"))
+    return (
+        d.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(m))
+        .where(
+            ((F.col("doc_id") * 2654435761) % 4294967296) * F.col("cnt")
+            < F.col("mn") * 4294967296
+        )
+        .select("doc_id", "lang")
+    )

@@ -89,6 +89,15 @@ def test_shuffle_budgets(spark, sf_dir):
         "weekly_order_stats": 1,
         "train_val_test_split": 0,
         "tfidf_top_terms": 5,
+        # 3 data shuffles (gram distinct, probe-side agg, final) — the
+        # broadcast eval set costs no exchange of the train side
+        "benchmark_decontamination": 3,
+        # prefix_sum: range + pid-window + final groupBy move data; the
+        # offsets branch adds tiny single-partition exchanges
+        "shard_packing": 6,
+        "boilerplate_ngram_stats": 2,
+        "weighted_doc_sample": 1,
+        "lang_balanced_sample": 3,
     }
     over = {}
     for name, budget in budgets.items():
@@ -111,6 +120,9 @@ def test_no_sort_merge_joins_anywhere(spark, sf_dir):
         "nca_clean_records",
         "range_join_events",
         "embedding_near_dup_pairs",
+        "benchmark_decontamination",
+        "lang_balanced_sample",
+        "boilerplate_ngram_stats",
     ):
         if "SortMergeJoin" in q(spark, sf_dir, name):
             offenders.append(name)
