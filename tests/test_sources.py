@@ -5,6 +5,7 @@ deterministic FAKEPDF parser.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
 from dbm_nca_ph_etl_spark.nca import clean_raw_rows, promote_header
@@ -210,3 +211,66 @@ class TestTextFormats:
             read_csv(spark, str(tmp_path))
         with _pytest.raises(ValueError):
             read_jsonl(spark, str(tmp_path))
+
+
+class TestListingDataSource:
+    """The scraper stage as a Spark 4 Python DataSource (S1 —
+    bs4_scraper.py:18-37): listing HTML files become a partition-
+    parallel relational source; derivation stays in derive_releases."""
+
+    FIXTURE_A = """
+    <html><body>
+      <ul>
+        <li><a href="https://dbm.example/files/NCA_2024.pdf">NCA <b>2024</b></a></li>
+        <li><a href='https://dbm.example/files/nca_2023.PDF'>nca 2023</a></li>
+        <li><a href="https://dbm.example/files/UPDATED_NCA.pdf">Updated   NCA</a></li>
+        <li><a href="https://dbm.example/files/budget_2024.pdf">not an NCA</a></li>
+        <li><a href="https://dbm.example/about">about page</a></li>
+      </ul>
+    </body></html>
+    """
+    FIXTURE_B = """
+    <p><a class="x" href="https://dbm.example/files/NCA_2025.pdf">NCA 2025</a></p>
+    """
+
+    @pytest.fixture()
+    def listing_dir(self, tmp_path):
+        d = tmp_path / "listings"
+        d.mkdir()
+        (d / "a.html").write_text(self.FIXTURE_A)
+        (d / "b.html").write_text(self.FIXTURE_B)
+        return str(d)
+
+    def test_reads_anchors_partition_per_file(self, spark, listing_dir):
+        from dbm_nca_ph_etl_spark.sources.listing_source import (
+            NCAListingDataSource,
+        )
+
+        spark.dataSource.register(NCAListingDataSource)
+        df = spark.read.format("nca_listing").option("path", listing_dir).load()
+        rows = df.collect()
+        assert len(rows) == 6  # every anchor, both files
+        assert df.rdd.getNumPartitions() == 2  # one per listing file
+        by_title = {r.title: r.url for r in rows}
+        assert by_title["NCA 2024"] == "https://dbm.example/files/NCA_2024.pdf"
+        assert by_title["Updated NCA"].endswith("UPDATED_NCA.pdf")  # ws collapsed
+
+    def test_composes_with_derive_releases(self, spark, listing_dir):
+        from dbm_nca_ph_etl_spark.sources.listing_source import (
+            NCAListingDataSource,
+        )
+        from dbm_nca_ph_etl_spark.sources.releases import derive_releases
+
+        spark.dataSource.register(NCAListingDataSource)
+        links = (
+            spark.read.format("nca_listing").option("path", listing_dir).load()
+        )
+        rel = derive_releases(links, current_year=2026, oldest_year=2024)
+        got = {r.filename: (r.year, r.id) for r in rel.collect()}
+        # nca_2023.PDF dropped by year filter; budget/about dropped by
+        # the NCA-pdf pattern; UPDATED stamped with current_year
+        assert got == {
+            "NCA_2024.pdf": (2024, "id_2024"),
+            "UPDATED_NCA.pdf": (2026, "id_2026"),
+            "NCA_2025.pdf": (2025, "id_2025"),
+        }
