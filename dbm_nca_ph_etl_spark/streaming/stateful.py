@@ -27,6 +27,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 
 def streaming_dedup(
@@ -66,4 +70,83 @@ def streaming_dedup(
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _QuotaProcessor(StatefulProcessor):
+    """Per-key token-budget gate (see :func:`streaming_source_quota`)."""
+
+    def __init__(self, tokens_col: str, order_col: str, budget: int):
+        self._tokens_col = tokens_col
+        self._order_col = order_col
+        self._budget = budget
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._used = handle.getValueState("used", "used bigint")
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        used = self._used.get()
+        total = int(used[0]) if used is not None else 0
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(self._order_col, kind="mergesort").reset_index(drop=True)
+        accepted, used_after = [], []
+        for n in pdf[self._tokens_col].astype("int64"):
+            ok = total + int(n) <= self._budget
+            if ok:
+                total += int(n)
+            accepted.append(ok)
+            used_after.append(total)
+        self._used.update((total,))
+        pdf["accepted"] = accepted
+        pdf["used_after"] = pd.Series(used_after, dtype="int64")
+        pdf["key"] = key[0]
+        yield pdf
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_source_quota(
+    stream: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    order_col: str,
+    budget: int,
+    payload_cols: Iterable[str] = (),
+) -> DataFrame:
+    """Per-key token-budget admission gate over an unbounded stream —
+    ``transformWithStateInPandas`` (the Spark 4 arbitrary-state API;
+    ``streaming_dedup`` above uses its ``applyInPandasWithState``
+    predecessor, the engine exercises both extension points).
+
+    Corpus-mixing enforcement at ingest time: every key (source /
+    domain / language) may contribute at most ``budget`` tokens to
+    the output mix; once a source's cumulative accepted tokens would
+    exceed the budget, further documents are emitted with
+    ``accepted=false`` (audit trail, not silent drop). The cumulative
+    counter is a single value-state long per key — O(#keys) state,
+    partitioned by key hash across the cluster, and TTL-able via the
+    API's ``ttlDurationMs`` for rolling-window quotas.
+
+    Rows are processed in ``order_col`` order within each micro-batch
+    (deterministic admission under replay; cross-batch order is
+    arrival order, as with any streaming gate).
+    """
+    out_cols = [order_col, tokens_col, *payload_cols]
+    out_schema = ", ".join(
+        [f"key {stream.schema[key_col].dataType.simpleString()}"]
+        + [f"{c} {stream.schema[c].dataType.simpleString()}" for c in out_cols]
+        + ["accepted boolean", "used_after bigint"]
+    )
+    proc = _QuotaProcessor(tokens_col, order_col, budget)
+    return (
+        stream.select(key_col, *out_cols)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+        .select("key", *out_cols, "accepted", "used_after")
     )

@@ -275,6 +275,19 @@ class TestStreamStreamJoin:
         assert got == want and len(got) > 0
 
 
+def _age_files(src: str, age_sec: int) -> None:
+    """Backdate every file under ``src`` (see _write_aged)."""
+    import os
+    import time
+
+    t = time.time() - age_sec
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            path = os.path.join(root, f)
+            if os.path.getmtime(path) > t:
+                os.utime(path, (t, t))
+
+
 def _write_aged(spark, rows, schema, src, age_sec):
     """Append one parquet file and backdate it so the file stream
     source (which orders pending files by modification time, oldest
@@ -367,3 +380,62 @@ class TestWatermarkLateData:
             for op in p.get("stateOperators", [])
         )
         assert dropped == 1
+
+
+class TestSourceQuota:
+    def test_budget_enforced_across_batches(self, spark, tmp_path):
+        """transformWithStateInPandas token-quota gate: cumulative
+        per-key admission survives micro-batch boundaries; over-budget
+        docs are emitted rejected, not dropped."""
+        from dbm_nca_ph_etl_spark.streaming.stateful import (
+            streaming_source_quota,
+        )
+
+        schema = "doc_id long, source string, n_tokens long"
+        src = str(tmp_path / "quota_src")
+        spark.createDataFrame(
+            [
+                (1, "srcA", 40),
+                (2, "srcA", 40),
+                (3, "srcB", 10),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        _age_files(src, 120)
+        spark.createDataFrame(
+            [
+                (4, "srcA", 30),  # 40+40+30 > 100 -> rejected
+                (5, "srcA", 15),  # 80+15 <= 100 -> accepted
+                (6, "srcB", 85),  # 10+85 <= 100 -> accepted (fits exactly)
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_source_quota(
+                stream, "source", "n_tokens", "doc_id", budget=100
+            )
+            .writeStream.format("memory")
+            .queryName("quota_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.doc_id: (r.key, r.accepted, r.used_after)
+            for r in spark.sql("SELECT * FROM quota_test").collect()
+        }
+        assert got == {
+            1: ("srcA", True, 40),
+            2: ("srcA", True, 80),
+            3: ("srcB", True, 10),
+            4: ("srcA", False, 80),
+            5: ("srcA", True, 95),
+            6: ("srcB", True, 95),
+        }
