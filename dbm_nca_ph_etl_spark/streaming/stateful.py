@@ -21,16 +21,12 @@ oracle (SURVEY §5 weaker-check note).
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+from typing import Iterable, Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.streaming.stateful_processor import (
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
 
 
 def streaming_dedup(
@@ -73,39 +69,6 @@ def streaming_dedup(
     )
 
 
-class _QuotaProcessor(StatefulProcessor):
-    """Per-key token-budget gate (see :func:`streaming_source_quota`)."""
-
-    def __init__(self, tokens_col: str, order_col: str, budget: int):
-        self._tokens_col = tokens_col
-        self._order_col = order_col
-        self._budget = budget
-
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._used = handle.getValueState("used", "used bigint")
-
-    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
-        used = self._used.get()
-        total = int(used[0]) if used is not None else 0
-        pdf = pd.concat(list(rows), ignore_index=True)
-        pdf = pdf.sort_values(self._order_col, kind="mergesort").reset_index(drop=True)
-        accepted, used_after = [], []
-        for n in pdf[self._tokens_col].astype("int64"):
-            ok = total + int(n) <= self._budget
-            if ok:
-                total += int(n)
-            accepted.append(ok)
-            used_after.append(total)
-        self._used.update((total,))
-        pdf["accepted"] = accepted
-        pdf["used_after"] = pd.Series(used_after, dtype="int64")
-        pdf["key"] = key[0]
-        yield pdf
-
-    def close(self) -> None:
-        pass
-
-
 def streaming_source_quota(
     stream: DataFrame,
     key_col: str,
@@ -114,39 +77,66 @@ def streaming_source_quota(
     budget: int,
     payload_cols: Iterable[str] = (),
 ) -> DataFrame:
-    """Per-key token-budget admission gate over an unbounded stream —
-    ``transformWithStateInPandas`` (the Spark 4 arbitrary-state API;
-    ``streaming_dedup`` above uses its ``applyInPandasWithState``
-    predecessor, the engine exercises both extension points).
+    """Per-key token-budget admission gate over an unbounded stream
+    (``applyInPandasWithState``, same arbitrary-state extension point
+    as ``streaming_dedup`` above — one cumulative-long value state per
+    key).
 
     Corpus-mixing enforcement at ingest time: every key (source /
     domain / language) may contribute at most ``budget`` tokens to
     the output mix; once a source's cumulative accepted tokens would
     exceed the budget, further documents are emitted with
     ``accepted=false`` (audit trail, not silent drop). The cumulative
-    counter is a single value-state long per key — O(#keys) state,
-    partitioned by key hash across the cluster, and TTL-able via the
-    API's ``ttlDurationMs`` for rolling-window quotas.
+    counter is a single long per key — O(#keys) state, partitioned by
+    key hash across the cluster; pair with ``GroupStateTimeout``
+    state TTL for rolling-window quotas.
 
     Rows are processed in ``order_col`` order within each micro-batch
     (deterministic admission under replay; cross-batch order is
     arrival order, as with any streaming gate).
+
+    .. note:: Spark 4's ``transformWithStateInPandas`` would also
+       express this, but its Python worker requires ``protobuf`` at
+       runtime; ``applyInPandasWithState`` has no extra dependency and
+       the state machine is identical (one bigint per key).
     """
     out_cols = [order_col, tokens_col, *payload_cols]
+    declared = ["key", *out_cols, "accepted", "used_after"]
     out_schema = ", ".join(
         [f"key {stream.schema[key_col].dataType.simpleString()}"]
         + [f"{c} {stream.schema[c].dataType.simpleString()}" for c in out_cols]
         + ["accepted boolean", "used_after bigint"]
     )
-    proc = _QuotaProcessor(tokens_col, order_col, budget)
+
+    def gate(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total = int(state.get[0]) if state.exists else 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+            accepted, used_after = [], []
+            for n in pdf[tokens_col].astype("int64"):
+                ok = total + int(n) <= budget
+                if ok:
+                    total += int(n)
+                accepted.append(ok)
+                used_after.append(total)
+            pdf["key"] = key[0]
+            pdf["accepted"] = accepted
+            pdf["used_after"] = pd.Series(used_after, dtype="int64")
+            yield pdf[declared]
+        state.update((total,))
+
     return (
         stream.select(key_col, *out_cols)
         .groupBy(key_col)
-        .transformWithStateInPandas(
-            statefulProcessor=proc,
+        .applyInPandasWithState(
+            gate,
             outputStructType=out_schema,
+            stateStructType="used bigint",
             outputMode="append",
-            timeMode="none",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        .select("key", *out_cols, "accepted", "used_after")
     )

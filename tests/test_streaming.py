@@ -384,7 +384,7 @@ class TestWatermarkLateData:
 
 class TestSourceQuota:
     def test_budget_enforced_across_batches(self, spark, tmp_path):
-        """transformWithStateInPandas token-quota gate: cumulative
+        """applyInPandasWithState token-quota gate: cumulative
         per-key admission survives micro-batch boundaries; over-budget
         docs are emitted rejected, not dropped."""
         from dbm_nca_ph_etl_spark.streaming.stateful import (
