@@ -72,18 +72,101 @@ class TableParser(Protocol):
         ...
 
 
+# Reference constants.py:12-22 — measured column x-positions of the
+# DBM NCA listing layout. In the reference this constant is dead
+# config (table_settings starts with [] and page-0 detection always
+# overwrites it, pdf_parser.py:13-20,96); we keep it as the fallback
+# when a PDF yields NO header words at all, a documented divergence:
+# the reference would hand pdfplumber a single right-edge line and
+# emit a one-column table, which downstream cleaning can do nothing
+# with.
+REFERENCE_VERT_LINES = [
+    19.439992224,
+    133.439946624,
+    182.159927136,
+    275.9998896,
+    389.15984433600005,
+    500.159799936,
+    638.159744736,
+    737.9997048,
+    1100.00000,
+]
+
+
+def detect_vert_lines(
+    words: list[dict], page_width: float
+) -> list[float]:
+    """Adaptive column detection — straight port of reference
+    pdf_parser.py:79-96 semantics, pure-Python so it is unit-testable
+    without pdfplumber:
+
+    - for each TABLE_COLUMNS phrase, scan the page-0 word stream for
+      the underscore-joined lowercase match and take the FIRST word's
+      exact ``x0`` (the reference uses ``x0``, not ``x0 - 1``);
+    - keep however many phrases were found (partial headers are used
+      as-is, no all-or-nothing reset);
+    - always append ``page_width - 1`` as the right edge.
+
+    Only when zero phrases match do we fall back to the reference's
+    measured REFERENCE_VERT_LINES (see its docstring for why this
+    diverges).
+    """
+    texts = [w["text"] for w in words]
+    vert_lines: list[float] = []
+    for phrase in TABLE_COLUMNS:
+        phrase_words = phrase.lower().split("_")
+        n = len(phrase_words)
+        for i in range(len(texts) - n + 1):
+            if "_".join(texts[i : i + n]).lower() == phrase:
+                vert_lines.append(words[i]["x0"])
+                break
+    if not vert_lines:
+        return list(REFERENCE_VERT_LINES)
+    vert_lines.append(page_width - 1)
+    return vert_lines
+
+
+class LayoutCache:
+    """Per-FILE layout memo for parser instances reused across a task.
+
+    A ``mapInPandas`` extract function closes over ONE parser
+    instance, which then sees every PDF its task processes; caching
+    detection in an instance attribute (the round-2 bug) silently
+    applied the first file's column x-positions to all later files.
+    The reference re-detects on page 0 of EVERY extract call
+    (pdf_parser.py:58-60) — this cache keys by content digest so we
+    keep that per-file semantics while still detecting once per file
+    instead of once per page.
+    """
+
+    def __init__(self, max_entries: int = 8):
+        self._max = max_entries
+        self._layouts: dict[bytes, list[float]] = {}
+        self.detect_calls = 0  # test observability
+
+    def get(self, content: bytes, compute) -> list[float]:
+        import hashlib
+
+        key = hashlib.md5(content).digest()
+        if key not in self._layouts:
+            self.detect_calls += 1
+            self._layouts[key] = compute()
+            while len(self._layouts) > self._max:
+                self._layouts.pop(next(iter(self._layouts)))
+        return self._layouts[key]
+
+
 class PdfplumberParser:
     """Real PDF parsing via pdfplumber/pypdf (reference
     pdf_parser.py:13-96). Adaptive column detection: locate each
     header phrase of TABLE_COLUMNS on page 0 via ``extract_words()``,
-    use their x0s (+ page.width-1) as explicit vertical lines with a
-    text horizontal strategy; fall back to fixed x-positions when
-    detection fails. Unavailable in this container (no pdfplumber) —
-    constructing it raises NotImplementedError so callers fail fast
-    and tests use FakeTableParser instead.
+    use their exact x0s (+ page.width-1) as explicit vertical lines
+    with a text horizontal strategy (:func:`detect_vert_lines`),
+    re-detected per FILE via :class:`LayoutCache`. Unavailable in
+    this container (no pdfplumber) — constructing it raises
+    NotImplementedError so callers fail fast and tests use
+    FakeTableParser instead.
     """
-
-    FALLBACK_VERT_LINES = [3, 60, 90, 120, 150, 250, 320, 380, 430, 560, 610]
 
     def __init__(self) -> None:
         try:
@@ -96,7 +179,7 @@ class PdfplumberParser:
             ) from e
         self._pdfplumber = __import__("pdfplumber")
         self._pypdf = __import__("pypdf")
-        self._vert_lines: list[float] | None = None
+        self._layout_cache = LayoutCache()
 
     def page_count(self, content: bytes) -> int:  # pragma: no cover
         return len(self._pypdf.PdfReader(io.BytesIO(content)).pages)
@@ -105,29 +188,18 @@ class PdfplumberParser:
         meta = self._pypdf.PdfReader(io.BytesIO(content)).metadata or {}
         return meta.get("/CreationDate"), meta.get("/ModDate")
 
-    def _detect_vert_lines(self, page) -> list[float]:  # pragma: no cover
-        words = page.extract_words()
-        xs: list[float] = []
-        for col in TABLE_COLUMNS:
-            phrase = col.split("_")
-            for i, w in enumerate(words):
-                got = [x["text"].lower() for x in words[i : i + len(phrase)]]
-                if got == phrase:
-                    xs.append(words[i]["x0"] - 1)
-                    break
-        if len(xs) != len(TABLE_COLUMNS):
-            return list(self.FALLBACK_VERT_LINES)
-        return xs + [page.width - 1]
-
     def extract_page(self, content, page_num):  # pragma: no cover
         with self._pdfplumber.open(io.BytesIO(content)) as pdf:
-            if self._vert_lines is None:
-                self._vert_lines = self._detect_vert_lines(pdf.pages[0])
+            page0 = pdf.pages[0]
+            vert_lines = self._layout_cache.get(
+                content,
+                lambda: detect_vert_lines(page0.extract_words(), page0.width),
+            )
             page = pdf.pages[page_num - 1]
             table = page.extract_table(
                 {
                     "vertical_strategy": "explicit",
-                    "explicit_vertical_lines": self._vert_lines,
+                    "explicit_vertical_lines": vert_lines,
                     "horizontal_strategy": "text",
                     "intersection_tolerance": 1000,
                     "snap_y_tolerance": 3,

@@ -10,7 +10,10 @@ from pyspark.sql import Row
 
 from dbm_nca_ph_etl_spark.nca import clean_raw_rows, promote_header
 from dbm_nca_ph_etl_spark.sources.pdf_source import (
+    REFERENCE_VERT_LINES,
     FakeTableParser,
+    LayoutCache,
+    detect_vert_lines,
     extract_raw_cells,
     get_parser,
     make_fake_pdf,
@@ -274,3 +277,99 @@ class TestListingDataSource:
             "UPDATED_NCA.pdf": (2026, "id_2026"),
             "NCA_2025.pdf": (2025, "id_2025"),
         }
+
+
+def _layout_sensitive_parser():
+    """Fake parser mimicking PdfplumberParser's per-file adaptive
+    layout: 'detected layout' = first cell of the file's page-1
+    header row, memoized through the same LayoutCache, and every
+    emitted cell is tagged with the layout that was applied — so a
+    cross-file cache leak (the round-2 bug) shows up as a wrong tag.
+    (Class is defined locally so cloudpickle ships it by value to
+    Spark workers, which cannot import the test module.)
+    """
+
+    class _LayoutSensitiveParser(FakeTableParser):
+        def __init__(self):
+            self.cache = LayoutCache()
+
+        def extract_page(self, content, page_num):
+            content = bytes(content)
+            layout = self.cache.get(
+                content, lambda: FakeTableParser.extract_page(self, content, 1)[0][0]
+            )
+            rows = FakeTableParser.extract_page(self, content, page_num)
+            return [
+                [None if c is None else f"{c}@{layout}" for c in row] for row in rows
+            ]
+
+    return _LayoutSensitiveParser()
+
+
+class TestAdaptiveLayout:
+    """S9 parity: reference pdf_parser.py:79-96 semantics + the
+    per-file re-detection contract (pdf_parser.py:58-60)."""
+
+    def test_detect_exact_x0_partial_headers_right_edge(self):
+        words = [
+            {"text": "NCA", "x0": 19.5},
+            {"text": "Number", "x0": 40.0},
+            {"text": "NCA", "x0": 133.4},
+            {"text": "Type", "x0": 150.0},
+            {"text": "Amount", "x0": 638.2},
+        ]
+        lines = detect_vert_lines(words, page_width=1101.0)
+        # exact x0 (no -1), partial header set kept as-is, right edge
+        # page_width-1 appended — reference pdf_parser.py:90-96
+        assert lines == [19.5, 133.4, 638.2, 1100.0]
+
+    def test_zero_match_falls_back_to_reference_constants(self):
+        assert detect_vert_lines([], 500.0) == REFERENCE_VERT_LINES
+        assert (
+            detect_vert_lines([{"text": "unrelated", "x0": 1.0}], 500.0)
+            == REFERENCE_VERT_LINES
+        )
+
+    def test_layout_cache_keys_by_content(self):
+        cache = LayoutCache(max_entries=2)
+        a = cache.get(b"file-a", lambda: [1.0])
+        b = cache.get(b"file-b", lambda: [2.0])
+        again = cache.get(b"file-a", lambda: [99.0])
+        assert (a, b, again) == ([1.0], [2.0], [1.0])
+        assert cache.detect_calls == 2
+        cache.get(b"file-c", lambda: [3.0])  # evicts the oldest entry
+        assert cache.get(b"file-a", lambda: [4.0]) == [4.0]
+        assert cache.detect_calls == 4
+
+    def test_one_parser_instance_two_files(self):
+        """One parser instance (as closed over by a mapInPandas task)
+        must apply each file's OWN layout — the round-2 instance-attr
+        cache applied file A's layout to file B."""
+        p = _layout_sensitive_parser()
+        pdf_a = make_fake_pdf([[["HA", "r1"], ["a", "b"]], [["a2", None]]])
+        pdf_b = make_fake_pdf([[["HB", "r1"], ["c", "d"]]])
+        assert p.extract_page(pdf_a, 1)[1][0] == "a@HA"
+        assert p.extract_page(pdf_b, 1)[1][0] == "c@HB"
+        assert p.extract_page(pdf_a, 2)[0][0] == "a2@HA"  # cached, not re-detected
+        assert p.extract_page(pdf_a, 2)[0][1] is None  # nulls untouched
+        assert p.cache.detect_calls == 2
+
+    def test_extract_raw_cells_per_file_layouts(self, spark):
+        files = spark.createDataFrame(
+            [
+                Row(
+                    release_id="id_a",
+                    content=make_fake_pdf([[["HA", "x"], ["1", "2"]], [["3", "4"]]]),
+                ),
+                Row(release_id="id_b", content=make_fake_pdf([[["HB", "y"], ["5", "6"]]])),
+            ],
+            "release_id string, content binary",
+        ).coalesce(1)
+        out = extract_raw_cells(files, _layout_sensitive_parser(), batch_size=1)
+        tags = {
+            (r.release_id, r.page_num, r.row_idx): [c for c in r.cells]
+            for r in out.collect()
+        }
+        assert tags[("id_a", 1, 1)] == ["1@HA", "2@HA"]
+        assert tags[("id_a", 2, 0)] == ["3@HA", "4@HA"]
+        assert tags[("id_b", 1, 1)] == ["5@HB", "6@HB"]
