@@ -373,3 +373,80 @@ class TestAdaptiveLayout:
         assert tags[("id_a", 1, 1)] == ["1@HA", "2@HA"]
         assert tags[("id_a", 2, 0)] == ["3@HA", "4@HA"]
         assert tags[("id_b", 1, 1)] == ["5@HB", "6@HB"]
+
+
+class TestStageReleases:
+    """S3/S4 — derive → stage (fake HTTP) → read_pdf_binaries round
+    trip (reference bs4_scraper.py:39-42 + s3_storage.py:25-38)."""
+
+    def _releases(self, spark):
+        links = spark.createDataFrame(
+            [
+                Row(title="NCA 2024", url="https://dbm.example/f/NCA_2024.pdf"),
+                Row(title="NCA 2025", url="https://dbm.example/f/NCA_2025.pdf"),
+            ],
+            "title string, url string",
+        )
+        return derive_releases(links, current_year=2026, oldest_year=2024)
+
+    def test_stage_then_scan_round_trip(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sources.pdf_source import read_pdf_binaries
+        from dbm_nca_ph_etl_spark.sources.staging import stage_releases
+
+        def fake_fetch(url):
+            # deterministic per-URL FAKEPDF payload
+            name = url.rsplit("/", 1)[-1]
+            return make_fake_pdf([[[name, "row"]]], created_at="D:2024")
+
+        dest = str(tmp_path / "lake" / "pdfs")
+        status = stage_releases(self._releases(spark), dest, fetcher=fake_fetch)
+        got = {r.filename: r for r in status.collect()}
+        assert set(got) == {"NCA_2024.pdf", "NCA_2025.pdf"}
+        assert all(r.staged and r.error is None and r.n_bytes > 0 for r in got.values())
+        assert got["NCA_2024.pdf"].release_id == "id_2024"
+
+        files = read_pdf_binaries(spark, dest)
+        parsed = {
+            r.release_id: FakeTableParser().extract_page(bytes(r.content), 1)
+            for r in files.collect()
+        }
+        assert parsed == {
+            "NCA_2024": [["NCA_2024.pdf", "row"]],
+            "NCA_2025": [["NCA_2025.pdf", "row"]],
+        }
+
+    def test_idempotent_replay_and_error_capture(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sources.staging import stage_releases
+
+        calls = []
+
+        def flaky_fetch(url):
+            calls.append(url)
+            if "2025" in url:
+                raise OSError("boom")
+            return make_fake_pdf([[["x"]]])
+
+        dest = str(tmp_path / "lake2")
+        first = {
+            r.filename: r
+            for r in stage_releases(
+                self._releases(spark), dest, fetcher=flaky_fetch
+            ).collect()
+        }
+        assert first["NCA_2024.pdf"].staged
+        assert not first["NCA_2025.pdf"].staged
+        assert "OSError" in first["NCA_2025.pdf"].error
+
+        # replay: staged file skipped (no refetch), failed one retried
+        def ok_fetch(url):
+            return make_fake_pdf([[["y"]]])
+
+        second = {
+            r.filename: r
+            for r in stage_releases(
+                self._releases(spark), dest, fetcher=ok_fetch
+            ).collect()
+        }
+        assert not second["NCA_2024.pdf"].staged  # skip, already present
+        assert second["NCA_2024.pdf"].n_bytes == first["NCA_2024.pdf"].n_bytes
+        assert second["NCA_2025.pdf"].staged and second["NCA_2025.pdf"].error is None
