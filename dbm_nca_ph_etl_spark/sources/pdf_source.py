@@ -327,11 +327,11 @@ def extract_raw_cells(
     engine's explicit-order convention (SURVEY §2.6 O5).
 
     Scale note: ``content`` is duplicated per batch row through the
-    explode (same bytes the reference re-downloads per Lambda). For
-    lake deployments pass path-bearing rows through
-    ``read_pdf_binaries`` and substitute a path-loading parser to
-    re-read from object storage inside the task instead of shipping
-    bytes through the shuffle.
+    explode (same bytes the reference re-downloads per Lambda) —
+    fine for small in-memory blobs (tests, streaming payloads). For
+    lake deployments use :func:`extract_raw_cells_from_paths`, which
+    ships only paths through the shuffle and re-reads blobs
+    task-side.
     """
     with_count = files.select("release_id", "content").mapInPandas(
         _page_count_fn(parser), schema="release_id string, content binary, page_count int"
@@ -367,3 +367,86 @@ def _page_count_fn(parser: TableParser):
             yield b
 
     return fn
+
+
+def local_file_loader(path: str) -> bytes:
+    """Default blob loader for :func:`extract_raw_cells_from_paths` —
+    handles the ``file:`` scheme ``binaryFile`` puts on local paths.
+    Swap in an object-store client for lake deployments (the
+    reference's Storage Protocol, src/core/interfaces/storage.py)."""
+    if path.startswith("file://"):
+        path = path[7:]
+    elif path.startswith("file:"):
+        path = path[5:]
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def extract_raw_cells_from_paths(
+    files: DataFrame,
+    parser: TableParser,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    loader=local_file_loader,
+) -> DataFrame:
+    """S8/T2, path-loading variant — the 100 TB shape of
+    :func:`extract_raw_cells`.
+
+    ``extract_raw_cells`` ships the PDF ``content`` bytes through the
+    batch explode + repartition exchange once per page-range row — a
+    10 GB PDF in 100 batches moves 1 TB through the shuffle. Here
+    batch rows carry only ``(release_id, path, page range)`` (bytes
+    per row, like the reference's SQS messages, release_batch.py:5-10)
+    and each task re-reads the blob from storage via ``loader`` — the
+    same trade the reference makes per Lambda (handlers/worker.py:
+    60-62). A per-task memo keeps the last few blobs so the ~⌈pages/
+    batch_size⌉ batches of one file landing in one task re-read it
+    once (the reference's FileBytesMemoLoader, S17,
+    file_stream_memo_loader.py:13-26).
+
+    Input needs (release_id, path) — ``read_pdf_binaries`` output
+    qualifies; ``content`` is pruned away (the plan test asserts no
+    binary column crosses the exchange).
+    """
+
+    def count_pages(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            b = b.copy()
+            b["page_count"] = [
+                parser.page_count(loader(p)) for p in b["path"]
+            ]
+            yield b
+
+    with_count = files.select("release_id", "path").mapInPandas(
+        count_pages, schema="release_id string, path string, page_count int"
+    )
+    batches = plan_page_batches(with_count, batch_size=batch_size)
+
+    def extract(batches_iter: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, bytes] = {}
+
+        def blob(path: str) -> bytes:
+            if path not in memo:
+                while len(memo) >= 4:
+                    memo.pop(next(iter(memo)))
+                memo[path] = loader(path)
+            return memo[path]
+
+        for b in batches_iter:
+            out: list[tuple[str, int, int, list[str | None]]] = []
+            for rid, path, start, end in zip(
+                b["release_id"], b["path"], b["start_page_num"], b["end_page_num"]
+            ):
+                content = blob(path)
+                for page_num in range(int(start), int(end) + 1):
+                    for row_idx, cells in enumerate(
+                        parser.extract_page(content, page_num)
+                    ):
+                        out.append((rid, page_num, row_idx, cells))
+            yield pd.DataFrame(
+                out, columns=["release_id", "page_num", "row_idx", "cells"]
+            )
+
+    return (
+        batches.repartition("release_id", "batch_num")
+        .mapInPandas(extract, schema=RAW_CELLS_SCHEMA)
+    )

@@ -450,3 +450,49 @@ class TestStageReleases:
         assert not second["NCA_2024.pdf"].staged  # skip, already present
         assert second["NCA_2024.pdf"].n_bytes == first["NCA_2024.pdf"].n_bytes
         assert second["NCA_2025.pdf"].staged and second["NCA_2025.pdf"].error is None
+
+
+class TestExtractFromPaths:
+    """Path-loading extract (the 100 TB shape): batch rows carry
+    (release_id, path, page range); blobs re-read task-side."""
+
+    def _lake(self, spark, tmp_path):
+        lake = tmp_path / "pdf_lake"
+        lake.mkdir()
+        (lake / "id_2024.pdf").write_bytes(make_fake_pdf([PAGE1, PAGE2]))
+        (lake / "id_2025.pdf").write_bytes(make_fake_pdf([[["only", "row"]]]))
+        from dbm_nca_ph_etl_spark.sources.pdf_source import read_pdf_binaries
+
+        return read_pdf_binaries(spark, str(lake))
+
+    def test_matches_bytes_variant(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sources.pdf_source import (
+            extract_raw_cells_from_paths,
+        )
+
+        files = self._lake(spark, tmp_path)
+        by_path = extract_raw_cells_from_paths(
+            files, FakeTableParser(), batch_size=1
+        )
+        by_bytes = extract_raw_cells(
+            files.select("release_id", "content"), FakeTableParser(), batch_size=1
+        )
+        key = lambda r: (r.release_id, r.page_num, r.row_idx, list(r.cells))
+        assert sorted(map(key, by_path.collect())) == sorted(
+            map(key, by_bytes.collect())
+        )
+
+    def test_no_binary_crosses_the_exchange(self, spark, tmp_path):
+        """The whole point: the executed plan must never carry the
+        PDF content column — only (release_id, path, page range)
+        rows move through the shuffle."""
+        from dbm_nca_ph_etl_spark.sources.pdf_source import (
+            extract_raw_cells_from_paths,
+        )
+
+        out = extract_raw_cells_from_paths(
+            self._lake(spark, tmp_path), FakeTableParser(), batch_size=1
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan  # the batch repartition is there
+        assert "content" not in plan  # ...but the binary column never is
