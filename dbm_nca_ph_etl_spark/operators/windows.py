@@ -138,47 +138,60 @@ def prefix_sum(
     key) funnels the whole table through ONE task — correct at sf0.1,
     dead at 100 TB. This is the classic two-phase scan instead:
 
-    1. range-partition + sort by ``order_by`` (one shuffle; each task
-       holds a contiguous key range);
-    2. per-partition running sums via a window keyed on
-       ``spark_partition_id()`` (blocks are already whole per key —
-       the hash exchange moves each block intact, never splits one);
-    3. per-partition totals — a #partitions-row aggregate — become
-       cumulative *offsets* via a single-partition window over that
-       metadata-sized frame (one long per partition, NOT data rows),
-       broadcast-joined back. Everything is one plan, so the range
-       exchange is planned once and the pid assignment the offsets
-       were computed from is the one the join sees.
+    1. split the total order into ``n`` contiguous blocks by the
+       FIRST order column. Boundaries come from one driver-side
+       ``approxQuantile`` pass and are baked into the plan as
+       LITERALS, so the block id is a pure deterministic column
+       function — both plan branches below compute identical blocks
+       no matter how many physical exchanges Catalyst plants or
+       whether ReuseExchange fires (a ``spark_partition_id()`` after
+       ``repartitionByRange`` is NOT deterministic that way: range
+       boundaries are re-sampled per physical exchange, and a
+       divergent re-plan could silently mis-offset boundary rows);
+    2. per-block running sums via a window keyed on the block id
+       (one hash shuffle — the window's own);
+    3. per-block totals — an n-row aggregate — become cumulative
+       *offsets* via a single-partition window over that
+       metadata-sized frame (one long per block, NOT data rows),
+       broadcast-joined back.
 
     ``out_col`` is the EXCLUSIVE prefix (sum of all strictly-preceding
     rows in ``order_by`` order) — the form shard packing and offset
     assignment want. ``order_by`` must be a total order for the result
-    to be deterministic; partition-invariance is property-tested.
+    to be deterministic (its first column must be numeric — it feeds
+    ``approxQuantile``; rows equal on it always share a block, so a
+    heavily-duplicated first key skews blocks but never breaks
+    correctness). Partition-invariance is property-tested.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    order_cols = [F.col(c) for c in order_by]
-    ranged = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    first = order_by[0]
+    cuts = df.stat.approxQuantile(
+        first, [i / n for i in range(1, n)], 0.001
+    )
+    blk = F.lit(0)
+    for c in sorted(set(cuts)):
+        blk = blk + (F.col(first) > F.lit(c)).cast("int")
+    with_blk = df.withColumn("_blk", blk)
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_blk")
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = with_pid.withColumn("_local_incl", F.sum(F.col(value_col)).over(w))
-    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    local = with_blk.withColumn("_local_incl", F.sum(F.col(value_col)).over(w))
+    woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        with_pid.groupBy("_pid")
+        with_blk.groupBy("_blk")
         .agg(F.sum(F.col(value_col)).alias("_t"))
         .withColumn("_offset", F.coalesce(F.sum("_t").over(woff), F.lit(0)))
         .drop("_t")
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_blk")
         .withColumn(
             out_col,
             (F.col("_offset") + F.col("_local_incl") - F.col(value_col)).cast("long"),
         )
-        .drop("_pid", "_local_incl", "_offset")
+        .drop("_blk", "_local_incl", "_offset")
     )
 
 

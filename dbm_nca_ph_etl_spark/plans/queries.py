@@ -23,7 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbm_nca_ph_etl_spark.functions.scalars import coerce_double
@@ -4215,7 +4215,12 @@ def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window runs AFTER aggregation, on ~80 rows — a single-partition "
     "exchange of a tiny frame, which is the correct 100 TB shape "
     "(never window the raw fact table globally). First month's growth "
-    "is NULL by construction on both engines.",
+    "is NULL by construction on both engines. The ppm expression is "
+    "cast-tree-ALIGNED: both engines cast the exact decimal sums to "
+    "double first, then evaluate the identical "
+    "floor(1e6*(rev-prev)/prev) double expression — so a cancellation "
+    "near an integer floor boundary lands on the same side in both "
+    "(verified at sf0.01 and sf0.1).",
     tags=("relational", "window"),
 )
 def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4681,13 +4686,25 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knuth_u32(key: Column) -> Column:
+    """Knuth multiplicative-hash uniform draw ``(key·2654435761) mod
+    2^32`` computed in DECIMAL(38,0), so the multiply cannot overflow
+    int64 (it would at key ≳ 3.5e9 — ANSI Spark throws, non-ANSI
+    wraps while DuckDB errors, silently diverging the engines exactly
+    at the advertised 100 TB scale). DECIMAL(38,0) holds the full
+    ~10^29 product exactly; the DuckDB oracles mirror it with
+    HUGEINT. Callers must keep downstream comparisons in decimal too
+    (cast the other side)."""
+    return (key.cast("decimal(38,0)") * F.lit(2654435761)) % F.lit(4294967296)
+
+
 @register(
     "weighted_doc_sample",
     """
     WITH m AS (SELECT max(n_chars) AS mx FROM documents)
     SELECT doc_id, n_chars FROM documents, m
-    WHERE ((doc_id * 2654435761) % 4294967296) * mx * 2
-          < n_chars * 4294967296
+    WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) * mx * 2
+          < n_chars::HUGEINT * 4294967296
     """,
     doc="Deterministic length-weighted Bernoulli sampling: keep each "
     "document with probability 0.5 * n_chars / max(n_chars) — longer "
@@ -4698,9 +4715,12 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mod 2^32), NOT rand(): the decision is a pure column predicate, "
     "identical on every engine, cluster size, row order and rerun — "
     "resampling a 100 TB corpus is a metadata-only filter, and "
-    "incremental loads keep prior keep/drop decisions. The "
-    "comparison is all-int64 (no float rounding at the boundary); "
-    "max(n_chars) is a 1-row broadcast.",
+    "incremental loads keep prior keep/drop decisions. All "
+    "arithmetic runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so "
+    "neither the hash multiply (overflows int64 at doc_id ≳ 3.5e9 — "
+    "ANSI mode would throw exactly at advertised scale) nor the "
+    "weight comparison can overflow, and there is no float rounding "
+    "at the keep/drop boundary; max(n_chars) is a 1-row broadcast.",
     tags=("llm", "sampling"),
 )
 def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4709,8 +4729,8 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.crossJoin(F.broadcast(m))
         .where(
-            ((F.col("doc_id") * 2654435761) % 4294967296) * F.col("mx") * 2
-            < F.col("n_chars") * 4294967296
+            _knuth_u32(F.col("doc_id")) * F.col("mx") * 2
+            < F.col("n_chars").cast("decimal(38,0)") * 4294967296
         )
         .select("doc_id", "n_chars")
     )
@@ -4723,8 +4743,8 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT min(cnt) AS mn FROM c)
     SELECT d.doc_id, d.lang
     FROM documents d JOIN c USING (lang), m
-    WHERE ((d.doc_id * 2654435761) % 4294967296) * c.cnt
-          < m.mn * 4294967296
+    WHERE ((d.doc_id::HUGEINT * 2654435761) % 4294967296) * c.cnt
+          < m.mn::HUGEINT * 4294967296
     """,
     doc="Corpus mixture rebalancing — downsample every language to "
     "the size of the rarest one (rate = min_count/count per lang), "
@@ -4747,8 +4767,8 @@ def lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(c), "lang")
         .crossJoin(F.broadcast(m))
         .where(
-            ((F.col("doc_id") * 2654435761) % 4294967296) * F.col("cnt")
-            < F.col("mn") * 4294967296
+            _knuth_u32(F.col("doc_id")) * F.col("cnt")
+            < F.col("mn").cast("decimal(38,0)") * 4294967296
         )
         .select("doc_id", "lang")
     )

@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -61,6 +61,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "cast(ts div 1000 as decimal(20, 0)) / 1000000)"
         )
     else:
+        # This branch is only correct when parquet timestamp[us]
+        # decodes as TIMESTAMP_NTZ. If the file was written with
+        # isAdjustedToUTC=true (or inferTimestampNTZ is disabled),
+        # Spark yields TIMESTAMP_LTZ and both ts and ts_us would
+        # silently become session-timezone-dependent — fail loudly
+        # instead of shipping TZ-dependent "deterministic" columns.
+        if not isinstance(raw.schema["ts"].dataType, TimestampNTZType):
+            raise TypeError(
+                f"events.ts decoded as {raw.schema['ts'].dataType}; expected "
+                "TIMESTAMP_NTZ. The parquet column is UTC-adjusted or "
+                "spark.sql.parquet.inferTimestampNTZ.enabled is off — "
+                "normalize the file or the session before loading."
+            )
         ts_us = F.expr(
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
         )

@@ -17,6 +17,16 @@ partition per listing file, so a crawl with thousands of archived
 listing snapshots fans out across the cluster instead of parsing on
 the driver (the reference parses one page in one Lambda).
 
+Storage constraint: paths are enumerated with ``os.listdir`` on the
+driver and opened with plain ``open()`` on executors, so ``path``
+must be a LOCAL or SHARED-POSIX directory (local mode, NFS mount) —
+object-store / HDFS URIs are NOT resolved. For lake storage, either
+stage listing snapshots onto a mounted filesystem first (the same
+staging pattern as the PDFs, ``sources/staging.py``) or read the
+HTML through ``spark.read.format("binaryFile")`` and parse with a
+``mapInPandas`` variant; the partition-per-file fan-out claim holds
+only under that shared-filesystem assumption.
+
 Anchors are parsed with a conservative regex over ``<a ... href>``
 tags (the fixture-friendly subset of what bs4 accepts); the fetch
 itself is out of scope (SURVEY S3 — listings are staged to the lake

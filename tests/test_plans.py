@@ -253,3 +253,31 @@ def test_split_assignment_is_partition_invariant(spark, sf_dir):
     )
     assert {r.doc_id: r.split for r in again.collect()} == rows
     assert set(rows.values()) <= {"train", "val", "test"}
+
+
+def test_sampling_hash_survives_huge_keys(spark):
+    """The Knuth-hash keep/drop predicate must not overflow int64 at
+    the scale the sampling queries advertise (doc_id beyond ~3.5e9
+    made the old int64 multiply throw under ANSI / wrap under
+    non-ANSI while DuckDB errors). DECIMAL(38,0) arithmetic is exact
+    for any bigint key."""
+    from pyspark.sql import functions as F
+
+    from dbm_nca_ph_etl_spark.plans.queries import _knuth_u32
+
+    keys = [1, 2654435761, 2**40, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r.doc_id: int(r.u)
+        for r in df.select("doc_id", _knuth_u32(F.col("doc_id")).alias("u")).collect()
+    }
+    assert got == {k: (k * 2654435761) % 2**32 for k in keys}
+    # and the full weighted-sample comparison stays overflow-free
+    big = df.select(
+        "doc_id",
+        (
+            _knuth_u32(F.col("doc_id")) * F.lit(2**31 - 1) * 2
+            < F.lit(2**31 - 1).cast("decimal(38,0)") * 4294967296
+        ).alias("keep"),
+    ).collect()
+    assert {r.doc_id for r in big} == set(keys)  # no exception = pass
