@@ -4772,3 +4772,55 @@ def lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "salted_hot_key_rollup",
+    """
+    WITH dim AS (
+      SELECT event_type, count(*) AS type_count FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           max(d.type_count)::BIGINT AS type_count
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Hot-key join + rollup through the salting operators "
+    "(operators/skew.py): the fact side joins its low-cardinality "
+    "skewed key against a derived dim via salted_join (small side "
+    "replicated salt_n times, hot key scattered over salt_n "
+    "reducers — the broadcast-ineligible hot-build case AQE cannot "
+    "fix), then salted_agg two-phases the skewed group key. Salting "
+    "is semantics-neutral, so the oracle is the plain join+group — "
+    "a hash match proves the scatter/gather loses and duplicates "
+    "nothing. Sums run in DECIMAL so the salt-dependent addition "
+    "order cannot flip a double bit (salting must not change "
+    "results, bit-for-bit). Plan shape pinned by test_skew.",
+    tags=("relational", "scale"),
+)
+def salted_hot_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.skew import salted_agg, salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_count"))
+    joined = salted_join(
+        ev, dim, on=["event_type"], salt_n=8, salt_src="event_id"
+    ).withColumn("value_dec", F.col("value").cast("decimal(18,6)"))
+    out = salted_agg(
+        joined,
+        ["event_type"],
+        {
+            "n_events": "count(*)",
+            "total_value_dec": "sum(value_dec)",
+            "type_count": "max(type_count)",
+        },
+        salt_n=8,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+        "type_count",
+    )

@@ -77,3 +77,26 @@ def test_salted_agg_equals_plain(spark, sf_dir):
         )
     )
     assert plain == salted
+
+
+def test_salted_rollup_plan_scatters_the_hot_key(spark, sf_dir):
+    """The catalog query's whole point is plan shape: the join and
+    the partial agg must shuffle on (key, _salt), not on the bare hot
+    key — one reducer per (key, salt) pair instead of one reducer
+    swallowing the whole key."""
+    from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+    df = QUERIES["salted_hot_key_rollup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    # the salted exchanges partition on (event_type, _salt)
+    import re
+
+    salted_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "_salt" in ln
+    ]
+    assert salted_exchanges, plan
+    # and the final gather is the only bare-key exchange
+    assert df.count() == 5
