@@ -1,4 +1,4 @@
-"""Lake maintenance: small-file compaction.
+"""Lake maintenance: small-file compaction + sort-clustered layout.
 
 Micro-batch loaders (streaming/nca_stream.py appends one directory of
 part files per batch) and fine-grained task parallelism both produce
@@ -15,7 +15,8 @@ import math
 import os
 from urllib.parse import urlparse
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # one HDFS-ish block per file
 
@@ -53,3 +54,37 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / target_file_bytes))
     df.repartition(n_out).write.mode("error").parquet(dst_path)
     return n_out
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Sort-clustered parquet write: range-partition by ``sort_cols``
+    then sort within each task, so every part file holds a contiguous
+    key range and its parquet footer min/max stats are TIGHT.
+
+    Why it matters at 100 TB: a point/range predicate on the sort key
+    then skips whole files (and row groups within the survivors) from
+    footer stats alone — the scan reads O(matching range), not
+    O(table). This is the 1-D clustering analog of Z-ordering; for
+    multi-column predicates prefer the leading column with the most
+    selective workload filters (same reasoning as index prefix
+    choice). The layout property (pairwise-disjoint per-file ranges)
+    is asserted by test_sinks directly from the parquet footers.
+
+    One extra range shuffle per write — amortized over every future
+    read that prunes. Combine with hive partitioning
+    (sinks/partitioned.py) for the coarse cut + this for intra-
+    partition clustering.
+    """
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -78,3 +78,33 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+_ORC_OPTS = {
+    # zlib is ORC's universal default; snappy/zstd are drop-ins
+    "compression": "zlib",
+}
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (columnar interchange with the Hive/Trino world).
+
+    Same directory-style layout as the parquet sinks; ORC carries
+    min/max/bloom indexes per stripe, so downstream predicate
+    pushdown works like parquet row-group pruning. Binary and
+    TIMESTAMP_NTZ columns round-trip losslessly (tested) — relevant
+    for multimodal payload interchange.
+    """
+    df.write.mode(mode).options(**_ORC_OPTS).orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC source. Schema optional: unlike CSV/JSON, ORC files embed
+    their exact types, so reading without a schema is not an inference
+    pass — but passing one still pins the contract against drift."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -142,3 +142,72 @@ class TestCompaction:
         compact_parquet(spark, src, dst)
         with _pytest.raises(Exception):
             compact_parquet(spark, src, dst)  # mode("error"): no clobber
+
+
+class TestSortedLayout:
+    def test_disjoint_file_ranges_and_pruning(self, spark, sf_dir, tmp_path):
+        """write_sorted_parquet must leave pairwise-disjoint per-file
+        key ranges (the property footer-stats pruning feeds on), and a
+        range read over the layout must push the predicate to the scan."""
+        import pyarrow.parquet as pq
+
+        from dbm_nca_ph_etl_spark.sinks.maintenance import write_sorted_parquet
+        from dbm_nca_ph_etl_spark.sources.catalog import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        dest = str(tmp_path / "orders_sorted")
+        write_sorted_parquet(orders, dest, ["o_orderdate"], num_files=8)
+
+        import os
+
+        parts = sorted(
+            os.path.join(dest, f) for f in os.listdir(dest) if f.endswith(".parquet")
+        )
+        assert len(parts) > 1
+        ranges = []
+        for p in parts:
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.names.index("o_orderdate")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi <= lo  # contiguous, non-interleaved key ranges
+
+        back = spark.read.parquet(dest).where("o_orderdate >= date'1995-06-01' AND o_orderdate < date'1995-07-01'")
+        old = spark.conf.get("spark.sql.maxMetadataStringLength")
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        try:
+            plan = back._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.maxMetadataStringLength", old)
+        assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+        exact = orders.where(
+            "o_orderdate >= date'1995-06-01' AND o_orderdate < date'1995-07-01'"
+        ).count()
+        assert back.count() == exact
+
+
+class TestOrcFormat:
+    def test_orc_roundtrip_binary_and_ntz(self, spark, tmp_path):
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from dbm_nca_ph_etl_spark.sources.formats import read_orc, write_orc
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, payload=bytearray(b"\x00\xffbin"), tag="a"),
+                Row(doc_id=2, payload=None, tag=None),
+            ]
+        ).withColumn("ts", F.lit("2024-03-01 10:20:30.123456").cast("timestamp_ntz"))
+        path = str(tmp_path / "docs_orc")
+        write_orc(df, path)
+        back = read_orc(spark, path, schema=df.schema)
+        assert back.schema == df.schema
+        key = lambda r: r.doc_id
+        assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key)
