@@ -4824,3 +4824,70 @@ def salted_hot_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value_dec").cast("double").alias("total_value"),
         "type_count",
     )
+
+
+@register(
+    "corpus_curation_e2e",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, text,
+             len({_SQL_TOKENS.format(t='text')}) AS n_tokens
+      FROM documents
+      WHERE len({_SQL_TOKENS.format(t='text')}) >= 5
+        AND (CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+                  THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                  ELSE 0.0 END) <= 0.3
+    ),
+    deduped AS (
+      SELECT q.* FROM q
+      JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+            FROM q GROUP BY md5(text)) keep
+        ON q.doc_id = keep.doc_id
+    ),
+    c AS (SELECT lang, count(*) AS cnt FROM deduped GROUP BY lang),
+    m AS (SELECT min(cnt) AS mn FROM c),
+    balanced AS (
+      SELECT d.* FROM deduped d JOIN c USING (lang), m
+      WHERE ((d.doc_id::HUGEINT * 2654435761) % 4294967296) * c.cnt
+            < m.mn::HUGEINT * 4294967296
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           min(doc_id) AS first_doc
+    FROM balanced GROUP BY lang
+    """,
+    doc="End-to-end corpus curation, the composed LLM-data pipeline "
+    "as ONE declarative plan: quality gate (token floor + punctuation "
+    "cap) → exact content dedup (md5 groupBy(min) + semi-join) → "
+    "language rebalance (deterministic Knuth-hash downsample to the "
+    "rarest language) → per-language audit rollup. Every stage is "
+    "individually oracle-proven (text_stats, dedup_exact, "
+    "lang_balanced_sample); this entry proves the COMPOSITION hashes "
+    "out — Catalyst pipelines the gates into the dedup shuffle, so "
+    "the whole curation pass costs two digest/lang shuffles "
+    "regardless of corpus size.",
+    tags=("llm", "dedup", "sampling"),
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = d.select(
+        "doc_id", "lang", "text", T.token_count(t).alias("n_tokens")
+    ).where((T.token_count(t) >= 5) & (T.punct_ratio(t) <= 0.3))
+    deduped = D.exact_dedup(q)
+    c = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.agg(F.min("cnt").alias("mn"))
+    balanced = (
+        deduped.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(m))
+        .where(
+            _knuth_u32(F.col("doc_id")) * F.col("cnt")
+            < F.col("mn").cast("decimal(38,0)") * 4294967296
+        )
+    )
+    return balanced.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
