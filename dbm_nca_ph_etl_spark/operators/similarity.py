@@ -499,6 +499,103 @@ def ivf_topk(
     )
 
 
+def probe_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_mod: int = 7,
+    probe_cap: int = 7000,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """EXACT near-dup pairs touching a bounded deterministic probe
+    set — the scale-safe recall baseline for the LSH audit.
+
+    Probe set: ``id % probe_mod == 0 AND id < probe_cap`` — a FIXED
+    upper bound (≤ probe_cap/probe_mod rows) at any corpus size, so
+    collecting the probe vectors to a driver-side matrix is O(1) in
+    corpus scale. Exactness comes from a two-stage sketch-then-verify:
+
+    1. **Candidate generation, vectorized**: one Arrow-batched pass
+       over the corpus computes all probe×row cosines as a numpy
+       matmul (BLAS — microseconds per batch) and keeps pairs scoring
+       ``>= threshold - margin``. The matmul's different summation
+       order can drift from the JVM fold only by ~1e-15 relative, so
+       with margin 1e-6 the candidate set is a guaranteed superset of
+       the true pair set.
+    2. **Exact re-check, JVM folds**: the few surviving candidates
+       join back to their vectors and the decision cosine is the
+       same left-to-right ``aggregate`` fold every exact operator
+       uses — bit-identical to DuckDB's list_dot_product, so the
+       result hash-matches the SQL oracle.
+
+    Replaces a per-pair interpreted 3-fold cosine over |probe|·n pairs
+    (measured 9.7 s at sf0.1) with BLAS + ~10² exact folds (~0.5 s).
+    """
+    probe_rows = (
+        corpus.where(
+            (F.col(id_col) % probe_mod == 0) & (F.col(id_col) < probe_cap)
+        )
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .collect()
+    )
+    probe_ids = np.asarray([r._id for r in probe_rows], dtype=np.int64)
+    pmat = np.stack([np.asarray(r._v, dtype=np.float64) for r in probe_rows])
+    pnorm = np.sqrt((pmat * pmat).sum(axis=1))
+    cut = threshold - margin
+
+    def gen(batches):
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            cos = (v @ pmat.T) / np.outer(vnorm, pnorm)
+            rows, cols = np.nonzero(cos >= cut)
+            yield pd.DataFrame(
+                {"_id_o": ids[rows].astype("int64"), "_id_s": probe_ids[cols]}
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema="_id_o long, _id_s long"
+    ).where(F.col("_id_o") != F.col("_id_s"))
+
+    sides = corpus.select(
+        F.col(id_col).alias("_jid"),
+        F.col(vec_col).alias("_jv"),
+        l2_norm(F.col(vec_col)).alias("_jn"),
+    )
+    probe_sides = sides.where(
+        (F.col("_jid") % probe_mod == 0) & (F.col("_jid") < probe_cap)
+    )
+    return (
+        cand.join(
+            F.broadcast(probe_sides.select(
+                F.col("_jid").alias("_id_s"),
+                F.col("_jv").alias("_vs"),
+                F.col("_jn").alias("_ns"),
+            )),
+            "_id_s",
+        )
+        .join(
+            sides.select(
+                F.col("_jid").alias("_id_o"),
+                F.col("_jv").alias("_vo"),
+                F.col("_jn").alias("_no"),
+            ),
+            "_id_o",
+        )
+        .select(
+            F.least("_id_s", "_id_o").alias("id_a"),
+            F.greatest("_id_s", "_id_o").alias("id_b"),
+            _paired_cosine(
+                F.col("_vs"), F.col("_vo"), F.col("_ns"), F.col("_no")
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def kmeans_train(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -1467,7 +1467,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    6) AS cos_sim
       FROM e a JOIN e b
         ON a.vec_id < b.vec_id
-       AND (a.vec_id % 7 = 0 OR b.vec_id % 7 = 0)
+       AND ((a.vec_id % 7 = 0 AND a.vec_id < 7000)
+            OR (b.vec_id % 7 = 0 AND b.vec_id < 7000))
     )
     SELECT count(*)::BIGINT AS n_exact_pairs,
            true AS precision_ok, true AS recall_ok
@@ -1475,41 +1476,26 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="LSH-bucketed near-dup pairs (multi-table hyperplane buckets "
     "→ candidate pairs → exact cosine filter) as a precision/recall "
-    "audit against a SAMPLE-restricted exact baseline: exact pairs "
-    "touching vec_id%7==0 come from a broadcast probe × corpus pass "
-    "(O(|sample|·n), never the O(n²) cross join — the scale-safe "
-    "audit shape). n_exact_pairs is hash-verified vs DuckDB; "
-    "precision_ok asserts every sampled LSH pair is a true pair "
-    "(precision 1.0 by construction); recall_ok asserts sampled "
-    "recall ≥ 0.2 (measured 0.37-0.53). Raw pairs remain available "
-    "as operators/similarity.lsh_near_dup_pairs.",
+    "audit against a PROBE-restricted exact baseline: exact pairs "
+    "touching the bounded probe set (vec_id%7==0, vec_id<7000 — "
+    "≤1000 probes at ANY corpus size) come from "
+    "operators/similarity.probe_near_dup_pairs: Arrow-matmul "
+    "candidate generation with an epsilon guard, exact JVM-fold "
+    "re-check — O(n) work, never the O(n²) cross join. n_exact_pairs "
+    "is hash-verified vs DuckDB; precision_ok asserts every sampled "
+    "LSH pair is a true pair (precision 1.0 by construction); "
+    "recall_ok asserts sampled recall ≥ 0.2 (measured 0.37-0.53). "
+    "Raw pairs remain operators/similarity.lsh_near_dup_pairs.",
     tags=("similarity", "dedup", "bench"),
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    probe = emb.where(F.col("vec_id") % 7 == 0).select(
-        F.col("vec_id").alias("_id_s"), F.col("embedding").alias("_vs")
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("_id_o"), F.col("embedding").alias("_vo")
-    )
-    exact = (
-        F.broadcast(probe)
-        .crossJoin(corpus)
-        .where(F.col("_id_s") != F.col("_id_o"))
-        .select(
-            F.least("_id_s", "_id_o").alias("id_a"),
-            F.greatest("_id_s", "_id_o").alias("id_b"),
-            F.round(S.cosine(F.col("_vs"), F.col("_vo")), 6).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.4)
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b")
-    )
+    exact = S.probe_near_dup_pairs(
+        emb, threshold=0.4, probe_mod=7, probe_cap=7000
+    ).select("id_a", "id_b")
     lsh = S.lsh_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
-    lsh_sampled = lsh.where(
-        (F.col("id_a") % 7 == 0) | (F.col("id_b") % 7 == 0)
-    )
+    in_probe = lambda c: (F.col(c) % 7 == 0) & (F.col(c) < 7000)  # noqa: E731
+    lsh_sampled = lsh.where(in_probe("id_a") | in_probe("id_b"))
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     n_found = lsh_sampled.join(exact, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).alias("_found")
