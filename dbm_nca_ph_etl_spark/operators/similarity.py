@@ -348,6 +348,7 @@ def lsh_near_dup_pairs(
     num_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs, LSH-accelerated: ``num_tables`` independent
     hyperplane signatures bucket the corpus; candidate pairs share a
@@ -364,7 +365,11 @@ def lsh_near_dup_pairs(
     per-pair HOF evaluation is the final exact-cosine dot fold. At
     100 TB add banding on vector chunks and AQE skew splitting for
     hot buckets; the operator contract is unchanged."""
-    s = _signed(corpus, id_col, vec_col, num_tables, num_planes, dim, seed)
+    s = (
+        signed
+        if signed is not None
+        else _signed(corpus, id_col, vec_col, num_tables, num_planes, dim, seed)
+    )
     left, right = s.alias("a"), s.alias("b")
     branches = []
     for t in range(num_tables):
@@ -497,6 +502,58 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 6,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> None:
+    """Materialize the LSH signature table — the "index build once"
+    step the inline operators simulate with ``localCheckpoint``.
+
+    Writes the ``_signed`` projection (id, vector, norm, one bucket
+    key per table) as parquet plus a ``_lsh_meta.json`` sidecar
+    pinning the plane parameters. At 100 TB this runs once per corpus
+    snapshot; every dedup/ANN pass then reads the index instead of
+    re-signing the corpus — pass :func:`load_lsh_index` output to
+    ``lsh_near_dup_pairs(signed=...)``. Incremental corpora append
+    newly-signed rows (same seed ⇒ same planes ⇒ compatible keys).
+    """
+    import json
+    import os
+
+    signed = _signed(corpus, id_col, vec_col, num_tables, num_planes, dim, seed)
+    signed.write.mode("overwrite").parquet(path)
+    meta = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "num_tables": num_tables,
+        "num_planes": num_planes,
+        "dim": dim,
+        "seed": seed,
+    }
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Read a :func:`build_lsh_index` table + its parameter sidecar.
+    Returns ``(signed_df, meta)``; feed the frame to the ``signed=``
+    parameter of the LSH operators and the meta values to their
+    matching parameters (mismatched planes would silently bucket with
+    the wrong geometry — always thread the stored meta through)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(path), meta
 
 
 def probe_near_dup_pairs(

@@ -143,3 +143,37 @@ def test_trained_ivf_full_probe_equals_exact(spark, sf_dir):
         ).collect()
     )
     assert exact == trained
+
+
+class TestLshIndexPersistence:
+    def test_prebuilt_index_matches_inline(self, spark, sf_dir, tmp_path):
+        """build once → read back → identical pairs to the inline
+        signing path (same seed ⇒ same planes ⇒ same buckets), with
+        no re-signing of the corpus at query time."""
+        from dbm_nca_ph_etl_spark.operators.similarity import (
+            build_lsh_index,
+            load_lsh_index,
+            lsh_near_dup_pairs,
+        )
+        from dbm_nca_ph_etl_spark.sources.catalog import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx_path = str(tmp_path / "lsh_idx")
+        build_lsh_index(emb, idx_path)
+        signed, meta = load_lsh_index(spark, idx_path)
+        assert meta["seed"] == 42 and meta["num_tables"] == 6
+
+        via_index = lsh_near_dup_pairs(
+            emb,
+            threshold=0.4,
+            num_tables=meta["num_tables"],
+            num_planes=meta["num_planes"],
+            dim=meta["dim"],
+            seed=meta["seed"],
+            signed=signed,
+        )
+        inline = lsh_near_dup_pairs(emb, threshold=0.4)
+        key = lambda r: (r.id_a, r.id_b)
+        assert sorted(map(key, via_index.collect())) == sorted(
+            map(key, inline.collect())
+        )
