@@ -77,6 +77,30 @@ SHOWCASE = {
         "user_id hash partitioning — two shuffles total for agg + "
         "grid-join + fill."
     ),
+    "shard_packing": (
+        "Distributed exclusive prefix sum. Block boundaries are plan "
+        "LITERALS (driver approxQuantile), so block assignment is a "
+        "deterministic scan-stage projection; the running sum windows "
+        "within blocks, and only the n-row block-total frame crosses the "
+        "single-partition offset window — data rows never funnel through "
+        "one reducer, and no branch depends on exchange reuse for "
+        "correctness."
+    ),
+    "salted_hot_key_rollup": (
+        "Skew surgery. The join and partial agg shuffle on (key, _salt) — "
+        "the hot key fans over salt_n reducers — and only the tiny "
+        "per-(key,salt) partials converge on the bare key. Decimal sums "
+        "make the salt-dependent addition order bit-neutral."
+    ),
+    "embedding_near_dup_lsh": (
+        "The near-dup audit at scale: LSH signing is one Arrow matmul "
+        "pass behind a localCheckpoint (the persisted-index stand-in); "
+        "per-table bucket self-joins with first-collision predicates — "
+        "never O(n²), no distinct over vector rows; the exact baseline "
+        "side is a bounded-probe sketch-then-verify (BLAS candidates, "
+        "JVM-fold re-check), so the audit's cost stays O(n) in corpus "
+        "size."
+    ),
 }
 
 
