@@ -69,6 +69,48 @@ def streaming_dedup(
     )
 
 
+def _quota_gate(
+    tokens_col: str,
+    order_col: str,
+    budget: int,
+    declared: list[str],
+    ttl_ms: int | None,
+):
+    """The quota state machine, factored out so tests can drive it
+    with a fake GroupState (processing-time timeouts are impractical
+    to trigger deterministically inside an availableNow test run)."""
+
+    def gate(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # rolling window expired: forget the counter — the key's
+            # budget refills for the next window
+            state.remove()
+            return
+        total = int(state.get[0]) if state.exists else 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+            accepted, used_after = [], []
+            for n in pdf[tokens_col].astype("int64"):
+                ok = total + int(n) <= budget
+                if ok:
+                    total += int(n)
+                accepted.append(ok)
+                used_after.append(total)
+            pdf["key"] = key[0]
+            pdf["accepted"] = accepted
+            pdf["used_after"] = pd.Series(used_after, dtype="int64")
+            yield pdf[declared]
+        state.update((total,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return gate
+
+
 def streaming_source_quota(
     stream: DataFrame,
     key_col: str,
@@ -76,6 +118,7 @@ def streaming_source_quota(
     order_col: str,
     budget: int,
     payload_cols: Iterable[str] = (),
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Per-key token-budget admission gate over an unbounded stream
     (``applyInPandasWithState``, same arbitrary-state extension point
@@ -88,8 +131,11 @@ def streaming_source_quota(
     exceed the budget, further documents are emitted with
     ``accepted=false`` (audit trail, not silent drop). The cumulative
     counter is a single long per key — O(#keys) state, partitioned by
-    key hash across the cluster; pair with ``GroupStateTimeout``
-    state TTL for rolling-window quotas.
+    key hash across the cluster. ``ttl_ms`` turns the lifetime budget
+    into a ROLLING-WINDOW quota: each batch a key appears in re-arms a
+    processing-time timeout; once the key stays quiet for ``ttl_ms``,
+    its counter is dropped and the budget refills (also the state-GC
+    story — idle keys age out instead of accumulating forever).
 
     Rows are processed in ``order_col`` order within each micro-batch
     (deterministic admission under replay; cross-batch order is
@@ -108,35 +154,18 @@ def streaming_source_quota(
         + ["accepted boolean", "used_after bigint"]
     )
 
-    def gate(
-        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        total = int(state.get[0]) if state.exists else 0
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-            accepted, used_after = [], []
-            for n in pdf[tokens_col].astype("int64"):
-                ok = total + int(n) <= budget
-                if ok:
-                    total += int(n)
-                accepted.append(ok)
-                used_after.append(total)
-            pdf["key"] = key[0]
-            pdf["accepted"] = accepted
-            pdf["used_after"] = pd.Series(used_after, dtype="int64")
-            yield pdf[declared]
-        state.update((total,))
-
     return (
         stream.select(key_col, *out_cols)
         .groupBy(key_col)
         .applyInPandasWithState(
-            gate,
+            _quota_gate(tokens_col, order_col, budget, declared, ttl_ms),
             outputStructType=out_schema,
             stateStructType="used bigint",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -439,3 +439,71 @@ class TestSourceQuota:
             5: ("srcA", True, 95),
             6: ("srcB", True, 95),
         }
+
+
+class TestSourceQuotaTTL:
+    """Rolling-window quota: the state machine driven directly with a
+    fake GroupState (processing-time timeouts can't be triggered
+    deterministically inside an availableNow run)."""
+
+    class _FakeState:
+        def __init__(self, value=None, timed_out=False):
+            self._v = value
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_set = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v, self.removed = None, True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    def _gate(self, ttl_ms=60000):
+        import pandas as pd
+
+        from dbm_nca_ph_etl_spark.streaming.stateful import _quota_gate
+
+        declared = ["key", "doc_id", "n_tokens", "accepted", "used_after"]
+        gate = _quota_gate("n_tokens", "doc_id", 100, declared, ttl_ms)
+        batch = pd.DataFrame({"doc_id": [1, 2], "n_tokens": [60, 60]})
+        return gate, batch
+
+    def test_accumulates_and_arms_timeout(self):
+        gate, batch = self._gate()
+        st = self._FakeState()
+        out = list(gate(("srcA",), [batch], st))
+        assert [tuple(r) for r in out[0][["doc_id", "accepted", "used_after"]].itertuples(index=False)] == [
+            (1, True, 60),
+            (2, False, 60),  # 60+60 > 100 -> rejected
+        ]
+        assert st.get == (60,)
+        assert st.timeout_set == 60000  # TTL re-armed after the batch
+
+    def test_timeout_resets_budget(self):
+        gate, batch = self._gate()
+        st = self._FakeState(value=(60,), timed_out=True)
+        assert list(gate(("srcA",), [], st)) == []  # expiry emits nothing
+        assert st.removed  # counter forgotten -> budget refilled
+        # next arrival starts from zero again
+        st2 = self._FakeState()
+        out = list(gate(("srcA",), [batch], st2))
+        assert list(out[0]["accepted"]) == [True, False]
+        assert st2.get == (60,)
+
+    def test_no_ttl_never_arms_timeout(self):
+        gate, batch = self._gate(ttl_ms=None)
+        st = self._FakeState()
+        list(gate(("srcA",), [batch], st))
+        assert st.timeout_set is None
