@@ -333,9 +333,15 @@ def extract_raw_cells(
     ships only paths through the shuffle and re-reads blobs
     task-side.
     """
-    with_count = files.select("release_id", "content").mapInPandas(
-        _page_count_fn(parser), schema="release_id string, content binary, page_count int"
-    )
+    if "page_count" in files.columns:
+        # caller already ran the metadata pass (with_pdf_info) — don't
+        # parse every blob a second time just to count pages
+        with_count = files.select("release_id", "content", "page_count")
+    else:
+        with_count = files.select("release_id", "content").mapInPandas(
+            _page_count_fn(parser),
+            schema="release_id string, content binary, page_count int",
+        )
     batches = plan_page_batches(with_count, batch_size=batch_size)
 
     def extract(batches_iter: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -416,9 +422,12 @@ def extract_raw_cells_from_paths(
             ]
             yield b
 
-    with_count = files.select("release_id", "path").mapInPandas(
-        count_pages, schema="release_id string, path string, page_count int"
-    )
+    if "page_count" in files.columns:
+        with_count = files.select("release_id", "path", "page_count")
+    else:
+        with_count = files.select("release_id", "path").mapInPandas(
+            count_pages, schema="release_id string, path string, page_count int"
+        )
     batches = plan_page_batches(with_count, batch_size=batch_size)
 
     def extract(batches_iter: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -496,3 +496,26 @@ class TestExtractFromPaths:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" in plan  # the batch repartition is there
         assert "content" not in plan  # ...but the binary column never is
+
+
+class TestPageCountReuse:
+    def test_precounted_files_skip_reparse(self, spark):
+        """A files frame that already carries page_count (with_pdf_info
+        output) must not be re-parsed for counting — the parser sees
+        each blob only during extraction."""
+
+        def refusing_parser():
+            # raises if the count path runs at all — executor-side, so
+            # any re-parse fails the whole job, not just an assertion
+            class P(FakeTableParser):
+                def page_count(self, content):
+                    raise AssertionError("page_count re-parsed a pre-counted file")
+
+            return P()
+
+        files = spark.createDataFrame(
+            [Row(release_id="id_1", content=make_fake_pdf([PAGE1, PAGE2]), page_count=2)],
+            "release_id string, content binary, page_count int",
+        )
+        out = extract_raw_cells(files, refusing_parser(), batch_size=1)
+        assert out.count() == 4  # 3 rows page1 + 1 row page2
