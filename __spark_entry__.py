@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (omitted for genuinely
-    non-SQL-expressible ops — e.g. approximate LSH ANN)."""
+    """DuckDB-runnable oracle SQL per query. Every catalog entry has
+    one — approximate operators (LSH/IVF ANN, sketches) are expressed
+    as bound-audit queries whose verdict columns the oracle
+    reproduces, so they hash-check too."""
     return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
