@@ -26,6 +26,7 @@ from typing import Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -167,5 +168,71 @@ def streaming_source_quota(
                 if ttl_ms is not None
                 else GroupStateTimeout.NoTimeout
             ),
+        )
+    )
+
+
+def streaming_simhash_dedup(
+    stream: DataFrame,
+    hash_col: str,
+    order_col: str | None = None,
+    bits: int = 32,
+    prefix_bits: int = 12,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Cross-batch NEAR-duplicate dedup — the fingerprint variant of
+    :func:`streaming_dedup` (same state machine, swapped key
+    extractor, as the module docstring promises).
+
+    Rows carry a precomputed SimHash fingerprint (``hash_col``;
+    ``operators.dedup.simhash`` computes one per row in codegen —
+    ``stream.withColumn("simhash", simhash(col("text")))`` upstream).
+    The stream is bucketed by the fingerprint's top ``prefix_bits``;
+    within a bucket a row is emitted only if every previously-seen
+    fingerprint differs by more than ``max_hamming`` bits, otherwise
+    it is a near-dup of an earlier document and is dropped. State per
+    bucket is the array of accepted fingerprints — O(survivors), hash
+    partitioned across the cluster by bucket.
+
+    LSH caveat (same trade as the batch banding operators): near-dups
+    whose fingerprints differ inside the prefix land in different
+    buckets and are missed; lower ``prefix_bits`` (bigger buckets,
+    more state scanned) or run multi-table prefixes for higher
+    recall. Within one micro-batch, ``order_col`` ascending decides
+    survivor order (deterministic replay), else arrival order.
+    """
+    out_schema = stream.schema
+
+    def gate(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col, kind="mergesort")
+            keep = []
+            for pos, h in zip(pdf.index, pdf[hash_col].astype("int64")):
+                h = int(h)
+                if all(bin(h ^ s).count("1") > max_hamming for s in seen):
+                    seen.append(h)
+                    keep.append(pos)
+            if keep:
+                yield pdf.loc[keep].drop(columns=["_bucket"])
+        state.update((seen,))
+
+    bucket = F.shiftrightunsigned(
+        F.col(hash_col).bitwiseAND(F.lit((1 << bits) - 1)), bits - prefix_bits
+    )
+    return (
+        stream.withColumn("_bucket", bucket)
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            gate,
+            outputStructType=out_schema,
+            stateStructType="seen array<bigint>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

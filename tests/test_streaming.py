@@ -507,3 +507,52 @@ class TestSourceQuotaTTL:
         st = self._FakeState()
         list(gate(("srcA",), [batch], st))
         assert st.timeout_set is None
+
+
+class TestStreamingSimhashDedup:
+    def test_near_dups_dropped_across_batches(self, spark, tmp_path):
+        """Fingerprint-bucketed stateful near-dedup: exact dups and
+        ≤max_hamming neighbors are dropped, distant hashes survive,
+        and state persists across micro-batches."""
+        from dbm_nca_ph_etl_spark.streaming.stateful import (
+            streaming_simhash_dedup,
+        )
+
+        schema = "doc_id long, simhash long"
+        src = str(tmp_path / "sh_src")
+        # bucket = top 4 of 16 bits. hashes chosen so:
+        #   d1=0x1010 seeds bucket 0x1
+        #   d2=0x1010 exact dup -> dropped
+        #   d3=0x1011 hamming 1 -> dropped
+        #   d4=0x1FF0 same bucket, hamming 7 -> kept
+        #   d5=0x8010 different bucket -> kept
+        spark.createDataFrame(
+            [(1, 0x1010), (2, 0x1010), (3, 0x1011)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        _age_files(src, 120)
+        # batch 2: near-dup of batch-1 survivor + fresh doc
+        spark.createDataFrame(
+            [(4, 0x1FF0), (5, 0x8010), (6, 0x1012)], schema  # d6: hamming 2 of d1 -> dropped
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_simhash_dedup(
+                stream, "simhash", order_col="doc_id",
+                bits=16, prefix_bits=4, max_hamming=3,
+            )
+            .writeStream.format("memory")
+            .queryName("sh_dedup_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            r.doc_id for r in spark.sql("SELECT * FROM sh_dedup_test").collect()
+        )
+        assert got == [1, 4, 5]
