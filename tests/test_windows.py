@@ -144,3 +144,36 @@ class TestPrefixSum:
         df = spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20), Row(k=3, v=5)])
         got = {r["k"]: r["p"] for r in prefix_sum(df, "v", ["k"], out_col="p").collect()}
         assert got == {1: 0, 2: 10, 3: 30}
+
+
+class TestPrefixSumDuplicateFirstKey:
+    def test_heavy_duplicates_on_the_block_key(self, spark):
+        """Blocks are cut on the FIRST order column only (quantile
+        literals); rows equal on it must always share a block, so a
+        heavily-duplicated first key — the worst case for quantile
+        cuts landing ON a duplicated value — must still produce the
+        exact global prefix sum under the (k, tie) total order."""
+        import random as _r
+
+        from pyspark.sql import Window
+
+        from dbm_nca_ph_etl_spark.operators.windows import prefix_sum
+
+        rng = _r.Random(13)
+        # only 5 distinct first-key values over 400 rows
+        rows = [
+            Row(k=rng.choice([1, 2, 2, 2, 3, 7, 9]), tie=i, v=rng.randint(0, 9))
+            for i in range(400)
+        ]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows).repartition(11)
+        got = prefix_sum(df, "v", ["k", "tie"], out_col="p", num_partitions=8)
+        w = (
+            Window.orderBy("k", "tie")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = df.withColumn("p", (F.sum("v").over(w) - F.col("v")).cast("long"))
+        key = lambda r: (r.k, r.tie)
+        assert sorted(
+            ((r.k, r.tie, r.p) for r in got.collect())
+        ) == sorted((r.k, r.tie, r.p) for r in want.collect())
