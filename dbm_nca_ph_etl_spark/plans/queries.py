@@ -3185,10 +3185,13 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = stage("view", None)
     c = stage("click", frontier(v))
     p = stage("purchase", frontier(c))
+    # single-row frames: broadcast explicitly — relying on the
+    # auto-broadcast threshold leaves a CartesianProduct when stats
+    # are missing (caught by tests/test_plan_lint.py)
     return (
         v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
     )
 
 

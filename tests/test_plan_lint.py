@@ -1,0 +1,85 @@
+"""Catalog-wide physical-plan lint — the 100 TB anti-pattern sweep
+as a standing gate rather than a review-time activity.
+
+Every one of the 117 catalog queries is planned (not executed) at
+sf0.001 and its physical plan is checked for the two patterns that
+kill distributed scale:
+
+- ``CartesianProduct`` — an unbroadcast cross join is O(n·m) shuffle
+  work. Allowed ONLY for the explicitly-labeled exact correctness
+  baselines, which exist to oracle-check their scale-path siblings.
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in any plan is a
+  10-100× interpreted slowdown vs Arrow batching. Never allowed;
+  Python must enter plans only as ``ArrowEvalPython`` /
+  ``MapInPandas`` / ``FlatMapGroupsInPandas`` (vectorized).
+
+Plan construction for a handful of queries triggers real (tiny) jobs
+at sf0.001 — k-means training iterations, LSH signature checkpoints,
+quantile boundary sampling — which is exactly what those operators
+do at any scale; the lint sees the plan that would run on the big
+cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Exact O(n^2) correctness baselines, documented as such in their
+# registrations — the ONLY places a cartesian product may appear.
+# (ngram_jaccard_pairs is all-pairs too, but expresses the pair space
+# through a range-join condition that plans as a nested-loop join,
+# not CartesianProduct.)
+ALLOWED_CARTESIAN = {
+    "embedding_near_dup_pairs",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """Plans with auto-broadcast DISABLED: at sf0.001 everything is
+    broadcastable by size, which would hide scale hazards. With the
+    threshold off, only joins the query EXPLICITLY engineered (an
+    ``F.broadcast`` hint, an equi-key for SMJ) keep a distributed
+    shape — a query leaning on 'the side happens to be small today'
+    degrades to CartesianProduct right here, at plan time, instead of
+    at 100 TB."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = {}
+        for name, q in QUERIES.items():
+            df = q.fn(spark, SF_DIR)
+            out[name] = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return out
+
+
+def test_no_unexpected_cartesian_products(plans):
+    offenders = {
+        name
+        for name, plan in plans.items()
+        if "CartesianProduct" in plan and name not in ALLOWED_CARTESIAN
+    }
+    assert not offenders, f"unbroadcast cross joins crept in: {sorted(offenders)}"
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    offenders = {name for name, plan in plans.items() if "BatchEvalPython" in plan}
+    assert not offenders, f"row-at-a-time Python UDFs: {sorted(offenders)}"
+
+
+def test_allowed_cartesian_list_is_tight(plans):
+    """The allowlist must not rot: every allowed name still exists
+    and still actually plans a cartesian product (otherwise shrink
+    the list)."""
+    for name in ALLOWED_CARTESIAN:
+        assert name in plans
+        assert "CartesianProduct" in plans[name], (
+            f"{name} no longer plans a CartesianProduct - remove it "
+            "from ALLOWED_CARTESIAN"
+        )
