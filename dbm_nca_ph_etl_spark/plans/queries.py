@@ -4853,9 +4853,12 @@ def salted_hot_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rarest language) → per-language audit rollup. Every stage is "
     "individually oracle-proven (text_stats, dedup_exact, "
     "lang_balanced_sample); this entry proves the COMPOSITION hashes "
-    "out — Catalyst pipelines the gates into the dedup shuffle, so "
-    "the whole curation pass costs two digest/lang shuffles "
-    "regardless of corpus size.",
+    "out. The quality gate fuses into the dedup scan; the dedup "
+    "groupBy+semi pair moves combined (digest,id) pairs plus the "
+    "surviving rows; the lang-count/min sides are "
+    "lang-cardinality-sized broadcasts — no exchange ever moves the "
+    "raw corpus more than the dedup itself needs (budget pinned in "
+    "tests/test_plans.py).",
     tags=("llm", "dedup", "sampling"),
 )
 def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,6 +98,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "boilerplate_ngram_stats": 2,
         "weighted_doc_sample": 1,
         "lang_balanced_sample": 3,
+        # dedup groupBy+semi pair dominates; lang sides are broadcasts
+        "corpus_curation_e2e": 7,
+        # (key,salt) scatter join + partial agg + bare-key gather
+        "salted_hot_key_rollup": 3,
     }
     over = {}
     for name, budget in budgets.items():
