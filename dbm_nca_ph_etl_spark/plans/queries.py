@@ -4858,7 +4858,12 @@ def salted_hot_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "surviving rows; the lang-count/min sides are "
     "lang-cardinality-sized broadcasts — no exchange ever moves the "
     "raw corpus more than the dedup itself needs (budget pinned in "
-    "tests/test_plans.py).",
+    "tests/test_plans.py). The deduped stream feeds both the "
+    "lang-count side and the rebalance filter; AQE reuses the "
+    "exchange where plans align, and a production 100 TB run would "
+    "materialize the survivor set to the lake between stages anyway "
+    "(each stage is independently restartable — the same reason the "
+    "reference checkpoints to S3 between Lambdas).",
     tags=("llm", "dedup", "sampling"),
 )
 def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
