@@ -142,13 +142,14 @@ def synthesize_nca_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plan for the same (session, sf_dir) is exactly the prepared-
 # statement pattern — at 100 TB you build this plan once and run it
 # for hours; re-analyzing per invocation measures the driver, not the
-# engine. Keyed on the session id so a fresh session (new analyzer
-# state, new temp views) never sees a stale plan.
+# engine. Keyed on the Spark applicationId (unique per context — a
+# plain id(spark) could be reused by the allocator after a session is
+# GC'd) so a fresh session never sees a stale plan.
 _PLAN_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _memoized(kind: str, build, spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (kind, sf_dir, id(spark))
+    key = (kind, sf_dir, spark.sparkContext.applicationId)
     if key not in _PLAN_MEMO:
         df = build(synthesize_nca_raw(spark, sf_dir))
         df.schema  # force analysis inside the memo fill
