@@ -556,3 +556,64 @@ class TestStreamingSimhashDedup:
             r.doc_id for r in spark.sql("SELECT * FROM sh_dedup_test").collect()
         )
         assert got == [1, 4, 5]
+
+
+class TestSourceQuotaRestart:
+    def test_state_survives_checkpoint_restart(self, spark, tmp_path):
+        """The cumulative counter must persist across query RESTARTS
+        (state store + checkpoint), not just across micro-batches of
+        one run — the durability contract that makes the gate safe to
+        operate as a long-lived ingest job."""
+        from dbm_nca_ph_etl_spark.streaming.stateful import (
+            streaming_source_quota,
+        )
+
+        schema = "doc_id long, source string, n_tokens long"
+        src = str(tmp_path / "quota_src")
+        ckpt = str(tmp_path / "quota_ckpt")
+
+        out = str(tmp_path / "quota_out")
+
+        def run_once():
+            # file sink, not memory: only durable sinks support
+            # recovering a query from its checkpoint
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                streaming_source_quota(
+                    stream, "source", "n_tokens", "doc_id", budget=100
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        spark.createDataFrame([(1, "srcA", 70)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _age_files(src, 120)
+        run_once()
+
+        # second file arrives AFTER the first query fully stopped; the
+        # restarted query must remember srcA already spent 70
+        spark.createDataFrame(
+            [(2, "srcA", 40), (3, "srcA", 30)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        got = {
+            r.doc_id: (r.accepted, r.used_after)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {
+            1: (True, 70),
+            2: (False, 70),  # 70+40 > 100 — rejected only if state survived
+            3: (True, 100),
+        }
