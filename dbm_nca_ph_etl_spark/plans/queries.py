@@ -4888,3 +4888,48 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lake introspection: footer statistics vs the data they describe.
+# ---------------------------------------------------------------------------
+
+@register(
+    "parquet_footer_audit",
+    """
+    SELECT 'o_custkey' AS col,
+           count(*)::BIGINT                     AS n_values,
+           (count(*) - count(o_custkey))::BIGINT AS n_nulls,
+           min(o_custkey)::DOUBLE               AS vmin,
+           max(o_custkey)::DOUBLE               AS vmax
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(*)::BIGINT,
+           (count(*) - count(o_orderkey))::BIGINT,
+           min(o_orderkey)::DOUBLE, max(o_orderkey)::DOUBLE
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*)::BIGINT,
+           (count(*) - count(o_totalprice))::BIGINT,
+           min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE
+    FROM orders
+    """,
+    doc="Distributed parquet-footer read (sources/introspect.py: "
+    "mapInPandas over the file list, footer-only I/O) aggregated to "
+    "per-column counts and min/max — checked against the DATA: the "
+    "oracle computes the identical numbers by scanning the rows. A "
+    "hash match proves the footer statistics that sort-clustered / "
+    "partitioned layouts use for data skipping agree exactly with "
+    "the rows they would skip. Extension surface (§2.11); the "
+    "reference's storage adapter (s3_storage.py) has no lake "
+    "introspection at all.",
+    tags=("lake", "introspection"),
+)
+def parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sources.introspect import footer_column_summary
+
+    return footer_column_summary(
+        spark,
+        f"{sf_dir}/orders.parquet",
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
