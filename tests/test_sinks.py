@@ -4,6 +4,7 @@ NCA loading (SURVEY §2.1 S10-S14, §2.5 J3, §2.9 T6).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
 from dbm_nca_ph_etl_spark.sinks import NCAStore, upsert_parquet
@@ -211,3 +212,66 @@ class TestOrcFormat:
         assert back.schema == df.schema
         key = lambda r: r.doc_id
         assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key)
+
+
+class TestZorderLayout:
+    def test_multi_dim_footer_pruning(self, spark, tmp_path):
+        """A Z-order layout must give footer-stats pruning on BOTH
+        clustered columns; the 1-D sorted layout prunes only its sort
+        key. Measured from real footers via sources/introspect.py."""
+        from dbm_nca_ph_etl_spark.sinks.maintenance import (
+            write_sorted_parquet,
+            write_zorder_parquet,
+        )
+        from dbm_nca_ph_etl_spark.sources.introspect import parquet_footer_stats
+
+        import pyspark.sql.functions as F
+
+        # 256x256 uniform grid: every (x, y) cell exactly once
+        grid = spark.range(256 * 256).select(
+            (F.col("id") % 256).alias("x"),
+            (F.col("id") / 256).cast("long").alias("y"),
+        )
+        zdest = str(tmp_path / "z")
+        sdest = str(tmp_path / "s")
+        write_zorder_parquet(grid, zdest, ["x", "y"], num_files=16)
+        write_sorted_parquet(grid, sdest, ["x"], num_files=16)
+
+        def overlap_fraction(dest: str, col: str, lo: int, hi: int) -> float:
+            stats = parquet_footer_stats(spark, dest, [col]).toPandas()
+            per_file = stats.groupby("file").agg(mn=("vmin", "min"), mx=("vmax", "max"))
+            hit = ((per_file["mx"] >= lo) & (per_file["mn"] <= hi)).sum()
+            return hit / len(per_file)
+
+        # predicate selecting 1/8th of each dimension's range
+        assert overlap_fraction(zdest, "x", 0, 31) <= 0.5
+        assert overlap_fraction(zdest, "y", 0, 31) <= 0.5
+        # the 1-D layout: perfect on x, useless on y
+        assert overlap_fraction(sdest, "x", 0, 31) <= 0.25
+        assert overlap_fraction(sdest, "y", 0, 31) == 1.0
+
+        # layout must not lose or duplicate rows, and the key column
+        # must not leak into the written schema
+        back = spark.read.parquet(zdest)
+        assert back.columns == ["x", "y"]
+        assert back.count() == 256 * 256
+        assert back.distinct().count() == 256 * 256
+
+    def test_zkey_handles_nulls_and_constant_columns(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.maintenance import zorder_key
+
+        import pyspark.sql.functions as F
+
+        df = spark.range(100).select(
+            F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("a"),
+            F.lit(7).alias("b"),
+        )
+        keyed, name = zorder_key(df, ["a", "b"], bits_per_col=4)
+        rows = keyed.select(name).toPandas()
+        assert rows[name].notna().all()  # nulls bucket to 0, never null key
+
+    def test_zkey_bit_budget_guard(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.maintenance import zorder_key
+
+        with pytest.raises(ValueError):
+            zorder_key(spark.range(1), ["id"] * 8, bits_per_col=8)
