@@ -4933,3 +4933,64 @@ def parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}/orders.parquet",
         ["o_orderkey", "o_custkey", "o_totalprice"],
     )
+
+
+@register(
+    "incremental_matview_orders",
+    """
+    SELECT o_orderpriority,
+           count(*)::BIGINT                      AS n_orders,
+           round(sum(o_totalprice), 2)           AS total_price,
+           round(sum(o_totalprice) / count(*), 6) AS avg_price,
+           min(o_totalprice)                     AS min_price,
+           max(o_totalprice)                     AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Incremental materialized-view maintenance (sinks/matview.py): "
+    "orders arrives as three disjoint batches (o_orderkey % 3), each "
+    "reduced to decomposable partials (sum/count/min/max, map-side "
+    "combined), folded pairwise through merge_partials — deliberately "
+    "in a different association order than arrival — and finalized "
+    "with the read-time avg = sum/count. The oracle aggregates the "
+    "whole table in one shot; a hash match proves the merge algebra "
+    "is exact under any fold order, which is what lets a 100 TB view "
+    "refresh shuffle O(groups) rows instead of re-scanning the world. "
+    "The persisted versioned/replay-idempotent path is covered by "
+    "test_sinks.TestMaterializedAgg.",
+    tags=("lake", "incremental"),
+)
+def incremental_matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sinks.matview import (
+        Measure,
+        derived_avg,
+        merge_partials,
+        partial_agg,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    measures = [
+        Measure("n_orders", "o_orderkey", "count"),
+        Measure("sum_price", "o_totalprice", "sum"),
+        Measure("min_price", "o_totalprice", "min"),
+        Measure("max_price", "o_totalprice", "max"),
+    ]
+    batches = [
+        partial_agg(o.where(F.col("o_orderkey") % 3 == i), keys, measures)
+        for i in range(3)
+    ]
+    # fold in a non-arrival association: (b2 ⊕ b0) ⊕ b1
+    folded = merge_partials(
+        [merge_partials([batches[2], batches[0]], keys, measures), batches[1]],
+        keys,
+        measures,
+    )
+    return folded.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round("sum_price", 2).alias("total_price"),
+        derived_avg("sum_price", "n_orders").alias("avg_price"),
+        "min_price",
+        "max_price",
+    )

@@ -1,0 +1,185 @@
+"""Incremental materialized-view maintenance (partial-agg merge).
+
+A 100 TB lake can't re-aggregate the world to refresh a dashboard
+table; the standard trick is to keep the view in *decomposable
+partial-aggregate* form and fold each new batch in:
+
+    sum   ← sum  of partial sums        (retractable: negate)
+    count ← sum  of partial counts      (retractable: negate)
+    min   ← min  of partial mins        (insert-only)
+    max   ← max  of partial maxs        (insert-only)
+    avg   ← sum / count, derived at READ time — never stored, so it
+            stays exact under any merge order
+
+Each refresh therefore shuffles O(groups) rows — the view itself —
+never the raw data; the batch's own partial agg is map-side combined
+like any Spark groupBy. This is the batch twin of a streaming
+aggregation's state-store update, and maps 1:1 onto a Delta/Iceberg
+MERGE INTO on a real deployment.
+
+Persistence (:class:`MaterializedAgg`) uses versioned snapshot
+directories, ``v{n:06d}_b{batch_id}``: the merge writes the next
+version to a temp dir and renames it into place, so the data and the
+"batch applied" fact (encoded in the dirname) commit atomically —
+a replayed batch is detected from the directory listing and skipped,
+giving exactly-once view state over an at-least-once feed (same T6
+contract as NCAStore.load_batch, sinks/merge.py).
+
+The merge algebra itself is oracle-proven: the
+``incremental_matview_orders`` catalog query folds three disjoint
+batches through :func:`merge_partials` and must hash-match DuckDB's
+direct one-shot aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_KINDS = ("sum", "count", "min", "max")
+
+
+@dataclass(frozen=True)
+class Measure:
+    """One decomposable measure: ``name`` is the stored column,
+    ``expr`` the input expression (SQL string), ``kind`` the fold."""
+
+    name: str
+    expr: str
+    kind: str
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"kind must be one of {_KINDS}, got {self.kind!r}")
+
+
+def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure]) -> DataFrame:
+    """One batch → its partial-aggregate rows (map-side combined)."""
+    aggs = []
+    for m in measures:
+        col = F.expr(m.expr)
+        if m.kind == "sum":
+            aggs.append(F.sum(col).alias(m.name))
+        elif m.kind == "count":
+            # stored as a summable long so merge is just sum()
+            aggs.append(F.count(col).alias(m.name))
+        elif m.kind == "min":
+            aggs.append(F.min(col).alias(m.name))
+        else:
+            aggs.append(F.max(col).alias(m.name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_partials(
+    partials: Sequence[DataFrame], keys: Sequence[str], measures: Sequence[Measure]
+) -> DataFrame:
+    """Fold any number of partial-agg tables into one — associative
+    and commutative, so batch arrival order never matters."""
+    fold = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*keys).agg(
+        *[fold[m.kind](F.col(m.name)).alias(m.name) for m in measures]
+    )
+
+
+def negate_partial(partial: DataFrame, measures: Sequence[Measure]) -> DataFrame:
+    """Retraction: negate sum/count partials so merging them removes a
+    previously-applied batch. min/max are not retractable (removing
+    the current extremum needs the raw data) — fail loudly."""
+    bad = [m.name for m in measures if m.kind in ("min", "max")]
+    if bad:
+        raise ValueError(f"min/max measures are not retractable: {bad}")
+    return partial.select(
+        *[c for c in partial.columns if c not in {m.name for m in measures}],
+        *[(-F.col(m.name)).alias(m.name) for m in measures],
+    )
+
+
+def derived_avg(sum_col: str, count_col: str, scale: int = 6) -> Column:
+    """Exact read-time average off stored partials."""
+    return F.round(F.col(sum_col) / F.col(count_col), scale)
+
+
+_VERSION_RE = re.compile(r"^v(\d{6})_b(.+)$")
+
+
+class MaterializedAgg:
+    """A persisted incrementally-maintained aggregate table.
+
+    Replay detection reads applied batch ids from surviving version
+    dirnames, so its horizon equals the pruning window (``keep=2``
+    versions): a batch redelivered *after* its version was pruned
+    would be re-applied. Size ``keep`` to the feed's redelivery
+    horizon (a queue's max redelivery window is typically minutes;
+    two refresh cycles is already generous — raise it if not)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        measures: Sequence[Measure],
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.measures = list(measures)
+        os.makedirs(path, exist_ok=True)
+
+    # -- version bookkeeping ------------------------------------------------
+    def _versions(self) -> list[tuple[int, str, str]]:
+        out = []
+        for d in os.listdir(self.path):
+            m = _VERSION_RE.match(d)
+            if m:
+                out.append((int(m.group(1)), m.group(2), os.path.join(self.path, d)))
+        return sorted(out)
+
+    def applied_batches(self) -> set[str]:
+        return {b for _, b, _ in self._versions()}
+
+    def _current(self) -> str | None:
+        vs = self._versions()
+        return vs[-1][2] if vs else None
+
+    # -- refresh ------------------------------------------------------------
+    def refresh(self, batch: DataFrame, batch_id: str, retract: bool = False) -> bool:
+        """Fold one batch into the view. Returns False (no-op) when
+        ``batch_id`` was already applied — replay-idempotent because
+        the rename below commits data + batch id atomically."""
+        if batch_id in self.applied_batches():
+            return False
+        p = partial_agg(batch, self.keys, self.measures)
+        if retract:
+            p = negate_partial(p, self.measures)
+        cur = self._current()
+        if cur is not None:
+            base = self.spark.read.parquet(cur)
+            p = merge_partials([base, p], self.keys, self.measures)
+        vs = self._versions()
+        next_n = vs[-1][0] + 1 if vs else 0
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}")
+        p.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(self.path, f"v{next_n:06d}_b{batch_id}"))
+        self._prune(keep=2)
+        return True
+
+    def _prune(self, keep: int) -> None:
+        for _, _, d in self._versions()[:-keep]:
+            shutil.rmtree(d)
+
+    # -- read ---------------------------------------------------------------
+    def read_partials(self) -> DataFrame:
+        cur = self._current()
+        if cur is None:
+            raise FileNotFoundError(f"matview {self.path} has no versions")
+        return self.spark.read.parquet(cur)

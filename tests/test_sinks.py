@@ -275,3 +275,70 @@ class TestZorderLayout:
 
         with pytest.raises(ValueError):
             zorder_key(spark.range(1), ["id"] * 8, bits_per_col=8)
+
+
+class TestMaterializedAgg:
+    def _view(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg, Measure
+
+        return MaterializedAgg(
+            spark,
+            str(tmp_path / "mv"),
+            keys=["k"],
+            measures=[
+                Measure("n", "v", "count"),
+                Measure("s", "v", "sum"),
+            ],
+        )
+
+    @staticmethod
+    def _batch(spark, rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    def test_incremental_equals_direct(self, spark, tmp_path):
+        mv = self._view(spark, tmp_path)
+        assert mv.refresh(self._batch(spark, [("a", 1), ("a", 2), ("b", 5)]), "b1")
+        assert mv.refresh(self._batch(spark, [("a", 10), ("c", 7)]), "b2")
+        got = rows(mv.read_partials(), "k", "n", "s")
+        assert got == [("a", 3, 13), ("b", 1, 5), ("c", 1, 7)]
+
+    def test_replayed_batch_is_skipped(self, spark, tmp_path):
+        mv = self._view(spark, tmp_path)
+        b = self._batch(spark, [("a", 1)])
+        assert mv.refresh(b, "b1") is True
+        assert mv.refresh(b, "b1") is False  # at-least-once redelivery
+        assert rows(mv.read_partials(), "k", "n", "s") == [("a", 1, 1)]
+
+    def test_retraction_removes_a_batch(self, spark, tmp_path):
+        mv = self._view(spark, tmp_path)
+        b1 = self._batch(spark, [("a", 1), ("b", 5)])
+        mv.refresh(b1, "b1")
+        mv.refresh(self._batch(spark, [("a", 2)]), "b2")
+        mv.refresh(b1, "b1-retract", retract=True)
+        got = {r[0]: (r[1], r[2]) for r in rows(mv.read_partials(), "k", "n", "s")}
+        assert got["a"] == (1, 2)
+        assert got["b"] == (0, 0)  # retracted to empty, not deleted
+
+    def test_minmax_measures_refuse_retraction(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg, Measure
+
+        mv = MaterializedAgg(
+            spark,
+            str(tmp_path / "mv2"),
+            keys=["k"],
+            measures=[Measure("mx", "v", "max")],
+        )
+        with pytest.raises(ValueError):
+            mv.refresh(self._batch(spark, [("a", 1)]), "b1", retract=True)
+
+    def test_old_versions_pruned(self, spark, tmp_path):
+        import os
+
+        mv = self._view(spark, tmp_path)
+        for i in range(4):
+            mv.refresh(self._batch(spark, [("a", i)]), f"b{i}")
+        dirs = [d for d in os.listdir(mv.path) if d.startswith("v")]
+        assert len(dirs) == 2  # keep=2 snapshots
+        # replay detection only needs surviving dirnames for recent
+        # batches; a re-send of the latest two is still refused
+        assert mv.refresh(self._batch(spark, [("a", 0)]), "b3") is False
