@@ -1,0 +1,68 @@
+"""Streaming incremental aggregation into the lake (matview twin).
+
+Structured Streaming's own aggregation state lives in the state
+store — great for in-flight windows, wrong for a *queryable lake
+table* that outlives the stream. This module points a stream at a
+:class:`~dbm_nca_ph_etl_spark.sinks.matview.MaterializedAgg`:
+``foreachBatch`` reduces each micro-batch to decomposable partials
+and folds them into the versioned view, keyed by the epoch id.
+
+Exactly-once composition, two independent layers:
+- the checkpoint gives at-least-once epoch delivery with stable
+  epoch ids across restarts;
+- ``MaterializedAgg.refresh`` is replay-idempotent on the epoch id
+  (the version rename commits data + "epoch applied" atomically),
+  so a re-delivered epoch is a no-op.
+
+Together: exactly-once view state with no distributed transaction —
+the same T6 at-least-once + idempotent-load contract the NCA store
+uses (streaming/nca_stream.py), applied to aggregation. Each epoch
+shuffles O(groups in batch) rows; the view merge reads the current
+snapshot (O(groups total)) and writes the next — raw data is never
+re-scanned, which is what makes an always-on 100 TB/day feed
+maintainable as a dashboard table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg, Measure
+
+
+def stream_into_matview(
+    stream: DataFrame,
+    view: MaterializedAgg,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+) -> None:
+    """Fold a streaming DataFrame into ``view``, one refresh per
+    micro-batch. Drains and returns under ``available_now``;
+    otherwise runs until ``query.stop()``."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        view.refresh(batch_df, f"epoch{epoch_id}")
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - long-running mode
+        writer.start()
+
+
+def matview_for_stream(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    measures: Sequence[Measure],
+) -> MaterializedAgg:
+    """Convenience constructor mirroring NCAStore's shape."""
+    return MaterializedAgg(spark, path, keys, measures)

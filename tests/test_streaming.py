@@ -617,3 +617,49 @@ class TestSourceQuotaRestart:
             2: (False, 70),  # 70+40 > 100 — rejected only if state survived
             3: (True, 100),
         }
+
+
+class TestStreamingMatview:
+    """foreachBatch → MaterializedAgg: exactly-once lake aggregation."""
+
+    @staticmethod
+    def _measures():
+        from dbm_nca_ph_etl_spark.sinks.matview import Measure
+
+        return [Measure("n", "v", "count"), Measure("s", "v", "sum")]
+
+    def test_stream_folds_batches_and_survives_restart(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg
+        from dbm_nca_ph_etl_spark.streaming.agg_stream import stream_into_matview
+
+        inbox = str(tmp_path / "inbox")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(inbox)
+        view = MaterializedAgg(spark, str(tmp_path / "mv"), ["k"], self._measures())
+
+        def drop(rows):
+            spark.createDataFrame(rows, "k string, v long").coalesce(1).write.mode(
+                "append"
+            ).parquet(inbox)
+
+        def run():
+            stream = (
+                spark.readStream.schema("k string, v long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(inbox)
+            )
+            stream_into_matview(stream, view, ckpt)
+
+        drop([("a", 1), ("b", 5)])
+        drop([("a", 2)])
+        run()
+        got = {r["k"]: (r["n"], r["s"]) for r in view.read_partials().collect()}
+        assert got == {"a": (2, 3), "b": (1, 5)}
+
+        # new drop + restart from the same checkpoint: epoch ids
+        # continue, already-applied epochs replay as no-ops
+        drop([("b", 10)])
+        run()
+        run()
+        got = {r["k"]: (r["n"], r["s"]) for r in view.read_partials().collect()}
+        assert got == {"a": (2, 3), "b": (2, 15)}
