@@ -5024,3 +5024,35 @@ def incremental_matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    """
+    WITH t AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS nn FROM t),
+    c AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY tok)
+    SELECT tok, cnt FROM c, n WHERE cnt * 500 >= nn
+    """,
+    doc="Exact heavy hitters (operators/frequent.py): tokens with "
+    "global share ≥ 1/500, two-pass — partition-local share "
+    "candidates (vectorized value_counts; weighted pigeonhole ⇒ no "
+    "false negatives) then a broadcast semi-join exact recount with "
+    "an in-plan broadcast N. The naive groupBy shuffles the ENTIRE "
+    "distinct-token space (billions at 100 TB); this shuffles only "
+    "rows matching the model-sized candidate set. Result is exact — "
+    "the oracle counts every token and filters, and the hashes must "
+    "agree. Integer threshold arithmetic (cnt·500 ≥ N) on both "
+    "engines.",
+    tags=("llm", "text", "sketch"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.frequent import exact_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(D.tokens(F.col("text"))).alias("tok"))
+    return exact_heavy_hitters(toks, "tok", phi_denom=500)
