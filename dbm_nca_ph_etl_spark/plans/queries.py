@@ -5056,3 +5056,42 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(D.tokens(F.col("text"))).alias("tok"))
     return exact_heavy_hitters(toks, "tok", phi_denom=500)
+
+
+@register(
+    "conjunctive_token_search",
+    """
+    WITH posting AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+      )
+      WHERE tok IN ('join', 'hash', 'filter')
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id, sum(tf)::BIGINT AS score
+    FROM posting
+    GROUP BY doc_id
+    HAVING count(*) = 3
+    """,
+    doc="Inverted-index conjunctive retrieval (operators/inverted.py): "
+    "postings (token, doc, tf) built by explode+groupBy, probed with "
+    "an In-pushed term filter, docs matching ALL terms kept by a "
+    "match-count having; score = summed TF. Against a token-clustered "
+    "postings table the probe is footer-pruned to the query's posting "
+    "lists — O(matched postings), never a corpus text scan. The "
+    "oracle replays the same index build + probe in SQL; exact hash "
+    "match.",
+    tags=("llm", "text", "search"),
+)
+def conjunctive_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.inverted import (
+        build_postings,
+        conjunctive_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return conjunctive_search(build_postings(d), ["join", "hash", "filter"])
