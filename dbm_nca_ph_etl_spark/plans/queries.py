@@ -5095,3 +5095,47 @@ def conjunctive_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return conjunctive_search(build_postings(d), ["join", "hash", "filter"])
+
+
+@register(
+    "udtf_kv_explode",
+    """
+    SELECT o_orderkey,
+           split_part(kv, '=', 1) AS key,
+           split_part(kv, '=', 2) AS value
+    FROM (
+      SELECT o_orderkey,
+             unnest(string_split('status=' || o_orderstatus
+                                 || ';prio=' || o_orderpriority, ';')) AS kv
+      FROM orders WHERE o_orderkey < 500
+    )
+    """,
+    doc="Python UDTF extension point (functions/table_functions.py, "
+    "SURVEY §2.10 — the reference's table-valued Protocol plug): "
+    "parse_kv registered in the SQL namespace and applied LATERAL to "
+    "a synthesized k=v;k=v config column. Deliberately exercised on a "
+    "pre-filtered slice (UDTFs are the row-at-a-time slow path); the "
+    "oracle IS the codegen expression of the same transform "
+    "(split+unnest), and the hash match pins the UDTF's semantics to "
+    "the fast path's.",
+    tags=("extension", "udtf"),
+)
+def udtf_kv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.functions.table_functions import (
+        register_table_functions,
+    )
+
+    register_table_functions(spark)
+    o = _t(spark, sf_dir, "orders")
+    o.where(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.concat(
+            F.lit("status="), "o_orderstatus", F.lit(";prio="), "o_orderpriority"
+        ).alias("cfg"),
+    ).createOrReplaceTempView("_kv_src")
+    return spark.sql(
+        """
+        SELECT s.o_orderkey, t.key, t.value
+        FROM _kv_src s, LATERAL parse_kv(s.cfg) t
+        """
+    )

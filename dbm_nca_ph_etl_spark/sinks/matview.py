@@ -178,8 +178,20 @@ class MaterializedAgg:
             shutil.rmtree(d)
 
     # -- read ---------------------------------------------------------------
-    def read_partials(self) -> DataFrame:
-        cur = self._current()
-        if cur is None:
-            raise FileNotFoundError(f"matview {self.path} has no versions")
-        return self.spark.read.parquet(cur)
+    def read_partials(self, version: int | None = None) -> DataFrame:
+        """Current snapshot, or time-travel to an un-pruned earlier
+        ``version`` number (each refresh is a full snapshot, so any
+        surviving version is directly readable — the same property a
+        table format's commit log generalizes)."""
+        if version is None:
+            cur = self._current()
+            if cur is None:
+                raise FileNotFoundError(f"matview {self.path} has no versions")
+            return self.spark.read.parquet(cur)
+        for n, _, d in self._versions():
+            if n == version:
+                return self.spark.read.parquet(d)
+        avail = [n for n, _, _ in self._versions()]
+        raise FileNotFoundError(
+            f"matview {self.path} has no version {version} (surviving: {avail})"
+        )

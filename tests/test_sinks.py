@@ -342,3 +342,13 @@ class TestMaterializedAgg:
         # replay detection only needs surviving dirnames for recent
         # batches; a re-send of the latest two is still refused
         assert mv.refresh(self._batch(spark, [("a", 0)]), "b3") is False
+
+    def test_time_travel_to_surviving_version(self, spark, tmp_path):
+        mv = self._view(spark, tmp_path)
+        mv.refresh(self._batch(spark, [("a", 1)]), "b1")
+        mv.refresh(self._batch(spark, [("a", 2)]), "b2")
+        # version 0 = after b1 only; version 1 = current
+        assert rows(mv.read_partials(version=0), "k", "n", "s") == [("a", 1, 1)]
+        assert rows(mv.read_partials(version=1), "k", "n", "s") == [("a", 2, 3)]
+        with pytest.raises(FileNotFoundError):
+            mv.read_partials(version=9)
