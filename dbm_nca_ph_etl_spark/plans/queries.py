@@ -5139,3 +5139,48 @@ def udtf_kv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _kv_src s, LATERAL parse_kv(s.cfg) t
         """
     )
+
+
+@register(
+    "scd2_asof_snapshot",
+    """
+    WITH hist AS (
+      SELECT user_id, epoch_us(ts) AS valid_from_us, event_id,
+             round(value, 2) AS value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY valid_from_us DESC, event_id DESC) AS rn
+      FROM hist WHERE valid_from_us <= 1705400000000000
+    )
+    SELECT user_id, valid_from_us, value FROM ranked WHERE rn = 1
+    """,
+    doc="Point-in-time (as-of) snapshot over the SCD2 history: the "
+    "dimension as it stood at T — per key, the version whose "
+    "validity interval covers T, i.e. the latest change at-or-before "
+    "T (latest-below-threshold window, total-ordered by (ts, "
+    "event_id)). Completes the scd2_purchase_history pair: derive "
+    "history, then query any past state from it. Timestamp filter "
+    "pushes to the scan, one keyed window — same cost shape as any "
+    "per-key top-1.",
+    tags=("window", "etl"),
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts_us") <= 1705400000000000)
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts_us").alias("valid_from_us"),
+            F.round("value", 2).alias("value"),
+        )
+    )

@@ -80,6 +80,56 @@ def upsert_parquet(
     _rewrite(kept.unionByName(incoming), path)
 
 
+def upsert_parquet_cdf(
+    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+) -> DataFrame:
+    """S10 upsert that also RETURNS the change feed: one row per
+    affected key, tagged ``_change ∈ {insert, update}`` with the new
+    values (and ``update`` rows only where some non-key column
+    actually changed — a no-op re-send of identical rows produces an
+    empty feed, which is what makes downstream CDC consumers
+    replay-safe).
+
+    The feed is what an incremental consumer (a matview refresh, a
+    search-index updater, a cache invalidator) needs to avoid
+    re-reading the base table — the lake analog of a table format's
+    change data feed. It is ``localCheckpoint``-materialized BEFORE
+    the directory swap: the lazy plan reads the pre-merge base, which
+    the swap deletes; returning an unmaterialized frame would hand
+    the caller dangling lineage.
+    """
+    incoming = df.dropDuplicates(keys)
+    if not _exists(path):
+        feed = incoming.withColumn("_change", F.lit("insert")).localCheckpoint()
+        _rewrite(incoming, path)
+        return feed
+    base = spark.read.parquet(path)
+    val_cols = [c for c in incoming.columns if c not in keys]
+    b_vals = base.select(*keys, *[F.col(c).alias(f"_old_{c}") for c in val_cols])
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+    # presence marker (not null-checking _old_ columns: an existing row
+    # whose values are all NULL must still classify as update)
+    presence = base.select(*keys).withColumn("_present", F.lit(True))
+    tagged = (
+        incoming.join(F.broadcast(presence), on=keys, how="left")
+        .join(F.broadcast(b_vals), on=keys, how="left")
+        .withColumn(
+            "_change",
+            F.when(F.col("_present").isNull(), F.lit("insert")).otherwise(
+                F.lit("update")
+            ),
+        )
+        .where((F.col("_present").isNull()) | changed)
+        .select(*incoming.columns, "_change")
+        .localCheckpoint()
+    )
+    kept = base.join(F.broadcast(incoming.select(*keys)), on=keys, how="left_anti")
+    _rewrite(kept.unionByName(incoming), path)
+    return tagged
+
+
 def delete_by_keys(
     spark: SparkSession, path: str, keys_df: DataFrame, key_cols: list[str]
 ) -> None:

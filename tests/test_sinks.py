@@ -352,3 +352,64 @@ class TestMaterializedAgg:
         assert rows(mv.read_partials(version=1), "k", "n", "s") == [("a", 2, 3)]
         with pytest.raises(FileNotFoundError):
             mv.read_partials(version=9)
+
+
+class TestUpsertCdf:
+    def test_feed_classifies_and_merge_applies(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.merge import upsert_parquet_cdf
+
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        )
+        feed0 = upsert_parquet_cdf(spark, base, path, ["id"])
+        assert {(r["id"], r["_change"]) for r in feed0.collect()} == {
+            (1, "insert"),
+            (2, "insert"),
+        }
+
+        incoming = spark.createDataFrame(
+            [(2, "B"), (3, "c"), (1, "a")],  # update, insert, no-op
+            "id long, v string",
+        )
+        feed = upsert_parquet_cdf(spark, incoming, path, ["id"])
+        got = {(r["id"], r["v"], r["_change"]) for r in feed.collect()}
+        assert got == {(2, "B", "update"), (3, "c", "insert")}  # no-op absent
+
+        merged = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+        assert merged == {(1, "a"), (2, "B"), (3, "c")}
+
+    def test_feed_survives_the_swap(self, spark, tmp_path):
+        """The returned feed must be readable AFTER the base dir it
+        derived from was rewritten (materialization contract)."""
+        from dbm_nca_ph_etl_spark.sinks.merge import upsert_parquet_cdf
+
+        path = str(tmp_path / "t")
+        upsert_parquet_cdf(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), path, ["id"]
+        )
+        feed = upsert_parquet_cdf(
+            spark, spark.createDataFrame([(1, "z")], "id long, v string"), path, ["id"]
+        )
+        # another merge rewrites the dir again; the old feed still reads
+        upsert_parquet_cdf(
+            spark, spark.createDataFrame([(9, "q")], "id long, v string"), path, ["id"]
+        )
+        assert [(r["id"], r["_change"]) for r in feed.collect()] == [(1, "update")]
+
+    def test_null_valued_update_classifies_as_update(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.merge import upsert_parquet_cdf
+
+        path = str(tmp_path / "t")
+        upsert_parquet_cdf(
+            spark, spark.createDataFrame([(1, None)], "id long, v string"), path, ["id"]
+        )
+        # same NULL value → no-op (eqNullSafe); real value → update
+        noop = upsert_parquet_cdf(
+            spark, spark.createDataFrame([(1, None)], "id long, v string"), path, ["id"]
+        )
+        assert noop.count() == 0
+        real = upsert_parquet_cdf(
+            spark, spark.createDataFrame([(1, "x")], "id long, v string"), path, ["id"]
+        )
+        assert [(r["_change"]) for r in real.collect()] == ["update"]
