@@ -258,16 +258,52 @@ class FakeTableParser:
         ]
 
 
+class SniffingParser:
+    """Per-blob dispatch: FAKEPDF blobs → :class:`FakeTableParser`,
+    real ``%PDF`` blobs → pdfplumber when installed, else the
+    dependency-free :class:`~dbm_nca_ph_etl_spark.sources.minipdf.MiniPdfParser`.
+    Lets one ``extract_raw_cells`` pass handle a mixed lake and makes
+    ``auto`` mode actually parse real PDFs in this container."""
+
+    def __init__(self) -> None:
+        self._fake = FakeTableParser()
+        self._real: TableParser | None = None
+
+    def _for(self, content: bytes) -> TableParser:
+        if content.startswith(FAKE_MAGIC):
+            return self._fake
+        if self._real is None:
+            try:
+                self._real = PdfplumberParser()
+            except NotImplementedError:
+                from dbm_nca_ph_etl_spark.sources.minipdf import MiniPdfParser
+
+                self._real = MiniPdfParser()
+        return self._real
+
+    def page_count(self, content: bytes) -> int:
+        return self._for(content).page_count(content)
+
+    def metadata(self, content: bytes) -> tuple[str | None, str | None]:
+        return self._for(content).metadata(content)
+
+    def extract_page(self, content: bytes, page_num: int) -> list[list[str | None]]:
+        return self._for(content).extract_page(content, page_num)
+
+
 def get_parser(name: str = "auto") -> TableParser:
-    """'pdfplumber' | 'fake' | 'auto' (real if available else fake)."""
+    """'pdfplumber' | 'minipdf' | 'fake' | 'auto' (per-blob sniffing:
+    FAKEPDF → fake; real PDFs → pdfplumber if installed, else the
+    stdlib-only minipdf extractor)."""
     if name == "fake":
         return FakeTableParser()
     if name == "pdfplumber":
         return PdfplumberParser()
-    try:
-        return PdfplumberParser()
-    except NotImplementedError:
-        return FakeTableParser()
+    if name == "minipdf":
+        from dbm_nca_ph_etl_spark.sources.minipdf import MiniPdfParser
+
+        return MiniPdfParser()
+    return SniffingParser()
 
 
 # -----------------------------------------------------------------------

@@ -1,0 +1,179 @@
+"""Golden tests for the REAL PDF extraction path (S5/S6/S8/S9).
+
+The reference pins its behavior on pdfplumber geometry over real DBM
+releases and ships one fixture (`/root/reference/UPDATED_NCA.PDF`).
+pdfplumber is not installed in this container, so these tests drive
+the stdlib-only :mod:`minipdf` extractor instead — and the headline
+assertion is that its measured column x-positions reproduce the
+reference's own pdfplumber-measured ``VERT_LINES`` constants
+(constants.py:12-22) DIGIT-FOR-DIGIT, which pins the whole matrix
+pipeline (Tm × CTM × /Rotate 90 derotation) against an independent
+implementation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dbm_nca_ph_etl_spark.nca.cleaner import clean_allocations, clean_records
+from dbm_nca_ph_etl_spark.sources.minipdf import MiniPdf, MiniPdfParser
+from dbm_nca_ph_etl_spark.sources.pdf_source import (
+    REFERENCE_VERT_LINES,
+    SniffingParser,
+    detect_vert_lines,
+    extract_raw_cells,
+    get_parser,
+    make_fake_pdf,
+    with_pdf_info,
+)
+
+FIXTURE = "/root/reference/UPDATED_NCA.PDF"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FIXTURE), reason="reference fixture not present"
+)
+
+
+@pytest.fixture(scope="module")
+def pdf_bytes() -> bytes:
+    with open(FIXTURE, "rb") as f:
+        return f.read()
+
+
+# The full table of the fixture page, as pdfplumber's explicit-
+# vertical-lines + text-rows strategy renders it: one header line,
+# then one NCA record wrapped over three text lines. The NCA NUMBER
+# and OPERATING UNIT cells are genuinely empty in this release.
+GOLDEN_TABLE = [
+    [
+        "NCA NUMBER", "NCA TYPE", "RELEASED DATE", "DEPARTMENT",
+        "AGENCY", "OPERATING UNIT", "AMOUNT", "PURPOSE",
+    ],
+    [
+        None, "TR", "01/15/2026", "Other Executive Offices",
+        "Governance Commission", None, "1,626,450.00",
+        "To cover the payment of refund of the retention fee to",
+    ],
+    [
+        None, None, None, "(OEOs)", "for Government-Owned or", None,
+        None, "Trends & Technologies, Inc., relative to the completion of",
+    ],
+    [
+        None, None, None, None, "Controlled Corporations", None, None,
+        "one of the GCG-procured projects",
+    ],
+]
+
+
+class TestMiniPdfGolden:
+    def test_page_count_and_metadata(self, pdf_bytes):
+        doc = MiniPdf(pdf_bytes)
+        assert doc.page_count == 1
+        created, modified = doc.metadata()
+        # S5 parity: the raw /CreationDate //ModDate strings pypdf
+        # would return (reference pdf_parser.py:23-32)
+        assert created == "D:20260221090500+08'00'"
+        assert modified == "D:20260221090500+08'00'"
+
+    def test_displayed_page_size_respects_rotate(self, pdf_bytes):
+        # MediaBox is 792x1224 portrait + /Rotate 90 -> displayed
+        # landscape 1224x792, pdfplumber's page.width/height
+        assert MiniPdf(pdf_bytes).page_size(1) == (1224.0, 792.0)
+
+    def test_vert_line_detection_matches_reference_constants(self, pdf_bytes):
+        """S9 golden parity: adaptive detection over minipdf's word
+        stream reproduces the x-positions the reference measured with
+        pdfplumber on (a copy of) this very layout — exactly, not
+        approximately. VERT_LINES[:8] are the eight detected header
+        x0s; the reference's ninth entry (1100.0) is a hand-picked
+        right edge while detection appends page.width-1."""
+        doc = MiniPdf(pdf_bytes)
+        detected = detect_vert_lines(doc.extract_words(1), doc.page_size(1)[0])
+        assert detected[:8] == REFERENCE_VERT_LINES[:8]
+        assert detected[8] == 1224.0 - 1
+
+    def test_extract_table_golden(self, pdf_bytes):
+        assert MiniPdfParser().extract_page(pdf_bytes, 1) == GOLDEN_TABLE
+
+    def test_char_level_column_slicing(self, pdf_bytes):
+        """The fixture kerns the purpose text directly after the
+        amount digits with NO space glyph (one TJ array); only
+        char-level cell slicing separates '1,626,450.00' from 'To
+        cover ...'. A word-level slicer glues them — this pins the
+        regression."""
+        row = MiniPdfParser().extract_page(pdf_bytes, 1)[1]
+        assert row[6] == "1,626,450.00"
+        assert row[7].startswith("To cover")
+
+    def test_layout_detected_once_per_file(self, pdf_bytes):
+        p = MiniPdfParser()
+        p.extract_page(pdf_bytes, 1)
+        p.extract_page(pdf_bytes, 1)
+        assert p._layout_cache.detect_calls == 1
+
+
+class TestRealPdfThroughSpark:
+    """The real extraction path end-to-end on the cluster side:
+    binaryFile-shaped rows -> page-count pass -> batch fan-out ->
+    mapInPandas extract -> the cleaner."""
+
+    def _files_df(self, spark, pdf_bytes):
+        return spark.createDataFrame(
+            [("UPDATED_NCA", bytearray(pdf_bytes))],
+            "release_id string, content binary",
+        )
+
+    def test_extract_raw_cells_real_pdf(self, spark, pdf_bytes):
+        parser = get_parser("auto")
+        rows = (
+            extract_raw_cells(self._files_df(spark, pdf_bytes), parser)
+            .orderBy("page_num", "row_idx")
+            .collect()
+        )
+        assert [list(r.cells) for r in rows] == GOLDEN_TABLE
+        assert [r.row_idx for r in rows] == [0, 1, 2, 3]
+        assert all(r.release_id == "UPDATED_NCA" for r in rows)
+
+    def test_with_pdf_info_real_pdf(self, spark, pdf_bytes):
+        info = with_pdf_info(
+            self._files_df(spark, pdf_bytes), get_parser("auto")
+        ).collect()[0]
+        assert info.page_count == 1
+        assert info.file_meta_created_at == "D:20260221090500+08'00'"
+
+    def test_mixed_lake_sniffing(self, spark, pdf_bytes):
+        """One extract pass over a lake holding both a real PDF and a
+        FAKEPDF blob — SniffingParser dispatches per blob."""
+        fake = make_fake_pdf([[["NCA-1", "x"], ["NCA-2", "y"]]])
+        files = spark.createDataFrame(
+            [("real", bytearray(pdf_bytes)), ("fake", bytearray(fake))],
+            "release_id string, content binary",
+        )
+        rows = (
+            extract_raw_cells(files, SniffingParser())
+            .orderBy("release_id", "page_num", "row_idx")
+            .collect()
+        )
+        by_rid = {}
+        for r in rows:
+            by_rid.setdefault(r.release_id, []).append(list(r.cells))
+        assert by_rid["fake"] == [["NCA-1", "x"], ["NCA-2", "y"]]
+        assert by_rid["real"] == GOLDEN_TABLE
+
+    def test_cleaner_on_real_release(self, spark, pdf_bytes):
+        """Reference semantics on this fixture: the NCA NUMBER cell is
+        empty on every row, forward-fill yields no key, and both
+        cleaners drop keyless rows (pd_data_cleaner.py:31-33 dropna on
+        the groupby key) — so the release cleans to ZERO records and
+        allocations, without erroring. That null-group-drop behavior
+        is exactly SURVEY P5."""
+        from dbm_nca_ph_etl_spark.nca.cleaner import promote_header
+
+        raw = extract_raw_cells(
+            self._files_df(spark, pdf_bytes), get_parser("auto")
+        )
+        named = promote_header(raw)
+        assert clean_records(named).count() == 0
+        assert clean_allocations(named).count() == 0

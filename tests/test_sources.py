@@ -98,9 +98,18 @@ class TestFakePdf:
         assert p.extract_page(blob, 1) == PAGE1
         assert p.extract_page(blob, 2) == PAGE2
 
-    def test_get_parser_falls_back(self):
-        # container has no pdfplumber -> auto must yield the fake
-        assert isinstance(get_parser("auto"), FakeTableParser)
+    def test_get_parser_sniffs_per_blob(self):
+        # auto dispatches per blob: FAKEPDF -> fake codec; real %PDF
+        # -> pdfplumber when installed, else the stdlib minipdf
+        from dbm_nca_ph_etl_spark.sources.minipdf import MiniPdfParser
+        from dbm_nca_ph_etl_spark.sources.pdf_source import SniffingParser
+
+        p = get_parser("auto")
+        assert isinstance(p, SniffingParser)
+        fake_blob = make_fake_pdf([[["a"]]])
+        assert isinstance(p._for(fake_blob), FakeTableParser)
+        assert p.page_count(fake_blob) == 1
+        assert isinstance(get_parser("minipdf"), MiniPdfParser)
 
 
 class TestExtractRawCells:
