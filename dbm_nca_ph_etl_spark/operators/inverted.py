@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbm_nca_ph_etl_spark.operators.dedup import tokens
@@ -64,4 +64,74 @@ def conjunctive_search(
         )
         .where(F.col("_matched") == len(uniq))
         .select("doc_id", "score")
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, doc_len) — token counts per document, the doc-metadata
+    side table a BM25 index keeps next to its postings."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("doc_len"),
+    )
+
+
+def bm25_search(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """Disjunctive BM25 ranked retrieval (Robertson/Spärck Jones;
+    Lucene's idf variant ``ln(1 + (N - df + .5)/(df + .5))``) — the
+    ranking layer every corpus search/decontamination triage tool
+    wants on top of :func:`conjunctive_search`'s boolean matching.
+
+    Plan shape, sized for a 100 TB corpus:
+
+    - the term filter is a pushed-down ``In`` probe of the postings
+      scan — O(matched posting lists), never the corpus;
+    - per-term document frequencies aggregate the *probed* postings
+      (|terms| result rows) and come back as a broadcast;
+    - corpus stats N/avgdl are a 1-row aggregate of the doc-length
+      table, cross-joined as literals-by-broadcast;
+    - the only data-sized shuffle is the doc_len equi-join on the
+      matched docs (at scale: keep ``doc_lens`` bucketed by doc_id —
+      or denormalize doc_len into the postings at build time — and
+      it co-locates away);
+    - scores are rounded to 6 dp BEFORE ranking so the top-k cut is
+      reproducible across partial-sum orders (catalog convention),
+      with doc_id as the total-order tiebreak;
+    - the top-k cut itself is a distributed sort-limit
+      (TakeOrderedAndProject); the rank window runs AFTER it, on k
+      rows — never a global window over the matched-doc set.
+    """
+    uniq = sorted(set(terms))
+    probed = postings.where(F.col("token").isin(uniq))
+    dfreq = probed.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = doc_lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    n, df_, tf, dl = (F.col(c) for c in ("n_docs", "df", "tf", "doc_len"))
+    idf = F.log(F.lit(1.0) + (n - df_ + 0.5) / (df_ + 0.5))
+    norm = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / F.col("avgdl")))
+    scored = (
+        probed.join(F.broadcast(dfreq), "token")
+        .join(doc_lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * norm), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_matched_terms"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(topk)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "score", "n_matched_terms", "rank"
     )

@@ -180,3 +180,48 @@ def pii_stats(
         F.length(redact_pii(t)).alias("redacted_len"),
         hash64(redact_pii(t)).alias("redacted_fp"),
     )
+
+
+def unigram_nll(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-trained unigram language-model scoring — the KenLM-style
+    perplexity filter of web-corpus pipelines (CCNet/RefinedWeb keep
+    or bin documents by LM negative log-likelihood), reduced to its
+    relational core: train p(t) on the corpus itself with add-one
+    smoothing, score each document by its average token NLL.
+
+    Two-readings-of-one-index plan, no second text scan:
+
+    - postings (token, doc, tf) via one explode + groupBy
+      (operators/inverted.build_postings);
+    - unigram counts = a rollup OF THE POSTINGS (sum tf by token), so
+      tokenization runs once;
+    - totals (T tokens, V vocab) are a 1-row broadcast;
+    - score join is postings ⋈ counts on token — tf-weighting means
+      the join input is distinct (doc, token) pairs, not token
+      instances (a stopword appearing 50× in a doc is one row).
+      ``F.broadcast`` on counts: a vocabulary is model-sized next to
+      its corpus (Heaps' law); if it ever isn't, drop the hint and
+      AQE falls back to a salt-friendly sort-merge on ``token``.
+
+    NLL = -ln((c(t)+1)/(T+V)), avg weighted by tf, rounded 6 dp.
+    Documents with zero tokens have no likelihood and drop out (same
+    convention as the quality metrics).
+    """
+    from dbm_nca_ph_etl_spark.operators.inverted import build_postings
+
+    postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    counts = postings.groupBy("token").agg(F.sum("tf").alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("T"),
+        F.count(F.lit(1)).cast("double").alias("V"),
+    )
+    nll = -F.log((F.col("c") + 1.0) / (F.col("T") + F.col("V")))
+    return (
+        postings.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * nll) / F.sum("tf"), 6).alias("avg_nll"),
+        )
+    )

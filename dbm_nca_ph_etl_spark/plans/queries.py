@@ -5097,6 +5097,111 @@ def conjunctive_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conjunctive_search(build_postings(d), ["join", "hash", "filter"])
 
 
+_SQL_POSTINGS = """
+      SELECT doc_id, tok AS token, count(*)::BIGINT AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+      )
+      GROUP BY doc_id, tok
+"""
+
+
+@register(
+    "bm25_token_search",
+    f"""
+    WITH posting AS ({_SQL_POSTINGS}),
+    dl AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS doc_len
+      FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len) AS avgdl FROM dl),
+    probed AS (
+      SELECT * FROM posting
+      WHERE token IN ('join', 'hash', 'filter', 'window')
+    ),
+    dfreq AS (SELECT token, count(*)::BIGINT AS df FROM probed GROUP BY token),
+    scored AS (
+      SELECT p.doc_id,
+             round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))),
+                   6) AS score,
+             count(*)::INT AS n_matched_terms
+      FROM probed p
+      JOIN dfreq USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, score, n_matched_terms,
+           row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 ranked retrieval (operators/inverted.bm25_search): the "
+    "ranking layer over the posting-list index — pushed-down In "
+    "probe of the postings, |terms|-row document frequencies and "
+    "1-row corpus stats as broadcasts, Lucene-style "
+    "ln(1+(N-df+.5)/(df+.5)) idf with k1=1.2 b=0.75 length "
+    "normalization, scores rounded before a distributed sort-limit "
+    "top-20 (the rank window runs on the 20 surviving rows, never "
+    "the matched-doc set). Oracle replays the identical expression "
+    "trees in SQL; exact hash match.",
+    tags=("llm", "text", "search"),
+)
+def bm25_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.inverted import (
+        bm25_search,
+        build_postings,
+        doc_lengths,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(
+        build_postings(d),
+        doc_lengths(d),
+        ["join", "hash", "filter", "window"],
+        topk=20,
+    )
+
+
+@register(
+    "unigram_lm_score",
+    f"""
+    WITH posting AS ({_SQL_POSTINGS}),
+    counts AS (SELECT token, sum(tf)::BIGINT AS c FROM posting GROUP BY token),
+    totals AS (
+      SELECT sum(c)::DOUBLE AS T, count(*)::DOUBLE AS V FROM counts
+    )
+    SELECT doc_id,
+           sum(tf)::BIGINT AS n_tokens,
+           round(sum(tf * (-ln((c + 1.0) / (T + V)))) / sum(tf), 6) AS avg_nll
+    FROM posting
+    JOIN counts USING (token)
+    CROSS JOIN totals
+    GROUP BY doc_id
+    """,
+    doc="Unigram LM quality scoring (operators/text_analysis."
+    "unigram_nll): the KenLM-perplexity corpus filter's relational "
+    "core — train add-one-smoothed p(t) on the corpus, score docs by "
+    "tf-weighted average NLL. Token counts are a rollup OF the "
+    "posting lists (one tokenization pass serves index + model), "
+    "totals a 1-row broadcast, and the score join runs on distinct "
+    "(doc, token) pairs rather than token instances. Exact hash "
+    "match vs the SQL replica.",
+    tags=("llm", "text", "quality"),
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return T.unigram_nll(d)
+
+
 @register(
     "udtf_kv_explode",
     """

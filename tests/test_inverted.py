@@ -67,3 +67,73 @@ class TestPostings:
             spark.conf.set("spark.sql.maxMetadataStringLength", old)
         assert "PushedFilters: [In(token, [hash,join])" in plan
         assert {r["doc_id"] for r in probe.collect()} == {1, 4}
+
+
+class TestBM25:
+    def test_ranking_and_idf_weighting(self, spark):
+        import math
+
+        from dbm_nca_ph_etl_spark.operators.inverted import (
+            bm25_search,
+            doc_lengths,
+        )
+
+        docs = _docs(spark)
+        postings = build_postings(docs)
+        rows = bm25_search(
+            postings, doc_lengths(docs), ["hash", "merge"], topk=10
+        ).collect()
+        # ranks are 1..n, strictly score-descending with doc_id tiebreak
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a["score"], -a["doc_id"]) >= (b["score"], -b["doc_id"])
+        by_doc = {r["doc_id"]: r for r in rows}
+        # 'merge' (df=1) is rarer than 'hash' (df=3): doc2 (merge only,
+        # short) must outrank doc3 (hash only, same length 2... doc3 has
+        # len 2, doc2 len 3) — idf dominates
+        assert by_doc[2]["score"] > by_doc[3]["score"]
+        # every match is counted
+        assert by_doc[1]["n_matched_terms"] == 1  # hash only
+        assert by_doc[2]["n_matched_terms"] == 1  # merge only
+        # hand-check doc3: tf=1, dl=2, N=5... empty doc5 has dl=0 but
+        # still counts toward N and avgdl (doc-metadata semantics)
+        n, df_hash = 5, 3
+        avgdl = (4 + 3 + 2 + 3 + 0) / 5.0
+        idf = math.log(1 + (n - df_hash + 0.5) / (df_hash + 0.5))
+        exp = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / avgdl))
+        assert abs(by_doc[3]["score"] - round(exp, 6)) < 1e-9
+
+    def test_topk_cuts_deterministically(self, spark):
+        from dbm_nca_ph_etl_spark.operators.inverted import (
+            bm25_search,
+            doc_lengths,
+        )
+
+        docs = _docs(spark)
+        got = bm25_search(
+            build_postings(docs), doc_lengths(docs), ["hash"], topk=2
+        ).collect()
+        assert len(got) == 2
+        assert got[0]["rank"] == 1 and got[1]["rank"] == 2
+
+
+class TestUnigramNLL:
+    def test_rare_tokens_raise_nll(self, spark):
+        from dbm_nca_ph_etl_spark.operators.text_analysis import unigram_nll
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the the the the"),      # all common
+                (2, "the zyxwv"),            # one hapax
+                (3, ""),                     # no tokens -> dropped
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in unigram_nll(docs).collect()}
+        assert set(rows) == {1, 2}
+        assert rows[1]["n_tokens"] == 4
+        assert rows[2]["avg_nll"] > rows[1]["avg_nll"]
+        # NLL is bounded by the hapax ceiling ln(T+V)
+        import math
+
+        assert 0 < rows[2]["avg_nll"] < math.log(6 + 2) + 1e-9
