@@ -5203,6 +5203,117 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_ngram_doc_stats",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES.format(t='text')}) AS shingle
+      FROM documents
+    ),
+    dfreq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           count(*)::INT AS n_shingles,
+           sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::INT AS n_dup,
+           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 6) AS dup_frac
+    FROM sh JOIN dfreq USING (shingle)
+    GROUP BY doc_id
+    """,
+    doc="Cross-document duplicate n-gram fraction (the Gopher/Dolma "
+    "quality signal: how much of a document is 3-gram spans that "
+    "also appear elsewhere — boilerplate, templates, near-dup "
+    "residue). Shingle posting build (explode of the codegen'd "
+    "shingle HOF) → per-shingle document frequency → join back and "
+    "per-doc aggregate. Posting-shaped: two shuffles on the shingle "
+    "key, never an all-pairs compare; at 100 TB the df table is the "
+    "same artifact the MinHash pipeline snapshots, and hot shingles "
+    "(headers, licenses) are the documented salting case "
+    "(operators/skew.py). Exact hash match vs the SQL replica.",
+    tags=("llm", "text", "dedup", "quality"),
+)
+def dup_ngram_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(D.word_shingles(F.col("text"))).alias("shingle")
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    is_dup = (F.col("df") >= 2).cast("int")
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(is_dup).cast("int").alias("n_dup"),
+            F.round(
+                F.sum(is_dup).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    f"""
+    WITH words AS (
+      SELECT tok AS w, count(*)::BIGINT AS wc
+      FROM (
+        SELECT unnest({_SQL_TOKENS.format(t='text')}) AS tok FROM documents
+      )
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                   i -> substr(w, i, 2))) AS pair,
+             wc
+      FROM words WHERE length(w) >= 2
+    ),
+    top AS (
+      SELECT pair, sum(wc)::BIGINT AS merge_count
+      FROM pairs GROUP BY pair
+      ORDER BY merge_count DESC, pair
+      LIMIT 30
+    )
+    SELECT pair, merge_count,
+           row_number() OVER (ORDER BY merge_count DESC, pair)::INT AS rank
+    FROM top
+    """,
+    doc="BPE tokenizer induction, first merge iteration: the most "
+    "frequent adjacent symbol pairs across the corpus, weighted by "
+    "word frequency (Sennrich et al. 2016 — each later merge round "
+    "is this same query over the re-segmented vocab). Key move for "
+    "scale: pair counting runs over the DISTINCT-WORD table "
+    "(vocab-sized) carrying corpus counts, not over the corpus "
+    "itself — the explode multiplies Heaps-law vocabulary, not "
+    "100 TB of text. Adjacent pairs via a sequence+substr HOF "
+    "(codegen, no UDF), distributed sort-limit top-30, rank window "
+    "on the 30 survivors. Exact hash match vs the SQL replica.",
+    tags=("llm", "text", "tokenizer"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(D.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    top = (
+        words.where(F.length("w") >= 2)
+        .select(F.explode(pair_arr).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("merge_count"))
+        .orderBy(F.col("merge_count").desc(), "pair")
+        .limit(30)
+    )
+    w = Window.orderBy(F.col("merge_count").desc(), "pair")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@register(
     "udtf_kv_explode",
     """
     SELECT o_orderkey,

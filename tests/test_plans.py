@@ -285,3 +285,59 @@ def test_sampling_hash_survives_huge_keys(spark):
         ).alias("keep"),
     ).collect()
     assert {r.doc_id for r in big} == set(keys)  # no exception = pass
+
+
+def test_corpus_topk_queries_use_take_ordered(spark, sf_dir):
+    """bm25/bpe top-k: the cut is a distributed TakeOrderedAndProject;
+    the rank window only ever sees the k surviving rows."""
+    for name in ("bm25_token_search", "bpe_merge_candidates"):
+        assert "TakeOrderedAndProject" in q(spark, sf_dir, name), name
+
+
+def test_dup_ngram_fraction_bounds_and_signal(spark):
+    """Cross-doc duplicate-shingle fraction: a doc sharing every
+    shingle with another scores 1.0; a doc with unique shingles 0.0."""
+    from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+    import dbm_nca_ph_etl_spark.plans.queries as Q
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),           # shares all shingles with doc 2
+            (2, "a b c d"),
+            (3, "x y z w v"),         # all unique
+        ],
+        "doc_id long, text string",
+    )
+
+    orig = Q._t
+    try:
+        Q._t = lambda s, d, n: docs if n == "documents" else orig(s, d, n)
+        rows = {r["doc_id"]: r for r in QUERIES["dup_ngram_doc_stats"].fn(spark, "unused").collect()}
+    finally:
+        Q._t = orig
+    assert rows[1]["dup_frac"] == 1.0 and rows[2]["dup_frac"] == 1.0
+    assert rows[3]["dup_frac"] == 0.0
+    assert rows[3]["n_shingles"] == 3  # 5 tokens -> 3 tri-gram shingles
+
+
+def test_bpe_pairs_weighted_by_word_frequency(spark):
+    """Pair counts multiply by corpus word frequency (the BPE merge
+    objective), not by distinct-word occurrence."""
+    from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+    import dbm_nca_ph_etl_spark.plans.queries as Q
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab")],
+        "doc_id long, text string",
+    )
+    orig = Q._t
+    try:
+        Q._t = lambda s, d, n: docs if n == "documents" else orig(s, d, n)
+        rows = {r["pair"]: r for r in QUERIES["bpe_merge_candidates"].fn(spark, "unused").collect()}
+    finally:
+        Q._t = orig
+    # 'abab' appears 3x, pairs per occurrence: ab, ba, ab -> ab=6, ba=3
+    assert rows["ab"]["merge_count"] == 6
+    assert rows["ba"]["merge_count"] == 3
+    assert rows["cd"]["merge_count"] == 1
+    assert rows["ab"]["rank"] == 1
