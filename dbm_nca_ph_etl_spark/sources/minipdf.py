@@ -475,6 +475,11 @@ class MiniPdf:
             cmap = font["cmap"]
             widths = font["widths"]
             first = font["first"]
+            # fonts without a ToUnicode CMap: assume a Latin text
+            # encoding (WinAnsi/Standard are Latin-1-compatible over
+            # the printable range) — the common case for base-14 and
+            # unsubsetted simple fonts
+            fallback = (lambda c: chr(c)) if not cmap else (lambda c: "�")
             for code in raw:
                 w = (
                     widths[code - first] / 1000.0
@@ -492,7 +497,7 @@ class MiniPdf:
                 dx1, _ = self._display_xy(page, x1d, y1d)
                 out.append(
                     {
-                        "text": cmap.get(code, "�"),
+                        "text": cmap.get(code) or fallback(code),
                         "x0": min(dx0, dx1),
                         "x1": max(dx0, dx1),
                         "top": dtop,
@@ -715,3 +720,86 @@ class MiniPdfParser:
             ),
         )
         return doc.extract_table(page_num, vert_lines)
+
+
+# ---------------------------------------------------------------------------
+# Minimal PDF writer (fixture generator)
+# ---------------------------------------------------------------------------
+
+
+def write_simple_pdf(
+    pages: list[list[tuple[float, float, float, str]]],
+    media_box: tuple[float, float] = (612.0, 792.0),
+    rotate: int = 0,
+    created: str | None = None,
+    modified: str | None = None,
+) -> bytes:
+    """Serialize positioned text into a REAL, spec-conformant PDF 1.4
+    byte stream (classic xref table, uncompressed content streams,
+    base-14 Helvetica with WinAnsi encoding) — the genuine-format twin
+    of ``make_fake_pdf`` for exercising the real extraction path on
+    multi-page / rotated documents without native dependencies.
+
+    Each page is a list of ``(x, y, font_size, text)`` text runs in
+    PDF user space (origin bottom-left). Escaping covers the literal-
+    string specials; text should stay in the Latin-1 printable range.
+    """
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    w, h = media_box
+    objs: list[bytes] = []  # 1-indexed object bodies (without N 0 obj)
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    info_num = font_num + 1
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<</Type /Catalog /Pages 2 0 R>>")  # 1
+    objs.append(  # 2
+        f"<</Type /Pages /Kids [{kids}] /Count {n_pages}>>".encode()
+    )
+    for i, runs in enumerate(pages):
+        page_num, content_num = 3 + 2 * i, 4 + 2 * i
+        rot = f" /Rotate {rotate}" if rotate else ""
+        objs.append(
+            (
+                f"<</Type /Page /Parent 2 0 R /MediaBox [0 0 {w:g} {h:g}]"
+                f"{rot} /Resources <</Font <</F1 {font_num} 0 R>>>> "
+                f"/Contents {content_num} 0 R>>"
+            ).encode()
+        )
+        body = "\n".join(
+            f"BT /F1 {size:g} Tf 1 0 0 1 {x:g} {y:g} Tm ({esc(text)}) Tj ET"
+            for x, y, size, text in runs
+        ).encode("latin-1")
+        objs.append(
+            b"<</Length %d>>\nstream\n%s\nendstream" % (len(body), body)
+        )
+    objs.append(  # font
+        b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding>>"
+    )
+    info = b"<<"
+    if created:
+        info += b"/CreationDate (" + created.encode("latin-1") + b")"
+    if modified:
+        info += b"/ModDate (" + modified.encode("latin-1") + b")"
+    info += b">>"
+    objs.append(info)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<</Size %d /Root 1 0 R /Info %d 0 R>>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (len(objs) + 1, info_num, xref_at)
+    )
+    return bytes(out)

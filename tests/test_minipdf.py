@@ -177,3 +177,101 @@ class TestRealPdfThroughSpark:
         named = promote_header(raw)
         assert clean_records(named).count() == 0
         assert clean_allocations(named).count() == 0
+
+
+class TestWriterRoundTrip:
+    """write_simple_pdf emits genuine PDF 1.4 bytes (classic xref,
+    uncompressed streams, base-14 font) — multi-page and rotation
+    coverage for the real parser that the single-page reference
+    fixture can't provide."""
+
+    def _three_page_pdf(self):
+        from dbm_nca_ph_etl_spark.sources.minipdf import write_simple_pdf
+
+        header = [(50, 700, 12, "NCA Number"), (150, 700, 12, "Amount")]
+        return write_simple_pdf(
+            [
+                header + [(50, 680, 12, "NCA-1"), (150, 680, 12, "100.50")],
+                [(50, 700, 12, "NCA-2"), (150, 700, 12, "200.00")],
+                [(50, 700, 12, "NCA-3"), (150, 700, 12, "300.25")],
+            ],
+            created="D:20260101000000",
+            modified="D:20260102000000",
+        )
+
+    def test_metadata_and_page_order(self):
+        from dbm_nca_ph_etl_spark.sources.minipdf import MiniPdf
+
+        doc = MiniPdf(self._three_page_pdf())
+        assert doc.page_count == 3
+        assert doc.metadata() == ("D:20260101000000", "D:20260102000000")
+        assert [w["text"] for w in doc.extract_words(3)] == ["NCA-3", "300.25"]
+
+    def test_extract_table_multi_page(self):
+        from dbm_nca_ph_etl_spark.sources.minipdf import MiniPdf
+
+        doc = MiniPdf(self._three_page_pdf())
+        vert = [45.0, 145.0, 300.0]
+        assert doc.extract_table(1, vert) == [
+            ["NCA Number", "Amount"],
+            ["NCA-1", "100.50"],
+        ]
+        assert doc.extract_table(2, vert) == [["NCA-2", "200.00"]]
+
+    def test_rotated_page_derotates_like_the_fixture(self):
+        """Text placed along device-y on a /Rotate 90 page reads as
+        normal left-to-right rows — the DBM landscape layout shape."""
+        from dbm_nca_ph_etl_spark.sources.minipdf import (
+            MiniPdf,
+            write_simple_pdf,
+        )
+
+        pdf = write_simple_pdf(
+            # device coords: y becomes display x after derotation
+            [[(700, 30, 12, "A"), (700, 130, 12, "B"), (650, 30, 12, "C")]],
+            media_box=(792, 1224),
+            rotate=90,
+        )
+        doc = MiniPdf(pdf)
+        assert doc.page_size(1) == (1224.0, 792.0)
+        words = doc.extract_words(1)
+        by_text = {w["text"]: w for w in words}
+        # device y becomes display x; device x becomes display top
+        # (larger device x = further down the derotated page, the
+        # reading order of the DBM fixture)
+        assert by_text["A"]["x0"] == 30.0
+        assert by_text["B"]["x0"] == 130.0
+        assert by_text["C"]["top"] < by_text["A"]["top"]  # 650 < 700 device-x
+
+    def test_spark_batching_over_real_format_pages(self, spark):
+        """3-page real-format PDF through the page-batch fan-out
+        (batch_size=2 -> batches [1-2], [3]) and mapInPandas extract."""
+        from dbm_nca_ph_etl_spark.sources.releases import plan_page_batches
+
+        pdf = self._three_page_pdf()
+        files = spark.createDataFrame(
+            [("R1", bytearray(pdf))], "release_id string, content binary"
+        )
+        parser = get_parser("minipdf")
+        counted = spark.createDataFrame(
+            [("R1", bytearray(pdf), parser.page_count(pdf))],
+            "release_id string, content binary, page_count int",
+        )
+        batches = plan_page_batches(counted, batch_size=2).collect()
+        assert [(b.batch_num, b.start_page_num, b.end_page_num) for b in batches] == [
+            (1, 1, 2),
+            (2, 3, 3),
+        ]
+        rows = (
+            extract_raw_cells(files, parser, batch_size=2)
+            .orderBy("page_num", "row_idx")
+            .collect()
+        )
+        # adaptive detection finds 'NCA Number' (x0=50) and 'Amount'
+        # (x0=150) on page 1 -> a 2-column layout applied to all pages
+        assert [(r.page_num, r.row_idx, list(r.cells)) for r in rows] == [
+            (1, 0, ["NCA Number", "Amount"]),
+            (1, 1, ["NCA-1", "100.50"]),
+            (2, 0, ["NCA-2", "200.00"]),
+            (3, 0, ["NCA-3", "300.25"]),
+        ]
