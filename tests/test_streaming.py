@@ -663,3 +663,97 @@ class TestStreamingMatview:
         run()
         got = {r["k"]: (r["n"], r["s"]) for r in view.read_partials().collect()}
         assert got == {"a": (2, 3), "b": (2, 15)}
+
+
+class TestIncrementalIndex:
+    """Streaming inverted-index maintenance: the maintained lake index
+    must equal a batch build over the full corpus — postings, doc
+    lengths, and the BM25 ranking computed from them."""
+
+    DOCS = [
+        (1, "spark hash join hash"),
+        (2, "sort merge join"),
+        (3, "hash aggregate"),
+        (4, "join hash spark spark"),
+        (5, "window functions"),
+    ]
+
+    def _run(self, spark, tmp_path, docs_batches):
+        from dbm_nca_ph_etl_spark.streaming.index_stream import (
+            doc_lens_view,
+            postings_view,
+            stream_into_index,
+        )
+
+        src = str(tmp_path / "docs_src")
+        for i, batch in enumerate(docs_batches):
+            spark.createDataFrame(
+                batch, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(src)
+        pv = postings_view(spark, str(tmp_path / "postings"))
+        lv = doc_lens_view(spark, str(tmp_path / "doclens"))
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        stream_into_index(
+            stream, pv, lv, str(tmp_path / "ckpt"), available_now=True
+        )
+        return pv, lv
+
+    def test_matches_batch_build(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.operators.inverted import build_postings
+        from dbm_nca_ph_etl_spark.streaming.index_stream import (
+            index_doc_lens,
+            index_postings,
+        )
+
+        pv, lv = self._run(
+            spark, tmp_path, [self.DOCS[:2], self.DOCS[2:4], self.DOCS[4:]]
+        )
+        all_docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {
+            (r.token, r.doc_id): r.tf for r in index_postings(pv).collect()
+        }
+        want = {
+            (r.token, r.doc_id): r.tf for r in build_postings(all_docs).collect()
+        }
+        assert got == want
+        lens = {r.doc_id: r.doc_len for r in index_doc_lens(lv).collect()}
+        assert lens == {1: 4, 2: 3, 3: 2, 4: 4, 5: 2}
+
+    def test_bm25_over_maintained_index(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.operators.inverted import (
+            bm25_search,
+            build_postings,
+            doc_lengths,
+        )
+        from dbm_nca_ph_etl_spark.streaming.index_stream import (
+            index_doc_lens,
+            index_postings,
+        )
+
+        pv, lv = self._run(spark, tmp_path, [self.DOCS[:3], self.DOCS[3:]])
+        all_docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        terms = ["hash", "join"]
+        streamed = bm25_search(
+            index_postings(pv), index_doc_lens(lv), terms
+        ).collect()
+        batch = bm25_search(
+            build_postings(all_docs), doc_lengths(all_docs), terms
+        ).collect()
+        assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+    def test_epoch_replay_is_noop(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.streaming.index_stream import (
+            index_postings,
+            postings_view,
+        )
+
+        pv = postings_view(spark, str(tmp_path / "p2"))
+        toks = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b")], "doc_id long, token string"
+        )
+        assert pv.refresh(toks, "epoch0") is True
+        assert pv.refresh(toks, "epoch0") is False  # replayed delivery
+        got = {(r.token, r.doc_id): r.tf for r in index_postings(pv).collect()}
+        assert got == {("a", 1): 2, ("b", 1): 1}
