@@ -5153,7 +5153,7 @@ _SQL_POSTINGS = """
     "top-20 (the rank window runs on the 20 surviving rows, never "
     "the matched-doc set). Oracle replays the identical expression "
     "trees in SQL; exact hash match.",
-    tags=("llm", "text", "search"),
+    tags=("llm", "text", "search", "bench"),
 )
 def bm25_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbm_nca_ph_etl_spark.operators.inverted import (
@@ -5228,7 +5228,7 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same artifact the MinHash pipeline snapshots, and hot shingles "
     "(headers, licenses) are the documented salting case "
     "(operators/skew.py). Exact hash match vs the SQL replica.",
-    tags=("llm", "text", "dedup", "quality"),
+    tags=("llm", "text", "dedup", "quality", "bench"),
 )
 def dup_ngram_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")

@@ -275,3 +275,48 @@ class TestWriterRoundTrip:
             (2, 0, ["NCA-2", "200.00"]),
             (3, 0, ["NCA-3", "300.25"]),
         ]
+
+
+class TestWriterParserProperty:
+    """Property: any grid of printable words written by
+    write_simple_pdf reads back in exact reading order."""
+
+    def test_roundtrip_random_grids(self):
+        from hypothesis import given, settings, strategies as st
+
+        from dbm_nca_ph_etl_spark.sources.minipdf import (
+            MiniPdf,
+            write_simple_pdf,
+        )
+
+        word = st.text(
+            alphabet=st.characters(
+                min_codepoint=33, max_codepoint=126
+            ),  # printable ASCII, no spaces
+            min_size=1,
+            max_size=8,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            grid=st.lists(  # pages
+                st.lists(word, min_size=1, max_size=4),  # rows of words
+                min_size=1,
+                max_size=3,
+            )
+        )
+        def check(grid):
+            pages = []
+            for rows in [grid]:
+                runs = []
+                for r, row_words in enumerate(rows):
+                    for c, w in enumerate(row_words):
+                        # 100pt column pitch >> max word width (8*6=48)
+                        runs.append((50 + 100.0 * c, 700 - 20.0 * r, 12, w))
+                pages.append(runs)
+            doc = MiniPdf(write_simple_pdf(pages))
+            got = [w["text"] for w in doc.extract_words(1)]
+            want = [w for row in grid for w in row]
+            assert got == want
+
+        check()

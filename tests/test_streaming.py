@@ -757,3 +757,27 @@ class TestIncrementalIndex:
         assert pv.refresh(toks, "epoch0") is False  # replayed delivery
         got = {(r.token, r.doc_id): r.tf for r in index_postings(pv).collect()}
         assert got == {("a", 1): 2, ("b", 1): 1}
+
+    def test_document_revision_via_retraction(self, spark, tmp_path):
+        """Revising a document: retract its old postings, apply the
+        new — the index converges to the revised corpus state."""
+        from dbm_nca_ph_etl_spark.streaming.index_stream import (
+            index_postings,
+            postings_view,
+        )
+
+        pv = postings_view(spark, str(tmp_path / "p3"))
+        v1 = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b")], "doc_id long, token string"
+        )
+        v2 = spark.createDataFrame(
+            [(1, "a"), (1, "c")], "doc_id long, token string"
+        )
+        pv.refresh(v1, "ingest-v1")
+        pv.refresh(v1, "retract-v1", retract=True)
+        pv.refresh(v2, "ingest-v2")
+        got = {
+            (r.token, r.doc_id): r.tf
+            for r in index_postings(pv).where(F.col("tf") != 0).collect()
+        }
+        assert got == {("a", 1): 1, ("c", 1): 1}

@@ -92,6 +92,14 @@ SHOWCASE = {
         "per-(key,salt) partials converge on the bare key. Decimal sums "
         "make the salt-dependent addition order bit-neutral."
     ),
+    "bm25_token_search": (
+        "Ranked retrieval stays index-shaped: the In-filter probe is "
+        "pushed into the postings scan, document frequencies and "
+        "corpus stats enter as broadcasts (no shuffle widens beyond "
+        "the matched postings ⋈ doc-length join), and the top-k cut "
+        "is a TakeOrderedAndProject — the rank window only ever sees "
+        "k rows."
+    ),
     "embedding_near_dup_lsh": (
         "The near-dup audit at scale: LSH signing is one Arrow matmul "
         "pass behind a localCheckpoint (the persisted-index stand-in); "
