@@ -348,10 +348,45 @@ def with_pdf_info(files: DataFrame, parser: TableParser) -> DataFrame:
     return files.mapInPandas(info, schema=schema)
 
 
+def with_parse_status(files: DataFrame, parser: TableParser) -> DataFrame:
+    """Triage scan: (release_id, parse_ok, parse_error) per blob.
+
+    The reference's failure route is per-Lambda: a worker that throws
+    sends its batch to the DLQ for redrive (worker.py + SQS redrive
+    policy). The batch-engine twin is this cheap classification pass —
+    run it first, send the failed rows to a quarantine table (the DLQ),
+    and extract the ok rows with the default strict mode.
+    """
+
+    def status(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ok, err = [], []
+            for c in b["content"]:
+                try:
+                    parser.page_count(bytes(c))
+                    ok.append(True)
+                    err.append(None)
+                except Exception as e:  # noqa: BLE001 - classification pass
+                    ok.append(False)
+                    err.append(f"{type(e).__name__}: {e}")
+            out = b.drop(columns=["content"])
+            out["parse_ok"] = ok
+            out["parse_error"] = err
+            yield out
+
+    base = [f for f in files.schema.fields if f.name != "content"]
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in base)
+        + ", parse_ok boolean, parse_error string"
+    )
+    return files.mapInPandas(status, schema=schema)
+
+
 def extract_raw_cells(
     files: DataFrame,
     parser: TableParser,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    on_error: str = "fail",
 ) -> DataFrame:
     """S8/T2 — (release_id, content) → line-ordered RAW_CELLS_SCHEMA.
 
@@ -368,17 +403,27 @@ def extract_raw_cells(
     lake deployments use :func:`extract_raw_cells_from_paths`, which
     ships only paths through the shuffle and re-reads blobs
     task-side.
+
+    ``on_error``: ``"fail"`` (default) propagates parser exceptions —
+    one corrupt blob fails the job, correctness-first; ``"skip"``
+    drops unparseable files (and pages that throw) silently — pair it
+    with :func:`with_parse_status` to quarantine the bad blobs first
+    (the reference's DLQ redrive, T1).
     """
+    _check_on_error(on_error)
     if "page_count" in files.columns:
         # caller already ran the metadata pass (with_pdf_info) — don't
         # parse every blob a second time just to count pages
         with_count = files.select("release_id", "content", "page_count")
     else:
         with_count = files.select("release_id", "content").mapInPandas(
-            _page_count_fn(parser),
+            _page_count_fn(parser, on_error),
             schema="release_id string, content binary, page_count int",
         )
+    if on_error == "skip":
+        with_count = with_count.where(F.col("page_count") >= 0)
     batches = plan_page_batches(with_count, batch_size=batch_size)
+    skip = on_error == "skip"
 
     def extract(batches_iter: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches_iter:
@@ -386,11 +431,15 @@ def extract_raw_cells(
             for rid, content, start, end in zip(
                 b["release_id"], b["content"], b["start_page_num"], b["end_page_num"]
             ):
-                for page_num in range(int(start), int(end) + 1):
-                    for row_idx, cells in enumerate(
-                        parser.extract_page(bytes(content), page_num)
-                    ):
-                        out.append((rid, page_num, row_idx, cells))
+                try:
+                    for page_num in range(int(start), int(end) + 1):
+                        for row_idx, cells in enumerate(
+                            parser.extract_page(bytes(content), page_num)
+                        ):
+                            out.append((rid, page_num, row_idx, cells))
+                except Exception:  # noqa: BLE001
+                    if not skip:
+                        raise
             yield pd.DataFrame(
                 out, columns=["release_id", "page_num", "row_idx", "cells"]
             )
@@ -401,11 +450,24 @@ def extract_raw_cells(
     )
 
 
-def _page_count_fn(parser: TableParser):
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+
+
+def _page_count_fn(parser: TableParser, on_error: str = "fail"):
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             b = b.copy()
-            b["page_count"] = [parser.page_count(bytes(c)) for c in b["content"]]
+            counts = []
+            for c in b["content"]:
+                try:
+                    counts.append(parser.page_count(bytes(c)))
+                except Exception:  # noqa: BLE001
+                    if on_error != "skip":
+                        raise
+                    counts.append(-1)  # sentinel: filtered out upstream
+            b["page_count"] = counts
             yield b
 
     return fn

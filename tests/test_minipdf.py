@@ -320,3 +320,63 @@ class TestWriterParserProperty:
             assert got == want
 
         check()
+
+
+class TestCorruptBlobs:
+    """One corrupt blob must not take down a lake-wide extract: the
+    triage pass classifies, skip mode extracts around it, and the
+    default strict mode still fails loudly."""
+
+    def _lake(self, spark, pdf_bytes):
+        good_fake = make_fake_pdf([[["NCA-7", "ok"]]])
+        corrupt = b"NOT A PDF AT ALL \x00\x01\x02"
+        return spark.createDataFrame(
+            [
+                ("real", bytearray(pdf_bytes)),
+                ("fake", bytearray(good_fake)),
+                ("bad", bytearray(corrupt)),
+            ],
+            "release_id string, content binary",
+        )
+
+    def test_parse_status_triage(self, spark, pdf_bytes):
+        from dbm_nca_ph_etl_spark.sources.pdf_source import with_parse_status
+
+        rows = {
+            r.release_id: r
+            for r in with_parse_status(
+                self._lake(spark, pdf_bytes), SniffingParser()
+            ).collect()
+        }
+        assert rows["real"].parse_ok and rows["real"].parse_error is None
+        assert rows["fake"].parse_ok
+        assert not rows["bad"].parse_ok
+        assert "ValueError" in rows["bad"].parse_error
+
+    def test_skip_mode_extracts_around_corruption(self, spark, pdf_bytes):
+        got = (
+            extract_raw_cells(
+                self._lake(spark, pdf_bytes), SniffingParser(), on_error="skip"
+            )
+            .select("release_id")
+            .distinct()
+            .collect()
+        )
+        assert {r.release_id for r in got} == {"real", "fake"}
+
+    def test_strict_mode_fails_loudly(self, spark, pdf_bytes):
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises(Exception) as ei:
+            extract_raw_cells(
+                self._lake(spark, pdf_bytes), SniffingParser()
+            ).collect()
+        assert "not a PDF" in str(ei.value) or isinstance(
+            ei.value, Py4JJavaError
+        )
+
+    def test_bad_on_error_value(self, spark, pdf_bytes):
+        with pytest.raises(ValueError):
+            extract_raw_cells(
+                self._lake(spark, pdf_bytes), SniffingParser(), on_error="zap"
+            )
