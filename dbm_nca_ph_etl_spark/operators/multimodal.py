@@ -128,7 +128,16 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
 def byte_stats(assets: DataFrame) -> DataFrame:
     """Per-asset blob statistics (the feature-extract step): length,
     mean/max byte, distinct byte count. Real numpy over Arrow batches;
-    map-only, no shuffle."""
+    map-only, no shuffle.
+
+    The mean is emitted as exact integer MICRO-units
+    (``sum·10⁶ // n``), not a rounded double: power-of-two blob
+    lengths make dyadic-rational means routine, and ``round(x, 6)``
+    lands on .5 ties that Python (half-even) and SQL engines
+    (half-up) break differently — at sf0.1 the old double column
+    flipped a ULP vs the oracle. Integer floor division is
+    bit-identical everywhere (same precedent as pcm_window_energy's
+    exact int64 energy)."""
 
     def stats(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -139,19 +148,19 @@ def byte_stats(assets: DataFrame) -> DataFrame:
                     (
                         aid,
                         int(a.size),
-                        round(float(a.mean()), 6) if a.size else 0.0,
+                        (int(a.sum()) * 1_000_000) // int(a.size) if a.size else 0,
                         int(a.max()) if a.size else 0,
                         int(np.unique(a).size),
                     )
                 )
             yield pd.DataFrame(
                 out,
-                columns=["asset_id", "n_bytes", "mean_byte", "max_byte", "n_distinct_bytes"],
+                columns=["asset_id", "n_bytes", "mean_byte_micro", "max_byte", "n_distinct_bytes"],
             )
 
     return assets.select("asset_id", "content").mapInPandas(
         stats,
-        schema="asset_id bigint, n_bytes int, mean_byte double, max_byte int, n_distinct_bytes int",
+        schema="asset_id bigint, n_bytes int, mean_byte_micro bigint, max_byte int, n_distinct_bytes int",
     )
 
 
@@ -196,9 +205,13 @@ def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
                     continue
                 for i in range(0, nf, every_n):
                     fr = blob[i * fs : (i + 1) * fs]
-                    rows.append((aid, i, int(fr.size), round(float(fr.mean()), 6)))
+                    # exact integer micro-mean — see byte_stats for why
+                    # rounded doubles are a cross-engine tie hazard
+                    rows.append(
+                        (aid, i, int(fr.size), (int(fr.sum()) * 1_000_000) // int(fr.size))
+                    )
             yield pd.DataFrame(
-                rows, columns=["asset_id", "frame_idx", "n_frame_bytes", "frame_mean_byte"]
+                rows, columns=["asset_id", "frame_idx", "n_frame_bytes", "frame_mean_micro"]
             )
 
     return (
@@ -206,7 +219,7 @@ def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
         .select("asset_id", "content", "meta")
         .mapInPandas(
             frames,
-            schema="asset_id bigint, frame_idx int, n_frame_bytes int, frame_mean_byte double",
+            schema="asset_id bigint, frame_idx int, n_frame_bytes int, frame_mean_micro bigint",
         )
     )
 

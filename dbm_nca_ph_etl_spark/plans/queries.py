@@ -1338,7 +1338,7 @@ def _assets(spark, sf_dir):
     )
     SELECT doc_id AS asset_id,
            count(*) AS n_bytes,
-           round(avg(b), 6) AS mean_byte,
+           ((sum(b) * 1000000) // count(*))::BIGINT AS mean_byte_micro,
            max(b) AS max_byte,
            count(DISTINCT b) AS n_distinct_bytes
     FROM chars
@@ -1346,7 +1346,10 @@ def _assets(spark, sf_dir):
     """,
     doc="Binary-column feature extraction: Arrow-batched numpy stats "
     "per blob (mapInPandas, map-only — blobs never shuffle). Oracle "
-    "unrolls the blob char-by-char.",
+    "unrolls the blob char-by-char. Means are exact integer "
+    "micro-units (sum*1e6 // n): power-of-two blob lengths make "
+    "round(x,6) .5-ties routine, and half-even vs half-up flipped a "
+    "ULP at sf0.1 — integer floor division is engine-invariant.",
     tags=("multimodal", "bench"),
 )
 def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1373,7 +1376,7 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS asset_id, frame_idx,
            count(*) AS n_frame_bytes,
-           round(avg(byte), 6) AS frame_mean_byte
+           ((sum(byte) * 1000000) // count(*))::BIGINT AS frame_mean_micro
     FROM b
     GROUP BY doc_id, frame_idx
     """,
@@ -1412,7 +1415,7 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS asset_id,
            count(*) AS n_bytes,
-           round(avg(byte), 6) AS mean_byte,
+           ((sum(byte) * 1000000) // count(*))::BIGINT AS mean_byte_micro,
            max(byte) AS max_byte,
            count(DISTINCT byte) AS n_distinct_bytes
     FROM px

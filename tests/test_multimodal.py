@@ -58,7 +58,7 @@ class TestOperators:
     def test_byte_stats(self, spark):
         s = {r.asset_id: r for r in byte_stats(synthesize_assets(docs_df(spark))).collect()}
         assert s[0].n_bytes == 64
-        assert s[0].mean_byte == float(ord("a"))
+        assert s[0].mean_byte_micro == ord("a") * 1_000_000
         assert s[0].n_distinct_bytes == 1
         assert s[1].max_byte == ord("c")
 
@@ -73,10 +73,8 @@ class TestOperators:
         out = sample_frames(synthesize_assets(docs_df(spark)), every_n=4).collect()
         # only video (asset 2): 4 frames of 64 bytes, every 4th → frame 0
         assert [(r.asset_id, r.frame_idx, r.n_frame_bytes) for r in out] == [(2, 0, 64)]
-        expect = np.frombuffer(
-            "".join(chr(65 + i % 26) for i in range(64)).encode(), dtype=np.uint8
-        ).mean()
-        assert out[0].frame_mean_byte == round(float(expect), 6)
+        frame = "".join(chr(65 + i % 26) for i in range(64)).encode()
+        assert out[0].frame_mean_micro == sum(frame) * 1_000_000 // 64
 
 
 def test_pcm_window_energy_partial_last_frame(spark):
