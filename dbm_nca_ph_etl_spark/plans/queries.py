@@ -2029,14 +2029,17 @@ def order_priorities_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_custkey,
            count(*)::INT              AS n_orders,
-           round(avg(gap), 6)         AS avg_gap_days,
+           ((sum(gap) * 1000000) // count(gap))::BIGINT AS avg_gap_micro,
            max(gap)::INT              AS max_gap_days
     FROM gaps GROUP BY o_custkey HAVING count(gap) >= 1
     """,
     doc="Inter-event gap analysis via lag() (W1-family ordered "
     "window, SURVEY §2.3): one shuffle on the partition key serves "
     "both the window and the downstream agg (no re-shuffle — same "
-    "key). Tie-broken ordering keeps it deterministic.",
+    "key). Tie-broken ordering keeps it deterministic. The mean gap "
+    "is exact integer micro-days (sum·1e6 // n, the multimodal "
+    "convention): integer sums over a power-of-two group size land "
+    "round(x,6) on half-way ties that engines break differently.",
     tags=("relational", "window"),
 )
 def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2050,7 +2053,7 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_orders"),
-            F.round(F.avg("gap"), 6).alias("avg_gap_days"),
+            F.expr("(sum(gap) * 1000000L) div count(gap)").alias("avg_gap_micro"),
             F.max("gap").cast("int").alias("max_gap_days"),
             F.count("gap").alias("_n_gaps"),
         )
