@@ -22,6 +22,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def round6(c: Column) -> Column:
+    """Tie-proof 6-dp rounding: ``floor(x·10⁶ + 0.5)/10⁶``.
+
+    ``round(x, 6)`` delegates .5-tie breaking to the engine (Spark/
+    Python half-even vs SQL half-up), and ratios of integers land on
+    EXACT ties whenever the reduced denominator is 2⁷. ``floor`` has
+    no tie to break — identical input doubles give identical bits on
+    every engine. Use for rounded integer ratios; money decimals
+    can't hit dyadic ties and keep plain round()."""
+    return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+
 def coerce_double(c: Column) -> Column:
     """Parse ``"1,234,567.89"``-style strings to double, null on fail."""
     return F.regexp_replace(c, ",", "").try_cast("double")

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dbm_nca_ph_etl_spark.functions.scalars import hash48, hash64, let
+from dbm_nca_ph_etl_spark.functions.scalars import hash48, hash64, let, round6
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
@@ -224,7 +224,7 @@ def ngram_jaccard_pairs(
     return (
         pairs.join(da, "a")
         .join(db, "b")
-        .select("a", "b", F.round(ngram_jaccard(F.col("_ta"), F.col("_tb"), n), 6).alias("jaccard"))
+        .select("a", "b", round6(ngram_jaccard(F.col("_ta"), F.col("_tb"), n)).alias("jaccard"))
     )
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dbm_nca_ph_etl_spark.functions.scalars import hash64
+from dbm_nca_ph_etl_spark.functions.scalars import hash64, round6
 from dbm_nca_ph_etl_spark.operators.dedup import tokens
 
 # Tiny deterministic stopword inventories for heuristic language ID.
@@ -59,7 +59,7 @@ def quality_score(text: Column) -> Column:
     length_score = F.least(tc / F.lit(100.0), F.lit(1.0))
     punct_penalty = F.greatest(F.lit(1.0) - punct_ratio(text) * 5.0, F.lit(0.0))
     sw_score = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
-    return F.round((length_score + punct_penalty + sw_score) / 3.0, 6)
+    return round6((length_score + punct_penalty + sw_score) / 3.0)
 
 
 def lang_scores(text: Column) -> list[Column]:
@@ -110,8 +110,8 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.length(t).alias("n_chars_actual"),
         token_count(t).alias("n_tokens"),
         word_token_count(t).alias("n_subtokens"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio_en"),
+        round6(punct_ratio(t)).alias("punct_ratio"),
+        round6(stopword_ratio(t)).alias("stopword_ratio_en"),
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),

@@ -59,6 +59,13 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+# Tie-proof 6-dp rounding for integer-ratio columns (see
+# functions/scalars.round6): SQL twin is
+# floor((x) * 1000000.0 + 0.5) / 1000000.0, spelled inline in the
+# oracle strings.
+from dbm_nca_ph_etl_spark.functions.scalars import round6 as _round6
+
+
 # ---------------------------------------------------------------------------
 # Phase 1 — core relational kernel (SURVEY §2.2, §2.4-2.6, §2.8)
 # ---------------------------------------------------------------------------
@@ -839,8 +846,9 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (SELECT doc_id, {_SQL_SHINGLES.format(t='text')} AS s FROM docs2)
     SELECT c.a, c.b,
-           round(len(list_intersect(sa.s, sb.s))::DOUBLE
-                 / len(list_distinct(sa.s || sb.s))::DOUBLE, 6) AS jaccard
+           floor((len(list_intersect(sa.s, sb.s))::DOUBLE
+                  / len(list_distinct(sa.s || sb.s))::DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM cands c JOIN sh sa ON c.a = sa.doc_id JOIN sh sb ON c.b = sb.doc_id
     """,
     doc="Exact n-gram Jaccard verification of LSH candidates (the "
@@ -1018,11 +1026,12 @@ _SQL_STOP_DE = "['der','die','das','und','ist','von','den','im','ein','mit']"
       FROM base
     )
     SELECT doc_id, n_chars_actual, n_tokens, n_subtokens,
-           round(pr, 6) AS punct_ratio,
-           round(swr, 6) AS stopword_ratio_en,
-           round((least(tc / 100.0, 1.0)
-                  + greatest(1.0 - pr * 5.0, 0.0)
-                  + least(swr * 5.0, 1.0)) / 3.0, 6) AS quality
+           floor(pr * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+           floor(swr * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio_en,
+           floor(((least(tc / 100.0, 1.0)
+                   + greatest(1.0 - pr * 5.0, 0.0)
+                   + least(swr * 5.0, 1.0)) / 3.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS quality
     FROM m
     """,
     doc="Text quality metrics (extension): char/token/subtoken counts, "
@@ -1038,8 +1047,8 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(t).alias("n_chars_actual"),
         T.token_count(t).alias("n_tokens"),
         T.word_token_count(t).alias("n_subtokens"),
-        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio_en"),
+        _round6(T.punct_ratio(t)).alias("punct_ratio"),
+        _round6(T.stopword_ratio(t)).alias("stopword_ratio_en"),
         T.quality_score(t).alias("quality"),
     )
 
@@ -2066,8 +2075,8 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_percentile_customers",
     """
     SELECT n_name, c_custkey, c_acctbal,
-           round(pr, 6) AS pct_rank,
-           round(cd, 6) AS cume_d
+           floor(pr * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           floor(cd * 1000000.0 + 0.5) / 1000000.0 AS cume_d
     FROM (
       SELECT n_name, c_custkey, c_acctbal,
              percent_rank() OVER (PARTITION BY n_name ORDER BY c_acctbal) AS pr,
@@ -2095,8 +2104,8 @@ def top_percentile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pr") >= 0.95)
         .select(
             "n_name", "c_custkey", "c_acctbal",
-            F.round("pr", 6).alias("pct_rank"),
-            F.round("cd", 6).alias("cume_d"),
+            _round6(F.col("pr")).alias("pct_rank"),
+            _round6(F.col("cd")).alias("cume_d"),
         )
     )
 
@@ -5219,8 +5228,8 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            count(*)::INT AS n_shingles,
            sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::INT AS n_dup,
-           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                 / count(*)::DOUBLE, 6) AS dup_frac
+           floor((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                  / count(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
     FROM sh JOIN dfreq USING (shingle)
     GROUP BY doc_id
     """,
@@ -5254,10 +5263,9 @@ def dup_ngram_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_shingles"),
             F.sum(is_dup).cast("int").alias("n_dup"),
-            F.round(
+            _round6(
                 F.sum(is_dup).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+                / F.count(F.lit(1)).cast("double")
             ).alias("dup_frac"),
         )
     )
