@@ -106,6 +106,12 @@ def minhash_signature_array(
     shingle), then per seed ``array_min`` of the affine map. No
     explode, no shuffle: a 100 TB corpus signs itself in a single
     codegen'd projection. Output: (id, sig: array<bigint>[num_hashes]).
+
+    md5 is the pre-hash because the DuckDB oracle replays it
+    bit-for-bit (the catalog's cross-engine contract); it is also
+    ~75% of this operator's runtime. A Spark-only deployment should
+    swap ``hash48`` for ``F.xxhash64`` — same signature algebra,
+    several times faster — and verify via the pairs' Jaccard instead.
     """
     fam = _minhash_family(num_hashes)
 

@@ -380,3 +380,37 @@ class TestCorruptBlobs:
             extract_raw_cells(
                 self._lake(spark, pdf_bytes), SniffingParser(), on_error="zap"
             )
+
+
+def test_paths_variant_on_real_format_pdfs(spark, tmp_path):
+    """extract_raw_cells_from_paths (the 100 TB shape: paths through
+    the shuffle, task-side re-read) over genuine PDF files on disk."""
+    from dbm_nca_ph_etl_spark.sources.minipdf import write_simple_pdf
+    from dbm_nca_ph_etl_spark.sources.pdf_source import (
+        extract_raw_cells_from_paths,
+    )
+
+    paths = []
+    for rid, amount in [("R1", "10.00"), ("R2", "20.00")]:
+        p = tmp_path / f"{rid}.pdf"
+        p.write_bytes(
+            write_simple_pdf(
+                [
+                    [(50, 700, 12, "NCA Number"), (150, 700, 12, "Amount")],
+                    [(50, 700, 12, f"NCA-{rid}"), (150, 700, 12, amount)],
+                ]
+            )
+        )
+        paths.append((rid, str(p)))
+    files = spark.createDataFrame(paths, "release_id string, path string")
+    rows = (
+        extract_raw_cells_from_paths(files, get_parser("minipdf"))
+        .orderBy("release_id", "page_num", "row_idx")
+        .collect()
+    )
+    assert [(r.release_id, r.page_num, list(r.cells)) for r in rows] == [
+        ("R1", 1, ["NCA Number", "Amount"]),
+        ("R1", 2, ["NCA-R1", "10.00"]),
+        ("R2", 1, ["NCA Number", "Amount"]),
+        ("R2", 2, ["NCA-R2", "20.00"]),
+    ]
