@@ -1,0 +1,66 @@
+"""Iterative graph operators (Pregel-shaped message passing).
+
+Connected components (operators/dedup.py) covers the dedup-cluster
+use; this module adds the other workhorse of corpus/link analysis —
+PageRank — in the same iterate-with-lineage-cuts style as the k-means
+trainer (operators/similarity.py):
+
+- per iteration: ranks ⋈ edges on ``src`` (one shuffle) then a
+  groupBy on ``dst`` (one shuffle) — exactly a Pregel superstep's
+  scatter/gather, expressed relationally so Catalyst/AQE own the
+  physical plan;
+- ``localCheckpoint`` after each iteration truncates the lineage —
+  without it the plan doubles per superstep and the driver, not the
+  cluster, becomes the bottleneck;
+- degrees are computed once and cached by reuse of the checkpointed
+  frame; nothing but the k-row model state ever reaches the driver
+  (and here not even that — ranks stay distributed).
+
+The fixed-iteration form (rather than convergence-tested) is
+deliberate: it is deterministic, replayable by a SQL oracle (the
+catalog unrolls the same supersteps as chained CTEs in DuckDB), and
+at 100 TB you budget supersteps up front anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node PageRank ``r'(v) = (1-d) + d·Σ r(u)/outdeg(u)`` over a
+    directed edge list, ``iterations`` fixed supersteps from r₀ = 1.
+
+    Nodes are whatever appears as a source; feed an undirected graph
+    as both edge directions so every node has in- and out-edges (no
+    dangling-mass redistribution — the caller owns that choice).
+    Returns (node, rank) with full double precision; round for
+    display/comparison.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    out_edges = e.join(deg, "src").localCheckpoint()  # (src, dst, _d)
+
+    ranks = out_edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0).alias("rank")
+    )
+    for _ in range(iterations):
+        contribs = out_edges.join(
+            ranks, out_edges["src"] == ranks["node"]
+        ).select("dst", (F.col("rank") / F.col("_d")).alias("_c"))
+        ranks = (
+            contribs.groupBy("dst")
+            .agg((F.lit(1.0 - damping) + damping * F.sum("_c")).alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+            .localCheckpoint()
+        )
+    return ranks

@@ -5332,6 +5332,64 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def _pr_iter_sql(i: int) -> str:
+    return f"""
+    p{i} AS (
+      SELECT e.dst AS node, (1.0 - 0.85) + 0.85 * sum(p.r / deg.d) AS r
+      FROM edges e
+      JOIN p{i - 1} p ON p.node = e.src
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )"""
+
+
+@register(
+    "pagerank_customer_supplier",
+    """
+    WITH ce AS (
+      SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+                      's' || l_suppkey::VARCHAR AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    p0 AS (SELECT DISTINCT src AS node, 1.0 AS r FROM edges),
+    """
+    + ",".join(_pr_iter_sql(i) for i in range(1, 6))
+    + """
+    SELECT node, floor(r * 1000000.0 + 0.5) / 1000000.0 AS rank
+    FROM p5
+    """,
+    doc="PageRank, 5 fixed supersteps over the undirected "
+    "customer↔supplier trade graph (operators/graph.pagerank) — the "
+    "iterative message-passing family (beyond connected components): "
+    "per superstep one join-shuffle on src and one agg-shuffle on "
+    "dst, localCheckpoint lineage cuts so the driver plan stays "
+    "O(1) per iteration, nothing collected. The oracle UNROLLS the "
+    "same five supersteps as chained CTEs; literals are spelled "
+    "(1.0 - 0.85) on both sides so the constant folds to the "
+    "identical double. Fixed iterations (not convergence) keep the "
+    "computation deterministic and replayable.",
+    tags=("graph", "iterative"),
+)
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ce = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = ce.unionByName(ce.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select("node", _round6(F.col("rank")).alias("rank"))
+
+
 @register(
     "udtf_kv_explode",
     """

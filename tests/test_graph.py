@@ -1,0 +1,53 @@
+"""PageRank operator invariants (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbm_nca_ph_etl_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    und = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(und, "src string, dst string")
+
+
+class TestPageRank:
+    def test_symmetric_pair_is_fixed_point(self, spark):
+        # A <-> B: each node's rank stays exactly 1.0 every superstep
+        ranks = {
+            r.node: r.rank
+            for r in pagerank(_edges(spark, [("a", "b")]), iterations=5).collect()
+        }
+        assert ranks == {"a": 1.0, "b": 1.0}
+
+    def test_star_center_dominates_and_mass_conserves(self, spark):
+        # undirected star a-{b,c,d}: per-node form conserves total
+        # rank (= n) when every node has in-edges; center > leaves
+        ranks = {
+            r.node: r.rank
+            for r in pagerank(
+                _edges(spark, [("a", "b"), ("a", "c"), ("a", "d")]),
+                iterations=8,
+            ).collect()
+        }
+        assert abs(sum(ranks.values()) - 4.0) < 1e-9
+        assert ranks["a"] > ranks["b"]
+        assert abs(ranks["b"] - ranks["c"]) < 1e-12
+        assert abs(ranks["b"] - ranks["d"]) < 1e-12
+
+    def test_directed_chain_ranks_downstream_higher(self, spark):
+        # a -> b -> c -> a (cycle, so no dangling): symmetric again
+        cyc = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        ranks = [r.rank for r in pagerank(cyc, iterations=6).collect()]
+        assert all(abs(r - 1.0) < 1e-12 for r in ranks)
+
+    def test_plan_stays_bounded_per_iteration(self, spark):
+        # the localCheckpoint lineage cut: the final plan must not
+        # contain one join per superstep (it references only the last
+        # checkpointed scan)
+        pr = pagerank(_edges(spark, [("a", "b"), ("b", "c")]), iterations=6)
+        plan = pr._jdf.queryExecution().toString()
+        assert plan.count("Join") <= 2
