@@ -64,3 +64,43 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: list[str],
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Breadth-first shortest-path levels from a source set, bounded
+    at ``max_hops`` supersteps — (node, dist) for every node reached.
+
+    Per superstep: frontier ⋈ edges (one shuffle) then a min-groupBy
+    (one shuffle, map-side combinable) folding new candidates into
+    the running distance table; ``localCheckpoint`` cuts lineage.
+    All-integer state, so the SQL-oracle comparison is exact with no
+    float-rounding caveats. Bounded hops is the deliberate contract
+    (same as :func:`pagerank`): deterministic, oracle-replayable, and
+    at 100 TB you cap supersteps anyway — unreached nodes simply
+    don't appear.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    dist = (
+        e.sparkSession.createDataFrame(
+            [(s, 0) for s in sources], "node string, dist int"
+        )
+    )
+    for _ in range(max_hops):
+        hops = e.join(dist, e["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(hops)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -5390,6 +5390,61 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", _round6(F.col("rank")).alias("rank"))
 
 
+def _bfs_iter_sql(i: int) -> str:
+    return f"""
+    d{i} AS (
+      SELECT node, min(d)::INT AS d FROM (
+        SELECT node, d FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.d + 1 AS d
+        FROM edges e JOIN d{i - 1} p ON p.node = e.src
+      ) GROUP BY node
+    )"""
+
+
+@register(
+    "bfs_trade_distance",
+    """
+    WITH ce AS (
+      SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+                      's' || l_suppkey::VARCHAR AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+    d0 AS (SELECT 's1' AS node, 0 AS d),
+    """
+    + ",".join(_bfs_iter_sql(i) for i in range(1, 5))
+    + """
+    SELECT node, d AS dist FROM d4
+    """,
+    doc="Bounded-hop BFS shortest paths (operators/graph.bfs_levels) "
+    "from supplier s1 over the undirected trade graph: per superstep "
+    "one frontier join and one map-side-combinable min-groupBy, "
+    "localCheckpoint lineage cuts, 4 hops. The oracle unrolls the "
+    "same supersteps; all-INTEGER state makes the hash comparison "
+    "exact with no float caveats — the iterative-algorithm twin of "
+    "the PageRank entry.",
+    tags=("graph", "iterative"),
+)
+def bfs_trade_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.graph import bfs_levels
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ce = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = ce.unionByName(
+        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return bfs_levels(edges, ["s1"], max_hops=4)
+
+
 @register(
     "udtf_kv_explode",
     """

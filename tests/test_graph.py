@@ -51,3 +51,26 @@ class TestPageRank:
         pr = pagerank(_edges(spark, [("a", "b"), ("b", "c")]), iterations=6)
         plan = pr._jdf.queryExecution().toString()
         assert plan.count("Join") <= 2
+
+
+class TestBFS:
+    def test_chain_distances(self, spark):
+        und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        edges = _edges(spark, und)
+        from dbm_nca_ph_etl_spark.operators.graph import bfs_levels
+
+        dist = {
+            r.node: r.dist for r in bfs_levels(edges, ["a"], max_hops=3).collect()
+        }
+        # e is 4 hops away -> not reached within 3
+        assert dist == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_multi_source_min(self, spark):
+        from dbm_nca_ph_etl_spark.operators.graph import bfs_levels
+
+        edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        dist = {
+            r.node: r.dist
+            for r in bfs_levels(edges, ["a", "d"], max_hops=5).collect()
+        }
+        assert dist == {"a": 0, "d": 0, "b": 1, "c": 1}
