@@ -104,3 +104,57 @@ def bfs_levels(
             .localCheckpoint()
         )
     return dist
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global triangle count of an undirected graph (edges may be
+    given in either or both directions; self-loops ignored) — 1 row,
+    ``n_triangles``.
+
+    The naive three-way self-join materializes every path of length
+    2 — O(Σ deg²), ruinous on skewed graphs (one celebrity node with
+    10⁶ neighbors yields 10¹² wedges). This is the standard
+    degree-orientation fix: orient every edge from the
+    (degree, node)-smaller endpoint to the larger, so each vertex's
+    out-degree is bounded by O(√m) on any graph (arboricity bound) —
+    the wedge join shrinks from Σ deg² to Σ outdeg², and each
+    triangle is counted exactly once at its smallest vertex. The
+    catalog oracle deliberately keeps the naive a<b<c three-way join:
+    the optimized plan must reproduce the naive semantics exactly.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    both = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    keyed = (
+        both.join(deg.withColumnRenamed("a", "_n1"), F.col("a") == F.col("_n1"))
+        .withColumnRenamed("d", "da")
+        .join(deg.withColumnRenamed("a", "_n2"), F.col("b") == F.col("_n2"))
+        .withColumnRenamed("d", "db")
+        .select(
+            "a", "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("n")).alias("ka"),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("n")).alias("kb"),
+        )
+    )
+    oriented = keyed.where(F.col("ka") < F.col("kb")).select(
+        F.col("a").alias("u"), F.col("b").alias("v"), F.col("kb").alias("kv")
+    ).localCheckpoint()
+    w1 = oriented.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
+    w2 = oriented.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
+    wedges = w1.join(w2, "u").where(F.col("kx") < F.col("ky")).select("x", "y")
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    # left_semi keeps every wedge row (a pair (x,y) reached from two
+    # different u is two distinct triangles) without materializing
+    # join output columns
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -5446,6 +5446,54 @@ def bfs_trade_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "triangle_count_parts",
+    """
+    WITH seq AS (
+      -- (orderkey, linenumber) is NOT unique in the synthetic data;
+      -- the full (linenumber, partkey, suppkey) key is — lead() must
+      -- see a total order or the edge set is engine-dependent
+      SELECT l_orderkey, l_partkey,
+             lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey,
+                                            l_suppkey) AS next_part
+      FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT least(l_partkey, next_part)    AS a,
+                      greatest(l_partkey, next_part) AS b
+      FROM seq WHERE next_part IS NOT NULL AND l_partkey <> next_part
+    )
+    SELECT count(*)::BIGINT AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+    doc="Global triangle count (operators/graph.triangle_count) over "
+    "the part co-order graph (consecutive lineitems of an order are "
+    "edges). The Spark side runs the DEGREE-ORIENTED algorithm — "
+    "orient each edge toward the (degree, node)-larger endpoint, "
+    "join wedges only at their smallest vertex, close with a "
+    "left-semi probe — bounding the wedge join by Σ outdeg² = "
+    "O(m^1.5) on ANY degree distribution, while the oracle keeps the "
+    "naive a<b<c three-way self-join. Same exact count; the plan "
+    "difference IS the 100 TB story (a celebrity node breaks the "
+    "naive join, not the oriented one).",
+    tags=("graph",),
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    seq = li.select(
+        "l_partkey", F.lead("l_partkey").over(w).alias("next_part")
+    ).where(F.col("next_part").isNotNull() & (F.col("l_partkey") != F.col("next_part")))
+    return triangle_count(seq, src_col="l_partkey", dst_col="next_part")
+
+
+@register(
     "udtf_kv_explode",
     """
     SELECT o_orderkey,

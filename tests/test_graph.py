@@ -74,3 +74,34 @@ class TestBFS:
             for r in bfs_levels(edges, ["a", "d"], max_hops=5).collect()
         }
         assert dist == {"a": 0, "d": 0, "b": 1, "c": 1}
+
+
+class TestTriangleCount:
+    def test_matches_brute_force(self, spark):
+        import itertools
+        import random
+
+        from dbm_nca_ph_etl_spark.operators.graph import triangle_count
+
+        random.seed(7)
+        nodes = list(range(12))
+        edges = set()
+        for _ in range(30):
+            a, b = random.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        brute = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in edges and (b, c) in edges and (a, c) in edges
+        )
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        assert triangle_count(df).collect()[0].n_triangles == brute
+
+    def test_duplicate_and_reversed_edges_ignored(self, spark):
+        from dbm_nca_ph_etl_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c"), ("a", "a")],
+            "src string, dst string",
+        )
+        assert triangle_count(df).collect()[0].n_triangles == 1
