@@ -83,6 +83,21 @@ def synthesize_nca_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
     )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    # (378 collisions at sf0.01 inside this %31 subset) — a row_idx
+    # derived from l_linenumber alone would tie, leaving the document
+    # order engine-dependent. ln_idx densifies over the full unique
+    # key so every synthesized row gets a distinct index.
+    from pyspark.sql import Window as _W
+
+    li = li.withColumn(
+        "ln_idx",
+        F.row_number().over(
+            _W.partitionBy("l_orderkey").orderBy(
+                "l_linenumber", "l_partkey", "l_suppkey"
+            )
+        ),
+    )
 
     rel = F.concat(F.lit("id_"), ((F.col("o_orderkey") % 97) + 1000).cast("string"))
     rel_li = F.concat(F.lit("id_"), ((F.col("l_orderkey") % 97) + 1000).cast("string"))
@@ -108,7 +123,7 @@ def synthesize_nca_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    base_l = F.col("l_orderkey") * 1000 + 10 + F.col("l_linenumber") * 3
+    base_l = F.col("l_orderkey") * 1000 + 10 + F.col("ln_idx") * 3
     amount_expr = (
         F.when(F.col("l_linenumber") == 1, F.lit("1,234.50"))
         .when(F.col("l_linenumber") == 7, F.lit("N/A"))
@@ -172,7 +187,13 @@ def nca_clean_allocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SYNTH = """
   o AS (SELECT * FROM orders WHERE o_orderkey % 31 = 0),
-  li AS (SELECT l.* FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey),
+  li AS (
+    SELECT l.*,
+           row_number() OVER (PARTITION BY l.l_orderkey
+                              ORDER BY l.l_linenumber, l.l_partkey,
+                                       l.l_suppkey) AS ln_idx
+    FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+  ),
   raw0 AS (
     -- header repeats
     SELECT 'id_' || (o_orderkey % 97 + 1000)::VARCHAR AS release_id,
@@ -208,7 +229,7 @@ _SQL_SYNTH = """
     UNION ALL
     -- allocation main rows
     SELECT 'id_' || (l_orderkey % 97 + 1000)::VARCHAR,
-           l_orderkey * 1000 + 10 + l_linenumber * 3,
+           l_orderkey * 1000 + 10 + ln_idx * 3,
            '', '', '', '',
            'AG-' || l_suppkey::VARCHAR,
            'OU-' || (l_partkey % 50)::VARCHAR,
@@ -221,7 +242,7 @@ _SQL_SYNTH = """
     UNION ALL
     -- wrapped allocation text
     SELECT 'id_' || (l_orderkey % 97 + 1000)::VARCHAR,
-           l_orderkey * 1000 + 10 + l_linenumber * 3 + 1,
+           l_orderkey * 1000 + 10 + ln_idx * 3 + 1,
            '', '', '', '', 'wrapped', '',
            CASE WHEN l_linenumber = 1 THEN '1,234.50'
                 WHEN l_linenumber = 7 THEN 'N/A'
@@ -231,7 +252,7 @@ _SQL_SYNTH = """
     UNION ALL
     -- spacer after every allocation
     SELECT 'id_' || (l_orderkey % 97 + 1000)::VARCHAR,
-           l_orderkey * 1000 + 10 + l_linenumber * 3 + 2,
+           l_orderkey * 1000 + 10 + ln_idx * 3 + 2,
            '', '', '', '', '', '', '', ''
     FROM li
   )

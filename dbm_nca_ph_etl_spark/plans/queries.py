@@ -1788,7 +1788,8 @@ def pivot_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
              row_number() OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                        l_partkey) AS rn
       FROM lineitem
     ) WHERE rn <= 3
     """,
@@ -1802,14 +1803,19 @@ def pivot_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) is NOT unique in the synthetic data —
+    # l_partkey completes the total order (same hazard as the
+    # triangle query's co-order edges)
     w = Window.partitionBy("l_suppkey").orderBy(
-        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber", "l_partkey"
     )
     return (
-        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+        li.select(
+            "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey"
+        )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .drop("rn")
+        .drop("rn", "l_partkey")
     )
 
 
