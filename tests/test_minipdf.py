@@ -414,3 +414,64 @@ def test_paths_variant_on_real_format_pdfs(spark, tmp_path):
         ("R2", 1, ["NCA Number", "Amount"]),
         ("R2", 2, ["NCA-R2", "20.00"]),
     ]
+
+
+def test_real_pdf_scrape_to_store_end_to_end(spark, tmp_path):
+    """The whole reference pipeline on genuine PDF bytes: PDFs on
+    disk -> path-loading extraction (minipdf) -> header promotion ->
+    raw-rows inbox -> streaming micro-batch pipeline -> three-table
+    store. No FAKEPDF anywhere."""
+    from dbm_nca_ph_etl_spark.nca.cleaner import promote_header
+    from dbm_nca_ph_etl_spark.sinks.merge import NCAStore
+    from dbm_nca_ph_etl_spark.sources.minipdf import write_simple_pdf
+    from dbm_nca_ph_etl_spark.sources.pdf_source import (
+        extract_raw_cells_from_paths,
+    )
+    from dbm_nca_ph_etl_spark.streaming.nca_stream import run_nca_pipeline
+
+    xs = [40, 150, 260, 370, 480, 590, 700, 810]
+    header = [
+        (xs[0], 760, 11, "NCA Number"), (xs[1], 760, 11, "NCA Type"),
+        (xs[2], 760, 11, "Released Date"), (xs[3], 760, 11, "Department"),
+        (xs[4], 760, 11, "Agency"), (xs[5], 760, 11, "Operating Unit"),
+        (xs[6], 760, 11, "Amount"), (xs[7], 760, 11, "Purpose"),
+    ]
+    page = header + [
+        # record row for NCA-101
+        (xs[0], 740, 11, "NCA-101"), (xs[1], 740, 11, "TR"),
+        (xs[2], 740, 11, "01/15/2026"), (xs[3], 740, 11, "Dept of Health"),
+        (xs[7], 740, 11, "To cover ops"),
+        # its allocation
+        (xs[4], 720, 11, "AG-1"), (xs[5], 720, 11, "OU-1"),
+        (xs[6], 720, 11, "600.00"),
+        # record row for NCA-202
+        (xs[0], 700, 11, "NCA-202"), (xs[1], 700, 11, "SARO"),
+        (xs[2], 700, 11, "02/20/2026"), (xs[3], 700, 11, "Dept of Edu"),
+        (xs[7], 700, 11, "To cover books"),
+        (xs[4], 680, 11, "AG-2"), (xs[5], 680, 11, "OU-2"),
+        (xs[6], 680, 11, "1,250.50"),
+    ]
+    pdf_path = tmp_path / "NCA_2026.pdf"
+    pdf_path.write_bytes(write_simple_pdf([page], media_box=(1200, 792)))
+
+    files = spark.createDataFrame(
+        [("NCA_2026", str(pdf_path))], "release_id string, path string"
+    )
+    raw = extract_raw_cells_from_paths(files, get_parser("auto"))
+    named = promote_header(raw)
+
+    inbox = str(tmp_path / "inbox")
+    named.coalesce(1).write.mode("overwrite").parquet(inbox)
+    store = NCAStore(spark, str(tmp_path / "store"))
+    run_nca_pipeline(spark, inbox, store, str(tmp_path / "ckpt"))
+
+    records = {r.nca_number: r for r in store.read("record").collect()}
+    assert set(records) == {"NCA-101", "NCA-202"}
+    assert records["NCA-101"].department == "Dept of Health"
+    assert records["NCA-101"].released_date == "2026-01-15T00:00:00"
+    assert records["NCA-202"].purpose == "To cover books"
+    allocs = {r.nca_number: r for r in store.read("allocation").collect()}
+    assert allocs["NCA-101"].agency == "AG-1"
+    assert allocs["NCA-101"].amount == 600.0
+    assert allocs["NCA-202"].operating_unit == "OU-2"
+    assert allocs["NCA-202"].amount == 1250.5
