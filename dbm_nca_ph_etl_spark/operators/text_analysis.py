@@ -225,3 +225,83 @@ def unigram_nll(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             F.round(F.sum(F.col("tf") * nll) / F.sum("tf"), 6).alias("avg_nll"),
         )
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_tokens: int = 8,
+    max_occurrences: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level corpus deduplication with document reconstruction —
+    the CCNet/RefinedWeb "line dedup" pass (drop paragraphs repeated
+    across the crawl: headers, nav bars, license boilerplate), adapted
+    to unstructured text by segmenting each document into fixed
+    ``seg_tokens``-token windows.
+
+    Dataflow (posting-shaped, never all-pairs):
+
+    1. one codegen'd projection builds each doc's segment array
+       (sequence+transform+slice HOFs — tokenization runs once per
+       row);
+    2. posexplode → (doc, seg_idx, segment) postings;
+    3. corpus-wide segment frequency = one map-side-combined groupBy
+       on the segment key;
+    4. join back, keep segments with ≤ ``max_occurrences`` corpus
+       occurrences (hot segments — the exact rows this pass exists to
+       remove — are the documented AQE skew-split case, and the freq
+       table is a reusable corpus artifact at 100 TB, same as the
+       MinHash signature table);
+    5. reassemble surviving text per doc in original order via
+       struct-collect + array_sort (no window, one groupBy).
+
+    Divergence from CCNet noted: CCNet keeps the crawl-order FIRST
+    copy of a duplicated line; that choice is order-dependent, so this
+    operator drops ALL copies past the threshold instead — a
+    deterministic, partition-invariant semantic (oracle-checked).
+    Within-doc repeats count toward the threshold too.
+
+    Documents whose every segment is dropped (or with no tokens)
+    survive with ``clean_text = ''`` so the output stays 1:1 with the
+    corpus — downstream length filters decide their fate.
+    """
+    toks = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    seg_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    segs = docs.select(
+        F.col(id_col), F.posexplode(seg_arr).alias("seg_idx", "seg")
+    )
+    freq = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("seg_freq"))
+    kept = segs.join(freq, "seg").where(F.col("seg_freq") <= max_occurrences)
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+    seg_counts = segs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments")
+    )
+    return (
+        docs.select(id_col)
+        .join(seg_counts, id_col, "left")
+        .join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

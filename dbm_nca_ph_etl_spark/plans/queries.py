@@ -5586,3 +5586,90 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+@register(
+    "segment_dedup_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(t[i*8+1 : i*8+8], ' ') AS seg
+      FROM toks,
+           unnest(generate_series(0, CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS u(i)
+      WHERE len(t) > 0
+    ),
+    freq AS (SELECT seg, count(*)::BIGINT AS seg_freq FROM segs GROUP BY seg),
+    kept AS (
+      SELECT s.doc_id, s.seg_idx, s.seg
+      FROM segs s JOIN freq USING (seg) WHERE seg_freq <= 1
+    ),
+    seg_counts AS (
+      SELECT doc_id, count(*)::INT AS n_segments FROM segs GROUP BY doc_id
+    ),
+    kept_agg AS (
+      SELECT doc_id, count(*)::INT AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_segments, 0)::INT AS n_segments,
+           coalesce(n_kept, 0)::INT     AS n_kept,
+           coalesce(clean_text, '')     AS clean_text
+    FROM documents d
+    LEFT JOIN seg_counts USING (doc_id)
+    LEFT JOIN kept_agg USING (doc_id)
+    """,
+    doc="Span-level corpus dedup with document reconstruction "
+    "(operators/text_analysis.segment_dedup): the CCNet/RefinedWeb "
+    "line-dedup pass — drop text spans repeated anywhere in the "
+    "corpus (boilerplate, templates, duplicated passages) and stitch "
+    "each document back together from its surviving spans in original "
+    "order. Posting-shaped like dup_ngram_doc_stats: segment HOF "
+    "projection → posexplode → frequency groupBy → join-back filter "
+    "→ per-doc struct-collect+array_sort reassembly. Never all-pairs; "
+    "hot segments are the AQE skew-split case; the frequency table "
+    "is a persistable corpus artifact at 100 TB. Deterministic "
+    "drop-all semantics (vs CCNet's order-dependent keep-first) make "
+    "it partition-invariant and exactly hash-checkable vs the SQL "
+    "replica.",
+    tags=("llm", "text", "dedup", "bench"),
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.segment_dedup(_t(spark, sf_dir, "documents"))
+
+
+_SQL_NOT_IN_ORDERS = """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE nullif(o_custkey, 1) NOT IN
+          (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      AND o_totalprice > 250000
+"""
+
+
+@register(
+    "orders_notin_debtors",
+    _SQL_NOT_IN_ORDERS,
+    doc="Null-aware anti join — NOT IN under SQL three-valued logic, "
+    "executed VERBATIM by both engines like sql_supplier_rank. This "
+    "is a semantic class a plain left_anti join gets WRONG: a NULL "
+    "probe key makes the predicate UNKNOWN, so the 10 orders of "
+    "customer 1 (probe key nulled via nullif) are excluded even "
+    "though no build row matches them — left_anti would keep them. "
+    "Catalyst plans the single-column NOT IN as a "
+    "BroadcastHashJoin(LeftAnti, isNullAware=true): one broadcast of "
+    "the (tiny, filtered) build side, streamed probe, no shuffle — "
+    "and a build-side NULL short-circuits the whole probe to empty "
+    "by flag, not by scan. tests/test_plans.py pins the NAAJ "
+    "physical node so a regression to BroadcastNestedLoopJoin "
+    "(the O(n·m) fallback) fails loudly.",
+    tags=("relational", "sql", "join"),
+)
+def orders_notin_debtors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_NOT_IN_ORDERS)

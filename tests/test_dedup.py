@@ -117,3 +117,63 @@ def test_connected_components_partition_invariant(spark):
         ).collect()
     }
     assert one == many and len(one) > 0
+
+
+class TestSegmentDedup:
+    """Span-level corpus dedup (operators/text_analysis.segment_dedup):
+    CCNet-style line dedup with deterministic drop-all semantics."""
+
+    def _run(self, spark, docs, **kw):
+        from dbm_nca_ph_etl_spark.operators.text_analysis import segment_dedup
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        return {
+            r.doc_id: (r.n_segments, r.n_kept, r.clean_text)
+            for r in segment_dedup(df, seg_tokens=2, **kw).collect()
+        }
+
+    def test_shared_boilerplate_dropped_everywhere(self, spark):
+        # "ad click" is a shared 2-token span across both docs — every
+        # copy goes; unique spans survive in original order.
+        got = self._run(
+            spark,
+            [(1, "ad click alpha beta gamma delta"),
+             (2, "ad click epsilon zeta")],
+        )
+        assert got[1] == (3, 2, "alpha beta gamma delta")
+        assert got[2] == (2, 1, "epsilon zeta")
+
+    def test_within_doc_repeat_counts_toward_threshold(self, spark):
+        got = self._run(spark, [(1, "x y x y unique tail")])
+        assert got[1] == (3, 1, "unique tail")
+
+    def test_fully_duplicated_doc_survives_empty(self, spark):
+        got = self._run(spark, [(1, "a b"), (2, "a b"), (3, "c d")])
+        assert got[1] == (1, 0, "")
+        assert got[2] == (1, 0, "")
+        assert got[3] == (1, 1, "c d")
+
+    def test_threshold_two_keeps_pairs(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a b"), (2, "a b"), (3, "a b")],
+            max_occurrences=3,
+        )
+        assert all(v == (1, 1, "a b") for v in got.values())
+
+    def test_partial_tail_segment_kept(self, spark):
+        # 5 tokens / seg 2 -> 3 segments, last is the 1-token tail
+        got = self._run(spark, [(1, "a b c d e")])
+        assert got[1] == (3, 3, "a b c d e")
+
+    def test_partition_invariant(self, spark):
+        from dbm_nca_ph_etl_spark.operators.text_analysis import segment_dedup
+
+        rows = [(i, f"shared span unique{i} word{i % 7} tail{i}") for i in range(60)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        one = {tuple(r) for r in segment_dedup(df, seg_tokens=2).collect()}
+        many = {
+            tuple(r)
+            for r in segment_dedup(df.repartition(13), seg_tokens=2).collect()
+        }
+        assert one == many and len(one) == 60

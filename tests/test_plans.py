@@ -341,3 +341,25 @@ def test_bpe_pairs_weighted_by_word_frequency(spark):
     assert rows["ba"]["merge_count"] == 3
     assert rows["cd"]["merge_count"] == 1
     assert rows["ab"]["rank"] == 1
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    # NOT IN must become a null-aware BroadcastHashJoin (LeftAnti,
+    # isNullAware=true), not the O(n*m) BroadcastNestedLoopJoin
+    # fallback — and never a plain (null-oblivious) anti join.
+    p = q(spark, sf_dir, "orders_notin_debtors")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    m = re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", p)
+    assert m, f"null-aware anti join missing from plan:\n{p}"
+    assert exchanges(p) == 0, "NOT IN probe must stream — no shuffle"
+
+
+def test_segment_dedup_is_posting_shaped(spark, sf_dir):
+    # segment postings aggregate + join-back + per-doc reassembly:
+    # bounded shuffle budget, map-side combine on the frequency agg,
+    # and no window operator (reassembly is struct-collect, not a
+    # global sort).
+    p = q(spark, sf_dir, "segment_dedup_docs")
+    assert "partial_count" in p, "segment frequency lost map-side combine"
+    assert "Window" not in p, "reassembly must not use a window"
+    assert exchanges(p) <= 5, p
