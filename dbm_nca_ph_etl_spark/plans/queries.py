@@ -5673,3 +5673,75 @@ def orders_notin_debtors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_NOT_IN_ORDERS)
+
+
+@register(
+    "hll_matview_users",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           true AS hll_ok, true AS merge_invariant
+    FROM events GROUP BY event_type
+    """,
+    doc="Mergeable distinct-count materialized view (sinks/matview.py "
+    "kind='hll'): COUNT DISTINCT is the aggregate that breaks naive "
+    "incremental views — per-batch distinct counts double-count on "
+    "merge — so the view stores DataSketches HLL partials "
+    "(hll_sketch_agg) and refreshes by hll_union_agg, a register-max "
+    "lattice join: associative, commutative, idempotent. The query "
+    "folds events through TWO different batchings (event_id % 3 and "
+    "% 2) and asserts in-plan that (a) both merged estimates agree "
+    "exactly — merge-path invariance, the property that makes the "
+    "view deterministic under out-of-order/replayed feeds — and (b) "
+    "the estimate lands within 2% of the exact distinct count "
+    "(lgConfigK=14 ⇒ ±~0.8% rsd). n_events is hash-verified vs "
+    "DuckDB; the verdict columns flip on regression. At 100 TB the "
+    "refresh shuffles O(groups) 16 KiB sketches, never re-scanning "
+    "raw events — the persisted path is "
+    "test_sinks.TestMaterializedAgg.",
+    tags=("lake", "incremental", "sketch"),
+)
+def hll_matview_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sinks.matview import (
+        Measure,
+        derived_distinct,
+        merge_partials,
+        partial_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    keys = ["event_type"]
+    measures = [
+        Measure("n_events", "event_id", "count"),
+        Measure("users_hll", "user_id", "hll"),
+    ]
+    m3 = merge_partials(
+        [
+            partial_agg(ev.where(F.col("event_id") % 3 == i), keys, measures)
+            for i in range(3)
+        ],
+        keys,
+        measures,
+    )
+    m2 = merge_partials(
+        [
+            partial_agg(ev.where(F.col("event_id") % 2 == i), keys, measures)
+            for i in range(2)
+        ],
+        keys,
+        measures,
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("_e")
+    )
+    est3 = derived_distinct("users_hll")
+    return (
+        m3.join(m2.select("event_type", est3.alias("_est2")), "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            (F.abs(est3 - F.col("_e")) <= F.col("_e") * 0.02).alias("hll_ok"),
+            (est3 == F.col("_est2")).alias("merge_invariant"),
+        )
+    )

@@ -8,6 +8,14 @@ partial-aggregate* form and fold each new batch in:
     count ← sum  of partial counts      (retractable: negate)
     min   ← min  of partial mins        (insert-only)
     max   ← max  of partial maxs        (insert-only)
+    hll   ← hll_union_agg of partial HLL sketches (insert-only) —
+            the COUNT DISTINCT answer for incremental views: exact
+            distinct counting is not decomposable (merging per-batch
+            distinct counts double-counts), but the Apache DataSketches
+            HLL sketch Spark ships (hll_sketch_agg, 3.5+) is a
+            register-max lattice, so union is associative, commutative
+            AND idempotent; estimate at read time via
+            :func:`derived_distinct`
     avg   ← sum / count, derived at READ time — never stored, so it
             stays exact under any merge order
 
@@ -43,7 +51,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_KINDS = ("sum", "count", "min", "max")
+_KINDS = ("sum", "count", "min", "max", "hll")
 
 
 @dataclass(frozen=True)
@@ -72,6 +80,9 @@ def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure])
             aggs.append(F.count(col).alias(m.name))
         elif m.kind == "min":
             aggs.append(F.min(col).alias(m.name))
+        elif m.kind == "hll":
+            # lgConfigK=14: ±~0.8% rsd, 16 KiB dense — dashboard grade
+            aggs.append(F.hll_sketch_agg(col, 14).alias(m.name))
         else:
             aggs.append(F.max(col).alias(m.name))
     return df.groupBy(*keys).agg(*aggs)
@@ -82,7 +93,13 @@ def merge_partials(
 ) -> DataFrame:
     """Fold any number of partial-agg tables into one — associative
     and commutative, so batch arrival order never matters."""
-    fold = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    fold = {
+        "sum": F.sum,
+        "count": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "hll": F.hll_union_agg,
+    }
     out = partials[0]
     for p in partials[1:]:
         out = out.unionByName(p)
@@ -94,10 +111,11 @@ def merge_partials(
 def negate_partial(partial: DataFrame, measures: Sequence[Measure]) -> DataFrame:
     """Retraction: negate sum/count partials so merging them removes a
     previously-applied batch. min/max are not retractable (removing
-    the current extremum needs the raw data) — fail loudly."""
-    bad = [m.name for m in measures if m.kind in ("min", "max")]
+    the current extremum needs the raw data), and an HLL union is a
+    monotone lattice join (registers only grow) — fail loudly."""
+    bad = [m.name for m in measures if m.kind in ("min", "max", "hll")]
     if bad:
-        raise ValueError(f"min/max measures are not retractable: {bad}")
+        raise ValueError(f"min/max/hll measures are not retractable: {bad}")
     return partial.select(
         *[c for c in partial.columns if c not in {m.name for m in measures}],
         *[(-F.col(m.name)).alias(m.name) for m in measures],
@@ -107,6 +125,14 @@ def negate_partial(partial: DataFrame, measures: Sequence[Measure]) -> DataFrame
 def derived_avg(sum_col: str, count_col: str, scale: int = 6) -> Column:
     """Exact read-time average off stored partials."""
     return F.round(F.col(sum_col) / F.col(count_col), scale)
+
+
+def derived_distinct(hll_col: str) -> Column:
+    """Read-time distinct-count estimate off a stored HLL partial.
+    Deterministic for a given item set (register state is a pure
+    function of the inputs, union order irrelevant); accuracy set by
+    lgConfigK at :func:`partial_agg` (±~0.8% rsd at 14)."""
+    return F.hll_sketch_estimate(F.col(hll_col))
 
 
 _VERSION_RE = re.compile(r"^v(\d{6})_b(.+)$")

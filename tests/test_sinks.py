@@ -343,6 +343,49 @@ class TestMaterializedAgg:
         # batches; a re-send of the latest two is still refused
         assert mv.refresh(self._batch(spark, [("a", 0)]), "b3") is False
 
+    def test_hll_measure_counts_distinct_across_batches(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            MaterializedAgg,
+            Measure,
+            derived_distinct,
+        )
+
+        mv = MaterializedAgg(
+            spark,
+            str(tmp_path / "mv_hll"),
+            keys=["k"],
+            measures=[
+                Measure("n", "v", "count"),
+                Measure("uh", "v", "hll"),
+            ],
+        )
+        # users 0..49 in batch 1, 25..74 in batch 2 — overlap 25..49
+        # must NOT double-count (the exact-count failure mode of naive
+        # incremental distinct), and a replayed batch is a no-op twice
+        # over: version bookkeeping refuses it AND the union is
+        # idempotent anyway.
+        b1 = spark.createDataFrame([("a", v) for v in range(50)], "k string, v long")
+        b2 = spark.createDataFrame([("a", v) for v in range(25, 75)], "k string, v long")
+        assert mv.refresh(b1, "b1") and mv.refresh(b2, "b2")
+        assert mv.refresh(b2, "b2") is False
+        got = mv.read_partials().select(
+            "k", "n", derived_distinct("uh").alias("d")
+        ).collect()[0]
+        assert got.n == 100  # events, not users
+        assert got.d == 75  # sketch is exact at this cardinality
+
+    def test_hll_measure_refuses_retraction(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg, Measure
+
+        mv = MaterializedAgg(
+            spark,
+            str(tmp_path / "mv_hll2"),
+            keys=["k"],
+            measures=[Measure("uh", "v", "hll")],
+        )
+        with pytest.raises(ValueError):
+            mv.refresh(self._batch(spark, [("a", 1)]), "b1", retract=True)
+
     def test_time_travel_to_surviving_version(self, spark, tmp_path):
         mv = self._view(spark, tmp_path)
         mv.refresh(self._batch(spark, [("a", 1)]), "b1")
