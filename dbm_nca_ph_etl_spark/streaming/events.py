@@ -147,3 +147,30 @@ def stream_stream_interval_join(
         & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond)
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Cross-batch exact deduplication with BOUNDED state —
+    ``dropDuplicatesWithinWatermark``: the at-least-once ingestion
+    answer (the reference's SQS redelivery, T6) when the replay
+    horizon is known.
+
+    Plain ``dropDuplicates`` on a stream keeps every key seen FOREVER
+    (state grows with the corpus — unusable at 100 TB/day); this
+    keeps a key only until the watermark passes its first-seen event
+    time + ``delay``, so state ≈ one replay horizon of keys.
+    Contract: duplicates arriving within ``delay`` of the first copy
+    are dropped exactly; a redelivery after eviction would pass — so
+    size ``delay`` to the queue's max redelivery window (the
+    reference's SQS visibility timeout is 600 s, initialize_aws.py),
+    and keep the downstream sink idempotent (sinks/merge.py) as the
+    backstop. Unlike full dropDuplicates, the event-time column
+    itself may differ between copies (redeliveries re-stamp); only
+    ``keys`` participate in identity.
+    """
+    return _watermarked(events, ts_col, delay).dropDuplicatesWithinWatermark(keys)

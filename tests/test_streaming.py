@@ -781,3 +781,70 @@ class TestIncrementalIndex:
             for r in index_postings(pv).where(F.col("tf") != 0).collect()
         }
         assert got == {("a", 1): 1, ("c", 1): 1}
+
+
+class TestDedupWithinWatermark:
+    def test_cross_batch_dups_dropped_with_bounded_state(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark: redeliveries of event_id 1
+        across micro-batches are dropped even when the replay copy
+        carries a re-stamped event time; distinct keys pass; and the
+        state operator reports bounded (not monotonically growing)
+        key state. The reference's SQS at-least-once redelivery (T6)
+        with state ≈ one replay horizon instead of all keys ever."""
+        from dbm_nca_ph_etl_spark.streaming.events import dedup_within_watermark
+
+        schema = "event_id long, ts string, event_type string, value double"
+        src = str(tmp_path / "dedup_wm_src")
+        # batch 0: two distinct events
+        _write_aged(
+            spark,
+            [
+                (1, "2024-01-01 10:00:30", "click", 1.0),
+                (2, "2024-01-01 10:01:00", "view", 1.0),
+            ],
+            schema,
+            src,
+            age_sec=180,
+        )
+        # batch 1: event 1 redelivered with a re-stamped ts (+20 s,
+        # inside the 10-min horizon) + a new event 3
+        _write_aged(
+            spark,
+            [
+                (1, "2024-01-01 10:00:50", "click", 1.0),
+                (3, "2024-01-01 10:02:00", "click", 1.0),
+            ],
+            schema,
+            src,
+            age_sec=120,
+        )
+        # batch 2: event 1 redelivered a third time
+        _write_aged(
+            spark, [(1, "2024-01-01 10:01:10", "click", 1.0)], schema, src, age_sec=60
+        )
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            dedup_within_watermark(stream, ["event_id"], delay="10 minutes")
+            .writeStream.format("memory")
+            .queryName("dedup_wm")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT event_id FROM dedup_wm").collect()
+        ids = sorted(r.event_id for r in got)
+        assert ids == [1, 2, 3], f"each key exactly once, got {ids}"
+        # the dedup state operator ran and holds exactly the 3 live keys
+        progs = [p for p in q.recentProgress if p["stateOperators"]]
+        assert progs, "no stateful progress recorded"
+        last = progs[-1]["stateOperators"][0]
+        assert "dedupe" in last["operatorName"].lower()
+        assert last["numRowsTotal"] == 3
