@@ -848,3 +848,78 @@ class TestDedupWithinWatermark:
         last = progs[-1]["stateOperators"][0]
         assert "dedupe" in last["operatorName"].lower()
         assert last["numRowsTotal"] == 3
+
+
+class TestRocksDBStateStore:
+    def test_stateful_query_runs_on_rocksdb_provider(self, spark, tmp_path):
+        """The same bounded-state dedup on the RocksDB state store —
+        the at-scale backend: HDFS-backed in-memory state caps total
+        keys at executor heap, RocksDB spills state to local disk
+        (100 TB/day dedup state doesn't fit a JVM). Spark ships the
+        provider built-in; this pins that our stateful operators run
+        on it unmodified and that it actually engaged (rocksdb custom
+        metrics in the progress report), guarding against a config
+        rename silently falling back to the default provider."""
+        from dbm_nca_ph_etl_spark.streaming.events import dedup_within_watermark
+
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            schema = "event_id long, ts string, event_type string, value double"
+            src = str(tmp_path / "rocks_src")
+            _write_aged(
+                spark,
+                [
+                    (1, "2024-01-01 10:00:30", "click", 1.0),
+                    (2, "2024-01-01 10:01:00", "view", 1.0),
+                ],
+                schema,
+                src,
+                age_sec=120,
+            )
+            _write_aged(
+                spark,
+                [
+                    (1, "2024-01-01 10:00:40", "click", 1.0),
+                    (3, "2024-01-01 10:02:00", "click", 1.0),
+                ],
+                schema,
+                src,
+                age_sec=60,
+            )
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, event_type string, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                dedup_within_watermark(stream, ["event_id"], delay="10 minutes")
+                .writeStream.format("memory")
+                .queryName("rocks_dedup")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            ids = sorted(
+                r.event_id for r in spark.sql("SELECT event_id FROM rocks_dedup").collect()
+            )
+            assert ids == [1, 2, 3]
+            progs = [p for p in q.recentProgress if p["stateOperators"]]
+            assert progs, "no stateful progress recorded"
+            metrics = progs[-1]["stateOperators"][0].get("customMetrics", {})
+            assert any("rocksdb" in k.lower() for k in metrics), (
+                f"RocksDB provider not engaged; metrics keys: {sorted(metrics)}"
+            )
+        finally:
+            if old is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old)
