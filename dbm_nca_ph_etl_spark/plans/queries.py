@@ -5745,3 +5745,58 @@ def hll_matview_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est3 == F.col("_est2")).alias("merge_invariant"),
         )
     )
+
+
+@register(
+    "semantic_dedup_keep",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cands AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= 0.4
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cands
+              UNION SELECT id_b, id_a FROM cands),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS x FROM nodes
+      UNION
+      SELECT r.id, e2.b AS x FROM reach r JOIN edges e2 ON e2.a = r.x
+    ),
+    clusters AS (SELECT id, min(x) AS cluster_id FROM reach GROUP BY id)
+    SELECT e.vec_id, e.label
+    FROM e LEFT JOIN clusters c ON e.vec_id = c.id
+    WHERE c.id IS NULL OR c.cluster_id = e.vec_id
+    """,
+    doc="Semantic deduplication end-to-end (the SemDeDup shape, "
+    "Abbas et al. 2023): embedding-space near-duplicates — "
+    "paraphrases, re-encodes, boilerplate variants that string "
+    "dedup can't see — clustered by cosine similarity, one canonical "
+    "survivor kept per cluster. Composition: cosine pair generation "
+    "→ connected components (transitive closure; pairwise pruning "
+    "alone leaks b,c of a chain a~b~c) → broadcast anti-join of the "
+    "losers against the corpus. This catalog entry runs the EXACT "
+    "pair baseline (labeled O(n²) correctness oracle, like "
+    "embedding_near_dup_pairs); the 100 TB path swaps in "
+    "lsh_near_dup_pairs over the persisted signature index — "
+    "clustering and anti-join stages are identical. Oracle replays "
+    "the full pipeline as a recursive CTE — exact hash match.",
+    tags=("similarity", "dedup", "llm"),
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.4)
+    comp = D.connected_components(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    losers = comp.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("_loser")
+    )
+    return emb.join(
+        F.broadcast(losers), emb.vec_id == F.col("_loser"), "left_anti"
+    ).select("vec_id", "label")
