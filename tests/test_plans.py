@@ -354,12 +354,29 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
     assert exchanges(p) == 0, "NOT IN probe must stream — no shuffle"
 
 
-def test_segment_dedup_is_posting_shaped(spark, sf_dir):
-    # segment postings aggregate + join-back + per-doc reassembly:
-    # bounded shuffle budget, map-side combine on the frequency agg,
-    # and no window operator (reassembly is struct-collect, not a
-    # global sort).
+def test_segment_dedup_broadcast_shape(spark, sf_dir):
+    # broadcast strategy: ONE shuffle total (the frequency agg,
+    # map-side combined); the dup set replicates via broadcast and
+    # documents are cleaned in place — no join-back exchange, no
+    # window, no re-collect.
     p = q(spark, sf_dir, "segment_dedup_docs")
     assert "partial_count" in p, "segment frequency lost map-side combine"
-    assert "Window" not in p, "reassembly must not use a window"
-    assert exchanges(p) <= 5, p
+    assert "Window" not in p, "no window in the dedup path"
+    assert "BroadcastExchange" in p, "dup set must broadcast"
+    # exactly 2: the frequency hash exchange + the single-partition
+    # exchange that folds the dup set to one row; never a join-back
+    # shuffle of the postings
+    assert exchanges(p) == 2, p
+
+
+def test_segment_dedup_strategies_agree(spark):
+    from dbm_nca_ph_etl_spark.operators.text_analysis import segment_dedup
+
+    rows = [(i, f"shared span unique{i} word{i % 7} tail{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fast = {tuple(r) for r in segment_dedup(df, seg_tokens=2).collect()}
+    slow = {
+        tuple(r)
+        for r in segment_dedup(df, seg_tokens=2, strategy="join").collect()
+    }
+    assert fast == slow and len(fast) == 40
