@@ -379,3 +379,50 @@ def segment_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    dim: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed linear text classifier scoring as pure relational
+    algebra — the inference core of the fastText-style quality
+    filters used to gate pre-training corpora (CCNet's LM filter,
+    DCLM's fastText classifier): hash each token into one of ``dim``
+    feature buckets (the hashing trick — no vocabulary table to
+    ship), look up the bucket's weight, score a document by the
+    tf-weighted mean weight, keep if the score clears the gate.
+
+    The weight "table" never materializes: a bucket's weight derives
+    from the same md5 hash family the MinHash ops use (uniform in
+    [-1e6, 1e6] micro-units), so the model is a pure expression —
+    swap in a trained weight table as a ``dim``-row broadcast join
+    without changing the plan shape. Arithmetic is integer to the
+    last step (tf·w_e6 sums stay < 2^53, double-exact), and the
+    score is floor-divided — every engine lands on the identical
+    bigint, so the whole classifier is oracle-checkable.
+
+    One tokenize pass (postings reuse, operators/inverted), one
+    map-side-combined groupBy on (token, doc), one on doc — the same
+    two-shuffle shape as every posting consumer; scoring 100 TB is a
+    corpus scan, no driver state, no UDF.
+    """
+    from dbm_nca_ph_etl_spark.functions.scalars import hash48
+    from dbm_nca_ph_etl_spark.operators.inverted import build_postings
+
+    postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    bucket = hash48(F.col("token")) % dim
+    w_e6 = (
+        hash48(F.concat(F.lit("w#"), bucket.cast("string"))) % 2000001 - 1000000
+    )
+    scored = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.floor(
+            F.sum(F.col("tf") * w_e6).cast("double") / F.sum("tf")
+        ).alias("score_e6"),
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "score_e6", (F.col("score_e6") >= 0).alias("keep")
+    )

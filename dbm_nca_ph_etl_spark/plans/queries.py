@@ -5800,3 +5800,40 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(
         F.broadcast(losers), emb.vec_id == F.col("_loser"), "left_anti"
     ).select("vec_id", "label")
+
+
+@register(
+    "hashed_linear_score",
+    f"""
+    WITH posting AS ({_SQL_POSTINGS}),
+    feat AS (
+      SELECT doc_id, tf,
+             (('0x' || substr(md5('w#' ||
+                 ((('0x' || substr(md5(token), 1, 12))::BIGINT) % 4096)::VARCHAR
+               ), 1, 12))::BIGINT % 2000001 - 1000000) AS w_e6
+      FROM posting
+    ),
+    scored AS (
+      SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+             floor(sum(tf * w_e6)::DOUBLE / sum(tf))::BIGINT AS score_e6
+      FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score_e6, score_e6 >= 0 AS keep
+    FROM scored
+    """,
+    doc="Hashed linear classifier inference as relational algebra "
+    "(operators/text_analysis.hashed_linear_score) — the fastText-"
+    "style quality-filter core of CCNet/DCLM corpus gating: token → "
+    "hashing-trick feature bucket (4096 dims, no vocabulary table) → "
+    "bucket weight → tf-weighted mean score → keep/drop gate. The "
+    "weight table never materializes (weights derive from the md5 "
+    "hash family, uniform micro-units in [-1e6,1e6]); a trained model "
+    "drops in as a dim-row broadcast join with the same plan shape. "
+    "Integer arithmetic to the last floor-division keeps every engine "
+    "on the identical bigint — full classifier inference, exactly "
+    "hash-checked. Posting-shaped: one tokenize pass, two map-side-"
+    "combined shuffles, no UDF — scoring 100 TB is a corpus scan.",
+    tags=("llm", "text", "quality"),
+)
+def hashed_linear_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.hashed_linear_score(_t(spark, sf_dir, "documents"))
