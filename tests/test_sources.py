@@ -528,3 +528,93 @@ class TestPageCountReuse:
         )
         out = extract_raw_cells(files, refusing_parser(), batch_size=1)
         assert out.count() == 4  # 3 rows page1 + 1 row page2
+
+
+class TestQueueDataSink:
+    """The queue sink as a Spark 4 Python DataSource writer (S15 —
+    sqs_queue.py:17-26): JSONL message files published by two-phase
+    commit (task temp files → atomic rename on driver commit)."""
+
+    def _register(self, spark):
+        from dbm_nca_ph_etl_spark.sources.queue_sink import NCAQueueDataSource
+
+        spark.dataSource.register(NCAQueueDataSource)
+
+    def test_round_trip_and_atomic_publish(self, spark, tmp_path):
+        import os
+
+        self._register(spark)
+        q = str(tmp_path / "queue")
+        df = spark.createDataFrame(
+            [(1, "id_2024", "NCA_2024.pdf"), (2, "id_2025", "UPDATED_NCA.pdf")],
+            "batch_num int, release_id string, filename string",
+        )
+        df.repartition(2).write.format("nca_queue").option("path", q).mode(
+            "append"
+        ).save()
+        files = sorted(os.listdir(q))
+        assert files and all(f.startswith("msg-") and f.endswith(".jsonl") for f in files)
+        back = spark.read.schema(
+            "batch_num int, release_id string, filename string"
+        ).json(q)
+        got = {tuple(r) for r in back.collect()}
+        assert got == {
+            (1, "id_2024", "NCA_2024.pdf"),
+            (2, "id_2025", "UPDATED_NCA.pdf"),
+        }
+
+    def test_second_batch_appends_new_messages(self, spark, tmp_path):
+        import os
+
+        self._register(spark)
+        q = str(tmp_path / "queue2")
+        one = spark.createDataFrame([(1, "a")], "n int, s string")
+        two = spark.createDataFrame([(2, "b")], "n int, s string")
+        one.write.format("nca_queue").option("path", q).mode("append").save()
+        first = set(os.listdir(q))
+        two.write.format("nca_queue").option("path", q).mode("append").save()
+        assert first < set(os.listdir(q)), "append must not clobber prior messages"
+        assert spark.read.schema("n int, s string").json(q).count() == 2
+
+    def test_empty_partitions_publish_nothing(self, spark, tmp_path):
+        import os
+
+        self._register(spark)
+        q = str(tmp_path / "queue3")
+        df = spark.createDataFrame([(1, "a")], "n int, s string").repartition(8)
+        df.write.format("nca_queue").option("path", q).mode("append").save()
+        files = os.listdir(q)
+        assert len(files) == 1, f"empty tasks must not emit message files: {files}"
+        assert not any(f.startswith(".tmp") for f in files)
+
+    def test_overwrite_mode_refused(self, spark, tmp_path):
+        self._register(spark)
+        df = spark.createDataFrame([(1, "a")], "n int, s string")
+        with pytest.raises(Exception, match="append-only"):
+            df.write.format("nca_queue").option(
+                "path", str(tmp_path / "queue4")
+            ).mode("overwrite").save()
+
+    def test_feeds_streaming_consumer(self, spark, tmp_path):
+        """A batch producer's messages drive a streaming consumer —
+        the release-queue topology (T1) with the DataFrame writer as
+        the producer."""
+        self._register(spark)
+        q = str(tmp_path / "queue5")
+        spark.createDataFrame(
+            [(1, "id_2024"), (2, "id_2025")], "batch_num int, release_id string"
+        ).write.format("nca_queue").option("path", q).mode("append").save()
+        stream = (
+            spark.readStream.schema("batch_num int, release_id string").json(q)
+        )
+        out = (
+            stream.groupBy("release_id").count()
+            .writeStream.format("memory").queryName("queue_consume")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        out.awaitTermination()
+        got = {
+            (r.release_id, r["count"])
+            for r in spark.sql("SELECT * FROM queue_consume").collect()
+        }
+        assert got == {("id_2024", 1), ("id_2025", 1)}
