@@ -5837,3 +5837,51 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hashed_linear_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.hashed_linear_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    qt AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN len(list_filter(v, x -> x <> 0)) > 0
+                  THEN list_transform(
+                         v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
+                  ELSE list_transform(v, x -> 0) END AS q
+      FROM sc
+    )
+    SELECT vec_id,
+           floor(scale * 1000000000.0 + 0.5)::BIGINT AS scale_e9,
+           list_sum(list_transform(q, x -> abs(x)))::BIGINT AS q_l1,
+           list_sum(list_transform(generate_series(1, len(q)),
+                                   i -> q[i]::BIGINT * i))::BIGINT AS q_checksum,
+           len(list_filter(q, x -> x = 127 OR x = -127))::INT AS n_saturated,
+           list_sum(list_transform(generate_series(1, len(v)),
+                                   i -> (v[i] - q[i] * scale) ^ 2))
+             <= 0.0001 * list_sum(list_transform(v, x -> x * x)) AS recon_ok
+    FROM qt
+    """,
+    doc="Int8 scalar quantization of the embedding table with an "
+    "in-plan reconstruction audit (operators/similarity."
+    "quantize_int8_audit): the SQ8 compression step that fits 4× "
+    "more vectors per executor for the ANN probes. All-integer "
+    "outputs (nano-unit scale, L1 mass, index-weighted checksum, "
+    "saturation count) hash-match DuckDB exactly; the float "
+    "reconstruction error only surfaces as a wide-margin boolean "
+    "bound. Map-only single projection — no shuffle, no UDF; "
+    "vector/scale/quantized-array are let-bound so each evaluates "
+    "once per row, and every float fold is a sequential array "
+    "aggregate, never a cross-partition double sum.",
+    tags=("similarity", "llm"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantize_int8_audit(_t(spark, sf_dir, "embeddings"))
