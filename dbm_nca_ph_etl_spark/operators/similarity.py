@@ -794,3 +794,87 @@ def quantize_int8_audit(
         s.getField("n_saturated").alias("n_saturated"),
         s.getField("recon_ok").alias("recon_ok"),
     )
+
+
+def _int8_cols(df: DataFrame, id_alias: str, id_col: str, vec_col: str):
+    """(id, int8 array, integer L2-squared) projection — the quantized
+    probe representation. Scales cancel out of the cosine ratio, so
+    ranking needs only integer dot products and integer norms."""
+    from dbm_nca_ph_etl_spark.functions.scalars import let
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def build(vd: Column) -> Column:
+        scale = F.array_max(F.transform(vd, F.abs)) / F.lit(127.0)
+        return F.when(
+            scale > 0,
+            F.transform(
+                vd, lambda x: F.floor(x / scale * 127 + F.lit(0.5)).cast("long")
+            ),
+        ).otherwise(F.transform(vd, lambda x: F.lit(0).cast("long")))
+
+    q = let(v, build)
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        q.alias("_q"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("_qn2"),
+    )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine retrieval over int8-QUANTIZED vectors — the probe
+    that actually runs once :func:`quantize_int8_audit`'s compression
+    is in place: per-vector scales cancel from the cosine ratio, so
+    scoring is an INTEGER dot product over integer norms (zip_with +
+    sequential fold, exact int64 — 64·127² per term, no float
+    accumulation) with one double sqrt at the end. Same broadcast-
+    queries × corpus map-only shape as :func:`cosine_topk`; at scale
+    the corpus side reads the 4×-smaller int8 representation.
+
+    Approximate only through quantization noise (~1e-3 on cosine), so
+    it ships as a recall-bound audit against the exact top-k
+    (plans/queries.ann_int8_topk) like the LSH/IVF probes.
+    """
+    q = _int8_cols(queries, "query_id", id_col, vec_col)
+    c = _int8_cols(corpus, "neighbor_id", id_col, vec_col)
+    dot = F.aggregate(
+        F.zip_with("_q", "_cq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(
+            c.select(
+                "neighbor_id",
+                F.col("_q").alias("_cq"),
+                F.col("_qn2").alias("_cn2"),
+            )
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot.cast("double")
+                / F.sqrt(F.col("_qn2").cast("double") * F.col("_cn2").cast("double")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
