@@ -177,3 +177,85 @@ class TestSegmentDedup:
             for r in segment_dedup(df.repartition(13), seg_tokens=2).collect()
         }
         assert one == many and len(one) == 60
+
+
+class TestSegmentDedupDifferential:
+    """Seeded randomized differential check: segment_dedup and
+    hashed_linear_score vs their DuckDB oracle SQL on generated
+    corpora with adversarial shapes — empty docs, whitespace-only
+    docs, injected cross-doc span copies, within-doc repeats."""
+
+    def _corpus(self, rng, n_docs):
+        vocab = [f"w{i}" for i in range(25)]
+        docs = []
+        for d in range(n_docs):
+            kind = rng.random()
+            if kind < 0.05:
+                text = ""
+            elif kind < 0.10:
+                text = "   "
+            else:
+                text = " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40)))
+            docs.append((d, text))
+        # inject exact span copies across documents
+        for _ in range(n_docs // 4):
+            a, b = rng.randrange(n_docs), rng.randrange(n_docs)
+            if docs[a][1].strip() and a != b:
+                span = " ".join(docs[a][1].split()[:16])
+                docs[b] = (b, (docs[b][1] + " " + span).strip())
+        return docs
+
+    @staticmethod
+    def _oracle(sql, docs):
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(docs, columns=["doc_id", "text"])
+        )
+        return con.execute(sql).df()
+
+    def test_segment_dedup_matches_duckdb_on_random_corpora(self, spark):
+        import random
+
+        from dbm_nca_ph_etl_spark.operators.text_analysis import segment_dedup
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        for seed in (11, 23, 47):
+            docs = self._corpus(random.Random(seed), 40)
+            got = {
+                (r.doc_id, r.n_segments, r.n_kept, r.clean_text)
+                for r in segment_dedup(
+                    spark.createDataFrame(docs, ["doc_id", "text"])
+                ).collect()
+            }
+            exp = {
+                (int(r.doc_id), int(r.n_segments), int(r.n_kept), r.clean_text)
+                for r in self._oracle(
+                    QUERIES["segment_dedup_docs"].oracle, docs
+                ).itertuples(index=False)
+            }
+            assert got == exp, f"seed {seed} diverged"
+
+    def test_hashed_linear_matches_duckdb_on_random_corpora(self, spark):
+        import random
+
+        from dbm_nca_ph_etl_spark.operators.text_analysis import hashed_linear_score
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        for seed in (5, 17):
+            docs = self._corpus(random.Random(seed), 30)
+            got = {
+                tuple(r)
+                for r in hashed_linear_score(
+                    spark.createDataFrame(docs, ["doc_id", "text"])
+                ).collect()
+            }
+            exp = {
+                (int(r.doc_id), int(r.n_tokens), int(r.score_e6), bool(r.keep))
+                for r in self._oracle(
+                    QUERIES["hashed_linear_score"].oracle, docs
+                ).itertuples(index=False)
+            }
+            assert got == exp, f"seed {seed} diverged"
