@@ -143,7 +143,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def band_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -151,11 +151,11 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket.
-
-    Band key = md5 of the ordered concat of the band's minhashes; the
-    self-join happens per bucket, so complexity is Σ bucket², not N².
-    """
+    """(id, band, bucket) — the banded LSH index rows for a document
+    set. Band key = md5 of the ordered concat of the band\'s
+    minhashes. This is the persistable index artifact both the
+    all-pairs self-join (:func:`minhash_lsh_pairs`) and the
+    incremental probe (:func:`lsh_probe_new`) consume."""
     rows_per_band = num_hashes // bands
     wide = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_n)
     band_keys = F.array(
@@ -175,9 +175,70 @@ def minhash_lsh_pairs(
             for band in range(bands)
         ]
     )
-    buckets = wide.select(
-        F.col(id_col), F.explode(band_keys).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    return wide.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+
+def lsh_probe_new(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """INCREMENTAL near-dup dedup: probe an arriving batch against the
+    existing corpus index — the shape every production ingest actually
+    runs. Re-deduping 100 TB on every daily delivery is a non-starter;
+    the corpus\'s banded signature index is built once (persist
+    :func:`band_buckets` output — same artifact the self-join path
+    uses) and each new batch only (1) signs ITSELF and (2) hash-joins
+    its bucket rows against the index: cost scales with the BATCH,
+    not the corpus.
+
+    Output is 1:1 with the batch: ``(doc_id, matched_doc, is_dup)``
+    where ``matched_doc`` is the lowest colliding corpus id (the
+    canonical survivor the batch doc would fold into) or null. Plain
+    semantics, fully deterministic, exactly SQL-replayable — recall
+    characteristics are identical to :func:`minhash_lsh_pairs` (same
+    bands, same buckets).
+    """
+    ob = band_buckets(corpus, text_col, id_col, num_hashes, bands, shingle_n).select(
+        F.col(id_col).alias("_old"), "band", "bucket"
+    )
+    nb = band_buckets(batch, text_col, id_col, num_hashes, bands, shingle_n)
+    hits = (
+        nb.join(ob, ["band", "bucket"])
+        .groupBy(id_col)
+        .agg(F.min("_old").alias("matched_doc"))
+    )
+    return (
+        batch.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "matched_doc",
+            F.col("matched_doc").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket.
+
+    Band key = md5 of the ordered concat of the band's minhashes; the
+    self-join happens per bucket, so complexity is Σ bucket², not N².
+    """
+    buckets = band_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
     # One groupBy instead of a self-join: a self-join would recompute
     # the whole signature pipeline for each side; collecting ids per
     # bucket signs the corpus exactly once, and pair generation is an

@@ -5907,3 +5907,76 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_audit(
         S.int8_topk(emb, q, k=10), S.cosine_topk(emb, q, k=10), floor_hits=90
     )
+
+
+@register(
+    "incremental_dedup_probe",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 100000 AS doc_id, text || ' zzduplicatemarker' AS text
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             'fresh unseen content block ' || doc_id::VARCHAR ||
+             ' entirely novel tokens stream' AS text
+      FROM documents WHERE doc_id % 25 = 1
+    ),
+    docs2 AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+    shingled AS (
+      SELECT doc_id, unnest({{sh}}) AS shingle FROM docs2
+    ),
+    pre AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM shingled
+    ),
+    hashed AS (
+      SELECT doc_id, h::INT AS h,
+             ([2557, 21041, 27717, 22863, 845, 29229, 30923, 19617, 21031, 18641, 30861, 30047, 14075, 20097, 17409, 24897][h+1]::BIGINT * x
+              + [654583775, 229283573, 1051550459, 794471793, 803550167, 370913197, 1381971571, 2121308585, 996984527, 1343235941, 1511588075, 2103497953, 956612807, 1588911645, 33727075, 88489753][h+1]::BIGINT) % 2305843009213693951 AS hv
+      FROM pre CROSS JOIN generate_series(0, 15) AS t(h)
+    ),
+    sigs AS (
+      SELECT doc_id, h, min(hv) AS minhash FROM hashed GROUP BY doc_id, h
+    ),
+    buckets AS (
+      SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS bucket
+      FROM sigs GROUP BY doc_id, h // 4
+    ),
+    hits AS (
+      SELECT n.doc_id, min(o.doc_id) AS matched_doc
+      FROM buckets n JOIN buckets o ON n.band = o.band AND n.bucket = o.bucket
+      WHERE n.doc_id >= 100000 AND o.doc_id < 100000
+      GROUP BY n.doc_id
+    )
+    SELECT b.doc_id, h.matched_doc, h.matched_doc IS NOT NULL AS is_dup
+    FROM batch b LEFT JOIN hits h ON b.doc_id = h.doc_id
+    """.format(sh=_SQL_SHINGLES.format(t='text')),
+    doc="Incremental near-dup dedup (operators/dedup.lsh_probe_new): "
+    "an arriving batch — perturbed copies of corpus docs plus "
+    "genuinely fresh ones — probes the corpus's banded MinHash index "
+    "instead of re-deduping the world. The corpus index "
+    "(dedup.band_buckets) is the build-once artifact; per delivery, "
+    "cost scales with the batch: sign the batch, one hash join on "
+    "(band, bucket) against the index, min-collision per doc. This "
+    "is the production daily-ingest shape at 100 TB — the all-pairs "
+    "self-join (minhash_lsh_pairs) runs once per corpus snapshot, "
+    "this runs per batch. Exact hash match vs the full SQL replica "
+    "of the banding pipeline.",
+    tags=("dedup", "llm", "incremental"),
+)
+def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = corpus.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zzduplicatemarker")).alias("text"),
+    )
+    fresh = corpus.where(F.col("doc_id") % 25 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("fresh unseen content block "),
+            F.col("doc_id").cast("string"),
+            F.lit(" entirely novel tokens stream"),
+        ).alias("text"),
+    )
+    return D.lsh_probe_new(corpus, perturbed.unionByName(fresh))

@@ -259,3 +259,25 @@ class TestSegmentDedupDifferential:
                 ).itertuples(index=False)
             }
             assert got == exp, f"seed {seed} diverged"
+
+
+class TestIncrementalProbe:
+    def test_batch_probes_corpus_index(self, spark):
+        from dbm_nca_ph_etl_spark.operators.dedup import lsh_probe_new
+
+        base = "spark shuffles data between stages when keys move " * 3
+        corpus = spark.createDataFrame(
+            [(1, base), (2, "completely different content about windows and aggregates " * 3)],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, base + " tail"),          # near-dup of corpus doc 1
+                (11, "novel text " + " ".join(f"tok{i}" for i in range(30))),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: (r.matched_doc, r.is_dup)
+               for r in lsh_probe_new(corpus, batch).collect()}
+        assert got[10] == (1, True)
+        assert got[11] == (None, False)
