@@ -426,3 +426,54 @@ def hashed_linear_score(
     return scored.select(
         "doc_id", "n_tokens", "score_e6", (F.col("score_e6") >= 0).alias("keep")
     )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TOKEN-window document chunking with overlap — the shard-prep
+    convention for context-window-bounded models (the char-based
+    :func:`chunk_text` is its byte-budget sibling): windows of
+    ``chunk_size`` tokens every ``chunk_size - overlap`` tokens, last
+    window short, every token covered, consecutive chunks sharing
+    ``overlap`` tokens so no span is ever split without context.
+
+    Same execution shape as every chunker here: one let-bound
+    tokenize, sequence+transform+slice HOFs, posexplode — a single
+    codegen'd generate per document, no shuffle, no UDF. Emits the
+    window's token count so downstream packing (shard_packing /
+    prefix_sum) can budget without re-tokenizing.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    from dbm_nca_ph_etl_spark.functions.scalars import let
+
+    def windows(toks: Column) -> Column:
+        # last window start: the largest multiple of stride that still
+        # leaves unseen tokens — floor((n - overlap - 1) / stride),
+        # clamped at 0 so short docs yield exactly one window
+        last = F.greatest(
+            F.floor((F.size(toks) - overlap - 1) / F.lit(stride)), F.lit(0)
+        ).cast("int")
+        return F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(0), last),
+                lambda i: F.slice(toks, i * stride + 1, chunk_size),
+            ),
+        ).otherwise(F.array().cast("array<array<string>>"))
+
+    win = let(tokens(F.col(text_col)), windows)
+    return docs.select(
+        F.col(id_col), F.posexplode(win).alias("chunk_idx", "_w")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.size("_w").alias("n_tokens"),
+        F.concat_ws(" ", "_w").alias("chunk_text"),
+    )

@@ -5980,3 +5980,34 @@ def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return D.lsh_probe_new(corpus, perturbed.unionByName(fresh))
+
+
+@register(
+    "chunk_documents_tokens",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t FROM documents
+    ),
+    win AS (
+      SELECT doc_id, i AS chunk_idx, t[i*48+1 : i*48+64] AS w
+      FROM toks,
+           unnest(generate_series(0, greatest((len(t) - 16 - 1) // 48, 0))) AS u(i)
+      WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_idx::INT AS chunk_idx,
+           len(w)::INT AS n_tokens,
+           array_to_string(w, ' ') AS chunk_text
+    FROM win
+    """,
+    doc="Token-window chunking with overlap (operators/text_analysis."
+    "chunk_tokens): 64-token windows every 48 tokens (16-token "
+    "overlap) — the context-window shard-prep convention, sibling of "
+    "the char-based chunk_documents. One let-bound tokenize + "
+    "sequence/slice HOFs + posexplode per doc: a single codegen'd "
+    "generate, no shuffle, no UDF; emits per-chunk token counts so "
+    "shard packing budgets without re-tokenizing. Exact hash match "
+    "vs the SQL replica.",
+    tags=("llm", "text"),
+)
+def chunk_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.chunk_tokens(_t(spark, sf_dir, "documents"))
