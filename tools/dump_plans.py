@@ -109,6 +109,37 @@ SHOWCASE = {
         "JVM-fold re-check), so the audit's cost stays O(n) in corpus "
         "size."
     ),
+    "segment_dedup_docs": (
+        "Corpus span dedup, broadcast form: exactly TWO exchanges — the "
+        "segment-frequency partial/final agg and the single-partition fold "
+        "of the (tiny) duplicated-segment set — which then broadcasts, and "
+        "every document is cleaned in place by an array filter against its "
+        "own array_intersect'd dup subset. No join-back shuffle of the "
+        "postings, no re-collect, no window; the join-back form survives as "
+        "strategy='join' for corpora whose dup set can't broadcast."
+    ),
+    "embedding_int8_quantize": (
+        "Vector compression as a ZERO-exchange map-only projection: "
+        "vector, scale, and quantized array are let-bound lambda "
+        "variables (each evaluates once per row), every fold is a "
+        "sequential array aggregate (no cross-partition float sums), and "
+        "the whole quantizer inlines into the scan's codegen stage — "
+        "quantizing 100 TB is exactly one pass over the data."
+    ),
+    "incremental_dedup_probe": (
+        "The per-delivery dedup shape: the corpus band index and the "
+        "batch's band rows meet in ONE hash join on (band, bucket), then "
+        "a min-collision aggregate keyed by batch doc — every stage's "
+        "volume scales with the batch, and the corpus side is the "
+        "persistable build-once artifact (dedup.band_buckets)."
+    ),
+    "orders_notin_debtors": (
+        "NOT IN under three-valued logic planning as the null-aware "
+        "BroadcastHashJoin (LeftAnti, isNullAware=true): the filtered "
+        "build side broadcasts, the probe streams with zero exchanges, "
+        "and a build-side NULL short-circuits by flag — never the "
+        "O(n·m) BroadcastNestedLoopJoin fallback."
+    ),
 }
 
 
