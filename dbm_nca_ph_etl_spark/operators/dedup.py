@@ -188,15 +188,19 @@ def lsh_probe_new(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup dedup: probe an arriving batch against the
     existing corpus index — the shape every production ingest actually
     runs. Re-deduping 100 TB on every daily delivery is a non-starter;
     the corpus\'s banded signature index is built once (persist
     :func:`band_buckets` output — same artifact the self-join path
-    uses) and each new batch only (1) signs ITSELF and (2) hash-joins
-    its bucket rows against the index: cost scales with the BATCH,
-    not the corpus.
+    uses — and pass it back as ``index=``, the same override
+    convention as ``lsh_near_dup_pairs(signed=…)``; without it the
+    corpus is re-signed inline, fine for tests, wrong for daily
+    production) and each new batch only (1) signs ITSELF and (2)
+    hash-joins its bucket rows against the index: cost scales with
+    the BATCH, not the corpus.
 
     Output is 1:1 with the batch: ``(doc_id, matched_doc, is_dup)``
     where ``matched_doc`` is the lowest colliding corpus id (the
@@ -205,9 +209,12 @@ def lsh_probe_new(
     characteristics are identical to :func:`minhash_lsh_pairs` (same
     bands, same buckets).
     """
-    ob = band_buckets(corpus, text_col, id_col, num_hashes, bands, shingle_n).select(
-        F.col(id_col).alias("_old"), "band", "bucket"
+    idx = (
+        index
+        if index is not None
+        else band_buckets(corpus, text_col, id_col, num_hashes, bands, shingle_n)
     )
+    ob = idx.select(F.col(id_col).alias("_old"), "band", "bucket")
     nb = band_buckets(batch, text_col, id_col, num_hashes, bands, shingle_n)
     hits = (
         nb.join(ob, ["band", "bucket"])

@@ -714,6 +714,19 @@ def kmeans_train(
     return cents, objectives
 
 
+def _quantized(vd: Column, scale: Column, out_type: str) -> Column:
+    """The one int8 code: ``q[i] = floor(v[i]/scale + 0.5)`` ∈
+    [-127, 127] (scale = absmax/127, so v/scale is already in int8
+    range). Shared by the audit and the retrieval probe so the two
+    can never drift; zero vectors (scale = 0) quantize to zeros."""
+    return F.when(
+        scale > 0,
+        F.transform(
+            vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast(out_type)
+        ),
+    ).otherwise(F.transform(vd, lambda x: F.lit(0).cast(out_type)))
+
+
 def quantize_int8_audit(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -725,10 +738,12 @@ def quantize_int8_audit(
     at-scale vector index takes (4× memory vs float32 ⇒ 4× more
     vectors per executor for the IVF/LSH probes; SQ8 in FAISS terms).
 
-    Per vector: ``scale = absmax/127``, ``q[i] = floor(v[i]/scale·127
-    + 0.5)`` — the floor(+0.5) rounding is the engine-tie-proof form
-    used catalog-wide (plain round() is HALF_UP in Spark, half-even
-    in DuckDB for doubles). Outputs are all-integer (quantized L1
+    Per vector: ``scale = absmax/127``, ``q[i] = floor(v[i]/scale +
+    0.5)`` ∈ [-127, 127] — the floor(+0.5) rounding is the
+    engine-tie-proof form used catalog-wide (plain round() is HALF_UP
+    in Spark, half-even in DuckDB for doubles), and the absmax
+    element always saturates to ±127 exactly (``n_saturated ≥ 1`` on
+    any nonzero vector). Outputs are all-integer (quantized L1
     mass, an index-weighted checksum, saturation count, scale in
     nano-units) so the oracle hash-matches exactly; the float
     reconstruction error appears only as a boolean bound check
@@ -773,13 +788,9 @@ def quantize_int8_audit(
         )
 
     def with_scale(vd: Column, scale: Column) -> Column:
-        q = F.when(
-            F.size(F.filter(vd, lambda x: x != 0)) > 0,
-            F.transform(
-                vd, lambda x: F.floor(x / scale * 127 + F.lit(0.5)).cast("int")
-            ),
-        ).otherwise(F.transform(vd, lambda x: F.lit(0)))
-        return let(q, lambda qq: with_q(vd, scale, qq))
+        return let(
+            _quantized(vd, scale, "int"), lambda qq: with_q(vd, scale, qq)
+        )
 
     def build(vd: Column) -> Column:
         scale = F.array_max(F.transform(vd, F.abs)) / F.lit(127.0)
@@ -806,12 +817,7 @@ def _int8_cols(df: DataFrame, id_alias: str, id_col: str, vec_col: str):
 
     def build(vd: Column) -> Column:
         scale = F.array_max(F.transform(vd, F.abs)) / F.lit(127.0)
-        return F.when(
-            scale > 0,
-            F.transform(
-                vd, lambda x: F.floor(x / scale * 127 + F.lit(0.5)).cast("long")
-            ),
-        ).otherwise(F.transform(vd, lambda x: F.lit(0).cast("long")))
+        return let(scale, lambda sc: _quantized(vd, sc, "long"))
 
     q = let(v, build)
     return df.select(

@@ -5756,9 +5756,9 @@ def hll_matview_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-            >= 0.4
+      WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.4
     ),
     edges AS (SELECT id_a AS a, id_b AS b FROM cands
               UNION SELECT id_b, id_a FROM cands),
@@ -5853,9 +5853,9 @@ def hashed_linear_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     qt AS (
       SELECT vec_id, v, scale,
-             CASE WHEN len(list_filter(v, x -> x <> 0)) > 0
+             CASE WHEN scale > 0
                   THEN list_transform(
-                         v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
+                         v, x -> CAST(floor(x / scale + 0.5) AS INT))
                   ELSE list_transform(v, x -> 0) END AS q
       FROM sc
     )
@@ -5912,15 +5912,19 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "incremental_dedup_probe",
     f"""
-    WITH corpus AS (SELECT doc_id, text FROM documents),
+    WITH corpus AS (
+      -- bounded id space so the +100000/+200000 batch ids are
+      -- disjoint from corpus ids at ANY scale factor
+      SELECT doc_id, text FROM documents WHERE doc_id < 100000
+    ),
     batch AS (
       SELECT doc_id + 100000 AS doc_id, text || ' zzduplicatemarker' AS text
-      FROM documents WHERE doc_id % 25 = 0
+      FROM corpus WHERE doc_id % 25 = 0
       UNION ALL
       SELECT doc_id + 200000 AS doc_id,
              'fresh unseen content block ' || doc_id::VARCHAR ||
              ' entirely novel tokens stream' AS text
-      FROM documents WHERE doc_id % 25 = 1
+      FROM corpus WHERE doc_id % 25 = 1
     ),
     docs2 AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
     shingled AS (
@@ -5966,7 +5970,11 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "incremental"),
 )
 def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 100000)  # keep batch id space disjoint at any SF
+    )
     perturbed = corpus.where(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat("text", F.lit(" zzduplicatemarker")).alias("text"),

@@ -88,11 +88,17 @@ class NCAQueueWriter(DataSourceWriter):
     def __init__(self, path: str, field_names: list[str]):
         self._path = path
         self._fields = field_names
+        # job-scoped temp prefix (minted on the driver, pickled to
+        # executors): lets commit/abort reap THIS job's failed or
+        # speculative attempts — whose temps never reach a commit
+        # message — without ever touching a concurrent job's in-flight
+        # temps
+        self._job = uuid.uuid4().hex[:12]
         os.makedirs(path, exist_ok=True)
 
     # -- executor side ------------------------------------------------------
     def write(self, iterator: Iterator) -> _QueueCommit:
-        tmp = f".tmp-{uuid.uuid4().hex}.jsonl"
+        tmp = f".tmp-{self._job}-{uuid.uuid4().hex}.jsonl"
         n = 0
         with open(os.path.join(self._path, tmp), "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -117,12 +123,19 @@ class NCAQueueWriter(DataSourceWriter):
                 os.remove(src)  # empty partitions publish nothing
                 continue
             os.rename(src, os.path.join(self._path, f"msg-{commit_id}-{i:05d}.jsonl"))
+        self._reap_job_temps()
 
     def abort(self, messages: List[Optional[_QueueCommit]]) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            try:
-                os.remove(os.path.join(self._path, m.tmp_name))
-            except FileNotFoundError:
-                pass
+        self._reap_job_temps()
+
+    def _reap_job_temps(self) -> None:
+        # failed/speculative attempts wrote temps that never reached a
+        # commit message; after rename/abort anything left under this
+        # job's prefix is an orphan
+        prefix = f".tmp-{self._job}-"
+        for f in os.listdir(self._path):
+            if f.startswith(prefix):
+                try:
+                    os.remove(os.path.join(self._path, f))
+                except FileNotFoundError:
+                    pass

@@ -281,3 +281,23 @@ class TestIncrementalProbe:
                for r in lsh_probe_new(corpus, batch).collect()}
         assert got[10] == (1, True)
         assert got[11] == (None, False)
+
+    def test_prebuilt_index_matches_inline(self, spark):
+        from dbm_nca_ph_etl_spark.operators.dedup import band_buckets, lsh_probe_new
+
+        corpus = spark.createDataFrame(
+            [(i, f"some shared words plus unique token{i} " * 4) for i in range(6)],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [(20, "some shared words plus unique token3 " * 4 + "tail")],
+            ["doc_id", "text"],
+        )
+        inline = {tuple(r) for r in lsh_probe_new(corpus, batch).collect()}
+        prebuilt = {
+            tuple(r)
+            for r in lsh_probe_new(
+                corpus, batch, index=band_buckets(corpus)
+            ).collect()
+        }
+        assert inline == prebuilt and len(inline) == 1
