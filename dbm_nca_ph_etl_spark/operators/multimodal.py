@@ -261,3 +261,60 @@ def pcm_window_energy(assets: DataFrame, frame_size: int = 64) -> DataFrame:
     return audio.mapInPandas(
         gen, "asset_id long, frame_idx int, n_samples int, energy long"
     )
+
+
+class BmpDecoder:
+    """REAL image codec, stdlib-only (struct over the public BMP
+    format — the same move sources/minipdf.py makes for PDF): parses
+    uncompressed 24-bit BITMAPINFOHEADER files, handles bottom-up and
+    top-down row order and 4-byte row padding, converts to grayscale
+    with the integer ITU-R 601 luma ((299R + 587G + 114B) // 1000 —
+    deterministic, no float). ``encode`` writes a valid 24-bit BMP
+    back (R=G=B), so decode→transform→encode round-trips through a
+    format any external viewer opens.
+
+    With this codec the image operators (byte_stats path aside, which
+    is codec-free) run REAL decode in-container; PIL remains the
+    optional many-format path, FakeGrayscaleDecoder the synthetic-
+    testdata path. Same Arrow-batched mapInPandas plumbing for all
+    three.
+    """
+
+    def decode(self, content: bytes, meta) -> np.ndarray:
+        import struct
+
+        if content[:2] != b"BM":
+            raise ValueError("not a BMP blob")
+        data_off = struct.unpack_from("<I", content, 10)[0]
+        hdr_size = struct.unpack_from("<I", content, 14)[0]
+        if hdr_size < 40:
+            raise ValueError(f"unsupported BMP header size {hdr_size}")
+        w, h = struct.unpack_from("<ii", content, 18)
+        planes, bpp = struct.unpack_from("<HH", content, 26)
+        comp = struct.unpack_from("<I", content, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})")
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        px = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=data_off)
+        rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        b, g, r = rows[..., 0].astype(np.int64), rows[..., 1].astype(np.int64), rows[..., 2].astype(np.int64)
+        return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+    def encode(self, pixels: np.ndarray) -> bytes:
+        import struct
+
+        px = np.asarray(pixels, dtype=np.uint8)
+        h, w = px.shape
+        stride = (w * 3 + 3) & ~3
+        body = np.zeros((h, stride), dtype=np.uint8)
+        rgb = np.repeat(px[..., None], 3, axis=2)  # B=G=R=gray
+        body[:, : w * 3] = rgb.reshape(h, w * 3)
+        body = body[::-1]  # bottom-up
+        data = body.tobytes()
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        return header + info + data
