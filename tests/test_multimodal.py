@@ -166,3 +166,59 @@ class TestBmpCodec:
             ys = (np.arange(2) * g.shape[0] / 2).astype(int)
             xs = (np.arange(2) * g.shape[1] / 2).astype(int)
             assert (got == g[np.ix_(ys, xs)]).all(), k
+
+
+class TestWavAudio:
+    """Real RIFF/WAV decode in-container via the stdlib wave module."""
+
+    @staticmethod
+    def _wav(samples, width=2, channels=1, rate=8000):
+        import io
+        import wave
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(channels)
+            wf.setsampwidth(width)
+            wf.setframerate(rate)
+            if width == 2:
+                wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+            else:
+                wf.writeframes(bytes(samples))
+        return buf.getvalue()
+
+    def test_16bit_energy_exact(self, spark):
+        from pyspark.sql import Row
+
+        from dbm_nca_ph_etl_spark.operators.multimodal import wav_window_energy
+
+        samples = [0] * 64 + [100, -100] * 5  # frame0 silent, frame1 partial
+        assets = spark.createDataFrame(
+            [Row(asset_id=1, modality="audio", content=bytearray(self._wav(samples)))]
+        )
+        rows = {r.frame_idx: r for r in wav_window_energy(assets).collect()}
+        assert rows[0].n_samples == 64 and rows[0].energy == 0
+        assert rows[1].n_samples == 10 and rows[1].energy == 10 * 100 * 100
+
+    def test_8bit_and_stereo_channel0(self, spark):
+        from pyspark.sql import Row
+
+        from dbm_nca_ph_etl_spark.operators.multimodal import wav_window_energy
+
+        mono8 = self._wav([128, 130, 126, 128], width=1)
+        # stereo 16-bit: ch0 = 7, ch1 = -9 interleaved
+        stereo = self._wav([7, -9] * 8, width=2, channels=2)
+        assets = spark.createDataFrame(
+            [
+                Row(asset_id=1, modality="audio", content=bytearray(mono8)),
+                Row(asset_id=2, modality="audio", content=bytearray(stereo)),
+            ]
+        )
+        rows = {
+            (r.asset_id, r.frame_idx): r
+            for r in wav_window_energy(assets, frame_size=8).collect()
+        }
+        assert rows[(1, 0)].n_samples == 4 and rows[(1, 0)].energy == 4 + 4
+        assert rows[(2, 0)].n_samples == 8 and rows[(2, 0)].energy == 8 * 49
