@@ -923,3 +923,62 @@ class TestRocksDBStateStore:
                 spark.conf.unset(provider_key)
             else:
                 spark.conf.set(provider_key, old)
+
+
+class TestStreamingHllMatview:
+    def test_streamed_distinct_sketch_equals_batch(self, spark, tmp_path):
+        """The hll matview measure through the streaming loop: user
+        sets overlap across micro-batches, so per-batch exact distinct
+        counts would over-count on merge — the streamed HLL union must
+        land on the same estimate as one batch sketch over all rows
+        (and within 2% of the true distinct count)."""
+        import os
+
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            Measure,
+            derived_distinct,
+            partial_agg,
+        )
+        from dbm_nca_ph_etl_spark.streaming.agg_stream import (
+            matview_for_stream,
+            stream_into_matview,
+        )
+
+        schema = "k string, user_id long"
+        src = str(tmp_path / "hll_src")
+        # batch 0: users 0..59; batch 1: users 30..89 (overlap 30..59)
+        spark.createDataFrame(
+            [("a", v) for v in range(60)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        _age_files(src, 120)
+        spark.createDataFrame(
+            [("a", v) for v in range(30, 90)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        measures = [
+            Measure("n", "user_id", "count"),
+            Measure("uh", "user_id", "hll"),
+        ]
+        view = matview_for_stream(
+            spark, str(tmp_path / "hll_mv"), ["k"], measures
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_into_matview(stream, view, str(tmp_path / "hll_ckpt"))
+
+        got = view.read_partials().select(
+            "k", "n", derived_distinct("uh").alias("d")
+        ).collect()[0]
+        assert got.n == 120  # events: exact, overlap double-counts by design
+        batch = (
+            partial_agg(
+                spark.read.parquet(src), ["k"], measures
+            )
+            .select(derived_distinct("uh").alias("d"))
+            .collect()[0]
+        )
+        # sketch is exact at this cardinality; streamed union == batch
+        assert got.d == 90 and batch.d == 90
