@@ -5833,7 +5833,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the identical bigint — full classifier inference, exactly "
     "hash-checked. Posting-shaped: one tokenize pass, two map-side-"
     "combined shuffles, no UDF — scoring 100 TB is a corpus scan.",
-    tags=("llm", "text", "quality"),
+    tags=("llm", "text", "quality", "bench"),
 )
 def hashed_linear_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.hashed_linear_score(_t(spark, sf_dir, "documents"))
@@ -5967,7 +5967,7 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-join (minhash_lsh_pairs) runs once per corpus snapshot, "
     "this runs per batch. Exact hash match vs the full SQL replica "
     "of the banding pipeline.",
-    tags=("dedup", "llm", "incremental"),
+    tags=("dedup", "llm", "incremental", "bench"),
 )
 def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (
