@@ -255,9 +255,11 @@ def segment_dedup(
        ``strategy="broadcast"`` collapses it to one broadcast array
        and cleans each document IN PLACE with an array filter:
        no join-back shuffle, no re-collect, original order for free,
-       and n_segments/n_kept are just ``size()`` calls. 2.8× faster
-       than the join form at sf0.1 (0.8s vs 2.2s) and strictly fewer
-       shuffles at any scale.
+       and n_segments/n_kept are just ``size()`` calls. Strictly
+       fewer shuffles than the join form at any scale (one postings
+       exchange + one single-row fold vs three), and measurably
+       faster at sf0.1 (~2.0s vs ~2.4s warm; the gap widens with
+       corpus size since the join form shuffles every posting twice).
 
     ``strategy="join"`` is the no-assumptions fallback for an
     adversarial corpus whose dup set itself exceeds executor memory
@@ -315,8 +317,9 @@ def segment_dedup(
         # two-step membership: array_intersect is hash-set based
         # (O(n+m)), so the per-element scan runs against the doc's OWN
         # duplicated spans (usually 0-2 entries), not the corpus-wide
-        # dup set — a naive array_contains(_dups, s) per element was
-        # 5× slower at sf0.1. array_except alone would also dedup the
+        # dup set — a naive array_contains(_dups, s) per element made
+        # the whole query ~2× slower at sf0.1 (4.0s vs 2.0s warm).
+        # array_except alone would also dedup the
         # survivors, which breaks multiplicity at max_occurrences > 1.
         with_dd = with_arr.select(
             id_col,
