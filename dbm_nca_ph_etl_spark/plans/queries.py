@@ -6019,3 +6019,120 @@ def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chunk_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_tokens(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dq_expectations_report",
+    """
+    WITH o AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                      THEN 1 ELSE 0 END)::BIGINT AS v1,
+             sum(CASE WHEN o_orderdate IS NULL
+                       OR year(o_orderdate) NOT BETWEEN 1992 AND 2001
+                      THEN 1 ELSE 0 END)::BIGINT AS v2,
+             sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                       OR o_orderstatus IS NULL
+                      THEN 1 ELSE 0 END)::BIGINT AS v3,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v4
+      FROM orders
+    ),
+    l AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN l_discount IS NULL
+                       OR l_discount < 0 OR l_discount > 0.1
+                      THEN 1 ELSE 0 END)::BIGINT AS v1,
+             sum(CASE WHEN l_quantity IS NULL
+                       OR l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END)::BIGINT AS v2,
+             sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS v3,
+             sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+                      THEN 1 ELSE 0 END)::BIGINT AS v4
+      FROM lineitem
+    )
+    SELECT * FROM (
+      SELECT 'orders.totalprice_positive' AS rule, n, v1 AS n_violations, v1 = 0 AS pass FROM o
+      UNION ALL SELECT 'orders.orderdate_in_range', n, v2, v2 = 0 FROM o
+      UNION ALL SELECT 'orders.status_in_domain', n, v3, v3 = 0 FROM o
+      UNION ALL SELECT 'orders.orderkey_not_null', n, v4, v4 = 0 FROM o
+      UNION ALL SELECT 'lineitem.discount_in_range', n, v1, v1 = 0 FROM l
+      UNION ALL SELECT 'lineitem.quantity_in_range', n, v2, v2 = 0 FROM l
+      UNION ALL SELECT 'lineitem.shipdate_not_null', n, v3, v3 = 0 FROM l
+      UNION ALL SELECT 'lineitem.extendedprice_positive', n, v4, v4 = 0 FROM l
+    )
+    """,
+    doc="Data-quality expectation suite as one query (the "
+    "Great-Expectations-shaped gate a pipeline runs before letting a "
+    "delivery into the lake): null checks, range checks, and domain "
+    "checks for orders and lineitem, each reported as (rule, rows, "
+    "violations, pass). Execution shape: ONE conditional-aggregation "
+    "scan per table — eight rules cost two passes total, not eight — "
+    "then the 2-row aggregate unpivots into the 8-row report via a "
+    "stack (Expand on aggregated rows, no shuffle). Violation counts "
+    "are exact integers, hash-checked; at 100 TB the report costs "
+    "the same two scans any single metric would.",
+    tags=("relational", "etl", "quality"),
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def viol(cond: Column) -> Column:
+        return F.sum(cond.cast("int")).cast("long")
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).alias("v1"),
+        viol(
+            F.col("o_orderdate").isNull()
+            | ~F.year("o_orderdate").between(1992, 2001)
+        ).alias("v2"),
+        viol(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("v3"),
+        viol(F.col("o_orderkey").isNull()).alias("v4"),
+    )
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(
+            F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.1)
+        ).alias("v1"),
+        viol(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+        ).alias("v2"),
+        viol(F.col("l_shipdate").isNull()).alias("v3"),
+        viol(
+            F.col("l_extendedprice").isNull() | (F.col("l_extendedprice") <= 0)
+        ).alias("v4"),
+    )
+
+    def report(agg: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+        pairs = ", ".join(f"'{name}', {col}" for name, col in rules)
+        return agg.selectExpr(
+            f"stack({len(rules)}, {pairs}) AS (rule, n_violations)", "n"
+        ).select("rule", "n", "n_violations", (F.col("n_violations") == 0).alias("pass"))
+
+    return report(
+        o_agg,
+        [
+            ("orders.totalprice_positive", "v1"),
+            ("orders.orderdate_in_range", "v2"),
+            ("orders.status_in_domain", "v3"),
+            ("orders.orderkey_not_null", "v4"),
+        ],
+    ).unionByName(
+        report(
+            l_agg,
+            [
+                ("lineitem.discount_in_range", "v1"),
+                ("lineitem.quantity_in_range", "v2"),
+                ("lineitem.shipdate_not_null", "v3"),
+                ("lineitem.extendedprice_positive", "v4"),
+            ],
+        )
+    )
