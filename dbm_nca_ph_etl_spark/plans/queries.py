@@ -6136,3 +6136,61 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+@register(
+    "trimmed_price_by_priority",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS r,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    kept AS (
+      SELECT * FROM ranked
+      WHERE r > floor(n * 0.05) AND r <= n - floor(n * 0.05)
+    )
+    SELECT o_orderpriority,
+           min(n)::BIGINT AS n_total,
+           count(*)::BIGINT AS n_kept,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE
+             AS kept_sum,
+           floor((sum(CAST(o_totalprice AS DECIMAL(18,2))) * 1000000)::DOUBLE
+                 / count(*))::BIGINT AS trimmed_mean_e6
+    FROM kept
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact 5% two-sided trimmed mean per group — the robust "
+    "aggregate for outlier-resistant reporting (a winsorized variant "
+    "is the same plan with a clamp instead of a filter). Total-order "
+    "rank (price, orderkey tiebreak) + per-group count in ONE window "
+    "pass sharing a single hash partitioning; the trim bound is pure "
+    "arithmetic on (r, n); sums run in DECIMAL so 1000-executor "
+    "partial-aggregation order can't move a cent, and the mean is "
+    "floor-scaled micro-units (engine-tie-proof). One shuffle on the "
+    "group key end to end.",
+    tags=("relational", "window", "quality"),
+)
+def trimmed_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    trim = F.floor(F.col("n") * 0.05)
+    kept = ranked.where((F.col("r") > trim) & (F.col("r") <= F.col("n") - trim))
+    dec = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    return kept.groupBy("o_orderpriority").agg(
+        F.min("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(dec, 2).cast("double").alias("kept_sum"),
+        F.floor((dec * 1000000).cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("trimmed_mean_e6"),
+    )
