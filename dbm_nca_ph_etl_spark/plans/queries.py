@@ -6194,3 +6194,47 @@ def trimmed_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("trimmed_mean_e6"),
     )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT substr(c::VARCHAR, 1, 1) AS digit FROM cents
+    ),
+    counts AS (SELECT digit, count(*)::BIGINT AS n FROM digits GROUP BY digit),
+    total AS (SELECT sum(n)::BIGINT AS t FROM counts)
+    SELECT digit, n,
+           floor(n * 1000000.0 / t)::BIGINT AS share_ppm
+    FROM counts CROSS JOIN total
+    """,
+    doc="Benford first-significant-digit audit — the classic "
+    "financial-data anomaly screen (fabricated amounts drift from "
+    "the log distribution; here the synthetic uniform-ish prices "
+    "measurably DON'T follow Benford, which is itself the signal "
+    "the report exists to surface). Digit extraction goes through "
+    "exact integer cents (floor(x*100) — cast of double to bigint "
+    "ROUNDS in some engines and truncates in others, so the floor is "
+    "spelled explicitly) and string slicing of a bigint, never "
+    "float log10. One map-side-combined groupBy to ≤9 rows + a "
+    "1-row broadcast total. Exact hash match at both SFs.",
+    tags=("relational", "quality"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.floor(F.col("n") * 1000000.0 / F.col("t")).cast("long").alias("share_ppm"),
+    )
