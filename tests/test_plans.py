@@ -380,3 +380,22 @@ def test_segment_dedup_strategies_agree(spark):
         for r in segment_dedup(df, seg_tokens=2, strategy="join").collect()
     }
     assert fast == slow and len(fast) == 40
+
+
+def test_classifier_is_posting_shaped(spark, sf_dir):
+    # hashed linear inference: tokenize once, two map-side-combined
+    # shuffles (token postings, per-doc score) — never a weight-table
+    # join, never a UDF.
+    p = q(spark, sf_dir, "hashed_linear_score")
+    assert exchanges(p) == 2, p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_incremental_probe_scales_with_batch(spark, sf_dir):
+    # batch-vs-index probe: the (band, bucket) join + the
+    # min-collision aggregate — two exchanges, small batch side
+    # broadcast, never a cartesian pairing of corpus docs.
+    p = q(spark, sf_dir, "incremental_dedup_probe")
+    assert exchanges(p) == 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
