@@ -6238,3 +6238,95 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(F.col("n") * 1000000.0 / F.col("t")).cast("long").alias("share_ppm"),
     )
+
+
+@register(
+    "mixture_design_report",
+    f"""
+    WITH base AS (
+      SELECT lang, source, {_SQL_TOKENS.format(t='text')} AS toks,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+      FROM documents
+    ),
+    m AS (
+      SELECT lang, source,
+             len(toks)::BIGINT AS n_tokens,
+             CAST(floor(((least(len(toks)::DOUBLE / 100.0, 1.0)
+               + greatest(1.0 - (CASE WHEN nonspace > 0
+                   THEN punct::DOUBLE / nonspace::DOUBLE ELSE 0.0 END) * 5.0, 0.0)
+               + least((CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, x -> list_contains({_SQL_STOP_EN}, x)))::DOUBLE
+                     / len(toks)::DOUBLE ELSE 0.0 END) * 5.0, 1.0)) / 3.0)
+               * 1000000.0 + 0.5) AS BIGINT) AS q_e6
+      FROM base
+    ),
+    total AS (SELECT sum(n_tokens)::BIGINT AS t FROM m),
+    cells AS (
+      SELECT coalesce(lang, '<all>') AS lang,
+             coalesce(source, '<all>') AS source,
+             count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS sum_tokens,
+             sum(q_e6)::BIGINT AS sum_q
+      FROM m GROUP BY ROLLUP(lang, source)
+    )
+    SELECT lang, source, n_docs, sum_tokens,
+           floor(sum_tokens * 1000000.0 / t)::BIGINT AS token_share_ppm,
+           floor(sum_q::DOUBLE / n_docs)::BIGINT AS mean_quality_e6
+    FROM cells CROSS JOIN total
+    """,
+    doc="Corpus mixture design report — the dashboard you actually "
+    "stare at when weighting a pre-training mix: per (lang, source) "
+    "ROLLUP cell, document count, token mass, token share of the "
+    "whole corpus (floor-ppm off a 1-row broadcast total), and mean "
+    "quality. Quality flows as exact integer micro-units per doc "
+    "(the 6dp-rounded double of text_stats made summable — float "
+    "sums across 1000 executors are order-dependent, int64 sums are "
+    "not). One tokenize pass, one rollup aggregation (Expand: cell + "
+    "lang + grand-total rows from a single shuffle). Exact hash "
+    "match vs the SQL replica.",
+    tags=("llm", "text", "quality"),
+)
+def mixture_design_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    tc = T.token_count(t).cast("double")
+    q = (
+        F.least(tc / 100.0, F.lit(1.0))
+        + F.greatest(1.0 - T.punct_ratio(t) * 5.0, F.lit(0.0))
+        + F.least(T.stopword_ratio(t) * 5.0, F.lit(1.0))
+    ) / 3.0
+    m = d.select(
+        "lang",
+        "source",
+        T.token_count(t).cast("long").alias("n_tokens"),
+        F.floor(q * 1000000.0 + 0.5).cast("long").alias("q_e6"),
+    )
+    total = m.agg(F.sum("n_tokens").alias("t"))
+    cells = (
+        m.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("q_e6").cast("long").alias("sum_q"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "sum_tokens",
+            "sum_q",
+        )
+    )
+    return cells.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "sum_tokens",
+        F.floor(F.col("sum_tokens") * 1000000.0 / F.col("t"))
+        .cast("long")
+        .alias("token_share_ppm"),
+        F.floor(F.col("sum_q").cast("double") / F.col("n_docs"))
+        .cast("long")
+        .alias("mean_quality_e6"),
+    )
