@@ -6330,3 +6330,47 @@ def mixture_design_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_quality_e6"),
     )
+
+
+@register(
+    "equidepth_price_histogram",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           count(*)::BIGINT AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS bucket_sum
+    FROM ranked GROUP BY bucket
+    """,
+    doc="Equi-DEPTH decile histogram (the optimizer-statistics / "
+    "data-profiling twin of the equi-width totalprice_histogram): "
+    "ntile over a total order (price, orderkey tiebreak — ntile on a "
+    "non-unique key is partition-dependent, the determinism gate's "
+    "bread and butter) then per-bucket count/bounds/decimal sum. The "
+    "global sort is one range exchange; bucket bounds are exactly "
+    "the decile fences a cost model or a visual profiler wants. At "
+    "100 TB the same result comes cheaper from approx_percentile "
+    "fences + a bucketed agg — this is the exact reference "
+    "implementation those fences are audited against.",
+    tags=("relational", "window", "quality"),
+)
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("bucket_sum"),
+        )
+    )
