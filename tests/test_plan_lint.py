@@ -1,8 +1,8 @@
 """Catalog-wide physical-plan lint — the 100 TB anti-pattern sweep
 as a standing gate rather than a review-time activity.
 
-Every catalog query (the whole registry, currently 139) is planned
-(not executed) at
+Every catalog query (the whole registry, whatever its size) is
+planned (not executed) at
 sf0.001 and its physical plan is checked for the two patterns that
 kill distributed scale:
 
