@@ -189,6 +189,7 @@ def lsh_probe_new(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     index: DataFrame | None = None,
+    verify_threshold: float | None = 0.5,
 ) -> DataFrame:
     """INCREMENTAL near-dup dedup: probe an arriving batch against the
     existing corpus index — the shape every production ingest actually
@@ -202,12 +203,25 @@ def lsh_probe_new(
     hash-joins its bucket rows against the index: cost scales with
     the BATCH, not the corpus.
 
+    A raw band-bucket collision is a CANDIDATE, not a verdict: a
+    boilerplate-heavy band or an outright hash collision would
+    otherwise permanently mark a novel document as a duplicate of an
+    unrelated corpus doc. So, matching the batch path
+    (:func:`minhash_dedup`), every candidate is re-checked with exact
+    :func:`ngram_jaccard` against the colliding corpus doc and only
+    pairs ≥ ``verify_threshold`` count as duplicates. The candidate
+    set is batch-sized, so the text join-back is cheap relative to
+    signing; the corpus side of that join is an id-equi hash join,
+    never a scan-side blowup. Pass ``verify_threshold=None`` to get
+    the raw candidate semantics (then treat ``is_dup`` as
+    "is_candidate").
+
     Output is 1:1 with the batch: ``(doc_id, matched_doc, is_dup)``
-    where ``matched_doc`` is the lowest colliding corpus id (the
-    canonical survivor the batch doc would fold into) or null. Plain
-    semantics, fully deterministic, exactly SQL-replayable — recall
-    characteristics are identical to :func:`minhash_lsh_pairs` (same
-    bands, same buckets).
+    where ``matched_doc`` is the lowest verified-colliding corpus id
+    (the canonical survivor the batch doc would fold into) or null.
+    Plain semantics, fully deterministic, exactly SQL-replayable —
+    candidate recall is identical to :func:`minhash_lsh_pairs` (same
+    bands, same buckets), precision is the verified Jaccard bar.
     """
     idx = (
         index
@@ -216,11 +230,25 @@ def lsh_probe_new(
     )
     ob = idx.select(F.col(id_col).alias("_old"), "band", "bucket")
     nb = band_buckets(batch, text_col, id_col, num_hashes, bands, shingle_n)
-    hits = (
-        nb.join(ob, ["band", "bucket"])
-        .groupBy(id_col)
-        .agg(F.min("_old").alias("matched_doc"))
-    )
+    cand = nb.join(ob, ["band", "bucket"]).select(id_col, "_old").distinct()
+    if verify_threshold is not None:
+        bt = batch.select(F.col(id_col), F.col(text_col).alias("_bt"))
+        ct = corpus.select(
+            F.col(id_col).alias("_old"), F.col(text_col).alias("_ct")
+        )
+        # Broadcast the batch-derived candidate side into the corpus
+        # text join: the corpus is the 100 TB relation and must stay
+        # map-side; left to static size estimates Spark would happily
+        # broadcast a small-SF corpus instead and shuffle at scale.
+        cand = (
+            ct.join(F.broadcast(cand.join(bt, id_col)), "_old")
+            .where(
+                ngram_jaccard(F.col("_bt"), F.col("_ct"), shingle_n)
+                >= F.lit(verify_threshold)
+            )
+            .select(id_col, "_old")
+        )
+    hits = cand.groupBy(id_col).agg(F.min("_old").alias("matched_doc"))
     return (
         batch.select(id_col)
         .join(hits, id_col, "left")

@@ -5947,11 +5947,28 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS bucket
       FROM sigs GROUP BY doc_id, h // 4
     ),
-    hits AS (
-      SELECT n.doc_id, min(o.doc_id) AS matched_doc
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
       FROM buckets n JOIN buckets o ON n.band = o.band AND n.bucket = o.bucket
       WHERE n.doc_id >= 100000 AND o.doc_id < 100000
-      GROUP BY n.doc_id
+    ),
+    szs AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_id, c.old_id, count(*) AS i
+      FROM cand c
+      JOIN shingled a ON a.doc_id = c.new_id
+      JOIN shingled b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+      GROUP BY c.new_id, c.old_id
+    ),
+    hits AS (
+      SELECT c.new_id AS doc_id, min(c.old_id) AS matched_doc
+      FROM cand c
+      JOIN szs sa ON sa.doc_id = c.new_id
+      JOIN szs sb ON sb.doc_id = c.old_id
+      LEFT JOIN inter i ON i.new_id = c.new_id AND i.old_id = c.old_id
+      WHERE coalesce(i.i, 0)::DOUBLE
+              / (sa.n + sb.n - coalesce(i.i, 0)) >= 0.5
+      GROUP BY c.new_id
     )
     SELECT b.doc_id, h.matched_doc, h.matched_doc IS NOT NULL AS is_dup
     FROM batch b LEFT JOIN hits h ON b.doc_id = h.doc_id
@@ -5962,11 +5979,14 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of re-deduping the world. The corpus index "
     "(dedup.band_buckets) is the build-once artifact; per delivery, "
     "cost scales with the batch: sign the batch, one hash join on "
-    "(band, bucket) against the index, min-collision per doc. This "
+    "(band, bucket) against the index, min-collision per doc, and "
+    "every raw band collision is verified with exact n-gram Jaccard "
+    "≥ 0.5 before a doc is marked is_dup — a coincidental bucket "
+    "collision never poisons a novel document. This "
     "is the production daily-ingest shape at 100 TB — the all-pairs "
     "self-join (minhash_lsh_pairs) runs once per corpus snapshot, "
     "this runs per batch. Exact hash match vs the full SQL replica "
-    "of the banding pipeline.",
+    "of the banding-plus-verification pipeline.",
     tags=("dedup", "llm", "incremental", "bench"),
 )
 def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

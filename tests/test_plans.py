@@ -393,9 +393,11 @@ def test_classifier_is_posting_shaped(spark, sf_dir):
 
 
 def test_incremental_probe_scales_with_batch(spark, sf_dir):
-    # batch-vs-index probe: the (band, bucket) join + the
-    # min-collision aggregate — two exchanges, small batch side
-    # broadcast, never a cartesian pairing of corpus docs.
+    # batch-vs-index probe: the (band, bucket) join, the candidate
+    # distinct, and the min-collision aggregate — three exchanges,
+    # ALL on batch-sized data; the Jaccard verification join-back
+    # broadcasts the candidate side so the corpus text relation
+    # never shuffles; never a cartesian pairing of corpus docs.
     p = q(spark, sf_dir, "incremental_dedup_probe")
-    assert exchanges(p) == 2, p
+    assert exchanges(p) == 3, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
