@@ -15,12 +15,25 @@ the classic TWO-PHASE COMMIT every lake sink needs:
 
 - executors write to dot-hidden temp files (``.tmp-*``) and return
   the temp name + row count as their commit message;
-- the driver's ``commit()`` renames every temp to a visible
-  ``msg-<commit uuid>-<task idx>.jsonl`` — rename is atomic on a
-  POSIX filesystem, so a consumer (``spark.read[Stream].json`` with
-  the default ``pathGlobFilter`` ignoring dotfiles) never observes a
-  torn message and a failed job publishes NOTHING;
-- ``abort()`` deletes the temps.
+- the driver's ``commit()`` first publishes a dot-hidden MANIFEST
+  (``.manifest-<commit>.json``, itself temp-written then atomically
+  renamed) recording every intended temp→visible rename — that
+  single rename IS the commit decision — then renames every temp to
+  a visible ``msg-<commit uuid>-<task idx>.jsonl`` and removes the
+  manifest;
+- ``abort()`` deletes the temps (no manifest is ever written for an
+  aborted job, so an aborted job publishes NOTHING).
+
+Atomicity contract, stated precisely: each MESSAGE file appears
+atomically (POSIX rename — a consumer doing plain
+``spark.read[Stream].json`` never observes a torn message, and
+dotfiles are invisible to it). JOB-level all-or-nothing is the
+write-ahead-manifest protocol: before the manifest rename, nothing
+is visible; after it, the commit is durable and a driver crash
+mid-rename leaves a prefix of the batch visible only until
+:func:`recover_queue_dir` rolls the recorded renames FORWARD —
+run it on queue-directory open (consumers or the next producer) and
+the batch is eventually all-visible, never partially-forever.
 
 This is exactly the contract SQS gave the reference (all-or-nothing
 visibility per message) generalized to a batch: at-least-once
@@ -117,25 +130,84 @@ class NCAQueueWriter(DataSourceWriter):
     # -- driver side --------------------------------------------------------
     def commit(self, messages: List[Optional[_QueueCommit]]) -> None:
         commit_id = uuid.uuid4().hex[:12]
+        renames: list[list[str]] = []
         for i, m in enumerate(m for m in messages if m is not None):
-            src = os.path.join(self._path, m.tmp_name)
             if m.n_rows == 0:
-                os.remove(src)  # empty partitions publish nothing
-                continue
-            os.rename(src, os.path.join(self._path, f"msg-{commit_id}-{i:05d}.jsonl"))
+                os.remove(os.path.join(self._path, m.tmp_name))
+                continue  # empty partitions publish nothing
+            renames.append([m.tmp_name, f"msg-{commit_id}-{i:05d}.jsonl"])
+        if renames:
+            # WRITE-AHEAD MANIFEST: the atomic rename below is the
+            # commit decision. Crash before it → nothing visible;
+            # crash after it → recover_queue_dir rolls forward.
+            manifest = os.path.join(self._path, f".manifest-{commit_id}.json")
+            tmp_manifest = manifest + ".tmp"
+            with open(tmp_manifest, "w", encoding="utf-8") as fh:
+                json.dump({"renames": renames}, fh)
+            os.replace(tmp_manifest, manifest)
+            _apply_manifest(self._path, manifest, {"renames": renames})
         self._reap_job_temps()
 
     def abort(self, messages: List[Optional[_QueueCommit]]) -> None:
         self._reap_job_temps()
 
     def _reap_job_temps(self) -> None:
-        # failed/speculative attempts wrote temps that never reached a
-        # commit message; after rename/abort anything left under this
-        # job's prefix is an orphan
-        prefix = f".tmp-{self._job}-"
-        for f in os.listdir(self._path):
-            if f.startswith(prefix):
-                try:
-                    os.remove(os.path.join(self._path, f))
-                except FileNotFoundError:
-                    pass
+        _reap_prefix(self._path, f".tmp-{self._job}-")
+
+
+def _apply_manifest(path: str, manifest: str, plan: dict) -> None:
+    """Redo phase shared by commit() and recovery: apply every
+    recorded rename (idempotently — a rename already applied, whether
+    by a crashed commit or a concurrent recoverer, is skipped), then
+    retire the manifest."""
+    for src, dst in plan["renames"]:
+        try:
+            os.replace(os.path.join(path, src), os.path.join(path, dst))
+        except FileNotFoundError:
+            if not os.path.exists(os.path.join(path, dst)):
+                raise  # neither temp nor published file: data loss, surface it
+    try:
+        os.remove(manifest)
+    except FileNotFoundError:
+        pass
+
+
+def recover_queue_dir(path: str) -> int:
+    """Roll FORWARD any commit a crashed driver left half-published.
+
+    A ``.manifest-*.json`` in the queue dir means a job reached its
+    commit decision (the manifest rename is the atomic commit point)
+    but may have died before finishing the temp→visible renames.
+    Recovery is pure redo: re-apply the recorded renames (idempotent)
+    and retire the manifest. Call on queue-directory open — the next
+    producer run or a consumer's startup — to restore the job-level
+    all-or-nothing guarantee after a crash. Returns the number of
+    manifests completed. Orphan ``.tmp-*`` files from jobs that died
+    BEFORE their commit decision are not touched (they are dot-hidden
+    and might belong to a live concurrent job); they are reaped by
+    their own job's commit/abort when it runs.
+    """
+    done = 0
+    for f in sorted(os.listdir(path)):
+        if f.startswith(".manifest-") and f.endswith(".json"):
+            manifest = os.path.join(path, f)
+            try:
+                with open(manifest, encoding="utf-8") as fh:
+                    plan = json.load(fh)
+            except FileNotFoundError:
+                continue  # a concurrent recoverer finished it
+            _apply_manifest(path, manifest, plan)
+            done += 1
+    return done
+
+
+def _reap_prefix(path: str, prefix: str) -> None:
+    # failed/speculative attempts wrote temps that never reached a
+    # commit message; after rename/abort anything left under the
+    # owning job's prefix is an orphan
+    for f in os.listdir(path):
+        if f.startswith(prefix):
+            try:
+                os.remove(os.path.join(path, f))
+            except FileNotFoundError:
+                pass

@@ -618,3 +618,95 @@ class TestQueueDataSink:
             for r in spark.sql("SELECT * FROM queue_consume").collect()
         }
         assert got == {("id_2024", 1), ("id_2025", 1)}
+
+    def test_induced_task_failure_publishes_nothing_then_retry_once(
+        self, spark, tmp_path
+    ):
+        """Kill a task mid-write (exception after rows already hit the
+        temp file): no partial message may ever become visible, temps
+        are reaped by abort(), and the retry publishes exactly once."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        self._register(spark)
+        q = str(tmp_path / "queue6")
+
+        @F.udf("int")
+        def boom(n):
+            if n == 3:
+                raise ValueError("induced task failure")
+            return n
+
+        poisoned = (
+            spark.createDataFrame([(1,), (2,), (3,)], "n int")
+            .coalesce(1)
+            .withColumn("n", boom("n"))
+        )
+        with pytest.raises(Exception):
+            poisoned.write.format("nca_queue").option("path", q).mode(
+                "append"
+            ).save()
+        leftovers = os.listdir(q)
+        assert not any(f.startswith("msg-") for f in leftovers), leftovers
+        assert not any(f.startswith(".tmp-") for f in leftovers), leftovers
+        assert not any(f.startswith(".manifest-") for f in leftovers), leftovers
+
+        spark.createDataFrame([(1,), (2,), (3,)], "n int").coalesce(1).write.format(
+            "nca_queue"
+        ).option("path", q).mode("append").save()
+        got = [r.n for r in spark.read.schema("n int").json(q).collect()]
+        assert sorted(got) == [1, 2, 3], "retry must publish exactly once"
+
+    def test_recover_rolls_interrupted_commit_forward(self, tmp_path):
+        """A driver crash between the manifest rename (the commit
+        decision) and the last temp rename leaves a half-published
+        batch; recover_queue_dir must finish the redo idempotently."""
+        import json
+        import os
+
+        from dbm_nca_ph_etl_spark.sources.queue_sink import recover_queue_dir
+
+        q = tmp_path / "queue7"
+        q.mkdir()
+        # rename [0] never ran; rename [1] already completed pre-crash
+        (q / ".tmp-deadjob-aaa.jsonl").write_text('{"n": 1}\n')
+        (q / "msg-c1-00001.jsonl").write_text('{"n": 2}\n')
+        # an orphan temp from a job that died BEFORE its commit
+        # decision: recovery must leave it alone
+        (q / ".tmp-otherjob-zzz.jsonl").write_text('{"n": 9}\n')
+        (q / ".manifest-c1.json").write_text(
+            json.dumps(
+                {
+                    "renames": [
+                        [".tmp-deadjob-aaa.jsonl", "msg-c1-00000.jsonl"],
+                        [".tmp-deadjob-bbb.jsonl", "msg-c1-00001.jsonl"],
+                    ]
+                }
+            )
+        )
+        assert recover_queue_dir(str(q)) == 1
+        assert sorted(os.listdir(q)) == [
+            ".tmp-otherjob-zzz.jsonl",
+            "msg-c1-00000.jsonl",
+            "msg-c1-00001.jsonl",
+        ]
+        assert (q / "msg-c1-00000.jsonl").read_text() == '{"n": 1}\n'
+        # second recovery pass is a no-op
+        assert recover_queue_dir(str(q)) == 0
+
+    def test_recover_raises_on_genuine_data_loss(self, tmp_path):
+        """Manifest promises a message whose temp vanished and whose
+        visible twin never appeared — that is data loss, not a state
+        to silently skip."""
+        import json
+
+        from dbm_nca_ph_etl_spark.sources.queue_sink import recover_queue_dir
+
+        q = tmp_path / "queue8"
+        q.mkdir()
+        (q / ".manifest-c2.json").write_text(
+            json.dumps({"renames": [[".tmp-gone.jsonl", "msg-c2-00000.jsonl"]]})
+        )
+        with pytest.raises(FileNotFoundError):
+            recover_queue_dir(str(q))
