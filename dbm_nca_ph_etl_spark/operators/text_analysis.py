@@ -297,13 +297,22 @@ def segment_dedup(
     seg_arr = let(tokens(F.col(text_col)), _segments)
 
     if strategy == "broadcast":
-        # materialize the segment table once (localCheckpoint, same
-        # pattern as the LSH signature table in operators/similarity):
-        # both consumers — the frequency build and the cleaning pass —
-        # read the materialized arrays instead of re-running the
-        # tokenize+segment HOF over the corpus. At 100 TB this is the
-        # persisted segment/frequency artifact the docstring promises.
-        base = docs.select(F.col(id_col), seg_arr.alias("_segs")).localCheckpoint()
+        # cache the segment table (persist, NOT localCheckpoint): both
+        # consumers — the frequency build and the cleaning pass — read
+        # the cached arrays instead of re-running the tokenize+segment
+        # HOF over the corpus. persist() keeps this a lazy transform
+        # (no job at plan-construction time) AND keeps lineage, so a
+        # lost executor recomputes its blocks instead of failing the
+        # query — localCheckpoint blocks are non-replicated and
+        # lineage-truncated, the wrong durability trade for the
+        # long-lived corpus artifact this pass is. For a genuinely
+        # persisted cross-job artifact, write base out as parquet and
+        # feed that table in as `docs`.
+        from pyspark import StorageLevel
+
+        base = docs.select(F.col(id_col), seg_arr.alias("_segs")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         freq = base.select(F.explode("_segs").alias("seg")).groupBy("seg").agg(
             F.count(F.lit(1)).alias("seg_freq")
         )

@@ -6283,8 +6283,12 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     total AS (SELECT sum(n_tokens)::BIGINT AS t FROM m),
     cells AS (
-      SELECT coalesce(lang, '<all>') AS lang,
-             coalesce(source, '<all>') AS source,
+      -- GROUPING() distinguishes a rollup subtotal row from a genuine
+      -- NULL lang/source value; the two must not share a sentinel
+      SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>'
+                  ELSE coalesce(lang, '<null>') END AS lang,
+             CASE WHEN GROUPING(source) = 1 THEN '<all>'
+                  ELSE coalesce(source, '<null>') END AS source,
              count(*)::BIGINT AS n_docs,
              sum(n_tokens)::BIGINT AS sum_tokens,
              sum(q_e6)::BIGINT AS sum_q
@@ -6329,10 +6333,18 @@ def mixture_design_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("sum_tokens"),
             F.sum("q_e6").cast("long").alias("sum_q"),
+            F.grouping("lang").alias("_gl"),
+            F.grouping("source").alias("_gs"),
         )
+        # grouping() tags a rollup subtotal row; a genuine NULL value
+        # gets its own sentinel so the two never conflate
         .select(
-            F.coalesce("lang", F.lit("<all>")).alias("lang"),
-            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.when(F.col("_gl") == 1, F.lit("<all>"))
+            .otherwise(F.coalesce("lang", F.lit("<null>")))
+            .alias("lang"),
+            F.when(F.col("_gs") == 1, F.lit("<all>"))
+            .otherwise(F.coalesce("source", F.lit("<null>")))
+            .alias("source"),
             "n_docs",
             "sum_tokens",
             "sum_q",
