@@ -1,0 +1,202 @@
+"""Lake filesystem seam — object-store-capable IO for the non-Spark
+file paths (listing discovery, PDF staging).
+
+Reference parity: the reference isolates storage behind an adapter
+pair (``s3_storage.py:25-38`` S3 put/get vs ``local_storage.py:19-26``
+POSIX) chosen by environment; this module is the same seam for the
+Spark engine's driver/executor-side byte IO. Spark's own reads and
+writes (parquet, binaryFile, the DataSource formats) already resolve
+URIs through Hadoop — this seam exists for the places the engine
+touches bytes *itself*: enumerating listing snapshots, staging
+fetched PDFs into the lake.
+
+Why ``pyarrow.fs`` and not ``spark._jvm`` Hadoop: the JVM gateway is
+driver-only — a ``mapInPandas`` task on an executor has no py4j
+bridge, so Hadoop ``FileSystem`` calls cannot run where the staging
+writes happen. ``pyarrow.fs`` is in every executor's Python runtime,
+resolves the same URI schemes (``s3://``, ``gs://``, ``hdfs://``
+where libhdfs is present, ``file://``), and its filesystem handles
+are picklable. Resolution is per-call from the path string, so
+nothing stateful ships task-to-task.
+
+The protocol is deliberately tiny (ls / read / write / exists /
+size / mkdirs) — exactly what the two call sites need, and small
+enough that tests inject an in-memory fake to prove the cluster
+claims without a real bucket.
+
+Atomicity: on POSIX-like filesystems writes go tmp-file →
+``move`` (rename — a concurrent reader never sees a torn file). On
+object stores a single PUT is already all-or-nothing visible, and a
+copy+delete "rename" would *add* a torn-state window, so writes
+stream directly.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import uuid
+from typing import Sequence
+
+
+class LakeFS:
+    """Minimal filesystem protocol. Paths are full paths/URIs in the
+    scheme the instance was resolved for."""
+
+    #: True when `move` is an atomic rename (POSIX); False when the
+    #: store's single-object PUT is the atomicity unit (S3/GCS).
+    atomic_rename = True
+
+    def ls(self, path: str, suffixes: Sequence[str] | None = None) -> list[str]:
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Publish ``data`` at ``path`` with no torn-read window."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def mkdirs(self, path: str) -> None:
+        raise NotImplementedError
+
+
+class PosixLakeFS(LakeFS):
+    """Bare local paths — stdlib only, no pyarrow import cost. The
+    default for everything without a URI scheme (local mode, NFS)."""
+
+    def ls(self, path, suffixes=None):
+        if not os.path.isdir(path):
+            return [path]
+        out = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if suffixes is None or f.lower().endswith(tuple(suffixes))
+        ]
+        return sorted(p for p in out if os.path.isfile(p))
+
+    def is_dir(self, path):
+        return os.path.isdir(path)
+
+    def read_bytes(self, path):
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def write_bytes(self, path, data):
+        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+
+    def exists(self, path):
+        return os.path.exists(path)
+
+    def size(self, path):
+        return os.path.getsize(path)
+
+    def mkdirs(self, path):
+        os.makedirs(path, exist_ok=True)
+
+
+class ArrowLakeFS(LakeFS):
+    """URI paths (``s3://``, ``gs://``, ``hdfs://``, ``file://``)
+    through ``pyarrow.fs`` — the object-store leg of the seam.
+    Stateless: every call re-resolves from the URI, so instances
+    pickle trivially into Spark tasks."""
+
+    def _resolve(self, path: str):
+        from pyarrow import fs as pafs
+
+        return pafs.FileSystem.from_uri(path)
+
+    def _scheme_prefix(self, path: str) -> str:
+        # from_uri strips the scheme+authority; keep it so returned
+        # listings stay full URIs the caller can pass back in
+        head, sep, rest = path.partition("://")
+        if not sep:
+            return ""
+        authority = rest.split("/", 1)[0]
+        return f"{head}://{authority}"
+
+    @property
+    def atomic_rename(self):  # type: ignore[override]
+        return False  # be conservative: assume object-store semantics
+
+    def ls(self, path, suffixes=None):
+        from pyarrow import fs as pafs
+
+        fsys, p = self._resolve(path)
+        info = fsys.get_file_info(p)
+        prefix = self._scheme_prefix(path)
+        if info.type != pafs.FileType.Directory:
+            return [path]
+        sel = pafs.FileSelector(p, recursive=False)
+        out = [
+            f"{prefix}/{fi.path.lstrip('/')}" if prefix else fi.path
+            for fi in fsys.get_file_info(sel)
+            if fi.type == pafs.FileType.File
+            and (suffixes is None or fi.path.lower().endswith(tuple(suffixes)))
+        ]
+        return sorted(out)
+
+    def is_dir(self, path):
+        from pyarrow import fs as pafs
+
+        fsys, p = self._resolve(path)
+        return fsys.get_file_info(p).type == pafs.FileType.Directory
+
+    def read_bytes(self, path):
+        fsys, p = self._resolve(path)
+        with fsys.open_input_stream(p) as fh:
+            return fh.read()
+
+    def write_bytes(self, path, data):
+        # single streamed PUT: object stores publish all-or-nothing
+        # on close, which is exactly the torn-read guarantee the
+        # POSIX tmp+rename dance exists to provide
+        fsys, p = self._resolve(path)
+        with fsys.open_output_stream(p) as fh:
+            fh.write(data)
+
+    def exists(self, path):
+        from pyarrow import fs as pafs
+
+        fsys, p = self._resolve(path)
+        return fsys.get_file_info(p).type != pafs.FileType.NotFound
+
+    def size(self, path):
+        fsys, p = self._resolve(path)
+        return fsys.get_file_info(p).size
+
+    def mkdirs(self, path):
+        fsys, p = self._resolve(path)
+        fsys.create_dir(p, recursive=True)
+
+
+def get_fs(path: str, override: LakeFS | None = None) -> LakeFS:
+    """Resolve the filesystem for ``path``: an injected override wins
+    (the test / custom-adapter seam, mirroring the reference's
+    storage-adapter injection), URIs go through pyarrow, bare paths
+    stay on the stdlib fast path."""
+    if override is not None:
+        return override
+    if "://" in path:
+        return ArrowLakeFS()
+    return PosixLakeFS()
+
+
+def join(base: str, *parts: str) -> str:
+    """Path join that keeps URI semantics (always ``/``) for lake
+    paths and native semantics for bare local paths."""
+    if "://" in base:
+        return posixpath.join(base, *parts)
+    return os.path.join(base, *parts)

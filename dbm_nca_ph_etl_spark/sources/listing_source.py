@@ -17,15 +17,17 @@ partition per listing file, so a crawl with thousands of archived
 listing snapshots fans out across the cluster instead of parsing on
 the driver (the reference parses one page in one Lambda).
 
-Storage constraint: paths are enumerated with ``os.listdir`` on the
-driver and opened with plain ``open()`` on executors, so ``path``
-must be a LOCAL or SHARED-POSIX directory (local mode, NFS mount) —
-object-store / HDFS URIs are NOT resolved. For lake storage, either
-stage listing snapshots onto a mounted filesystem first (the same
-staging pattern as the PDFs, ``sources/staging.py``) or read the
-HTML through ``spark.read.format("binaryFile")`` and parse with a
-``mapInPandas`` variant; the partition-per-file fan-out claim holds
-only under that shared-filesystem assumption.
+Storage: paths resolve through the ``sources/lakefs`` seam — bare
+paths enumerate/read via the stdlib (local mode, NFS), URI paths
+(``s3://``, ``gs://``, ``hdfs://``, ``file://``) via ``pyarrow.fs``,
+which is available inside executor Python workers (the JVM Hadoop
+``FileSystem`` is driver-only — no py4j bridge exists where
+``read()`` runs). Enumeration happens once on the driver in
+``partitions()``; each task re-resolves its one file from the path
+string, so nothing stateful is pickled. This mirrors the
+reference's storage-adapter split (s3_storage.py:25-38 vs
+local_storage.py:19-26) and keeps the partition-per-file fan-out on
+real lake storage.
 
 Anchors are parsed with a conservative regex over ``<a ... href>``
 tags (the fixture-friendly subset of what bs4 accepts); the fetch
@@ -35,11 +37,12 @@ first, same pattern as the PDF blobs).
 
 from __future__ import annotations
 
-import os
 import re
 from typing import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from dbm_nca_ph_etl_spark.sources.lakefs import get_fs
 
 _ANCHOR = re.compile(
     r"<a\b[^>]*\bhref\s*=\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</a>",
@@ -78,20 +81,16 @@ class NCAListingReader(DataSourceReader):
         self._path = path
 
     def partitions(self):
-        p = self._path
-        if os.path.isdir(p):
-            files = sorted(
-                os.path.join(p, f)
-                for f in os.listdir(p)
-                if f.lower().endswith((".html", ".htm"))
-            )
-        else:
-            files = [p]
+        files = get_fs(self._path).ls(self._path, suffixes=(".html", ".htm"))
         return [_ListingPartition(f) for f in files]
 
     def read(self, partition: _ListingPartition) -> Iterator[tuple]:
-        with open(partition.path, encoding="utf-8", errors="replace") as fh:
-            html = fh.read()
+        # executor side: re-resolve the filesystem from the path
+        # string (pyarrow for URIs — the JVM Hadoop FS has no py4j
+        # bridge here)
+        html = get_fs(partition.path).read_bytes(partition.path).decode(
+            "utf-8", errors="replace"
+        )
         for href, inner in _ANCHOR.findall(html):
             title = re.sub(r"\s+", " ", _TAGS.sub("", inner)).strip()
             yield (title, href.strip(), partition.path)

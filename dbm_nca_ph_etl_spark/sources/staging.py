@@ -10,12 +10,16 @@ bytes into the lake directory that :func:`~dbm_nca_ph_etl_spark.
 sources.pdf_source.read_pdf_binaries` scans — closing the
 scrape → stage → extract loop end-to-end.
 
-Deployment note (same constraint as ``nca_listing``): files are
-written with plain ``open()`` on the executor, so ``dest_dir`` must
-be a path every executor can write — local dir in local mode, a
-shared/NFS mount on a cluster. For object stores, inject a
-``writer`` that speaks the store's API (the reference's S3Storage
-adapter shape); the fetch/stage plumbing is unchanged.
+Storage resolves through the ``sources/lakefs`` seam (same as
+``nca_listing``): a bare ``dest_dir`` writes via the stdlib (local
+mode, NFS), a URI ``dest_dir`` (``s3://``, ``gs://``, ``hdfs://``)
+via ``pyarrow.fs`` — which runs inside executor Python workers,
+where the staging writes actually happen (the JVM Hadoop
+``FileSystem`` is driver-only). This is the reference's S3Storage /
+LocalStorage adapter split (s3_storage.py:25-38,
+local_storage.py:19-26) as one injectable seam: pass
+``filesystem=`` to substitute any adapter (tests inject an
+in-memory fake).
 
 The default ``fetcher`` uses stdlib ``urllib`` (no extra deps); tests
 inject a deterministic fake. Fetch failures don't kill the job — the
@@ -26,12 +30,13 @@ plumbing).
 
 from __future__ import annotations
 
-import os
 from typing import Callable, Iterable, Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS, get_fs, join
 
 STAGE_STATUS_SCHEMA = (
     "release_id string, filename string, dest_path string, "
@@ -52,6 +57,7 @@ def stage_releases(
     dest_dir: str,
     fetcher: Callable[[str], bytes] = http_fetch,
     overwrite: bool = False,
+    filesystem: LakeFS | None = None,
 ) -> DataFrame:
     """Fetch every release's PDF and write it to ``dest_dir`` named
     ``<filename>`` (the reference's filename-keyed storage). Returns
@@ -63,25 +69,28 @@ def stage_releases(
     (``staged=false, error=null``), so replays after partial failure
     only fetch the gaps — the at-least-once contract of the
     reference's SQS redrive, without the duplicate side effects.
-    Writes are tmp-file + ``os.replace`` so a killed task never
-    leaves a torn PDF for ``binaryFile`` to scan.
+    Writes publish atomically (tmp + rename on POSIX, single PUT on
+    object stores — ``lakefs.write_bytes``) so a killed task never
+    leaves a torn PDF for the downstream scan.
+
+    ``filesystem`` overrides path-based resolution with any
+    ``LakeFS`` adapter (the reference's injectable storage seam);
+    the object must be picklable — it ships inside the task closure.
     """
 
     def stage(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        os.makedirs(dest_dir, exist_ok=True)
+        fs = get_fs(dest_dir, filesystem)
+        fs.mkdirs(dest_dir)
         for b in batches:
             out = []
             for rid, url, filename in zip(b["id"], b["url"], b["filename"]):
-                dest = os.path.join(dest_dir, filename)
-                if not overwrite and os.path.exists(dest):
-                    out.append((rid, filename, dest, False, os.path.getsize(dest), None))
+                dest = join(dest_dir, filename)
+                if not overwrite and fs.exists(dest):
+                    out.append((rid, filename, dest, False, fs.size(dest), None))
                     continue
                 try:
                     data = fetcher(url)
-                    tmp = f"{dest}.tmp.{os.getpid()}"
-                    with open(tmp, "wb") as f:
-                        f.write(data)
-                    os.replace(tmp, dest)
+                    fs.write_bytes(dest, data)
                     out.append((rid, filename, dest, True, len(data), None))
                 except Exception as e:  # noqa: BLE001 - recorded, not raised
                     out.append((rid, filename, dest, False, 0, f"{type(e).__name__}: {e}"))
