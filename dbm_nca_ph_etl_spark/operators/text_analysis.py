@@ -489,3 +489,114 @@ def chunk_tokens(
         F.size("_w").alias("n_tokens"),
         F.concat_ws(" ", "_w").alias("chunk_text"),
     )
+
+
+def bpe_apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Apply ONE BPE merge (``a``,``b``) → ``a+b`` to a symbol array
+    with greedy left-to-right non-overlap semantics (Sennrich et al.
+    2016: within a merge iteration, scan the word once; a symbol
+    consumed by a merge cannot start another).
+
+    Pure array fold (``F.aggregate``) — the whole merge application
+    is a codegen'd projection, no shuffle, no UDF: the accumulator
+    carries the previous unconsumed symbol; seeing ``b`` right after
+    a carried ``a`` emits the merged symbol and clears the carry, so
+    a run like ``a a a`` merges to ``[aa, a]``, never ``[a, aa]`` or
+    ``[aaa]``. The empty string is safe as the no-carry sentinel —
+    symbols are never empty.
+    """
+    merged = a + b
+
+    def step(acc: Column, s: Column) -> Column:
+        flush = F.when(acc["carry"] == "", acc["res"]).otherwise(
+            F.concat(acc["res"], F.array(acc["carry"]))
+        )
+        return F.when(
+            (acc["carry"] == F.lit(a)) & (s == F.lit(b)),
+            F.struct(
+                F.concat(acc["res"], F.array(F.lit(merged))).alias("res"),
+                F.lit("").alias("carry"),
+            ),
+        ).otherwise(F.struct(flush.alias("res"), s.alias("carry")))
+
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("res"), F.lit("").alias("carry")
+        ),
+        step,
+        lambda acc: F.when(acc["carry"] == "", acc["res"]).otherwise(
+            F.concat(acc["res"], F.array(acc["carry"]))
+        ),
+    )
+
+
+def bpe_train(
+    words: DataFrame,
+    k: int = 8,
+    word_col: str = "w",
+    count_col: str = "wc",
+) -> "DataFrame":
+    """Full BPE tokenizer induction: ``k`` iterative merges over a
+    distinct-word frequency table → the merge list (the actual
+    tokenizer artifact), ``(step, lhs, rhs, merged, merge_count)``.
+
+    The iterative-operator pattern shared with ``kmeans_train`` /
+    ``pagerank``: per iteration (1) count adjacent symbol pairs over
+    the VOCAB table — Heaps-law sized, never the corpus — weighted
+    by word frequency, one map-side-combined groupBy; (2) pull the
+    single argmax row to the driver (ties broken by (lhs, rhs) —
+    driver state is k rows total, O(1) in corpus size); (3) apply
+    the merge with :func:`bpe_apply_merge`, a shuffle-free
+    projection. Each iteration's state persists MEMORY_AND_DISK
+    (lazy, lineage-preserving; materialized by that iteration's
+    count job) and the previous iteration unpersists, so the k-fold
+    plan never recomputes from raw text. NOTE: calling this runs k
+    Spark jobs eagerly — it trains a model, it does not build a lazy
+    plan.
+
+    100 TB shape: the corpus-sized work is exactly one
+    tokenize+groupBy to build ``words`` (upstream of this function);
+    everything here scales with vocabulary.
+    """
+    from pyspark import StorageLevel
+
+    spark = words.sparkSession
+    state = words.select(
+        F.col(word_col).alias("w"),
+        F.col(count_col).alias("wc"),
+        F.filter(F.split(word_col, r"(?!^)"), lambda c: c != "").alias("syms"),
+    )
+    pair_structs = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(
+            F.element_at("syms", i).alias("a"),
+            F.element_at("syms", F.lit(1) + i).alias("b"),
+        ),
+    )
+    merges: list[tuple] = []
+    prev = None
+    for step_i in range(1, k + 1):
+        state = state.persist(StorageLevel.MEMORY_AND_DISK)
+        top = (
+            state.where(F.size("syms") >= 2)
+            .select(F.explode(pair_structs).alias("p"), "wc")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = state
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merges.append((step_i, a, b, a + b, cnt))
+        state = state.select("w", "wc", bpe_apply_merge(F.col("syms"), a, b).alias("syms"))
+    if prev is not None:
+        prev.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, merge_count long"
+    )

@@ -5338,6 +5338,93 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+_BPE_K = 8
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """k-unrolled DuckDB replica of the iterative BPE loop. Greedy
+    non-overlap merge application is expressed relationally: explode
+    symbol positions, mark candidate pair-starts, gaps-and-islands
+    over consecutive candidates (overlap only happens when lhs ==
+    rhs), keep even offsets within each island — exactly the
+    semantics of the Spark-side carry fold (bpe_apply_merge)."""
+    sql = f"""
+    WITH st0 AS (
+      SELECT tok AS w, count(*)::BIGINT AS wc, string_split(tok, '') AS syms
+      FROM (SELECT unnest({_SQL_TOKENS.format(t='text')}) AS tok FROM documents)
+      GROUP BY tok
+    )"""
+    for i in range(1, k + 1):
+        p = i - 1
+        sql += f""",
+    c{i} AS (
+      SELECT syms[q] AS a, syms[q + 1] AS b, sum(wc)::BIGINT AS cnt
+      FROM st{p}, unnest(generate_series(1, len(syms) - 1)) AS u{i}(q)
+      WHERE len(syms) >= 2
+      GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT a, b, cnt FROM c{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    e{i} AS (
+      SELECT w, wc, q, syms[q] AS s,
+             (q < len(syms) AND syms[q] = t.a AND syms[q + 1] = t.b) AS cand
+      FROM st{p} CROSS JOIN t{i} t, unnest(generate_series(1, len(syms))) AS v{i}(q)
+    ),
+    g{i} AS (
+      SELECT *, q - row_number() OVER (PARTITION BY w, cand ORDER BY q) AS isl
+      FROM e{i}
+    ),
+    s{i} AS (
+      SELECT *,
+             cand AND ((row_number() OVER (PARTITION BY w, cand, isl ORDER BY q) - 1) % 2 = 0) AS mh,
+             lead(s) OVER (PARTITION BY w ORDER BY q) AS nxt
+      FROM g{i}
+    ),
+    o{i} AS (
+      SELECT w, wc, q,
+             CASE WHEN mh THEN s || nxt ELSE s END AS s2,
+             coalesce(lag(mh) OVER (PARTITION BY w ORDER BY q), FALSE) AS swallowed
+      FROM s{i}
+    ),
+    st{i} AS (
+      SELECT w, min(wc)::BIGINT AS wc, list(s2 ORDER BY q) AS syms
+      FROM o{i} WHERE NOT swallowed GROUP BY w
+    )"""
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i}::INT AS step, a AS lhs, b AS rhs, a || b AS merged, "
+        f"cnt AS merge_count FROM t{i}"
+        for i in range(1, k + 1)
+    )
+    return sql + f"\n    {unions}"
+
+
+@register(
+    "bpe_merge_k",
+    _bpe_oracle_sql(_BPE_K),
+    doc="FULL BPE tokenizer induction loop (operators/text_analysis."
+    "bpe_train): k=8 iterative merges — count adjacent symbol pairs "
+    "over the distinct-word vocab (Heaps-law sized, wc-weighted), "
+    "argmax to the driver (k single-row collects, the kmeans/"
+    "pagerank iterative pattern), apply the merge as a greedy "
+    "left-to-right carry fold (F.aggregate — a shuffle-free "
+    "codegen'd projection), recount, repeat. Output is the merge "
+    "LIST, i.e. the trained tokenizer artifact. The corpus-sized "
+    "work is one tokenize+groupBy; every iteration scales with "
+    "vocabulary. Exact hash match vs a k-unrolled DuckDB replica "
+    "whose gaps-and-islands windows reproduce the fold's greedy "
+    "non-overlap semantics (runs of an identical pair merge at even "
+    "offsets: 'aaa' → [aa, a]).",
+    tags=("llm", "text", "tokenizer", "iterative"),
+)
+def bpe_merge_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(D.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    return T.bpe_train(words, k=_BPE_K)
+
+
 def _pr_iter_sql(i: int) -> str:
     return f"""
     p{i} AS (

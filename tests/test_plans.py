@@ -401,3 +401,65 @@ def test_incremental_probe_scales_with_batch(spark, sf_dir):
     p = q(spark, sf_dir, "incremental_dedup_probe")
     assert exchanges(p) == 3, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_bpe_apply_merge_greedy_non_overlap(spark):
+    """Greedy left-to-right semantics: a run of the merged pair
+    consumes pairs from the left and a consumed symbol never starts
+    another merge ('aaa' -> [aa, a])."""
+    from pyspark.sql import functions as F
+
+    from dbm_nca_ph_etl_spark.operators.text_analysis import bpe_apply_merge
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "a", "a"]),
+            (2, ["a", "a", "a", "a"]),
+            (3, ["a", "b", "a", "b"]),
+            (4, ["x", "a", "a", "y"]),
+            (5, ["z"]),
+        ],
+        "id long, syms array<string>",
+    )
+    got = {
+        r.id: r.m
+        for r in df.select(
+            "id", bpe_apply_merge(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    }
+    assert got[1] == ["aa", "a"]
+    assert got[2] == ["aa", "aa"]
+    assert got[3] == ["a", "b", "a", "b"]
+    assert got[4] == ["x", "aa", "y"]
+    assert got[5] == ["z"]
+    got_ab = {
+        r.id: r.m
+        for r in df.select(
+            "id", bpe_apply_merge(F.col("syms"), "a", "b").alias("m")
+        ).collect()
+    }
+    assert got_ab[3] == ["ab", "ab"]
+
+
+def test_bpe_train_hand_corpus(spark):
+    """Two merges on a hand corpus: 'abab' x3 drives ab first, then
+    the merged symbol chains into abab — multi-char symbols must
+    pair correctly in later iterations."""
+    from dbm_nca_ph_etl_spark.operators.text_analysis import bpe_train
+
+    words = spark.createDataFrame(
+        [("abab", 3), ("cd", 2)], "w string, wc long"
+    )
+    rows = bpe_train(words, k=3).orderBy("step").collect()
+    # step1: pairs ab=6, ba=3, cd=2 -> merge ab
+    assert (rows[0].lhs, rows[0].rhs, rows[0].merged, rows[0].merge_count) == (
+        "a", "b", "ab", 6,
+    )
+    # step2: 'abab' is now [ab, ab] -> pair (ab, ab)=3; cd=2
+    assert (rows[1].lhs, rows[1].rhs, rows[1].merged, rows[1].merge_count) == (
+        "ab", "ab", "abab", 3,
+    )
+    # step3: only (c, d)=2 remains
+    assert (rows[2].lhs, rows[2].rhs, rows[2].merge_count) == ("c", "d", 2)
+    # exhausted vocab stops early: ['abab'], ['cd'] have no pairs
+    assert len(bpe_train(words, k=10).collect()) == 3
