@@ -80,19 +80,55 @@ def _paired_cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
     return F.round(dot(va, vb) / (na * nb), 6)
 
 
+#: Fail-fast ceilings for the two labeled exact baselines. These are
+#: not performance tuning knobs: above them the operators' O(n²) /
+#: brute-force shapes stop being a baseline and start being an
+#: outage, and the LSH/IVF scale paths exist precisely so nobody
+#: runs these at corpus size.
+EXACT_PAIRS_MAX_ROWS = 20_000  # 20k → ≤2e8 pair comparisons
+EXACT_TOPK_MAX_QUERIES = 1_000  # broadcast set × full corpus scan
+
+
+def scale_guard(df: DataFrame, max_rows: int, op_name: str) -> DataFrame:
+    """Refuse to build an exact-baseline plan over more than
+    ``max_rows`` input rows. Runs a bounded count at call time
+    (``limit(max+1).count()`` — stops scanning as soon as the bound
+    is exceeded, prunes to zero columns); pass ``max_rows=None``
+    from call sites that must opt out knowingly."""
+    if max_rows is None:
+        return df
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op_name} is a labeled exact baseline (quadratic/brute "
+            f"force by design) and refuses >{max_rows} input rows "
+            f"(got at least {n}); use its LSH/IVF scale-path sibling, "
+            f"or pass max_rows=None to override knowingly"
+        )
+    return df
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = EXACT_TOPK_MAX_QUERIES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cos_sim) — self-matches excluded,
     similarity rounded to 6 dp, ties broken by neighbor id so results
     are total-order deterministic.
+
+    EXACT BASELINE: every query scans the whole corpus (broadcast
+    q × c). The corpus side is linear and distributed, but the cost
+    multiplies by |queries| — guarded at ``max_queries`` (the
+    LSH/IVF operators are the scale path; this is their labeled
+    recall oracle). The guard runs a bounded count at call time.
     """
+    queries = scale_guard(queries, max_queries, "cosine_topk")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
@@ -311,10 +347,14 @@ def cosine_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = EXACT_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, EXACT: all (i<j) pairs
     with cosine ≥ threshold. O(n²) — the correctness baseline; use
-    :func:`lsh_near_dup_pairs` as the 100 TB path."""
+    :func:`lsh_near_dup_pairs` as the 100 TB path. Fails fast above
+    ``max_rows`` input rows (bounded count at call time) so the
+    labeled baseline can't be pointed at a corpus by accident."""
+    corpus = scale_guard(corpus, max_rows, "cosine_near_dup_pairs")
     a = corpus.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),

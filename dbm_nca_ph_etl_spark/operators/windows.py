@@ -131,6 +131,7 @@ def prefix_sum(
     order_by: Sequence[str],
     out_col: str = "prefix_sum",
     num_partitions: int | None = None,
+    cuts: Sequence[float] | None = None,
 ) -> DataFrame:
     """Distributed exclusive prefix sum over a global total order.
 
@@ -162,12 +163,24 @@ def prefix_sum(
     ``approxQuantile``; rows equal on it always share a block, so a
     heavily-duplicated first key skews blocks but never breaks
     correctness). Partition-invariance is property-tested.
+
+    EAGER ACTION WARNING: unless ``cuts`` is supplied, building this
+    DataFrame runs a Spark job *at call time* — the block boundaries
+    come from a driver-side ``approxQuantile`` over ``df`` (n−1
+    doubles of driver state; that eagerness is what makes the block
+    id a literal-baked deterministic function, immune to exchange
+    re-sampling). Repeated calls over the same table should sample
+    once and pass ``cuts=`` back in — any sorted numeric boundary
+    list is CORRECT (boundaries only balance block sizes), so cached
+    or even stale cuts never change the result, only the skew. The
+    same ``cuts`` always yield bit-identical plans and results.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     first = order_by[0]
-    cuts = df.stat.approxQuantile(
-        first, [i / n for i in range(1, n)], 0.001
-    )
+    if cuts is None:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        cuts = df.stat.approxQuantile(
+            first, [i / n for i in range(1, n)], 0.001
+        )
     blk = F.lit(0)
     for c in sorted(set(cuts)):
         blk = blk + (F.col(first) > F.lit(c)).cast("int")

@@ -31,9 +31,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # Exact O(n^2) correctness baselines, documented as such in their
 # registrations — the ONLY places a cartesian product may appear.
-# (ngram_jaccard_pairs is all-pairs too, but expresses the pair space
-# through a range-join condition that plans as a nested-loop join,
-# not CartesianProduct.)
+# Each entry must ALSO carry a fail-fast scale guard in its operator
+# (similarity.scale_guard: bounded count, refuses corpus-sized
+# input) — test_exact_baselines_carry_scale_guards enforces that
+# pairing. (ngram_jaccard_pairs is all-pairs too, but expresses the
+# pair space through a range-join condition that plans as a
+# nested-loop join, not CartesianProduct.)
 ALLOWED_CARTESIAN = {
     "embedding_near_dup_pairs",
 }
@@ -84,3 +87,31 @@ def test_allowed_cartesian_list_is_tight(plans):
             f"{name} no longer plans a CartesianProduct - remove it "
             "from ALLOWED_CARTESIAN"
         )
+
+
+def test_exact_baselines_carry_scale_guards(spark):
+    """The two labeled exact baselines refuse corpus-sized input at
+    plan-construction time — a user pointing them at a real corpus
+    gets a ValueError naming the scale-path sibling, not an O(n^2)
+    job."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dbm_nca_ph_etl_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_topk,
+    )
+
+    wide = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="exact baseline"):
+        cosine_near_dup_pairs(wide, max_rows=10)
+    with _pytest.raises(ValueError, match="exact baseline"):
+        cosine_topk(wide, wide, k=3, max_queries=10)
+    # within bounds (and explicit opt-out) both still plan fine
+    small = wide.where(F.col("vec_id") < 5)
+    assert cosine_near_dup_pairs(small, max_rows=10).count() >= 0
+    assert cosine_topk(wide, small, k=3, max_queries=10).count() > 0
+    assert cosine_near_dup_pairs(wide.limit(12), max_rows=None).count() >= 0

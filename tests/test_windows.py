@@ -138,6 +138,19 @@ class TestPrefixSum:
         b = prefix_sum(df.coalesce(1), "v", ["k"], out_col="p", num_partitions=3)
         assert rows_set(a) == rows_set(b)
 
+    def test_precomputed_cuts_reused_bit_exactly(self, spark):
+        """cuts= skips the eager approxQuantile job and any sorted
+        boundary list gives the exact same answer (boundaries only
+        balance block sizes)."""
+        from dbm_nca_ph_etl_spark.operators.windows import prefix_sum
+
+        rows = [Row(k=i, v=(i * 13) % 7 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows).repartition(5)
+        sampled = prefix_sum(df, "v", ["k"], out_col="p")
+        reused = prefix_sum(df, "v", ["k"], out_col="p", cuts=[50.0, 100.0, 150.0])
+        lopsided = prefix_sum(df, "v", ["k"], out_col="p", cuts=[3.0])
+        assert rows_set(sampled) == rows_set(reused) == rows_set(lopsided)
+
     def test_exclusive_first_row_zero(self, spark):
         from dbm_nca_ph_etl_spark.operators.windows import prefix_sum
 
