@@ -536,6 +536,7 @@ def bpe_train(
     k: int = 8,
     word_col: str = "w",
     count_col: str = "wc",
+    return_state: bool = False,
 ) -> "DataFrame":
     """Full BPE tokenizer induction: ``k`` iterative merges over a
     distinct-word frequency table → the merge list (the actual
@@ -595,8 +596,16 @@ def bpe_train(
         a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
         merges.append((step_i, a, b, a + b, cnt))
         state = state.select("w", "wc", bpe_apply_merge(F.col("syms"), a, b).alias("syms"))
-    if prev is not None:
-        prev.unpersist()
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, merge_count long"
     )
+    if return_state:
+        # keep the final vocab segmentation (w, wc, syms) — the
+        # ENCODER table: joining corpus tokens against it applies the
+        # trained tokenizer without re-running any merge. The caller
+        # owns persistence; `prev` (the pre-final-merge cache feeding
+        # this plan) stays cached until the session drops it.
+        return merges_df, state
+    if prev is not None:
+        prev.unpersist()
+    return merges_df

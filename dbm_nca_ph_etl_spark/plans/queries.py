@@ -5397,6 +5397,33 @@ def _bpe_oracle_sql(k: int) -> str:
     return sql + f"\n    {unions}"
 
 
+def _bpe_encode_oracle_sql(k: int) -> str:
+    """Reuse the k-unrolled merge chain, but read out the FINAL vocab
+    segmentation (st{k}) and apply it to the corpus: per document,
+    word count and post-BPE token count via a tokens→vocab join."""
+    with_chain = _bpe_oracle_sql(k)
+    with_chain = with_chain[: with_chain.rindex("\n    SELECT 1::INT AS step")]
+    return (
+        with_chain
+        + f""",
+    enc AS (SELECT w, len(syms)::BIGINT AS n_syms FROM st{k}),
+    dt AS (
+      SELECT doc_id, unnest({_SQL_TOKENS.format(t='text')}) AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(n_syms)::BIGINT AS n_bpe_tokens
+      FROM dt JOIN enc USING (w) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_words, 0)::BIGINT AS n_words,
+           coalesce(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+           d.n_chars::BIGINT AS n_chars
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """
+    )
+
+
 @register(
     "bpe_merge_k",
     _bpe_oracle_sql(_BPE_K),
@@ -6492,4 +6519,110 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("bucket_sum"),
         )
+    )
+
+
+@register(
+    "corpus_quota_sample",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             len({_SQL_TOKENS.format(t='text')})::BIGINT AS n_tokens,
+             md5('qs:' || doc_id::VARCHAR) AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang, source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM base
+    )
+    SELECT lang, source,
+           count(*)::BIGINT AS n_docs_kept,
+           sum(n_tokens)::BIGINT AS n_tokens_kept,
+           min(h) AS first_pick_hash
+    FROM cum WHERE cum_before < 2000
+    GROUP BY lang, source
+    """,
+    doc="Budgeted mixture sampling — the step that turns a mixture "
+    "DESIGN (mixture_design_report) into an actual training shard "
+    "list: per (lang, source) cell, take documents in a "
+    "DETERMINISTIC pseudo-random order (md5 of a salted doc_id — no "
+    "RNG, identical on any cluster size, re-runnable byte-for-byte) "
+    "until the cell's token budget (2000 here) is reached; a doc is "
+    "kept iff the tokens BEFORE it are under budget, so every cell "
+    "lands within one document of its quota. One shuffle (the "
+    "per-cell window); cells are the unit of parallelism, and at "
+    "100 TB a giant cell swaps in the two-phase prefix_sum for the "
+    "same exclusive-cumsum semantics. Output is the per-cell "
+    "sampling ledger (kept docs, kept tokens, first pick). Exact "
+    "hash match vs the SQL replica.",
+    tags=("llm", "sampling", "quality"),
+)
+def corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("qs:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .where(F.col("cum_before") < 2000)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+            F.min("h").alias("first_pick_hash"),
+        )
+    )
+
+
+@register(
+    "bpe_encode_stats",
+    _bpe_encode_oracle_sql(_BPE_K),
+    doc="Apply the TRAINED tokenizer (the other half of the BPE "
+    "loop): bpe_train(..., return_state=True) hands back the final "
+    "vocab segmentation (w → syms) alongside the merge list; "
+    "encoding the corpus is then a tokens→vocab hash join — no "
+    "merge ever re-runs against a document, which is the whole "
+    "point of training on the DISTINCT-word table. Output per doc: "
+    "word count, post-BPE token count, chars (the compression "
+    "ledger a tokenizer-throughput dashboard wants); docs with no "
+    "tokens surface as zeros via the left join. At 100 TB the "
+    "encoder table is vocab-sized → broadcast, so the corpus-side "
+    "cost is one tokenize+explode pass. Exact hash match vs the "
+    "k-unrolled replica reading st_k.",
+    tags=("llm", "text", "tokenizer"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(D.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    _, state = T.bpe_train(words, k=_BPE_K, return_state=True)
+    enc = state.select("w", F.size("syms").cast("long").alias("n_syms"))
+    toks = d.select("doc_id", F.explode(D.tokens(F.col("text"))).alias("w"))
+    per_doc = (
+        toks.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return d.select("doc_id", "n_chars").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
     )

@@ -463,3 +463,56 @@ def test_bpe_train_hand_corpus(spark):
     assert (rows[2].lhs, rows[2].rhs, rows[2].merge_count) == ("c", "d", 2)
     # exhausted vocab stops early: ['abab'], ['cd'] have no pairs
     assert len(bpe_train(words, k=10).collect()) == 3
+
+
+def test_corpus_quota_sample_budget_semantics(spark):
+    """A doc is kept iff tokens BEFORE it (deterministic md5 order)
+    are under budget — each cell lands within one doc of its quota."""
+    from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+    import dbm_nca_ph_etl_spark.plans.queries as Q
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 900, "en", "s1", 3600) for i in range(5)]
+        + [(10, "a b", "en", "s2", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = Q._t
+    try:
+        Q._t = lambda s, d, n: docs if n == "documents" else orig(s, d, n)
+        rows = {
+            (r.lang, r.source): r
+            for r in QUERIES["corpus_quota_sample"].fn(spark, "unused").collect()
+        }
+    finally:
+        Q._t = orig
+    # s1: 900-token docs against a 2000 budget -> exactly 3 kept
+    # (0, 900, 1800 all < 2000; 2700 is not)
+    assert rows[("en", "s1")].n_docs_kept == 3
+    assert rows[("en", "s1")].n_tokens_kept == 2700
+    # s2: single tiny doc always kept
+    assert rows[("en", "s2")].n_docs_kept == 1
+
+
+def test_bpe_encode_matches_train_state(spark):
+    """Encoding via the returned state equals re-applying the merge
+    list by hand — the encoder table IS the trained tokenizer."""
+    from dbm_nca_ph_etl_spark.operators.text_analysis import (
+        bpe_apply_merge,
+        bpe_train,
+    )
+    from pyspark.sql import functions as F
+
+    words = spark.createDataFrame(
+        [("abab", 3), ("abcd", 1)], "w string, wc long"
+    )
+    merges, state = bpe_train(words, k=2, return_state=True)
+    got = {r.w: r.syms for r in state.collect()}
+    chars = words.select(
+        "w", F.filter(F.split("w", r"(?!^)"), lambda c: c != "").alias("syms")
+    )
+    for m in merges.orderBy("step").collect():
+        chars = chars.select(
+            "w", bpe_apply_merge(F.col("syms"), m.lhs, m.rhs).alias("syms")
+        )
+    manual = {r.w: r.syms for r in chars.collect()}
+    assert got == manual

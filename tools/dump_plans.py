@@ -173,7 +173,14 @@ def main() -> None:
         out.append(plan.rstrip())
         out.append("```")
         out.append("")
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scaling = os.path.join(root, "SCALING.md")
+    if os.path.exists(scaling):
+        # tools/scale_check.py's sf-growth table rides along so the
+        # plan shapes and their measured scaling live in one document
+        with open(scaling, encoding="utf-8") as f:
+            out.append(f.read())
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md ({len(SHOWCASE)} plans)")
     spark.stop()
