@@ -6023,6 +6023,20 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_index(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> DataFrame:
+    """Session-memoized corpus band index (dedup.band_buckets) — the
+    build-once artifact of the incremental-dedup story, keyed like
+    _signed_index / the NCA plan memo. The bench then measures what
+    production runs per delivery: sign the BATCH, probe the index —
+    not an index rebuild per invocation."""
+    key = ("band_index", sf_dir, spark.sparkContext.applicationId)
+    if key not in _SIGNED_MEMO:
+        idx = D.band_buckets(corpus).persist()
+        idx.count()  # materialize once; blocks are corpus-index-sized
+        _SIGNED_MEMO[key] = idx
+    return _SIGNED_MEMO[key]
+
+
 @register(
     "incremental_dedup_probe",
     f"""
@@ -6091,7 +6105,9 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an arriving batch — perturbed copies of corpus docs plus "
     "genuinely fresh ones — probes the corpus's banded MinHash index "
     "instead of re-deduping the world. The corpus index "
-    "(dedup.band_buckets) is the build-once artifact; per delivery, "
+    "(dedup.band_buckets) is the build-once artifact — session-"
+    "memoized + persisted here (_band_index), so repeat invocations "
+    "measure the probe, not an index rebuild; per delivery, "
     "cost scales with the batch: sign the batch, one hash join on "
     "(band, bucket) against the index, min-collision per doc, and "
     "every raw band collision is verified with exact n-gram Jaccard "
@@ -6121,7 +6137,11 @@ def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" entirely novel tokens stream"),
         ).alias("text"),
     )
-    return D.lsh_probe_new(corpus, perturbed.unionByName(fresh))
+    return D.lsh_probe_new(
+        corpus,
+        perturbed.unionByName(fresh),
+        index=_band_index(spark, sf_dir, corpus),
+    )
 
 
 @register(
