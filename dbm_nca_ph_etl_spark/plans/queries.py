@@ -6646,3 +6646,140 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
         F.col("n_chars").cast("long").alias("n_chars"),
     )
+
+
+_SQL_SHINGLES5 = f"""
+    CASE WHEN len({_SQL_TOKENS.format(t='{t}')}) >= 5 THEN
+      list_distinct(list_transform(
+        generate_series(0, len({_SQL_TOKENS.format(t='{t}')}) - 5),
+        i -> array_to_string(({_SQL_TOKENS.format(t='{t}')})[i+1:i+5], ' ')))
+    ELSE [array_to_string({_SQL_TOKENS.format(t='{t}')}, ' ')] END
+"""
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, unnest({_SQL_SHINGLES5.format(t='text')}) AS sh,
+             len({_SQL_SHINGLES5.format(t='text')})::BIGINT AS bench_n
+      FROM documents WHERE doc_id % 100 = 7
+    ),
+    corp AS (
+      SELECT doc_id AS corpus_id, unnest({_SQL_SHINGLES5.format(t='text')}) AS sh
+      FROM documents WHERE doc_id % 100 <> 7
+    ),
+    hits AS (
+      SELECT b.bench_id, c.corpus_id, min(b.bench_n) AS bench_n,
+             count(*)::BIGINT AS n_shared
+      FROM bench b JOIN corp c ON b.sh = c.sh
+      GROUP BY b.bench_id, c.corpus_id
+    )
+    SELECT bench_id,
+           count(*)::BIGINT AS n_overlapping_docs,
+           max(n_shared)::BIGINT AS max_shared,
+           sum(CASE WHEN 2 * n_shared >= bench_n THEN 1 ELSE 0 END)::BIGINT
+             AS n_half_contaminated
+    FROM hits GROUP BY bench_id
+    """,
+    doc="Benchmark DECONTAMINATION scan — the check every training "
+    "corpus runs before a model ships: which corpus documents share "
+    "5-word shingles with a held-out benchmark set (here doc_id%100"
+    "==7, ~1% at any SF), per benchmark doc: overlapping-doc count, "
+    "max shared-shingle count, and how many corpus docs cover ≥half "
+    "the benchmark's shingles (the 'verbatim leak' bar). Shape: the "
+    "benchmark postings are tiny vs the corpus → broadcast; the "
+    "corpus side is ONE shingle-explode pass with a map-side "
+    "broadcast join and partial aggregation — no corpus shuffle at "
+    "all until the (bench_id, corpus_id) rollup, which is hit-sized. "
+    "All-integer output, exact hash match vs the SQL replica.",
+    tags=("llm", "dedup", "quality"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 100 == 7
+    sh5 = D.word_shingles(F.col("text"), 5)
+    bench = (
+        d.where(is_bench)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(sh5).alias("sh"),
+            F.size(sh5).cast("long").alias("bench_n"),
+        )
+    )
+    corp = d.where(~is_bench).select(
+        F.col("doc_id").alias("corpus_id"), F.explode(sh5).alias("sh")
+    )
+    hits = (
+        corp.join(F.broadcast(bench), "sh")
+        .groupBy("bench_id", "corpus_id")
+        .agg(
+            F.min("bench_n").alias("bench_n"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    return hits.groupBy("bench_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlapping_docs"),
+        F.max("n_shared").cast("long").alias("max_shared"),
+        F.sum((2 * F.col("n_shared") >= F.col("bench_n")).cast("int"))
+        .cast("long")
+        .alias("n_half_contaminated"),
+    )
+
+
+@register(
+    "dataset_split_assign",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             len({_SQL_TOKENS.format(t='text')})::BIGINT AS n_tokens,
+             CASE
+               WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+               WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens
+    FROM assigned GROUP BY split, lang
+    """,
+    doc="Leakage-proof train/val/test assignment: split = salted-md5 "
+    "bucket of the DOCUMENT ID (90/5/5), so membership is a pure "
+    "function of identity — stable when the corpus grows, "
+    "reshuffles, or re-partitions, and reproducible on any cluster "
+    "without an RNG or a persisted assignment table. Output is the "
+    "per-(split, lang) ledger. Map-only projection + one rollup "
+    "shuffle; the md5-prefix integer trick is the same "
+    "engine-portable hash used by the sampling queries. Exact hash "
+    "match vs the SQL replica.",
+    tags=("llm", "sampling"),
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

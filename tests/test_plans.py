@@ -516,3 +516,12 @@ def test_bpe_encode_matches_train_state(spark):
         )
     manual = {r.w: r.syms for r in chars.collect()}
     assert got == manual
+
+
+def test_contamination_broadcasts_benchmark_postings(spark, sf_dir):
+    """The corpus side must reach the shingle join map-side: the
+    benchmark postings broadcast, and the only hash exchanges are the
+    hit-sized rollups — never a corpus-wide shuffle of shingles."""
+    p = q(spark, sf_dir, "benchmark_contamination")
+    assert "BroadcastHashJoin" in p
+    assert exchanges(p) == 2, p
