@@ -156,6 +156,24 @@ class LayoutCache:
         return self._layouts[key]
 
 
+def pdfplumber_table_settings(vert_lines: list[float]) -> dict:
+    """The exact ``extract_table`` settings the reference feeds
+    pdfplumber (pdf_parser.py:58-66) — hoisted to module level so the
+    ONLY thing the optional pdfplumber branch does untested is call
+    the public API with this tested dict. ``minipdf`` implements the
+    same semantics natively (explicit vertical cuts + text-derived
+    horizontal rows, golden-tested on the reference's own fixture),
+    so a drift here would also show up as a minipdf/pdfplumber
+    divergence on any real deployment that has both."""
+    return {
+        "vertical_strategy": "explicit",
+        "explicit_vertical_lines": vert_lines,
+        "horizontal_strategy": "text",
+        "intersection_tolerance": 1000,
+        "snap_y_tolerance": 3,
+    }
+
+
 class PdfplumberParser:
     """Real PDF parsing via pdfplumber/pypdf (reference
     pdf_parser.py:13-96). Adaptive column detection: locate each
@@ -164,8 +182,11 @@ class PdfplumberParser:
     with a text horizontal strategy (:func:`detect_vert_lines`),
     re-detected per FILE via :class:`LayoutCache`. Unavailable in
     this container (no pdfplumber) — constructing it raises
-    NotImplementedError so callers fail fast and tests use
-    FakeTableParser instead.
+    NotImplementedError so callers fail fast and the sniffing parser
+    falls back to the dependency-free ``minipdf`` (golden-tested
+    against this parser's geometry on the reference fixture); the
+    settings dict it would pass is the module-level tested
+    :func:`pdfplumber_table_settings`.
     """
 
     def __init__(self) -> None:
@@ -196,15 +217,7 @@ class PdfplumberParser:
                 lambda: detect_vert_lines(page0.extract_words(), page0.width),
             )
             page = pdf.pages[page_num - 1]
-            table = page.extract_table(
-                {
-                    "vertical_strategy": "explicit",
-                    "explicit_vertical_lines": vert_lines,
-                    "horizontal_strategy": "text",
-                    "intersection_tolerance": 1000,
-                    "snap_y_tolerance": 3,
-                }
-            )
+            table = page.extract_table(pdfplumber_table_settings(vert_lines))
             return table or []
 
 

@@ -339,6 +339,24 @@ class TestAdaptiveLayout:
             == REFERENCE_VERT_LINES
         )
 
+    def test_pdfplumber_settings_match_reference(self):
+        """pdf_parser.py:13-19 settings, digit-for-digit — the
+        optional pdfplumber branch calls the public API with exactly
+        this tested dict, so the dead-in-container branch can't
+        drift silently."""
+        from dbm_nca_ph_etl_spark.sources.pdf_source import (
+            pdfplumber_table_settings,
+        )
+
+        lines = [19.5, 1100.0]
+        assert pdfplumber_table_settings(lines) == {
+            "vertical_strategy": "explicit",
+            "explicit_vertical_lines": lines,
+            "horizontal_strategy": "text",
+            "intersection_tolerance": 1000,
+            "snap_y_tolerance": 3,
+        }
+
     def test_layout_cache_keys_by_content(self):
         cache = LayoutCache(max_entries=2)
         a = cache.get(b"file-a", lambda: [1.0])
