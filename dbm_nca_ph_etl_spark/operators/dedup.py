@@ -180,6 +180,66 @@ def band_buckets(
     )
 
 
+def build_band_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> None:
+    """Materialize the banded MinHash index as parquet — the
+    "build once per corpus snapshot" artifact the incremental probe
+    consumes (mirrors ``similarity.build_lsh_index``). Partitioned by
+    ``band`` so a probe's (band, bucket) hash join prunes to the
+    touched band files; a ``_band_meta.json`` sidecar pins the
+    signature parameters, and :func:`load_band_index` refuses an
+    index whose parameters don't match the probe's (mismatched
+    hashes ⇒ silently-empty join, the worst failure mode). Daily
+    ingest appends the batch's own rows (same seed ⇒ compatible
+    buckets)."""
+    import json
+    import os
+
+    idx = band_buckets(corpus, text_col, id_col, num_hashes, bands, shingle_n)
+    idx.write.mode("overwrite").partitionBy("band").parquet(path)
+    meta = {
+        "id_col": id_col,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+    }
+    with open(os.path.join(path, "_band_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_band_index(
+    spark,
+    path: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Read a :func:`build_band_index` table, verifying the sidecar's
+    signature parameters match the caller's — feed the result to
+    ``lsh_probe_new(index=...)``."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_band_meta.json")) as f:
+        meta = json.load(f)
+    want = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+    got = {k: meta.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"band index at {path} was built with {got}, probe expects "
+            f"{want}; mismatched parameters would make every probe "
+            "silently miss — rebuild the index or match the params"
+        )
+    return spark.read.parquet(path)
+
+
 def lsh_probe_new(
     corpus: DataFrame,
     batch: DataFrame,
