@@ -6783,3 +6783,64 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "zorder_layout_audit",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             (epoch(o_orderdate) // 86400)::BIGINT AS day
+      FROM orders
+    ),
+    stats AS (
+      SELECT min(o_custkey)::DOUBLE AS mn_c, max(o_custkey)::DOUBLE AS mx_c,
+             min(day)::DOUBLE AS mn_d, max(day)::DOUBLE AS mx_d
+      FROM base
+    ),
+    keyed AS (
+      SELECT o_custkey, day,
+             list_sum(list_transform(generate_series(0, 7), b ->
+               (((least(255, floor((o_custkey - mn_c) / (CASE WHEN mx_c - mn_c = 0 THEN 1 ELSE mx_c - mn_c END) * 256))::BIGINT >> b) & 1) << (b * 2))
+               + (((least(255, floor((day - mn_d) / (CASE WHEN mx_d - mn_d = 0 THEN 1 ELSE mx_d - mn_d END) * 256))::BIGINT >> b) & 1) << (b * 2 + 1))
+             ))::BIGINT AS z
+      FROM base CROSS JOIN stats
+    )
+    SELECT (z >> 8)::BIGINT AS z_chunk,
+           count(*)::BIGINT AS n,
+           min(o_custkey)::BIGINT AS min_cust, max(o_custkey)::BIGINT AS max_cust,
+           min(day)::BIGINT AS min_day, max(day)::BIGINT AS max_day
+    FROM keyed GROUP BY 1
+    """,
+    doc="Z-ORDER layout audit (sinks/maintenance.zorder_key, the "
+    "write path behind write_zorder_parquet): Morton-interleave the "
+    "8-bit equi-width buckets of (o_custkey, order day) and roll up "
+    "per 256-key z-chunk — each chunk's (cust, day) bounding box is "
+    "the min/max a part file's parquet footer would carry, i.e. the "
+    "2-D pruning envelope. A contiguous Morton range is a "
+    "near-square region, so every chunk spans ~1/16 of EACH "
+    "dimension instead of all of one — that is the property that "
+    "lets a predicate on either column skip most files at 100 TB. "
+    "The interleave is one codegen'd integer fold (no UDF); min/max "
+    "scaling constants come from a model-sized driver agg. Exact "
+    "hash match vs the SQL replica (all-integer outputs).",
+    tags=("relational", "layout"),
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sinks.maintenance import zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
+    )
+    keyed, key = zorder_key(o, ["o_custkey", "day"], bits_per_col=8)
+    return (
+        keyed.groupBy(F.shiftright(F.col(key), 8).cast("long").alias("z_chunk"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("o_custkey").cast("long").alias("min_cust"),
+            F.max("o_custkey").cast("long").alias("max_cust"),
+            F.min("day").cast("long").alias("min_day"),
+            F.max("day").cast("long").alias("max_day"),
+        )
+    )
