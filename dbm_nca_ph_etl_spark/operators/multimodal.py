@@ -369,3 +369,112 @@ def wav_window_energy(assets: DataFrame, frame_size: int = 64) -> DataFrame:
     return audio.mapInPandas(
         gen, "asset_id long, frame_idx int, n_samples int, energy long"
     )
+
+
+class PngDecoder:
+    """Second REAL image codec, stdlib-only (``zlib`` + ``struct``
+    over the public PNG spec — ISO/IEC 15948): 8-bit greyscale /
+    RGB / RGBA, non-interlaced, all five scanline filters (None,
+    Sub, Up, Average, Paeth) unfiltered exactly per the spec's
+    integer recurrences. Greyscale conversion uses the same integer
+    ITU-R 601 luma as :class:`BmpDecoder`, so the two codecs are
+    pixel-for-pixel interchangeable on the same image content (a
+    cross-codec test pins that). ``encode`` writes a valid 8-bit
+    greyscale PNG (filter 0, stored with zlib level 9 — output
+    bytes are deterministic for a given pixel array) with correct
+    chunk CRCs, so decode→transform→encode round-trips through a
+    format any external viewer opens. Same Arrow-batched
+    mapInPandas plumbing as every other decoder.
+    """
+
+    _SIG = b"\x89PNG\r\n\x1a\n"
+
+    def decode(self, content: bytes, meta) -> np.ndarray:
+        import struct
+        import zlib
+
+        if content[:8] != self._SIG:
+            raise ValueError("not a PNG blob")
+        pos, w = 8, None
+        idat = []
+        while pos < len(content):
+            (length,) = struct.unpack_from(">I", content, pos)
+            ctype = content[pos + 4 : pos + 8]
+            body = content[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if ctype == b"IHDR":
+                w, h, depth, ct, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if depth != 8 or ct not in (0, 2, 6) or interlace != 0:
+                    raise ValueError(
+                        f"only 8-bit grey/RGB/RGBA non-interlaced PNG "
+                        f"supported (depth={depth}, colortype={ct}, "
+                        f"interlace={interlace})"
+                    )
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+        if w is None:
+            raise ValueError("PNG missing IHDR")
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * ch
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            ft = raw[y * (stride + 1)]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            ).astype(np.int32)
+            if ft == 0:
+                rec = line
+            elif ft == 2:  # Up
+                rec = (line + prev) & 0xFF
+            else:  # Sub / Average / Paeth need the left neighbor
+                rec = np.zeros(stride, dtype=np.int32)
+                for x in range(stride):
+                    a = rec[x - ch] if x >= ch else 0
+                    b = int(prev[x])
+                    if ft == 1:
+                        rec[x] = (line[x] + a) & 0xFF
+                    elif ft == 3:
+                        rec[x] = (line[x] + (a + b) // 2) & 0xFF
+                    elif ft == 4:
+                        c = int(prev[x - ch]) if x >= ch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        rec[x] = (line[x] + pred) & 0xFF
+                    else:
+                        raise ValueError(f"bad PNG filter type {ft}")
+            out[y] = rec.astype(np.uint8)
+            prev = out[y]
+        px = out.reshape(h, w, ch)
+        if ct == 0:
+            return px[..., 0]
+        r = px[..., 0].astype(np.int64)
+        g = px[..., 1].astype(np.int64)
+        b = px[..., 2].astype(np.int64)
+        return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+    def encode(self, pixels: np.ndarray) -> bytes:
+        import struct
+        import zlib
+
+        px = np.asarray(pixels, dtype=np.uint8)
+        h, w = px.shape
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            self._SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 9))
+            + chunk(b"IEND", b"")
+        )
