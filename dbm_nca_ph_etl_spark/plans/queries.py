@@ -6844,3 +6844,61 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").cast("long").alias("max_day"),
         )
     )
+
+
+@register(
+    "hist_matview_price_bins",
+    """
+    WITH binned AS (
+      SELECT o_orderpriority,
+             least(31, greatest(0,
+               floor(o_totalprice / 600000.0 * 32)))::INT AS bin
+      FROM orders
+    )
+    SELECT o_orderpriority, bin, count(*)::BIGINT AS n
+    FROM binned GROUP BY o_orderpriority, bin
+    """,
+    doc="Mergeable HISTOGRAM sketch matview (sinks/matview.py "
+    "kind='hist'): per-priority 32-bin equi-width counts of "
+    "o_totalprice, built as three disjoint batches folded through "
+    "merge_partials in a non-arrival association order — the "
+    "quantile/distribution answer for incremental views, strictly "
+    "more algebra than HLL (bin counts are plain sums, so the "
+    "sketch is mergeable AND retractable). The partial agg is 32 "
+    "conditional sums inside the one shared groupBy; the oracle "
+    "aggregates the whole table directly, so the hash match proves "
+    "the bin algebra exact under any fold order. Zero-count bins "
+    "are dropped at read-out (the stored array keeps them). "
+    "Read-time quantile estimation off the same array is "
+    "derived_quantile (bin-width error bound, pinned by "
+    "test_sinks).",
+    tags=("lake", "incremental", "quality"),
+)
+def hist_matview_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sinks.matview import (
+        Measure,
+        merge_partials,
+        partial_agg,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    measures = [
+        Measure("price_hist", "o_totalprice", "hist", lo=0.0, hi=600000.0, bins=32)
+    ]
+    batches = [
+        partial_agg(o.where(F.col("o_orderkey") % 3 == i), keys, measures)
+        for i in range(3)
+    ]
+    folded = merge_partials(
+        [merge_partials([batches[1], batches[2]], keys, measures), batches[0]],
+        keys,
+        measures,
+    )
+    return (
+        folded.select(
+            "o_orderpriority", F.posexplode("price_hist").alias("bin", "n")
+        )
+        .where(F.col("n") > 0)
+        .select("o_orderpriority", F.col("bin").cast("int"), F.col("n").cast("long"))
+    )

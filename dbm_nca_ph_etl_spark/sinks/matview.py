@@ -51,21 +51,45 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_KINDS = ("sum", "count", "min", "max", "hll")
+_KINDS = ("sum", "count", "min", "max", "hll", "hist")
 
 
 @dataclass(frozen=True)
 class Measure:
     """One decomposable measure: ``name`` is the stored column,
-    ``expr`` the input expression (SQL string), ``kind`` the fold."""
+    ``expr`` the input expression (SQL string), ``kind`` the fold.
+
+    ``kind="hist"`` stores a fixed-bin histogram (``array<long>`` of
+    ``bins`` counts over [``lo``, ``hi``); values outside clamp to
+    the edge bins) — the quantile/distribution answer for
+    incremental views: exact percentiles are not decomposable, but
+    per-bin counts are plain sums, so the sketch is mergeable AND
+    retractable (negate the counts — strictly more algebra than HLL
+    offers). Read-time estimates via :func:`derived_quantile`, with
+    error bounded by the bin width. The partial agg is ``bins``
+    conditional sums in the ONE groupBy every other measure shares —
+    no extra shuffle, no collect."""
 
     name: str
     expr: str
     kind: str
+    lo: float = 0.0
+    hi: float = 1.0
+    bins: int = 32
 
     def __post_init__(self):
         if self.kind not in _KINDS:
             raise ValueError(f"kind must be one of {_KINDS}, got {self.kind!r}")
+        if self.kind == "hist" and not (self.hi > self.lo and self.bins > 0):
+            raise ValueError(f"hist needs hi > lo and bins > 0, got {self}")
+
+
+def _hist_bucket(m: Measure, col: Column) -> Column:
+    """Clamped equi-width bin index for a hist measure."""
+    raw = F.floor(
+        (col.cast("double") - F.lit(m.lo)) / F.lit(m.hi - m.lo) * m.bins
+    )
+    return F.least(F.lit(m.bins - 1), F.greatest(F.lit(0), raw)).cast("int")
 
 
 def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure]) -> DataFrame:
@@ -83,6 +107,20 @@ def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure])
         elif m.kind == "hll":
             # lgConfigK=14: ±~0.8% rsd, 16 KiB dense — dashboard grade
             aggs.append(F.hll_sketch_agg(col, 14).alias(m.name))
+        elif m.kind == "hist":
+            b = _hist_bucket(m, col)
+            aggs.append(
+                F.array(
+                    *[
+                        F.sum(
+                            F.when(col.isNotNull() & (b == i), F.lit(1))
+                            .otherwise(F.lit(0))
+                            .cast("long")
+                        )
+                        for i in range(m.bins)
+                    ]
+                ).alias(m.name)
+            )
         else:
             aggs.append(F.max(col).alias(m.name))
     return df.groupBy(*keys).agg(*aggs)
@@ -100,31 +138,69 @@ def merge_partials(
         "max": F.max,
         "hll": F.hll_union_agg,
     }
+
+    def folded(m: Measure) -> Column:
+        if m.kind == "hist":
+            # element-wise sum of the bin arrays — m.bins sum
+            # aggregates reassembled into one array column
+            return F.array(
+                *[F.sum(F.element_at(F.col(m.name), i + 1)) for i in range(m.bins)]
+            ).alias(m.name)
+        return fold[m.kind](F.col(m.name)).alias(m.name)
+
     out = partials[0]
     for p in partials[1:]:
         out = out.unionByName(p)
-    return out.groupBy(*keys).agg(
-        *[fold[m.kind](F.col(m.name)).alias(m.name) for m in measures]
-    )
+    return out.groupBy(*keys).agg(*[folded(m) for m in measures])
 
 
 def negate_partial(partial: DataFrame, measures: Sequence[Measure]) -> DataFrame:
-    """Retraction: negate sum/count partials so merging them removes a
-    previously-applied batch. min/max are not retractable (removing
-    the current extremum needs the raw data), and an HLL union is a
-    monotone lattice join (registers only grow) — fail loudly."""
+    """Retraction: negate sum/count (and hist bin-count) partials so
+    merging them removes a previously-applied batch. min/max are not
+    retractable (removing the current extremum needs the raw data),
+    and an HLL union is a monotone lattice join (registers only
+    grow) — fail loudly."""
     bad = [m.name for m in measures if m.kind in ("min", "max", "hll")]
     if bad:
         raise ValueError(f"min/max/hll measures are not retractable: {bad}")
+
+    def neg(m: Measure) -> Column:
+        if m.kind == "hist":
+            return F.transform(F.col(m.name), lambda v: -v).alias(m.name)
+        return (-F.col(m.name)).alias(m.name)
+
     return partial.select(
         *[c for c in partial.columns if c not in {m.name for m in measures}],
-        *[(-F.col(m.name)).alias(m.name) for m in measures],
+        *[neg(m) for m in measures],
     )
 
 
 def derived_avg(sum_col: str, count_col: str, scale: int = 6) -> Column:
     """Exact read-time average off stored partials."""
     return F.round(F.col(sum_col) / F.col(count_col), scale)
+
+
+def derived_quantile(m: Measure, q: float) -> Column:
+    """Read-time quantile estimate off a stored hist partial: walk
+    the cumulative bin counts to the bin containing the q-th value
+    and return that bin's midpoint — error ≤ half the bin width,
+    deterministic, merge-order independent. The running cumsum is a
+    per-bin slice-fold (O(bins²) adds on ``bins`` longs — register
+    math, not data math)."""
+    col = F.col(m.name)
+    total = F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.ceil(F.lit(q) * total.cast("double")).cast("long")
+    cums = F.transform(
+        F.sequence(F.lit(1), F.lit(m.bins)),
+        lambda i: F.aggregate(
+            F.slice(col, 1, i), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    idx = F.size(F.filter(cums, lambda c: c < target))  # 0-based bin
+    width = (m.hi - m.lo) / m.bins
+    return F.when(total > 0, F.lit(m.lo) + (idx + 0.5) * F.lit(width)).otherwise(
+        F.lit(None).cast("double")
+    )
 
 
 def derived_distinct(hll_col: str) -> Column:

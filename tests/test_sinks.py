@@ -456,3 +456,77 @@ class TestUpsertCdf:
             spark, spark.createDataFrame([(1, "x")], "id long, v string"), path, ["id"]
         )
         assert [(r["_change"]) for r in real.collect()] == ["update"]
+
+
+class TestHistMeasure:
+    """kind='hist': mergeable AND retractable fixed-bin histogram."""
+
+    def _measures(self):
+        from dbm_nca_ph_etl_spark.sinks.matview import Measure
+
+        return ["k"], [Measure("h", "v", "hist", lo=0.0, hi=100.0, bins=10)]
+
+    def test_merge_equals_one_shot(self, spark):
+        import pyspark.sql.functions as F
+
+        from dbm_nca_ph_etl_spark.sinks.matview import merge_partials, partial_agg
+
+        keys, ms = self._measures()
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(0, 100, 3)]
+            + [("b", 250.0), ("b", -5.0)],  # clamps to edge bins
+            "k string, v double",
+        )
+        parts = [
+            partial_agg(df.where((F.col("v") >= 50).cast("int") == i), keys, ms)
+            for i in range(2)
+        ]
+        merged = {r.k: r.h for r in merge_partials(parts, keys, ms).collect()}
+        direct = {r.k: r.h for r in partial_agg(df, keys, ms).collect()}
+        assert merged == direct
+        assert direct["b"] == [1, 0, 0, 0, 0, 0, 0, 0, 0, 1]
+
+    def test_retract_removes_batch_exactly(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            merge_partials,
+            negate_partial,
+            partial_agg,
+        )
+
+        keys, ms = self._measures()
+        import pyspark.sql.functions as F  # noqa: F401
+
+        base = spark.createDataFrame(
+            [("a", float(v)) for v in range(0, 100, 7)], "k string, v double"
+        )
+        extra = spark.createDataFrame([("a", 55.0), ("a", 66.0)], "k string, v double")
+        with_extra = merge_partials(
+            [partial_agg(base, keys, ms), partial_agg(extra, keys, ms)], keys, ms
+        )
+        back = merge_partials(
+            [with_extra, negate_partial(partial_agg(extra, keys, ms), ms)],
+            keys,
+            ms,
+        )
+        assert {r.k: r.h for r in back.collect()} == {
+            r.k: r.h for r in partial_agg(base, keys, ms).collect()
+        }
+
+    def test_derived_quantile_within_bin_width(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            derived_quantile,
+            partial_agg,
+        )
+
+        keys, ms = self._measures()
+        vals = [float(v) for v in range(100)]
+        df = spark.createDataFrame([("a", v) for v in vals], "k string, v double")
+        got = (
+            partial_agg(df, keys, ms)
+            .select(derived_quantile(ms[0], 0.5).alias("q"))
+            .first()
+            .q
+        )
+        import statistics
+
+        assert abs(got - statistics.median(vals)) <= 10.0 / 2 + 1e-9
