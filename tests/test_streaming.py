@@ -982,3 +982,77 @@ class TestStreamingHllMatview:
         )
         # sketch is exact at this cardinality; streamed union == batch
         assert got.d == 90 and batch.d == 90
+
+
+class TestStreamProbeDedup:
+    """Streaming dedup-at-ingest: probe the growing band index per
+    micro-batch, fold only novel docs forward, epoch-partition
+    overwrite for replay idempotence."""
+
+    def _run(self, spark, src, paths):
+        from dbm_nca_ph_etl_spark.streaming.dedup_stream import stream_probe_dedup
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        stream_probe_dedup(
+            stream,
+            paths["idx"],
+            paths["corpus"],
+            paths["verdicts"],
+            paths["ckpt"],
+        )
+
+    def test_three_batches_dedup_against_history(self, spark, tmp_path):
+        import os
+
+        from dbm_nca_ph_etl_spark.streaming.dedup_stream import read_verdicts
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        paths = {
+            "idx": str(tmp_path / "idx"),
+            "corpus": str(tmp_path / "corpus"),
+            "verdicts": str(tmp_path / "verdicts"),
+            "ckpt": str(tmp_path / "ckpt"),
+        }
+        base = "some shared words plus unique token{} " 
+
+        def write_batch(rows, name):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        write_batch([(1, base.format(1) * 4), (2, base.format(2) * 4)], "b1")
+        self._run(spark, src, paths)
+        write_batch(
+            [(10, base.format(1) * 4 + "tail"), (11, base.format(9) * 4)], "b2"
+        )
+        self._run(spark, src, paths)
+        write_batch(
+            [(20, base.format(9) * 4 + "tail"), (21, base.format(2) * 4 + "x")],
+            "b3",
+        )
+        self._run(spark, src, paths)
+
+        got = {
+            r.doc_id: (r.matched_doc, r.is_dup)
+            for r in read_verdicts(spark, paths["verdicts"]).collect()
+        }
+        assert got[1] == (None, False) and got[2] == (None, False)
+        assert got[10] == (1, True), got
+        assert got[11] == (None, False)
+        # batch-3 dups match docs folded in by EARLIER batches
+        assert got[20] == (11, True), got
+        assert got[21] == (2, True), got
+        corpus_ids = {
+            r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()
+        }
+        assert corpus_ids == {1, 2, 11}, "only novel docs join the corpus"
+
+    def test_epoch_write_is_replay_idempotent(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.streaming.dedup_stream import _write_epoch
+
+        p = str(tmp_path / "ep")
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+        _write_epoch(df, p, 3)
+        _write_epoch(df, p, 3)  # replayed epoch: same partition rewritten
+        assert spark.read.parquet(p).count() == 2
