@@ -6902,3 +6902,98 @@ def hist_matview_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") > 0)
         .select("o_orderpriority", F.col("bin").cast("int"), F.col("n").cast("long"))
     )
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH posting AS ({{posting}}),
+    dl AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS doc_len
+      FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doc_len) AS avgdl FROM dl),
+    probed AS (
+      SELECT * FROM posting
+      WHERE token IN ('join', 'hash', 'filter', 'window')
+    ),
+    dfreq AS (SELECT token, count(*)::BIGINT AS df FROM probed GROUP BY token),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+      FROM (
+        SELECT p.doc_id,
+               round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * 2.2
+                         / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))),
+                     6) AS score
+        FROM probed p JOIN dfreq USING (token) JOIN dl USING (doc_id)
+        CROSS JOIN stats GROUP BY p.doc_id
+      ) ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_sem
+      FROM (
+        SELECT vec_id AS doc_id,
+               round(list_dot_product(qv, embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),
+                     6) AS cos_sim
+        FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+      ) ORDER BY cos_sim DESC, doc_id LIMIT 50
+    )
+    SELECT doc_id,
+           floor((coalesce(1.0 / (60 + r_lex), 0.0)
+                  + coalesce(1.0 / (60 + r_sem), 0.0)) * 1000000000.0 + 0.5)::BIGINT
+             AS rrf_e9,
+           r_lex::INT AS r_lex, r_sem::INT AS r_sem
+    FROM lex FULL OUTER JOIN sem USING (doc_id)
+    ORDER BY rrf_e9 DESC, doc_id LIMIT 10
+    """.format(posting=_SQL_POSTINGS),
+    doc="HYBRID retrieval — reciprocal-rank fusion of the two "
+    "retrieval systems the engine already ships: BM25 lexical top-50 "
+    "(operators/inverted.bm25_search over the posting index) and "
+    "exact cosine semantic top-50 for query vector 0 "
+    "(operators/similarity.cosine_topk; swap in the LSH/IVF probes "
+    "at scale — ranks are ranks). RRF score = Σ 1/(60+rank), the "
+    "standard k=60 fusion that needs no score calibration between "
+    "systems; a doc found by only one system contributes one term "
+    "(full outer join + coalesce). Fused score carried as floor-e9 "
+    "integer so the hash compare is float-free; distributed "
+    "sort-limit top-10. Exact hash match vs the SQL replica of both "
+    "rankers and the fusion.",
+    tags=("llm", "search", "similarity"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.inverted import (
+        bm25_search,
+        build_postings,
+        doc_lengths,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_search(
+        build_postings(d), doc_lengths(d),
+        ["join", "hash", "filter", "window"], topk=50,
+    ).select("doc_id", F.col("rank").alias("r_lex"))
+    sem = S.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    )
+    rrf = (
+        F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("r_sem")), F.lit(0.0))
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.floor(rrf * 1000000000.0 + 0.5).cast("long").alias("rrf_e9"),
+            F.col("r_lex").cast("int").alias("r_lex"),
+            F.col("r_sem").cast("int").alias("r_sem"),
+        )
+        .orderBy(F.col("rrf_e9").desc(), "doc_id")
+        .limit(10)
+    )
