@@ -6997,3 +6997,84 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_e9").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH u1 AS (
+      SELECT user_id,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS s1
+      FROM events GROUP BY user_id
+    ),
+    u2 AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS s2
+      FROM events e JOIN u1 USING (user_id)
+      WHERE event_type = 'click' AND epoch_us(ts) > s1
+      GROUP BY e.user_id
+    ),
+    u3 AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS s3
+      FROM events e JOIN u2 USING (user_id)
+      WHERE event_type = 'purchase' AND epoch_us(ts) > s2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1::INT AS step, 'view' AS event_type,
+             count(s1)::BIGINT AS n_users FROM u1
+      UNION ALL
+      SELECT 2, 'click_after_view', count(*)::BIGINT FROM u2
+      UNION ALL
+      SELECT 3, 'purchase_after_click', count(*)::BIGINT FROM u3
+    )
+    """,
+    doc="Ordered event-funnel attainment (view → click → purchase, "
+    "strictly increasing event time per user) — the sequential-"
+    "pattern query every product-analytics engine ships. Each stage "
+    "is one conditional-min aggregate keyed by user plus a hash "
+    "join back to the (already user-partitioned) event scan, so the "
+    "three stages reuse one co-partitioning and every aggregate is "
+    "map-side combined; no window over the full event history, no "
+    "per-user array materialization. Timestamps compare as exact "
+    "epoch-microsecond integers (the catalog loader's ts_us — "
+    "session-TZ-proof). Output is the 3-row funnel ledger. Exact "
+    "hash match vs the SQL replica.",
+    tags=("relational", "events", "window"),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    u1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("s1")
+    )
+    u2 = (
+        e.join(u1, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts_us") > F.col("s1")))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s2"))
+    )
+    u3 = (
+        e.join(u2, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("s2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s3"))
+    )
+    return (
+        u1.agg(F.count("s1").cast("long").alias("n_users"))
+        .select(F.lit(1).cast("int").alias("step"), F.lit("view").alias("event_type"), "n_users")
+        .unionByName(
+            u2.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(2).cast("int").alias("step"),
+                F.lit("click_after_view").alias("event_type"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            u3.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(3).cast("int").alias("step"),
+                F.lit("purchase_after_click").alias("event_type"),
+                "n_users",
+            )
+        )
+    )
