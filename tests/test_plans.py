@@ -525,3 +525,23 @@ def test_contamination_broadcasts_benchmark_postings(spark, sf_dir):
     p = q(spark, sf_dir, "benchmark_contamination")
     assert "BroadcastHashJoin" in p
     assert exchanges(p) == 2, p
+
+
+def test_round4_query_plan_shapes(spark, sf_dir):
+    """Pin the new queries' scale shapes with auto-broadcast off:
+    the samplers/auditors are single-exchange rollups, the funnel
+    stays a bounded chain of user-keyed exchanges, fusion ends in a
+    distributed TakeOrderedAndProject, and nothing degrades to a
+    cartesian."""
+    for name, max_ex in (
+        ("corpus_quota_sample", 1),
+        ("dataset_split_assign", 1),
+        ("zorder_layout_audit", 1),
+        ("hist_matview_price_bins", 3),
+        ("event_funnel", 8),  # 2 per stage + single-partition ledger folds
+    ):
+        p = q(spark, sf_dir, name)
+        assert exchanges(p) <= max_ex, (name, exchanges(p))
+        assert "CartesianProduct" not in p, name
+    p = q(spark, sf_dir, "hybrid_search_rrf")
+    assert "TakeOrderedAndProject" in p and "CartesianProduct" not in p
