@@ -545,3 +545,68 @@ def test_round4_query_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in p, name
     p = q(spark, sf_dir, "hybrid_search_rrf")
     assert "TakeOrderedAndProject" in p and "CartesianProduct" not in p
+
+
+def test_bpe_train_differential_vs_pure_python(spark):
+    """Randomized differential: bpe_train's merge list must equal a
+    ~20-line pure-Python greedy BPE on random corpora — ties, runs of
+    identical symbols, single-char words, words that collapse to one
+    symbol, all of it."""
+    import random as _r
+
+    from dbm_nca_ph_etl_spark.operators.text_analysis import bpe_train
+
+    def py_bpe(words, k):
+        state = {w: [c for c in w] for w, _ in words}
+        wc = dict(words)
+        merges = []
+        for step in range(1, k + 1):
+            counts = {}
+            for w, syms in state.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = (
+                        counts.get((syms[i], syms[i + 1]), 0) + wc[w]
+                    )
+            if not counts:
+                break
+            # argmax: count desc, then (lhs, rhs) asc
+            (a, b), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((step, a, b, a + b, cnt))
+            for w, syms in state.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                state[w] = out
+        return merges
+
+    for seed in (3, 11, 27):
+        rng = _r.Random(seed)
+        alphabet = "abc"
+        words = [
+            (
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7))),
+                rng.randint(1, 5),
+            )
+            for _ in range(12)
+        ]
+        # distinct-word table (duplicate words get summed counts)
+        agg = {}
+        for w, c in words:
+            agg[w] = agg.get(w, 0) + c
+        vocab = sorted(agg.items())
+        got = [
+            (r.step, r.lhs, r.rhs, r.merged, r.merge_count)
+            for r in bpe_train(
+                spark.createDataFrame(vocab, "w string, wc long"), k=5
+            )
+            .orderBy("step")
+            .collect()
+        ]
+        assert got == py_bpe(vocab, 5), f"seed {seed} diverged: {got}"
