@@ -7078,3 +7078,68 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "lsh_bucket_stats",
+    f"""
+    WITH docs2 AS (SELECT doc_id, text FROM documents),
+    shingled AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES.format(t='text')}) AS shingle FROM docs2
+    ),
+    pre AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS x FROM shingled
+    ),
+    hashed AS (
+      SELECT doc_id, h::INT AS h,
+             ([2557, 21041, 27717, 22863, 845, 29229, 30923, 19617, 21031, 18641, 30861, 30047, 14075, 20097, 17409, 24897][h+1]::BIGINT * x
+              + [654583775, 229283573, 1051550459, 794471793, 803550167, 370913197, 1381971571, 2121308585, 996984527, 1343235941, 1511588075, 2103497953, 956612807, 1588911645, 33727075, 88489753][h+1]::BIGINT) % 2305843009213693951 AS hv
+      FROM pre CROSS JOIN generate_series(0, 15) AS t(h)
+    ),
+    sigs AS (
+      SELECT doc_id, h, min(hv) AS minhash FROM hashed GROUP BY doc_id, h
+    ),
+    buckets AS (
+      SELECT doc_id, h // 4 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS bucket
+      FROM sigs GROUP BY doc_id, h // 4
+    ),
+    sizes AS (
+      SELECT band, bucket, count(*)::BIGINT AS sz
+      FROM buckets GROUP BY band, bucket
+    )
+    SELECT band::INT AS band,
+           count(*)::BIGINT AS n_buckets,
+           max(sz)::BIGINT AS max_bucket,
+           sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END)::BIGINT AS n_colliding,
+           sum(sz * (sz - 1) / 2)::BIGINT AS n_candidate_pairs
+    FROM sizes GROUP BY band
+    """,
+    doc="LSH index SKEW AUDIT — the operational dashboard for the "
+    "MinHash band index: per band, bucket count, the largest bucket "
+    "(a degenerate bucket is boilerplate or a hash pathology, and "
+    "its size enters the pair count QUADRATICALLY), how many "
+    "buckets collide at all, and Σ sz·(sz−1)/2 — the exact "
+    "candidate-pair work the self-join/probe will do. This is the "
+    "query you run BEFORE minhash_lsh_pairs on a new corpus: a "
+    "max_bucket in the thousands says salt or re-band before "
+    "paying the in-bucket pair explosion the SF-scaling harness "
+    "exists to catch. Same signature pipeline as the index build "
+    "(one tokenize pass, two map-side-combined rollups — the audit "
+    "costs a tiny fraction of the pairing it de-risks). Exact hash "
+    "match vs the SQL replica.",
+    tags=("dedup", "llm", "quality"),
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sizes = (
+        D.band_buckets(d)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return sizes.groupBy(F.col("band").cast("int").alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum((F.col("sz") > 1).cast("int")).cast("long").alias("n_colliding"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+    )

@@ -190,3 +190,53 @@ class TestPrefixSumDuplicateFirstKey:
         assert sorted(
             ((r.k, r.tie, r.p) for r in got.collect())
         ) == sorted((r.k, r.tie, r.p) for r in want.collect())
+
+
+class TestQuotaViaPrefixSum:
+    def test_giant_cell_quota_matches_global_window(self, spark):
+        """The corpus_quota_sample docstring promises that a giant
+        cell can swap the single-task global window for the two-phase
+        prefix_sum with identical results — prove it: same kept set,
+        same kept-token totals, on a one-cell corpus."""
+        from pyspark.sql import Window
+
+        from dbm_nca_ph_etl_spark.operators.windows import prefix_sum
+        from dbm_nca_ph_etl_spark.sources.catalog import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        base = docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qs:"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        quota = 5000
+        w = Window.orderBy("h", "doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        via_window = {
+            r.doc_id
+            for r in base.withColumn(
+                "cb", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            )
+            .where(F.col("cb") < quota)
+            .collect()
+        }
+        via_prefix = {
+            r.doc_id
+            for r in prefix_sum(
+                base, "n_tokens", ["h", "doc_id"], out_col="cb", num_partitions=7
+            )
+            .where(F.col("cb") < quota)
+            .collect()
+        }
+        assert via_window == via_prefix and len(via_window) > 10
