@@ -7143,3 +7143,70 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("sz") > 1).cast("int")).cast("long").alias("n_colliding"),
         F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("n_candidate_pairs"),
     )
+
+
+@register(
+    "scd2_customer_history",
+    """
+    WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+    chg AS (
+      SELECT c_custkey, c_acctbal + 100 AS c_acctbal
+      FROM base WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey, c_acctbal FROM base WHERE c_custkey % 10 = 4
+      UNION ALL
+      SELECT c_custkey + 1000000, 111.0 FROM base WHERE c_custkey % 200 = 7
+    ),
+    j AS (
+      SELECT b.c_custkey, b.c_acctbal AS oldv, g.c_acctbal AS newv
+      FROM base b LEFT JOIN chg g USING (c_custkey)
+    )
+    SELECT c_custkey, oldv AS c_acctbal,
+           0::BIGINT AS valid_from, 1000::BIGINT AS valid_to
+    FROM j WHERE newv IS NOT NULL AND newv <> oldv
+    UNION ALL
+    SELECT c_custkey, oldv, 0::BIGINT, NULL::BIGINT
+    FROM j WHERE newv IS NULL OR newv = oldv
+    UNION ALL
+    SELECT g.c_custkey, g.c_acctbal, 1000::BIGINT, NULL::BIGINT
+    FROM chg g LEFT JOIN base b USING (c_custkey)
+    WHERE b.c_custkey IS NULL OR g.c_acctbal <> b.c_acctbal
+    """,
+    doc="SCD Type-2 dimension history (sinks/merge.scd2_apply): a "
+    "change batch — real updates (acctbal+100), no-op redeliveries "
+    "(identical values, which must NOT version — the T6 idempotence "
+    "contract), and brand-new keys — applied to the customer "
+    "dimension as validity intervals: changed keys close their "
+    "current version at the effective time and append an open one; "
+    "history rows never rewrite. Pure relational: two joins that "
+    "both BROADCAST the batch side (the dimension is the 100 TB "
+    "relation and only streams) + a union — no window over "
+    "history. Current snapshot = valid_to IS NULL; as-of-T reads "
+    "use the same interval predicate operators/asof.py joins on. "
+    "Exact hash match vs the SQL replica.",
+    tags=("lake", "incremental", "relational"),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sinks.merge import scd2_apply
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    dim = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    chg = (
+        c.where(F.col("c_custkey") % 10 == 3)
+        .select("c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"))
+        .unionByName(
+            c.where(F.col("c_custkey") % 10 == 4).select("c_custkey", "c_acctbal")
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 200 == 7).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit(111.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return scd2_apply(dim, chg, ["c_custkey"], effective=1000)

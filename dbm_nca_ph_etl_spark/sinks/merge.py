@@ -130,6 +130,83 @@ def upsert_parquet_cdf(
     return tagged
 
 
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    effective: int,
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: apply a change batch to a
+    versioned dimension, keeping FULL HISTORY as validity intervals.
+
+    ``dim`` carries ``[keys…, value cols…, valid_from, valid_to]``
+    with ``valid_to IS NULL`` marking each key's current version;
+    ``changes`` carries ``[keys…, value cols…]``. ``effective`` is
+    the batch's effective time (a caller-supplied long — epoch-µs or
+    a version number; passing it in keeps the operator deterministic
+    and replayable, the same no-wall-clock rule as the rest of the
+    engine). Per changed key, the current version CLOSES
+    (``valid_to = effective``) and a new open version appends; a
+    change row whose values equal the current version is a no-op
+    (idempotent re-delivery, the T6 contract); history rows never
+    change. Pure relational algebra — two broadcast joins against
+    the change batch (batch-sized build side, the dimension streams)
+    and a union; no window over history.
+
+    Returns the NEW full-history dimension (the caller persists via
+    ``_rewrite``/table-format merge). Current snapshot =
+    ``WHERE valid_to IS NULL``; as-of time T =
+    ``WHERE valid_from <= T AND (valid_to IS NULL OR valid_to > T)``
+    — the same interval predicate operators/asof.py range-joins on.
+    """
+    val_cols = [c for c in changes.columns if c not in keys]
+    incoming = changes.dropDuplicates(keys)
+    cur = dim.where(F.col(to_col).isNull())
+    hist = dim.where(F.col(to_col).isNotNull())
+    # current side annotated with the batch's values ("_p" marks key
+    # presence; "same" = values identical → no-op redelivery)
+    c_vals = incoming.select(
+        *keys,
+        F.lit(True).alias("_p"),
+        *[F.col(c).alias(f"_new_{c}") for c in val_cols],
+    )
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"_new_{c}"))
+    joined = cur.join(F.broadcast(c_vals), on=keys, how="left")
+    effective_lit = F.lit(effective).cast("long")
+    closed = joined.where(F.col("_p").isNotNull() & ~same).select(
+        *keys, *val_cols, F.col(from_col), effective_lit.alias(to_col)
+    )
+    untouched = joined.where(F.col("_p").isNull() | same).select(*cur.columns)
+    # new open versions: batch rows that are a new key or a real change
+    o_vals = cur.select(
+        *keys,
+        F.lit(True).alias("_had"),
+        *[F.col(c).alias(f"_old_{c}") for c in val_cols],
+    )
+    unchanged = F.lit(True)
+    for c in val_cols:
+        unchanged = unchanged & F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+    # right-outer with the BATCH as the broadcast build side: the
+    # dimension streams (it is the 100 TB relation), every batch row
+    # survives, "_had" marks an existing current version
+    fresh = (
+        o_vals.join(F.broadcast(incoming), on=keys, how="right")
+        .where(F.col("_had").isNull() | ~unchanged)
+        .select(
+            *keys,
+            *val_cols,
+            effective_lit.alias(from_col),
+            F.lit(None).cast("long").alias(to_col),
+        )
+    )
+    return hist.unionByName(closed).unionByName(untouched).unionByName(fresh)
+
+
 def delete_by_keys(
     spark: SparkSession, path: str, keys_df: DataFrame, key_cols: list[str]
 ) -> None:

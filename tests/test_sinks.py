@@ -530,3 +530,67 @@ class TestHistMeasure:
         import statistics
 
         assert abs(got - statistics.median(vals)) <= 10.0 / 2 + 1e-9
+
+
+class TestScd2Apply:
+    def _dim(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, v string, valid_from long, valid_to long"
+        )
+
+    def test_close_append_noop_and_new_key(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.merge import scd2_apply
+
+        dim = self._dim(
+            spark,
+            [
+                (1, "a", 0, None),   # will change
+                (2, "b", 0, None),   # no-op redelivery
+                (3, "c", 0, None),   # untouched (not in batch)
+                (1, "a0", -5, 0),    # existing history row: must survive
+            ],
+        )
+        chg = spark.createDataFrame(
+            [(1, "a2"), (2, "b"), (9, "fresh")], "k long, v string"
+        )
+        out = scd2_apply(dim, chg, ["k"], effective=100)
+        got = {(r.k, r.v, r.valid_from, r.valid_to) for r in out.collect()}
+        assert got == {
+            (1, "a0", -5, 0),      # history untouched
+            (1, "a", 0, 100),      # closed at effective
+            (1, "a2", 100, None),  # new open version
+            (2, "b", 0, None),     # no-op: still the same open row
+            (3, "c", 0, None),     # untouched
+            (9, "fresh", 100, None),
+        }
+
+    def test_replay_is_idempotent(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.merge import scd2_apply
+
+        dim = self._dim(spark, [(1, "a", 0, None)])
+        chg = spark.createDataFrame([(1, "a2")], "k long, v string")
+        once = scd2_apply(dim, chg, ["k"], effective=100)
+        twice = scd2_apply(once, chg, ["k"], effective=200)
+        assert {tuple(r) for r in once.collect()} == {
+            tuple(r) for r in twice.collect()
+        }, "re-delivering the same change must not version again"
+
+    def test_as_of_snapshots(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbm_nca_ph_etl_spark.sinks.merge import scd2_apply
+
+        dim = self._dim(spark, [(1, "v1", 0, None)])
+        h1 = scd2_apply(dim, spark.createDataFrame([(1, "v2")], "k long, v string"), ["k"], 10)
+        h2 = scd2_apply(h1, spark.createDataFrame([(1, "v3")], "k long, v string"), ["k"], 20)
+
+        def as_of(t):
+            return {
+                r.v
+                for r in h2.where(
+                    (F.col("valid_from") <= t)
+                    & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+                ).collect()
+            }
+
+        assert as_of(5) == {"v1"} and as_of(15) == {"v2"} and as_of(25) == {"v3"}
