@@ -7210,3 +7210,81 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_apply(dim, chg, ["c_custkey"], effective=1000)
+
+
+@register(
+    "scd2_asof_order_balance",
+    """
+    WITH base AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 = 3),
+    hist AS (
+      SELECT c_custkey, c_acctbal, 0::BIGINT AS vf, 10000::BIGINT AS vt FROM base
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 100, 10000::BIGINT, NULL::BIGINT FROM base
+    ),
+    o AS (
+      SELECT o_orderkey, o_custkey, (epoch(o_orderdate) // 86400)::BIGINT AS day
+      FROM orders WHERE o_custkey % 10 = 3
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.day,
+           h.c_acctbal AS acctbal_asof,
+           (o.day >= 10000)::BOOLEAN AS post_change
+    FROM o JOIN hist h
+      ON o.o_custkey = h.c_custkey
+     AND h.vf <= o.day AND (h.vt IS NULL OR h.vt > o.day)
+    """,
+    doc="Temporal (as-of) fact→dimension join over an SCD-2 history "
+    "(the read side of sinks/merge.scd2_apply): every order of a "
+    "versioned customer picks the balance valid AT ITS ORDER DAY "
+    "via the interval predicate vf <= t < vt — two versions here "
+    "(effective day 10000 splits the order date range), so the "
+    "query proves each order resolves exactly one version and the "
+    "boundary lands on the open side. Planwise this is an EQUI join "
+    "on the customer key with the interval as a residual filter — "
+    "never a range-only nested loop — so it scales like any "
+    "fact-dim join; the history side is per-key-small by "
+    "construction. Exact hash match vs the SQL replica "
+    "(day arithmetic on the NTZ timestamp is session-TZ-proof).",
+    tags=("relational", "lake", "window"),
+)
+def scd2_asof_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 3)
+        .select("c_custkey", "c_acctbal")
+    )
+    hist = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(0).cast("long").alias("vf"),
+        F.lit(10000).cast("long").alias("vt"),
+    ).unionByName(
+        c.select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            F.lit(10000).cast("long").alias("vf"),
+            F.lit(None).cast("long").alias("vt"),
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.unix_timestamp("o_orderdate") / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+    )
+    return o.join(
+        hist,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("vf") <= F.col("day"))
+        & (F.col("vt").isNull() | (F.col("vt") > F.col("day"))),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.col("c_acctbal").alias("acctbal_asof"),
+        (F.col("day") >= 10000).alias("post_change"),
+    )
