@@ -7288,3 +7288,112 @@ def scd2_asof_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal_asof"),
         (F.col("day") >= 10000).alias("post_change"),
     )
+
+
+@register(
+    "corpus_yield_funnel",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, lang, {_SQL_TOKENS.format(t='text')} AS toks,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, lang, len(toks)::BIGINT AS n_tokens,
+             CAST(floor(((least(len(toks)::DOUBLE / 100.0, 1.0)
+               + greatest(1.0 - (CASE WHEN nonspace > 0
+                   THEN punct::DOUBLE / nonspace::DOUBLE ELSE 0.0 END) * 5.0, 0.0)
+               + least((CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, x -> list_contains({_SQL_STOP_EN}, x)))::DOUBLE
+                     / len(toks)::DOUBLE ELSE 0.0 END) * 5.0, 1.0)) / 3.0)
+               * 1000000.0 + 0.5) AS BIGINT) AS q_e6
+      FROM base
+    ),
+    f AS (
+      SELECT doc_id, text, n_tokens,
+             n_tokens >= 10 AS f2,
+             n_tokens >= 10 AND lang = 'en' AS f3,
+             n_tokens >= 10 AND lang = 'en' AND q_e6 >= 500000 AS f4
+      FROM m
+    ),
+    keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM f WHERE f4
+      ) WHERE rn = 1
+    )
+    SELECT * FROM (
+      SELECT 1::INT AS stage, 'ingested' AS label,
+             count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens FROM f
+      UNION ALL
+      SELECT 2, 'len_ge_10', count(*)::BIGINT, sum(n_tokens)::BIGINT FROM f WHERE f2
+      UNION ALL
+      SELECT 3, 'lang_en', count(*)::BIGINT, sum(n_tokens)::BIGINT FROM f WHERE f3
+      UNION ALL
+      SELECT 4, 'quality_ge_0.5', count(*)::BIGINT, sum(n_tokens)::BIGINT FROM f WHERE f4
+      UNION ALL
+      SELECT 5, 'exact_dedup', count(*)::BIGINT, sum(n_tokens)::BIGINT
+      FROM f JOIN keep USING (doc_id)
+    )
+    """,
+    doc="Data-curation YIELD FUNNEL — the per-stage survival ledger "
+    "every corpus pipeline dashboard leads with: ingested → length "
+    "floor → language gate → quality gate (the same integer-e6 "
+    "composite mixture_design_report weights by) → exact dedup "
+    "(min-doc_id survivor per text among stage-4 survivors). Doc "
+    "and token counts per stage, so the cost of each filter is "
+    "visible in tokens, not just documents. One tokenize pass "
+    "computes every flag; stages 1-4 are conditional sums of that "
+    "single projection, and only the dedup stage adds a shuffle "
+    "(text-keyed, survivors only). All-integer output, exact hash "
+    "match vs the SQL replica.",
+    tags=("llm", "quality", "text"),
+)
+def corpus_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    tc = T.token_count(t).cast("double")
+    q = (
+        F.least(tc / 100.0, F.lit(1.0))
+        + F.greatest(1.0 - T.punct_ratio(t) * 5.0, F.lit(0.0))
+        + F.least(T.stopword_ratio(t) * 5.0, F.lit(1.0))
+    ) / 3.0
+    f = d.select(
+        "doc_id",
+        "text",
+        T.token_count(t).cast("long").alias("n_tokens"),
+        (T.token_count(t) >= 10).alias("f2"),
+        ((T.token_count(t) >= 10) & (F.col("lang") == "en")).alias("f3"),
+        (
+            (T.token_count(t) >= 10)
+            & (F.col("lang") == "en")
+            & (F.floor(q * 1000000.0 + 0.5).cast("long") >= 500000)
+        ).alias("f4"),
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    keep = (
+        f.where("f4")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+    def stage(n, label, frame):
+        return frame.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(n).cast("int").alias("stage"),
+            F.lit(label).alias("label"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        stage(1, "ingested", f)
+        .unionByName(stage(2, "len_ge_10", f.where("f2")))
+        .unionByName(stage(3, "lang_en", f.where("f3")))
+        .unionByName(stage(4, "quality_ge_0.5", f.where("f4")))
+        .unionByName(stage(5, "exact_dedup", f.join(keep, "doc_id")))
+    )
