@@ -209,6 +209,7 @@ def build_band_index(
         "num_hashes": num_hashes,
         "bands": bands,
         "shingle_n": shingle_n,
+        "layout": "band",
     }
     with open(os.path.join(path, "_band_meta.json"), "w") as f:
         json.dump(meta, f)
@@ -220,10 +221,18 @@ def load_band_index(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    expected_layout: str | None = None,
 ) -> DataFrame:
     """Read a :func:`build_band_index` table, verifying the sidecar's
     signature parameters match the caller's — feed the result to
-    ``lsh_probe_new(index=...)``."""
+    ``lsh_probe_new(index=...)``.
+
+    ``expected_layout`` guards the two on-disk layouts that share
+    this sidecar: ``"band"`` (build_band_index, band=-partitioned)
+    vs ``"epoch"`` (streaming/dedup_stream, epoch=-partitioned).
+    Readers that depend on one layout's partition column pass it and
+    get a loud error instead of a silently-empty partition-pruned
+    scan; ``None`` (default) accepts either."""
     import json
     import os
 
@@ -236,6 +245,13 @@ def load_band_index(
             f"band index at {path} was built with {got}, probe expects "
             f"{want}; mismatched parameters would make every probe "
             "silently miss — rebuild the index or match the params"
+        )
+    layout = meta.get("layout")
+    if expected_layout is not None and layout not in (None, expected_layout):
+        raise ValueError(
+            f"band index at {path} has layout={layout!r}, reader expects "
+            f"{expected_layout!r}; the two layouts partition on different "
+            "columns and cannot be mixed in one directory"
         )
     return spark.read.parquet(path)
 

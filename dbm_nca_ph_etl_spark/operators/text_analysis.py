@@ -537,7 +537,8 @@ def bpe_train(
     word_col: str = "w",
     count_col: str = "wc",
     return_state: bool = False,
-) -> "DataFrame":
+    max_merges: int = 65536,
+) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """Full BPE tokenizer induction: ``k`` iterative merges over a
     distinct-word frequency table → the merge list (the actual
     tokenizer artifact), ``(step, lhs, rhs, merged, merge_count)``.
@@ -552,9 +553,25 @@ def bpe_train(
     projection. Each iteration's state persists MEMORY_AND_DISK
     (lazy, lineage-preserving; materialized by that iteration's
     count job) and the previous iteration unpersists, so the k-fold
-    plan never recomputes from raw text. NOTE: calling this runs k
-    Spark jobs eagerly — it trains a model, it does not build a lazy
-    plan.
+    plan never recomputes from raw text.
+
+    JOB-COUNT CONTRACT (shared with ``kmeans_train``): calling this
+    runs ~k sequential driver-coordinated Spark jobs eagerly (one
+    pair-count argmax per merge, the apply folded into the next
+    count) — it trains a model, it does not build a lazy plan.
+    ``k`` bounds driver round-trips: a production tokenizer train
+    (k≈30-50k) is tens of thousands of short vocab-table jobs;
+    corpus size is irrelevant to that count, but wall-clock is
+    k × job latency. ``max_merges`` guards an unbounded/erroneous
+    ``k``; ``k <= 0`` returns an empty merge list, and ``k`` past
+    vocab exhaustion stops early at the natural fixpoint (no
+    adjacent pair left).
+
+    With ``return_state=True`` returns ``(merges_df, state)``;
+    ``state`` (the final vocab segmentation — the encoder table) is
+    materialized here so the internal iteration cache can be
+    released before returning; the caller owns persistence of
+    ``state`` itself from there.
 
     100 TB shape: the corpus-sized work is exactly one
     tokenize+groupBy to build ``words`` (upstream of this function);
@@ -562,6 +579,12 @@ def bpe_train(
     """
     from pyspark import StorageLevel
 
+    if k > max_merges:
+        raise ValueError(
+            f"k={k} exceeds max_merges={max_merges}: each merge is a "
+            "sequential driver-coordinated Spark job; raise max_merges "
+            "explicitly if a bigger tokenizer train is intended"
+        )
     spark = words.sparkSession
     state = words.select(
         F.col(word_col).alias("w"),
@@ -602,9 +625,13 @@ def bpe_train(
     if return_state:
         # keep the final vocab segmentation (w, wc, syms) — the
         # ENCODER table: joining corpus tokens against it applies the
-        # trained tokenizer without re-running any merge. The caller
-        # owns persistence; `prev` (the pre-final-merge cache feeding
-        # this plan) stays cached until the session drops it.
+        # trained tokenizer without re-running any merge. Materialize
+        # it ONCE (localCheckpoint cuts the lineage through the
+        # iteration cache) so `prev` can be released here instead of
+        # pinning executor memory for the session.
+        state = state.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
         return merges_df, state
     if prev is not None:
         prev.unpersist()

@@ -182,27 +182,25 @@ def scd2_apply(
         *keys, *val_cols, F.col(from_col), effective_lit.alias(to_col)
     )
     untouched = joined.where(F.col("_p").isNull() | same).select(*cur.columns)
-    # new open versions: batch rows that are a new key or a real change
-    o_vals = cur.select(
-        *keys,
-        F.lit(True).alias("_had"),
-        *[F.col(c).alias(f"_old_{c}") for c in val_cols],
+    # New open versions, decomposed so the 100 TB dimension is NEVER
+    # a shuffle side (Spark cannot build-left a right-outer, so a
+    # broadcast hint on the preserved batch side would be ignored and
+    # the dimension would shuffle):
+    #  - changed existing keys come from the SAME broadcast left join
+    #    as `closed` — the new values ride in as _new_* columns;
+    #  - brand-new keys are the batch minus the PRESENT key set,
+    #    which is itself batch-bounded (≤ |incoming| rows), so the
+    #    anti join broadcasts its build (right) side.
+    changed_new = joined.where(F.col("_p").isNotNull() & ~same).select(
+        *keys, *[F.col(f"_new_{c}").alias(c) for c in val_cols]
     )
-    unchanged = F.lit(True)
-    for c in val_cols:
-        unchanged = unchanged & F.col(c).eqNullSafe(F.col(f"_old_{c}"))
-    # right-outer with the BATCH as the broadcast build side: the
-    # dimension streams (it is the 100 TB relation), every batch row
-    # survives, "_had" marks an existing current version
-    fresh = (
-        o_vals.join(F.broadcast(incoming), on=keys, how="right")
-        .where(F.col("_had").isNull() | ~unchanged)
-        .select(
-            *keys,
-            *val_cols,
-            effective_lit.alias(from_col),
-            F.lit(None).cast("long").alias(to_col),
-        )
+    present = joined.where(F.col("_p").isNotNull()).select(*keys)
+    brand_new = incoming.join(F.broadcast(present), on=keys, how="left_anti")
+    fresh = changed_new.unionByName(brand_new.select(*keys, *val_cols)).select(
+        *keys,
+        *val_cols,
+        effective_lit.alias(from_col),
+        F.lit(None).cast("long").alias(to_col),
     )
     return hist.unionByName(closed).unionByName(untouched).unionByName(fresh)
 

@@ -118,15 +118,6 @@ class ArrowLakeFS(LakeFS):
 
         return pafs.FileSystem.from_uri(path)
 
-    def _scheme_prefix(self, path: str) -> str:
-        # from_uri strips the scheme+authority; keep it so returned
-        # listings stay full URIs the caller can pass back in
-        head, sep, rest = path.partition("://")
-        if not sep:
-            return ""
-        authority = rest.split("/", 1)[0]
-        return f"{head}://{authority}"
-
     @property
     def atomic_rename(self):  # type: ignore[override]
         return False  # be conservative: assume object-store semantics
@@ -136,16 +127,26 @@ class ArrowLakeFS(LakeFS):
 
         fsys, p = self._resolve(path)
         info = fsys.get_file_info(p)
-        prefix = self._scheme_prefix(path)
         if info.type != pafs.FileType.Directory:
             return [path]
         sel = pafs.FileSelector(p, recursive=False)
-        out = [
-            f"{prefix}/{fi.path.lstrip('/')}" if prefix else fi.path
-            for fi in fsys.get_file_info(sel)
-            if fi.type == pafs.FileType.File
-            and (suffixes is None or fi.path.lower().endswith(tuple(suffixes)))
-        ]
+        # Rebuild child URIs RELATIVE to the input URI, not by
+        # re-attaching scheme://authority to fi.path: for
+        # bucket-in-path stores (s3://, gs://) from_uri returns paths
+        # that already contain the bucket, so a scheme+authority
+        # prefix would double it (s3://bucket/bucket/dir/file) and
+        # every later read of the listing would 404. The suffix of
+        # fi.path past the resolved base is scheme-independent.
+        base_uri = path.rstrip("/")
+        base_p = p.rstrip("/")
+        out = []
+        for fi in fsys.get_file_info(sel):
+            if fi.type != pafs.FileType.File:
+                continue
+            if suffixes is not None and not fi.path.lower().endswith(tuple(suffixes)):
+                continue
+            child = fi.path[len(base_p):] if fi.path.startswith(base_p) else fi.path
+            out.append(base_uri + "/" + child.lstrip("/"))
         return sorted(out)
 
     def is_dir(self, path):

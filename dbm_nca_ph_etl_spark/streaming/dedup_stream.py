@@ -17,11 +17,22 @@ same replay-idempotence contract as MaterializedAgg.refresh /
 NCAStore.load_batch (T6), expressed through Spark's native
 ``partitionOverwriteMode=dynamic`` instead of a version log.
 
-Scope: batch-vs-corpus dedup. Duplicates WITHIN one micro-batch are
-not folded (both copies probe the pre-batch index); compose with
-``minhash_lsh_pairs`` on the batch when intra-batch dups matter —
-at real ingest rates a micro-batch is small enough that either
-choice is cheap.
+Scope: batch-vs-corpus AND batch-vs-batch dedup. A burst of
+identical documents arriving in ONE micro-batch admits exactly one
+copy: before the fold, the batch runs through the same LSH band +
+exact-Jaccard verify pipeline against itself
+(``minhash_lsh_pairs`` → ``ngram_jaccard_pairs``), and the
+lower-id survivor of each verified pair is the only one that can
+reach the index. Batch-sized work on a batch-sized relation.
+
+Replay safety: the probe reads ONLY partitions with
+``epoch < epoch_id``. Without that filter, a crash after
+``_write_epoch(index/corpus)`` but before the checkpoint commit
+would replay the micro-batch against an index already containing
+its own rows — every previously-novel doc would collide with
+itself and the rewritten verdicts partition would silently flip the
+whole epoch to ``is_dup``. The epoch partition column makes the
+exclusion a partition-pruned predicate, not a scan.
 
 The signature-parameter sidecar (``_band_meta.json``) is written on
 first use and validated on every later run via ``load_band_index``
@@ -43,6 +54,8 @@ from dbm_nca_ph_etl_spark.operators.dedup import (
     band_buckets,
     load_band_index,
     lsh_probe_new,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
 )
 
 VERDICT_SCHEMA = "doc_id long, matched_doc long, is_dup boolean, epoch long"
@@ -88,15 +101,34 @@ def stream_probe_dedup(
         ).localCheckpoint()
         # probe only when index DATA exists — the meta sidecar alone
         # (a crash between meta and first epoch write) must not send
-        # us to an unreadable empty table
-        has_index = os.path.exists(index_path) and any(
-            d.startswith("epoch=") for d in os.listdir(index_path)
-        )
+        # us to an unreadable empty table. A band=-partitioned dir is
+        # a build_band_index artifact, NOT this stream's layout:
+        # falling through to the "first epoch" branch would silently
+        # treat the whole corpus as empty and then corrupt the dir
+        # with conflicting epoch= partitions — fail fast instead.
+        entries = os.listdir(index_path) if os.path.exists(index_path) else []
+        if any(d.startswith("band=") for d in entries):
+            raise ValueError(
+                f"{index_path} is a band=-partitioned build_band_index "
+                "artifact; stream_probe_dedup owns an epoch=-partitioned "
+                "index — point it at its own directory (or probe the "
+                "batch against the band index with lsh_probe_new)"
+            )
+        has_index = any(d.startswith("epoch=") for d in entries)
+        # replay guard: exclude this epoch's own (and any later) rows
+        # — a crash between _write_epoch and the checkpoint commit
+        # replays the batch against an index that already contains it
+        before = F.col("epoch") < F.lit(int(epoch_id))
         if has_index:
             idx = load_band_index(
-                spark, index_path, num_hashes, bands, shingle_n
+                spark, index_path, num_hashes, bands, shingle_n,
+                expected_layout="epoch",
+            ).where(before)
+            corpus = (
+                spark.read.parquet(corpus_path)
+                .where(before)
+                .select("doc_id", "text")
             )
-            corpus = spark.read.parquet(corpus_path).select("doc_id", "text")
             verdicts = lsh_probe_new(
                 corpus,
                 batch,
@@ -117,6 +149,7 @@ def stream_probe_dedup(
                             "num_hashes": num_hashes,
                             "bands": bands,
                             "shingle_n": shingle_n,
+                            "layout": "epoch",
                         },
                         fh,
                     )
@@ -125,6 +158,31 @@ def stream_probe_dedup(
                 F.lit(None).cast("long").alias("matched_doc"),
                 F.lit(False).alias("is_dup"),
             )
+        # intra-batch dedup: a burst of identical docs in ONE batch
+        # must admit exactly one copy. Same bands + exact-Jaccard
+        # verify as the corpus probe; the lower id of each verified
+        # pair survives, the higher id is a dup of the lowest partner.
+        inb = minhash_lsh_pairs(batch, "text", "doc_id", num_hashes, bands, shingle_n)
+        if verify_threshold is not None:
+            inb = ngram_jaccard_pairs(inb, batch, "text", "doc_id", shingle_n).where(
+                F.col("jaccard") >= F.lit(verify_threshold)
+            )
+        inb_hits = inb.groupBy(F.col("b").alias("doc_id")).agg(
+            F.min("a").alias("_inb_match")
+        )
+        verdicts = (
+            verdicts.join(inb_hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                # least() skips nulls: lowest colliding doc across the
+                # corpus match and the in-batch survivor candidate
+                F.least("matched_doc", "_inb_match").alias("matched_doc"),
+                (
+                    F.col("matched_doc").isNotNull()
+                    | F.col("_inb_match").isNotNull()
+                ).alias("is_dup"),
+            )
+        )
         verdicts = verdicts.localCheckpoint()  # probe once, fan to 3 writes
         _write_epoch(verdicts, verdicts_path, epoch_id)
         novel = batch.join(

@@ -58,6 +58,35 @@ class TestArrowUri:
         assert got == [f"file://{tmp_path}/bucket/page.html"]
         assert not fs.is_dir(join(base, "doc.pdf")) and fs.is_dir(base)
 
+    def test_ls_roundtrips_bucket_in_path_uris(self, tmp_path):
+        """For s3://-style stores, from_uri returns paths that ALREADY
+        include the bucket ('bucket/dir/file'); ls must not re-attach
+        scheme://bucket in front of them (s3://bucket/bucket/...).
+        Simulated with a SubTree resolver whose resolved paths carry
+        the bucket segment, exactly like pyarrow's S3/GCS handlers."""
+        from pyarrow import fs as pafs
+
+        (tmp_path / "bucket" / "dir").mkdir(parents=True)
+        (tmp_path / "bucket" / "dir" / "a.pdf").write_bytes(b"%PDF a")
+        (tmp_path / "bucket" / "dir" / "b.pdf").write_bytes(b"%PDF b")
+
+        class _BucketStyleFS(ArrowLakeFS):
+            def _resolve(self, path):
+                # mock://bucket/dir -> (subtree fs, "bucket/dir"):
+                # the bucket stays IN the resolved path, as with S3
+                assert path.startswith("mock://")
+                return (
+                    pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem()),
+                    path[len("mock://"):],
+                )
+
+        fs = _BucketStyleFS()
+        got = fs.ls("mock://bucket/dir", suffixes=(".pdf",))
+        assert got == ["mock://bucket/dir/a.pdf", "mock://bucket/dir/b.pdf"]
+        # the listing round-trips: each URI is readable as returned
+        assert fs.read_bytes(got[0]) == b"%PDF a"
+        assert fs.size(got[1]) == 6
+
     def test_resolution_and_join(self):
         assert isinstance(get_fs("/plain/path"), PosixLakeFS)
         assert isinstance(get_fs("s3://bucket/key"), ArrowLakeFS)

@@ -465,6 +465,37 @@ def test_bpe_train_hand_corpus(spark):
     assert len(bpe_train(words, k=10).collect()) == 3
 
 
+def test_bpe_train_k_edges_and_job_guard(spark):
+    """k<=0 is an empty merge list (zero iteration jobs); k past the
+    guard rail raises instead of launching an unbounded sequential
+    job train; return_state releases its iteration cache."""
+    import pytest
+
+    from dbm_nca_ph_etl_spark.operators.text_analysis import bpe_train
+
+    words = spark.createDataFrame([("abab", 3), ("cd", 2)], "w string, wc long")
+    assert bpe_train(words, k=0).count() == 0
+    assert bpe_train(words, k=-3).count() == 0
+    with pytest.raises(ValueError, match="max_merges"):
+        bpe_train(words, k=100, max_merges=16)
+    # k > vocab exhaustion with return_state: stops at fixpoint AND
+    # leaves no pinned iteration cache behind (ADVICE r4)
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persisted_ids()
+    merges, state = bpe_train(words, k=10, return_state=True)
+    after = persisted_ids()
+    assert merges.count() == 3
+    assert {tuple(r.syms) for r in state.collect()} == {("abab",), ("cd",)}
+    # the ONLY persisted artifact surviving the call is state's own
+    # localCheckpoint (which the caller owns); every MEMORY_AND_DISK
+    # iteration cache must have been released (ADVICE r4: prev was
+    # left pinned for the session)
+    leaked = after - before
+    assert len(leaked) <= 1, f"bpe_train leaked iteration caches: {leaked}"
+
+
 def test_corpus_quota_sample_budget_semantics(spark):
     """A doc is kept iff tokens BEFORE it (deterministic md5 order)
     are under budget — each cell lands within one doc of its quota."""

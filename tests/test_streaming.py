@@ -1056,3 +1056,127 @@ class TestStreamProbeDedup:
         _write_epoch(df, p, 3)
         _write_epoch(df, p, 3)  # replayed epoch: same partition rewritten
         assert spark.read.parquet(p).count() == 2
+
+    def test_same_batch_dup_admits_one(self, spark, tmp_path):
+        import os
+
+        from dbm_nca_ph_etl_spark.streaming.dedup_stream import read_verdicts
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        paths = {
+            "idx": str(tmp_path / "idx"),
+            "corpus": str(tmp_path / "corpus"),
+            "verdicts": str(tmp_path / "verdicts"),
+            "ckpt": str(tmp_path / "ckpt"),
+        }
+        burst = "the very same document body repeated verbatim " * 4
+        other = "a completely different second document here now " * 4
+        spark.createDataFrame(
+            [(5, burst), (7, burst), (9, burst), (3, other)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        self._run(spark, src, paths)
+        got = {
+            r.doc_id: (r.matched_doc, r.is_dup)
+            for r in read_verdicts(spark, paths["verdicts"]).collect()
+        }
+        # lowest id of the burst survives; the rest point at it
+        assert got[5] == (None, False) and got[3] == (None, False)
+        assert got[7] == (5, True) and got[9] == (5, True), got
+        corpus_ids = {
+            r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()
+        }
+        assert corpus_ids == {3, 5}, "one copy of the burst folds in"
+
+    def test_replay_after_partial_write_keeps_verdicts(self, spark, tmp_path):
+        """Crash window: index/corpus epoch partitions written but the
+        checkpoint commit lost. The replayed epoch must NOT probe its
+        own rows (self-collision would flip every doc to is_dup)."""
+        import os
+        import shutil
+
+        from dbm_nca_ph_etl_spark.streaming.dedup_stream import read_verdicts
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        paths = {
+            "idx": str(tmp_path / "idx"),
+            "corpus": str(tmp_path / "corpus"),
+            "verdicts": str(tmp_path / "verdicts"),
+            "ckpt": str(tmp_path / "ckpt"),
+        }
+        spark.createDataFrame(
+            [(1, "first unique document body words " * 4),
+             (2, "second unique document body words " * 4)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        self._run(spark, src, paths)
+        before = {
+            r.doc_id: (r.matched_doc, r.is_dup)
+            for r in read_verdicts(spark, paths["verdicts"]).collect()
+        }
+        assert before == {1: (None, False), 2: (None, False)}
+        # simulate the crash: data writes landed, commit did not
+        commits = os.path.join(paths["ckpt"], "commits")
+        batch_files = [n for n in os.listdir(commits) if n.isdigit()]
+        newest = max(batch_files, key=int)
+        os.remove(os.path.join(commits, newest))
+        crc = os.path.join(commits, f".{newest}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        shutil.rmtree(
+            os.path.join(paths["ckpt"], "__tmp_path_dir"), ignore_errors=True
+        )
+        self._run(spark, src, paths)  # replays the epoch
+        after = {
+            r.doc_id: (r.matched_doc, r.is_dup)
+            for r in read_verdicts(spark, paths["verdicts"]).collect()
+        }
+        assert after == before, "replayed epoch self-collided"
+        corpus_ids = {
+            r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()
+        }
+        assert corpus_ids == {1, 2}
+
+    def test_rejects_band_partitioned_index(self, spark, tmp_path):
+        import os
+
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.dedup import build_band_index
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        docs = spark.createDataFrame(
+            [(1, "corpus doc alpha beta gamma " * 3)], "doc_id long, text string"
+        )
+        idx_path = str(tmp_path / "bandidx")
+        build_band_index(docs, idx_path)
+        docs.coalesce(1).write.mode("append").parquet(src)
+        paths = {
+            "idx": idx_path,  # wrong layout: build_band_index artifact
+            "corpus": str(tmp_path / "corpus"),
+            "verdicts": str(tmp_path / "verdicts"),
+            "ckpt": str(tmp_path / "ckpt"),
+        }
+        with pytest.raises(Exception) as exc:
+            self._run(spark, src, paths)
+        assert "band=" in str(exc.value) or "band=" in str(exc.value.__cause__)
+
+    def test_load_band_index_layout_guard(self, spark, tmp_path):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.dedup import (
+            build_band_index,
+            load_band_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "doc alpha beta gamma " * 3)], "doc_id long, text string"
+        )
+        p = str(tmp_path / "bandidx")
+        build_band_index(docs, p)
+        assert load_band_index(spark, p, expected_layout="band").count() > 0
+        with pytest.raises(ValueError, match="layout"):
+            load_band_index(spark, p, expected_layout="epoch")
