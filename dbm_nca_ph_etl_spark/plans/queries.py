@@ -7397,3 +7397,109 @@ def corpus_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(4, "quality_ge_0.5", f.where("f4")))
         .unionByName(stage(5, "exact_dedup", f.join(keep, "doc_id")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 12 — round 5: bucket-pruned merge, PQ ANN, mixed-codec assets
+# ---------------------------------------------------------------------------
+
+@register(
+    "keyed_merge_audit",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey < 10000000
+    ),
+    batch AS (
+      SELECT c_custkey, 'upd_' || c_custkey::VARCHAR AS c_name,
+             c_acctbal + 1000 AS c_acctbal
+      FROM base WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey + 10000000, 'new_' || c_custkey::VARCHAR, 5.0
+      FROM base WHERE c_custkey % 10 = 4
+    ),
+    final AS (
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+      UNION ALL SELECT * FROM batch
+    ),
+    kb AS (
+      SELECT ('0x' || substr(md5(c_custkey::VARCHAR), 1, 12))::BIGINT % 16 AS kb,
+             c_acctbal FROM final
+    ),
+    touched AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(c_custkey::VARCHAR), 1, 12))::BIGINT % 16 AS kb
+      FROM batch
+    )
+    SELECT k.kb::INT AS kb, count(*) AS n_rows,
+           sum(floor(k.c_acctbal * 100 + 0.5))::BIGINT AS acct_cents,
+           k.kb IN (SELECT kb FROM touched) AS touched
+    FROM kb k GROUP BY k.kb
+    """,
+    doc="Bucket-pruned keyed merge (sinks/keyed.upsert_keyed) — the "
+    "r5 replacement for merge.upsert_parquet's O(table) full rewrite "
+    "(reference parity: the keyed upsert of supabase_repository.py:"
+    "59-65, re-expressed as a lake layout). The base table is hive-"
+    "partitioned on _kb = pmod(hash48(key), 16); an upsert batch "
+    "collects its own bucket ids (bounded driver state), PARTITION-"
+    "PRUNES the base scan to those directories, left-antis the "
+    "broadcast batch keys within them, and dynamic-partition-"
+    "overwrites ONLY those directories — write cost per batch is "
+    "touched_buckets x bucket_size, not table_size. This audit runs "
+    "the real sink end-to-end on a scratch dir (build keyed table "
+    "from customer, merge an update+insert batch, read back) and "
+    "emits per-bucket row counts, integer-cent balance sums, and "
+    "the touched flag; the oracle replays the merge relationally "
+    "plus the md5-prefix bucket assignment. Exact hash match.",
+    tags=("sink", "merge", "bench"),
+)
+def keyed_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dbm_nca_ph_etl_spark.sinks.keyed import (
+        KB_COL,
+        upsert_keyed,
+        write_keyed,
+    )
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 10_000_000)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    updates = base.where(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.concat(F.lit("upd_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+    )
+    inserts = base.where(F.col("c_custkey") % 10 == 4).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(5.0).alias("c_acctbal"),
+    )
+    scratch = tempfile.mkdtemp(prefix="keyed_merge_audit_")
+    try:
+        path = f"{scratch}/t"
+        write_keyed(base, path, ["c_custkey"], 16)
+        touched = upsert_keyed(
+            spark, updates.unionByName(inserts), path, ["c_custkey"]
+        )
+        out = (
+            spark.read.parquet(path)
+            .groupBy(F.col(KB_COL).alias("kb"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5))
+                .cast("long")
+                .alias("acct_cents"),
+            )
+            .withColumn("touched", F.col("kb").isin([int(t) for t in touched]))
+            # materialize before the scratch dir disappears: the
+            # caller collects AFTER this function returns
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out

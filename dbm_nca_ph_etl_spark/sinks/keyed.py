@@ -1,0 +1,249 @@
+"""Key-bucketed lake layout — merges that rewrite only the buckets
+containing incoming keys.
+
+The r4 design gap this closes: ``merge.upsert_parquet`` rewrites the
+WHOLE table per batch (correct, atomic locally — O(table) write
+amplification). At 100 TB a daily merge must touch work proportional
+to the BATCH, not the table. The reference's counterpart is a keyed
+upsert (supabase_repository.py:59-65) that touches only affected
+rows; the lake equivalent is a hash-bucket partition layout:
+
+- the base table is hive-partitioned on ``_kb = pmod(hash48(key), n)``
+  — a uniform, deterministic, oracle-replayable bucket id (same
+  md5-prefix hash family as the rest of the engine, so DuckDB can
+  replay bucket assignment bit-for-bit);
+- a merge batch computes its own bucket set (≤ min(|batch|, n) ids —
+  bounded driver state), partition-PRUNES the base scan to exactly
+  those directories, left-antis the batch keys within them, and
+  rewrites ONLY those directories via dynamic partition overwrite
+  (``sinks.partitioned.overwrite_partitions`` — the same
+  atomicity pattern ``streaming/dedup_stream`` proves for epochs).
+
+Write amplification per batch = touched_buckets × bucket_size, not
+table_size. Sizing rule: pick ``num_buckets`` so one bucket ≈
+128-256 MB compressed at the target scale (100 TB / 256 MB ≈ 400k is
+too many directories — cap around 16-64k and accept multi-GB
+buckets; the merge cost scales with bucket size × batch key spread).
+
+Atomicity: dynamic partition overwrite commits per partition — a
+crash mid-commit can leave a prefix of the touched buckets new and
+the rest old. That is the same at-least-once window every
+non-transactional lake write has; the merge is idempotent (replaying
+the same batch converges to the same bytes — SURVEY T6), so the
+recovery is "replay the batch", identical to the epoch-overwrite
+streaming contract. On Delta/Iceberg these functions map onto
+``MERGE INTO`` and inherit snapshot isolation; the call sites don't
+change.
+
+A ``_keyed_meta.json`` sidecar pins (keys, num_buckets); merging
+with drifted parameters would route keys to the wrong buckets and
+silently duplicate them, so the merge fails loudly on mismatch —
+the same fail-on-drift contract as the LSH band index sidecar.
+
+The read-then-overwrite of the same directory set requires cutting
+lineage first (Spark refuses to overwrite a path it is reading
+from): the merged bucket subset is ``localCheckpoint``-materialized
+(MEMORY_AND_DISK, spills, recoverable sizing is the num_buckets
+rule above) before the overwrite starts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbm_nca_ph_etl_spark.functions.scalars import hash48
+from dbm_nca_ph_etl_spark.sinks.partitioned import overwrite_partitions
+
+KB_COL = "_kb"
+_META = "_keyed_meta.json"
+#: unit separator — cannot appear in parquet string keys' typical
+#: domain; keeps ("a","bc") and ("ab","c") in different buckets
+_SEP = "\x1f"
+
+
+def key_bucket(keys: list[str], num_buckets: int) -> Column:
+    """Deterministic bucket id for a key tuple: 48-bit md5 prefix of
+    the separator-joined key strings, mod ``num_buckets``. DuckDB
+    replays it as
+    ``('0x' || substr(md5(k1 || chr(31) || k2), 1, 12))::BIGINT % n``."""
+    joined = F.concat_ws(_SEP, *[F.col(k).cast("string") for k in keys])
+    return F.pmod(hash48(joined), F.lit(num_buckets)).cast("int")
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, _META), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _check_meta(path: str, keys: list[str], num_buckets: int | None) -> int:
+    meta = _read_meta(path)
+    if list(meta["keys"]) != list(keys) or (
+        num_buckets is not None and meta["num_buckets"] != num_buckets
+    ):
+        raise ValueError(
+            f"keyed table at {path} was written with keys={meta['keys']} "
+            f"num_buckets={meta['num_buckets']}, merge called with "
+            f"keys={keys} num_buckets={num_buckets}; drifted parameters "
+            "would route keys to the wrong buckets and duplicate them — "
+            "match the layout or rewrite the table"
+        )
+    return int(meta["num_buckets"])
+
+
+def write_keyed(
+    df: DataFrame, path: str, keys: list[str], num_buckets: int
+) -> None:
+    """Create/replace the keyed base table: hive-partitioned on the
+    bucket of ``keys``, one directory per non-empty bucket. The
+    repartition on the bucket column keeps files-per-bucket ==
+    write-task-parallelism-per-bucket at 1 for small tables; at scale
+    callers can repartition wider first — correctness only needs the
+    partition column."""
+    out = df.withColumn(KB_COL, key_bucket(keys, num_buckets))
+    out.repartition(F.col(KB_COL)).write.mode("overwrite").partitionBy(
+        KB_COL
+    ).parquet(path)
+    meta = {"keys": list(keys), "num_buckets": int(num_buckets)}
+    with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+
+def read_keyed(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the keyed table without the layout column. Filters on the
+    key columns do NOT prune (the bucket id is derived); point
+    lookups should filter on ``key_bucket(...)`` too — see
+    :func:`lookup_keyed`."""
+    return spark.read.parquet(path).drop(KB_COL)
+
+
+def lookup_keyed(
+    spark: SparkSession, path: str, keys_df: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Point/semi lookup that prunes to the probed keys' buckets
+    before joining — the read-side payoff of the layout."""
+    n = _check_meta(path, keys, None)
+    probe = keys_df.select(*keys).dropDuplicates().withColumn(
+        KB_COL, key_bucket(keys, n)
+    )
+    buckets = [r[KB_COL] for r in probe.select(KB_COL).distinct().collect()]
+    base = spark.read.parquet(path).where(F.col(KB_COL).isin(buckets))
+    return base.join(
+        F.broadcast(probe.select(*keys)), on=keys, how="left_semi"
+    ).drop(KB_COL)
+
+
+def upsert_keyed(
+    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+) -> list[int]:
+    """Merge ``df`` into the keyed table on ``keys`` — matching rows
+    replaced, new rows inserted (same semantics as
+    ``merge.upsert_parquet``, bit-identical results) — touching ONLY
+    the bucket directories that contain incoming keys.
+
+    Plan shape: incoming buckets collected to the driver (bounded by
+    num_buckets), base scan partition-pruned to them (PartitionFilters,
+    zero IO on untouched buckets), left-anti against the broadcast
+    batch keys, union, localCheckpoint (cuts lineage so the dynamic
+    partition overwrite may target the directories just read), then
+    ``overwrite_partitions`` on ``_kb``. Untouched bucket directories
+    are never opened, never rewritten.
+
+    Returns the list of touched bucket ids (for tests/observability).
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no keyed table at {path}; create it with write_keyed first"
+        )
+    n = _check_meta(path, keys, None)
+    incoming = df.dropDuplicates(keys).withColumn(KB_COL, key_bucket(keys, n))
+    touched = sorted(
+        r[KB_COL] for r in incoming.select(KB_COL).distinct().collect()
+    )
+    if not touched:
+        return []
+    base = spark.read.parquet(path).where(F.col(KB_COL).isin(touched))
+    kept = base.join(
+        F.broadcast(incoming.select(*keys)), on=keys, how="left_anti"
+    )
+    merged = kept.unionByName(incoming.select(*kept.columns)).localCheckpoint(
+        eager=True
+    )
+    overwrite_partitions(merged, path, [KB_COL])
+    return touched
+
+
+def delete_keyed(
+    spark: SparkSession, path: str, keys_df: DataFrame, keys: list[str]
+) -> list[int]:
+    """Delete rows whose key appears in ``keys_df`` — bucket-pruned
+    twin of ``merge.delete_by_keys``. Returns touched bucket ids."""
+    if not os.path.exists(path):
+        return []
+    n = _check_meta(path, keys, None)
+    doomed = keys_df.select(*keys).dropDuplicates().withColumn(
+        KB_COL, key_bucket(keys, n)
+    )
+    touched = sorted(
+        r[KB_COL] for r in doomed.select(KB_COL).distinct().collect()
+    )
+    if not touched:
+        return []
+    base = spark.read.parquet(path).where(F.col(KB_COL).isin(touched))
+    kept = base.join(
+        F.broadcast(doomed.select(*keys)), on=keys, how="left_anti"
+    ).localCheckpoint(eager=True)
+    overwrite_partitions(kept, path, [KB_COL])
+    return touched
+
+
+def scd2_apply_keyed(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    effective: int,
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> list[int]:
+    """Persisted SCD Type-2 over the keyed layout: apply a change
+    batch to the versioned dimension AT ``path``, rewriting only the
+    buckets whose keys appear in the batch.
+
+    ``merge.scd2_apply`` is the pure operator (full-history in, full
+    history out); its r4 persistence contract was "caller rewrites
+    the table". This is the contract upgrade: only rows whose key is
+    in the change batch can change (close + new version), so the
+    merge reads the touched buckets' history, applies scd2 within
+    them, and dynamic-overwrites just those directories. Write cost
+    per batch: touched_buckets × bucket_size — a 1-customer change
+    to a 100 TB dimension rewrites one bucket.
+    """
+    from dbm_nca_ph_etl_spark.sinks.merge import scd2_apply
+
+    n = _check_meta(path, keys, None)
+    incoming = changes.dropDuplicates(keys).localCheckpoint(eager=True)
+    touched = sorted(
+        r[KB_COL]
+        for r in incoming.withColumn(KB_COL, key_bucket(keys, n))
+        .select(KB_COL)
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return []
+    dim_sub = (
+        spark.read.parquet(path)
+        .where(F.col(KB_COL).isin(touched))
+        .drop(KB_COL)
+    )
+    new_sub = scd2_apply(
+        dim_sub, incoming, keys, effective, from_col=from_col, to_col=to_col
+    ).withColumn(KB_COL, key_bucket(keys, n))
+    merged = new_sub.localCheckpoint(eager=True)
+    overwrite_partitions(merged, path, [KB_COL])
+    return touched

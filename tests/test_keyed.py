@@ -1,0 +1,191 @@
+"""Key-bucketed merge sink: bucket-pruned upserts/deletes/SCD2 whose
+write cost scales with the batch's bucket footprint, not the table.
+
+The load-bearing assertions are FILE-LEVEL: a 1-key upsert must leave
+every untouched bucket directory byte-identical (same files, sizes,
+mtimes) — that is the 100 TB write-amplification claim, checked at
+the filesystem, not the row level. Row-level equivalence is checked
+against the full-rewrite ``merge.upsert_parquet`` / ``scd2_apply``.
+"""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dbm_nca_ph_etl_spark.sinks.keyed import (
+    KB_COL,
+    delete_keyed,
+    key_bucket,
+    lookup_keyed,
+    read_keyed,
+    scd2_apply_keyed,
+    upsert_keyed,
+    write_keyed,
+)
+
+N_BUCKETS = 8
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _bucket_state(path):
+    """(filename, size, mtime_ns) per bucket directory."""
+    state = {}
+    for d in os.listdir(path):
+        if not d.startswith(f"{KB_COL}="):
+            continue
+        full = os.path.join(path, d)
+        state[d] = {
+            (f, os.path.getsize(os.path.join(full, f)),
+             os.stat(os.path.join(full, f)).st_mtime_ns)
+            for f in os.listdir(full)
+            if not f.startswith(".")
+        }
+    return state
+
+
+@pytest.fixture()
+def base(spark):
+    return spark.createDataFrame(
+        [(i, f"name_{i}", i * 10) for i in range(40)],
+        "id long, name string, score long",
+    )
+
+
+class TestUpsertKeyed:
+    def test_matches_full_rewrite_semantics(self, spark, base, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.merge import upsert_parquet
+
+        keyed_p = str(tmp_path / "keyed")
+        full_p = str(tmp_path / "full")
+        write_keyed(base, keyed_p, ["id"], N_BUCKETS)
+        base.write.parquet(full_p)
+        batch = spark.createDataFrame(
+            [(3, "updated_3", 999), (41, "new_41", 410), (7, "updated_7", 777)],
+            "id long, name string, score long",
+        )
+        upsert_keyed(spark, batch, keyed_p, ["id"])
+        upsert_parquet(spark, batch, full_p, ["id"])
+        got = _rows(read_keyed(spark, keyed_p))
+        want = _rows(spark.read.parquet(full_p))
+        assert got == want
+
+    def test_one_key_touches_one_bucket_only(self, spark, base, tmp_path):
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        before = _bucket_state(p)
+        assert len(before) > 1, "need multiple buckets for the claim"
+        batch = spark.createDataFrame(
+            [(3, "updated_3", 999)], "id long, name string, score long"
+        )
+        touched = upsert_keyed(spark, batch, p, ["id"])
+        after = _bucket_state(p)
+        # the batch key lands in exactly one bucket...
+        kb = batch.select(key_bucket(["id"], N_BUCKETS).alias("kb")).head().kb
+        assert touched == [kb]
+        # ...and every OTHER bucket directory is file-identical
+        for d, files in before.items():
+            if d == f"{KB_COL}={kb}":
+                assert after[d] != files, "touched bucket must be rewritten"
+            else:
+                assert after[d] == files, f"untouched bucket {d} was rewritten"
+        # row-level: only id=3 changed
+        got = {r.id: (r.name, r.score) for r in read_keyed(spark, p).collect()}
+        assert got[3] == ("updated_3", 999) and len(got) == 40
+
+    def test_replay_idempotent(self, spark, base, tmp_path):
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        batch = spark.createDataFrame(
+            [(5, "v2", 50), (99, "new", 990)], "id long, name string, score long"
+        )
+        upsert_keyed(spark, batch, p, ["id"])
+        first = _rows(read_keyed(spark, p))
+        upsert_keyed(spark, batch, p, ["id"])  # at-least-once redelivery
+        assert _rows(read_keyed(spark, p)) == first
+
+    def test_meta_drift_fails_loudly(self, spark, base, tmp_path):
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        batch = spark.createDataFrame([(1, "x", 1)], "id long, name string, score long")
+        with pytest.raises(ValueError, match="drifted|keys"):
+            upsert_keyed(spark, batch, p, ["name"])
+
+    def test_missing_table_fails(self, spark, base, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            upsert_keyed(spark, base, str(tmp_path / "nope"), ["id"])
+
+
+class TestDeleteAndLookup:
+    def test_delete_prunes_and_removes(self, spark, base, tmp_path):
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        before = _bucket_state(p)
+        doomed = spark.createDataFrame([(11,)], "id long")
+        touched = delete_keyed(spark, p, doomed, ["id"])
+        assert len(touched) == 1
+        after = _bucket_state(p)
+        unchanged = [d for d in before if d != f"{KB_COL}={touched[0]}"]
+        assert all(after[d] == before[d] for d in unchanged)
+        ids = {r.id for r in read_keyed(spark, p).collect()}
+        assert ids == set(range(40)) - {11}
+
+    def test_lookup_returns_probed_keys(self, spark, base, tmp_path):
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        probe = spark.createDataFrame([(2,), (17,), (555,)], "id long")
+        got = {r.id for r in lookup_keyed(spark, p, probe, ["id"]).collect()}
+        assert got == {2, 17}
+
+
+class TestScd2Keyed:
+    def _dim(self, spark):
+        # open versions for 30 keys, plus closed history for key 0
+        cur = spark.createDataFrame(
+            [(i, i * 10, 100, None) for i in range(30)],
+            "id long, bal long, valid_from long, valid_to long",
+        )
+        hist = spark.createDataFrame(
+            [(0, 1, 50, 100)], "id long, bal long, valid_from long, valid_to long"
+        )
+        return cur.unionByName(hist)
+
+    def test_matches_pure_operator_and_prunes(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.merge import scd2_apply
+
+        dim = self._dim(spark)
+        p = str(tmp_path / "dim")
+        write_keyed(dim, p, ["id"], N_BUCKETS)
+        before = _bucket_state(p)
+        changes = spark.createDataFrame([(7, 777)], "id long, bal long")
+        touched = scd2_apply_keyed(spark, p, changes, ["id"], effective=200)
+        after = _bucket_state(p)
+        kb = changes.select(key_bucket(["id"], N_BUCKETS).alias("kb")).head().kb
+        assert touched == [kb]
+        unchanged = [d for d in before if d != f"{KB_COL}={kb}"]
+        assert all(after[d] == before[d] for d in unchanged), (
+            "scd2 batch rewrote an untouched bucket"
+        )
+        got = _rows(read_keyed(spark, p).select("id", "bal", "valid_from", "valid_to"))
+        want = _rows(scd2_apply(dim, changes, ["id"], effective=200))
+        assert got == want
+        # key 7: closed old version + new open version
+        k7 = sorted(
+            (r.bal, r.valid_from, r.valid_to)
+            for r in read_keyed(spark, p).where(F.col("id") == 7).collect()
+        )
+        assert k7 == [(70, 100, 200), (777, 200, None)]
+
+    def test_noop_redelivery_rewrites_nothing_new(self, spark, tmp_path):
+        dim = self._dim(spark)
+        p = str(tmp_path / "dim")
+        write_keyed(dim, p, ["id"], N_BUCKETS)
+        changes = spark.createDataFrame([(7, 777)], "id long, bal long")
+        scd2_apply_keyed(spark, p, changes, ["id"], effective=200)
+        first = _rows(read_keyed(spark, p))
+        scd2_apply_keyed(spark, p, changes, ["id"], effective=300)  # same values
+        assert _rows(read_keyed(spark, p)) == first, "no-op change must not version"
