@@ -19,11 +19,31 @@ Reference parity (SURVEY §2.1 S10-S14, §2.5 J3, §2.9 T6):
 
 Implementation note: without a transactional table format, an
 in-place overwrite of a parquet dir Spark is lazily reading from is
-unsafe (read-under-write). Rewrites go to a fresh ``.tmp`` directory,
-then swap atomically-enough for a local lake (rename). On a real
-deployment these three functions map 1:1 onto Delta/Iceberg
+unsafe (read-under-write). Rewrites are published through the lake
+filesystem seam (``sources/lakefs``), which picks the commit
+protocol the store can actually honor:
+
+- POSIX-like (``atomic_rename=True``, the default for bare paths):
+  write to a fresh ``.tmp`` directory, then swap via rename — one
+  atomic visibility flip, zero read window.
+- object stores (``atomic_rename=False`` — S3/GCS semantics, or any
+  injected adapter reporting it): rename doesn't exist, and a
+  copy+delete "rename" would ADD a torn window. Instead each rewrite
+  writes a fresh VERSION directory (``_v-<id>/``) under the table
+  path and publishes it by atomically PUTting its name into a
+  ``_CURRENT`` pointer file — the single-object-PUT commit the
+  store does guarantee (the same manifest-commit idea as
+  ``sources/queue_sink``'s write-ahead manifest). Readers resolve
+  ``_CURRENT`` first; the superseded version is GC'd after the
+  flip. A crash before the PUT leaves the old version live and the
+  orphan version invisible — at-least-once replay then converges
+  (T6).
+
+On a real deployment these functions map 1:1 onto Delta/Iceberg
 ``MERGE INTO`` / ``DELETE`` and inherit real ACID; the engine's call
-sites don't change — that's why the sink is an interface.
+sites don't change — that's why the sink is an interface. The two
+layouts don't mix: a table created under an object-store adapter
+must keep being accessed through one (``_CURRENT`` resolution).
 
 Scale: the anti-join side is the *incoming* batch — small relative to
 the base table — so Spark broadcasts it and the "merge" is one scan
@@ -41,47 +61,99 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS, get_fs
+from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 
-def _exists(path: str) -> bool:
-    return os.path.exists(path)
-
-
-def _rewrite(df: DataFrame, path: str) -> None:
-    """Write df to a temp dir then swap it into place (safe rewrite
-    while the old dir is still a lazy read source)."""
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    if _exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if _exists(old):
-        shutil.rmtree(old)
+#: pointer file naming the live version dir (object-store layout)
+CURRENT_MARKER = "_CURRENT"
 
 
-def append_parquet(df: DataFrame, path: str) -> None:
-    """S11 — plain append."""
-    df.write.mode("append").parquet(path)
+def _exists(path: str, fs: LakeFS | None = None) -> bool:
+    f = get_fs(path, fs)
+    return f.exists(_pjoin(path, CURRENT_MARKER)) or f.exists(path)
+
+
+def _data_dir(path: str, fs: LakeFS | None = None) -> str:
+    """Resolve the directory Spark should scan: the ``_CURRENT``
+    version dir when the table uses the pointer layout, else the
+    path itself (POSIX rename layout)."""
+    f = get_fs(path, fs)
+    cur = _pjoin(path, CURRENT_MARKER)
+    if f.exists(cur):
+        return _pjoin(path, f.read_bytes(cur).decode("utf-8").strip())
+    return path
+
+
+def read_table(spark: SparkSession, path: str, fs: LakeFS | None = None) -> DataFrame:
+    """Layout-aware table scan (resolves the version pointer when
+    present). All sinks in this module read through here."""
+    return spark.read.parquet(_data_dir(path, fs))
+
+
+def _rewrite(df: DataFrame, path: str, fs: LakeFS | None = None) -> None:
+    """Publish ``df`` as the table's new contents with no torn-read
+    window, using the strongest commit primitive the store has (see
+    module doc: rename swap on POSIX, version-pointer PUT on object
+    stores)."""
+    f = get_fs(path, fs)
+    if f.atomic_rename and not f.exists(_pjoin(path, CURRENT_MARKER)):
+        # POSIX fast path — atomic directory rename swap
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        return
+    # version-pointer commit: new dir, single-PUT pointer flip, GC.
+    # Also taken on POSIX once a table is pointer-laid-out (mixing
+    # the two layouts in one directory is not supported).
+    cur = _pjoin(path, CURRENT_MARKER)
+    old = f.read_bytes(cur).decode("utf-8").strip() if f.exists(cur) else None
+    version = f"_v-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(_pjoin(path, version))
+    f.write_bytes(cur, version.encode("utf-8"))  # the atomic commit
+    if old:
+        f.delete_dir(_pjoin(path, old))  # post-flip GC
+
+
+def append_parquet(df: DataFrame, path: str, fs: LakeFS | None = None) -> None:
+    """S11 — plain append (into the live version dir when the table
+    uses the pointer layout)."""
+    df.write.mode("append").parquet(
+        _data_dir(path, fs) if _exists(path, fs) else path
+    )
 
 
 def upsert_parquet(
-    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    fs: LakeFS | None = None,
 ) -> None:
     """S10/T6 — merge ``df`` into the parquet table at ``path`` on
     ``keys``: matching base rows are replaced, new rows inserted.
     ``df`` must be key-unique (callers dedup first; the NCA cleaner
-    already emits one row per key)."""
+    already emits one row per key). For batch-proportional write
+    cost on huge tables use ``sinks.keyed.upsert_keyed``."""
     incoming = df.dropDuplicates(keys)
-    if not _exists(path):
-        _rewrite(incoming, path)
+    if not _exists(path, fs):
+        _rewrite(incoming, path, fs)
         return
-    base = spark.read.parquet(path)
+    base = read_table(spark, path, fs)
     kept = base.join(F.broadcast(incoming.select(*keys)), on=keys, how="left_anti")
-    _rewrite(kept.unionByName(incoming), path)
+    _rewrite(kept.unionByName(incoming), path, fs)
 
 
 def upsert_parquet_cdf(
-    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    fs: LakeFS | None = None,
 ) -> DataFrame:
     """S10 upsert that also RETURNS the change feed: one row per
     affected key, tagged ``_change ∈ {insert, update}`` with the new
@@ -99,11 +171,11 @@ def upsert_parquet_cdf(
     the caller dangling lineage.
     """
     incoming = df.dropDuplicates(keys)
-    if not _exists(path):
+    if not _exists(path, fs):
         feed = incoming.withColumn("_change", F.lit("insert")).localCheckpoint()
-        _rewrite(incoming, path)
+        _rewrite(incoming, path, fs)
         return feed
-    base = spark.read.parquet(path)
+    base = read_table(spark, path, fs)
     val_cols = [c for c in incoming.columns if c not in keys]
     b_vals = base.select(*keys, *[F.col(c).alias(f"_old_{c}") for c in val_cols])
     changed = F.lit(False)
@@ -126,7 +198,7 @@ def upsert_parquet_cdf(
         .localCheckpoint()
     )
     kept = base.join(F.broadcast(incoming.select(*keys)), on=keys, how="left_anti")
-    _rewrite(kept.unionByName(incoming), path)
+    _rewrite(kept.unionByName(incoming), path, fs)
     return tagged
 
 
@@ -206,38 +278,45 @@ def scd2_apply(
 
 
 def delete_by_keys(
-    spark: SparkSession, path: str, keys_df: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+    fs: LakeFS | None = None,
 ) -> None:
     """S14 — delete base rows whose key appears in ``keys_df``."""
-    if not _exists(path):
+    if not _exists(path, fs):
         return
-    base = spark.read.parquet(path)
+    base = read_table(spark, path, fs)
     kept = base.join(
         F.broadcast(keys_df.select(*key_cols).dropDuplicates()),
         on=key_cols,
         how="left_anti",
     )
-    _rewrite(kept, path)
+    _rewrite(kept, path, fs)
 
 
 class NCAStore:
     """The three-table NCA lake (release 1→N record 1→N allocation,
     supabase_schema.sql:6-41) with explicit-cascade semantics."""
 
-    def __init__(self, spark: SparkSession, base_dir: str) -> None:
+    def __init__(
+        self, spark: SparkSession, base_dir: str, fs: LakeFS | None = None
+    ) -> None:
         self.spark = spark
         self.base = base_dir
-        os.makedirs(base_dir, exist_ok=True)
+        self.fs = fs
+        get_fs(base_dir, fs).mkdirs(base_dir)
 
     def path(self, table: str) -> str:
-        return os.path.join(self.base, table)
+        return _pjoin(self.base, table)
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+        return read_table(self.spark, self.path(table), self.fs)
 
     def upsert_releases(self, releases: DataFrame) -> None:
         """supabase_repository.py:37-39 — upsert on ``id``."""
-        upsert_parquet(self.spark, releases, self.path("release"), ["id"])
+        upsert_parquet(self.spark, releases, self.path("release"), ["id"], self.fs)
 
     def load_batch(self, records: DataFrame, allocations: DataFrame) -> None:
         """T6 — idempotent batch load. Records upsert on nca_number
@@ -247,32 +326,41 @@ class NCAStore:
         records = records.cache()
         if records.isEmpty():  # nca_db_loader.py:19-31 short-circuit
             return
-        upsert_parquet(self.spark, records, self.path("record"), ["nca_number"])
+        upsert_parquet(
+            self.spark, records, self.path("record"), ["nca_number"], self.fs
+        )
         rids = allocations.select("release_id").dropDuplicates()
-        if _exists(self.path("allocation")):
-            delete_by_keys(self.spark, self.path("allocation"), rids, ["release_id"])
-            append_parquet(allocations, self.path("allocation"))
+        if _exists(self.path("allocation"), self.fs):
+            delete_by_keys(
+                self.spark, self.path("allocation"), rids, ["release_id"], self.fs
+            )
+            append_parquet(allocations, self.path("allocation"), self.fs)
         else:
-            _rewrite(allocations, self.path("allocation"))
+            _rewrite(allocations, self.path("allocation"), self.fs)
 
     def delete_releases(self, release_ids: DataFrame) -> None:
         """S14+J3 — delete releases and cascade: records by
         release_id, then allocations by the deleted records'
         nca_numbers (the FK chain spelled out as joins)."""
         ids = release_ids.select("id").dropDuplicates().cache()
-        if _exists(self.path("record")):
+        if _exists(self.path("record"), self.fs):
             rec = self.read("record")
             doomed_ncas = rec.join(
                 F.broadcast(ids), rec["release_id"] == ids["id"], "left_semi"
             ).select("nca_number")
-            if _exists(self.path("allocation")):
+            if _exists(self.path("allocation"), self.fs):
                 delete_by_keys(
-                    self.spark, self.path("allocation"), doomed_ncas, ["nca_number"]
+                    self.spark,
+                    self.path("allocation"),
+                    doomed_ncas,
+                    ["nca_number"],
+                    self.fs,
                 )
             delete_by_keys(
                 self.spark,
                 self.path("record"),
                 ids.withColumnRenamed("id", "release_id"),
                 ["release_id"],
+                self.fs,
             )
-        delete_by_keys(self.spark, self.path("release"), ids, ["id"])
+        delete_by_keys(self.spark, self.path("release"), ids, ["id"], self.fs)

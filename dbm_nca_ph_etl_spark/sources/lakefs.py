@@ -69,6 +69,11 @@ class LakeFS:
     def mkdirs(self, path: str) -> None:
         raise NotImplementedError
 
+    def delete_dir(self, path: str) -> None:
+        """Remove a directory tree (no-op if absent) — the GC half of
+        a version-pointer swap (sinks/merge._rewrite)."""
+        raise NotImplementedError
+
 
 class PosixLakeFS(LakeFS):
     """Bare local paths — stdlib only, no pyarrow import cost. The
@@ -105,6 +110,11 @@ class PosixLakeFS(LakeFS):
 
     def mkdirs(self, path):
         os.makedirs(path, exist_ok=True)
+
+    def delete_dir(self, path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
 
 class ArrowLakeFS(LakeFS):
@@ -181,6 +191,13 @@ class ArrowLakeFS(LakeFS):
     def mkdirs(self, path):
         fsys, p = self._resolve(path)
         fsys.create_dir(p, recursive=True)
+
+    def delete_dir(self, path):
+        from pyarrow import fs as pafs
+
+        fsys, p = self._resolve(path)
+        if fsys.get_file_info(p).type != pafs.FileType.NotFound:
+            fsys.delete_dir(p)
 
 
 def get_fs(path: str, override: LakeFS | None = None) -> LakeFS:

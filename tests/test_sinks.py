@@ -40,8 +40,120 @@ class TestUpsertParquet:
         assert rows(spark.read.parquet(p), "k", "v") == [("a", 1)]
 
 
-def mk_store(spark, tmp_path):
-    store = NCAStore(spark, str(tmp_path / "lake"))
+class _ObjectStoreFS:
+    """Disk-backed fake with OBJECT-STORE semantics: no atomic
+    rename; publishes are single PUTs. Records every pointer PUT so
+    tests can prove commits flow through the seam (the pattern of
+    test_lakefs._RerootedFS, kept at real paths so Spark's parquet
+    IO still works underneath)."""
+
+    atomic_rename = False
+
+    def __init__(self):
+        from dbm_nca_ph_etl_spark.sources.lakefs import PosixLakeFS
+
+        self._inner = PosixLakeFS()
+        self.puts: list[str] = []
+
+    def ls(self, path, suffixes=None):
+        return self._inner.ls(path, suffixes)
+
+    def is_dir(self, path):
+        return self._inner.is_dir(path)
+
+    def read_bytes(self, path):
+        return self._inner.read_bytes(path)
+
+    def write_bytes(self, path, data):
+        # single-object PUT — all-or-nothing on close, NO tmp+rename
+        self.puts.append(path)
+        with open(path, "wb") as fh:
+            fh.write(data)
+
+    def exists(self, path):
+        return self._inner.exists(path)
+
+    def size(self, path):
+        return self._inner.size(path)
+
+    def mkdirs(self, path):
+        self._inner.mkdirs(path)
+
+    def delete_dir(self, path):
+        self._inner.delete_dir(path)
+
+
+class TestObjectStoreLayout:
+    """The merge sinks against object-store semantics: version-dir +
+    _CURRENT pointer PUT instead of directory rename (SURVEY T6 on a
+    store with no atomic rename)."""
+
+    def test_upsert_versioned_commit_and_gc(self, spark, tmp_path):
+        import os
+
+        from dbm_nca_ph_etl_spark.sinks.merge import read_table
+
+        fs = _ObjectStoreFS()
+        p = str(tmp_path / "t")
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)]),
+            p,
+            ["k"],
+            fs,
+        )
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([Row(k="b", v=20), Row(k="c", v=3)]),
+            p,
+            ["k"],
+            fs,
+        )
+        assert rows(read_table(spark, p, fs), "k", "v") == [
+            ("a", 1), ("b", 20), ("c", 3),
+        ]
+        # layout: pointer file + exactly ONE live version dir (old GC'd)
+        entries = os.listdir(p)
+        assert "_CURRENT" in entries
+        versions = [d for d in entries if d.startswith("_v-")]
+        assert len(versions) == 1
+        # both commits went through the seam's single-PUT publish
+        assert [x for x in fs.puts if x.endswith("_CURRENT")], fs.puts
+        assert len([x for x in fs.puts if x.endswith("_CURRENT")]) == 2
+        # plain read of the table path would see no data files at top
+        # level — readers must resolve the pointer (read_table)
+        with open(os.path.join(p, "_CURRENT"), encoding="utf-8") as fh:
+            assert fh.read().strip() == versions[0]
+
+    def test_replay_idempotent_object_store(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.merge import read_table
+
+        fs = _ObjectStoreFS()
+        p = str(tmp_path / "t")
+        df = spark.createDataFrame([Row(k="a", v=1)])
+        upsert_parquet(spark, df, p, ["k"], fs)
+        upsert_parquet(spark, df, p, ["k"], fs)
+        assert rows(read_table(spark, p, fs), "k", "v") == [("a", 1)]
+
+    def test_nca_store_cascade_on_object_store(self, spark, tmp_path):
+        fs = _ObjectStoreFS()
+        store, records, allocations = mk_store(spark, tmp_path, fs=fs)
+        assert rows(store.read("record"), "nca_number") == [("N1",), ("N2",)]
+        # replay the same batch: converges (T6)
+        store.load_batch(records, allocations)
+        assert rows(store.read("allocation"), "nca_number", "agency") == [
+            ("N1", "A1"), ("N1", "A2"), ("N2", "B1"),
+        ]
+        # cascade delete of one release flows through all three tables
+        store.delete_releases(spark.createDataFrame([Row(id="id_2024")]))
+        assert rows(store.read("release"), "id") == [("id_2025",)]
+        assert rows(store.read("record"), "nca_number") == [("N2",)]
+        assert rows(store.read("allocation"), "nca_number") == [("N2",)]
+        assert fs.puts, "commits must flow through the injected adapter"
+
+
+def mk_store(spark, tmp_path, fs=None):
+    store = NCAStore(spark, str(tmp_path / "lake"), fs)
     store.upsert_releases(
         spark.createDataFrame([Row(id="id_2024", year=2024), Row(id="id_2025", year=2025)])
     )
