@@ -7503,3 +7503,48 @@ def keyed_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+_PQ_MEMO: dict = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str, emb) -> list:
+    """Session-memoized PQ codebooks (similarity.pq_train) — the
+    train-once model artifact, keyed like _band_index/_signed_index.
+    Training itself is one bounded TakeOrdered sample + driver-side
+    numpy Lloyd (sub-second), so the memo mostly keeps repeat
+    invocations from re-collecting the sample."""
+    key = ("pq_books", sf_dir, spark.sparkContext.applicationId)
+    if key not in _PQ_MEMO:
+        _PQ_MEMO[key] = S.pq_train(emb, m=32, k=16, iters=10)
+    return _PQ_MEMO[key]
+
+
+@register(
+    "ann_pq_topk",
+    _SQL_EXACT_KTH,
+    doc="Product-quantization ANN (similarity.pq_train / pq_encode / "
+    "pq_topk) as a recall-bound audit: 32 two-dim subspace codebooks "
+    "(k=16, trained FAISS-style on a bounded id-ordered sample with "
+    "driver-side Lloyd — one Spark job, model-sized state), corpus "
+    "encoded to 32 small ints + a reconstruction norm (the 100 TB "
+    "compression shape: codes instead of floats on the scan side), "
+    "asymmetric-distance scoring (query stays float, "
+    "python-unrolled dot against the coded centroids — dim "
+    "multiply-adds per pair, no HOF, no UDF), intersected with the "
+    "float-exact top-10. Output per query: the exact k-th "
+    "similarity (hash-verified vs DuckDB) and recall_ok (total hits "
+    "≥ 20/100; measured 59 at sf0.01, 46 at sf0.1 — the "
+    "near-uniform synthetic embeddings make top-10 gaps ~5e-3, a "
+    "hard regime for 8× compression). Completes the vector-"
+    "compression ladder: float exact → int8 (4×) → PQ (8× here, "
+    "32× at float32/k≤256).",
+    tags=("similarity", "llm"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    books = _pq_books(spark, sf_dir, emb)
+    return _ann_recall_audit(
+        S.pq_topk(emb, q, books, k=10), S.cosine_topk(emb, q, k=10), floor_hits=20
+    )

@@ -177,3 +177,94 @@ class TestLshIndexPersistence:
         assert sorted(map(key, via_index.collect())) == sorted(
             map(key, inline.collect())
         )
+
+
+class TestProductQuantization:
+    def test_train_deterministic_and_shaped(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.operators.similarity import pq_train
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        b1 = pq_train(emb, m=8, k=4, iters=3)
+        b2 = pq_train(emb, m=8, k=4, iters=3)
+        assert b1 == b2, "pq_train must be run-to-run deterministic"
+        assert len(b1) == 8 and all(len(b) == 4 for b in b1)
+        assert all(len(c) == 8 for b in b1 for c in b)  # d_sub = 64/8
+
+    def test_train_rejects_indivisible_dim(self, spark, sf_dir):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.similarity import pq_train
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with pytest.raises(ValueError, match="divisible"):
+            pq_train(emb, m=7, dim=64)
+
+    def test_encode_codes_in_range(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from dbm_nca_ph_etl_spark.operators.similarity import pq_encode, pq_train
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        books = pq_train(emb, m=8, k=4, iters=2)
+        enc = pq_encode(emb, books)
+        bad = enc.where(
+            F.exists("_codes", lambda c: (c < 0) | (c >= 4)) | (F.col("_rn2") <= 0)
+        ).count()
+        assert bad == 0
+        assert enc.head()["_codes"].__len__() == 8
+
+    def test_adc_exact_on_representable_vectors(self, spark):
+        """Vectors that ARE concatenations of codebook centroids
+        reconstruct losslessly — ADC cosine must equal the exact
+        cosine to rounding."""
+        from pyspark.sql import Row
+        from dbm_nca_ph_etl_spark.operators.similarity import cosine_topk, pq_topk
+
+        # dim=4, m=2 (d_sub=2), k=2 codebooks, hand-chosen
+        books = [
+            [[1.0, 0.0], [0.0, 2.0]],
+            [[3.0, 0.0], [0.0, 4.0]],
+        ]
+        rows = [
+            Row(vec_id=0, embedding=[1.0, 0.0, 3.0, 0.0]),  # codes (0,0)
+            Row(vec_id=1, embedding=[0.0, 2.0, 3.0, 0.0]),  # codes (1,0)
+            Row(vec_id=2, embedding=[0.0, 2.0, 0.0, 4.0]),  # codes (1,1)
+            Row(vec_id=3, embedding=[1.0, 0.0, 0.0, 4.0]),  # codes (0,1)
+        ]
+        df = spark.createDataFrame(rows)
+        q = df.where("vec_id = 0")
+        adc = {
+            r.neighbor_id: r.cos_sim for r in pq_topk(df, q, books, k=3).collect()
+        }
+        exact = {
+            r.neighbor_id: r.cos_sim for r in cosine_topk(df, q, k=3).collect()
+        }
+        assert adc == exact, (adc, exact)
+
+    def test_recall_on_testdata_and_vs_persisted_encode(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.operators.similarity import (
+            cosine_topk,
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id < 5")
+        books = pq_train(emb, m=32, k=16, iters=10)
+        appr = pq_topk(emb, q, books, k=10)
+        got = {(r.query_id, r.neighbor_id) for r in appr.collect()}
+        exact = {
+            (r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=10).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.2, f"recall {recall}"
+        assert all(a != b for a, b in got)
+        # a persisted encode must reproduce the inline path exactly
+        enc = pq_encode(emb, books).localCheckpoint()
+        via_index = {
+            (r.query_id, r.neighbor_id, r.cos_sim)
+            for r in pq_topk(emb, q, books, k=10, encoded=enc).collect()
+        }
+        inline = {(r.query_id, r.neighbor_id, r.cos_sim) for r in appr.collect()}
+        assert via_index == inline
