@@ -478,3 +478,429 @@ class PngDecoder:
             + chunk(b"IDAT", zlib.compress(raw, 9))
             + chunk(b"IEND", b"")
         )
+
+
+# -- JPEG (baseline sequential JFIF) ------------------------------------
+
+#: zig-zag index order (ITU-T T.81 Figure A.6): ZIGZAG[i] = position
+#: in the 8x8 block (row*8+col) of the i-th coefficient in scan order
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: ITU-T T.81 Annex K.1 luminance quantization table (zig-zag order
+#: applied at use; stored here in raster order)
+JPEG_STD_LUM_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix A: IDCT(block) = Aᵀ·C·A."""
+    a = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        c = (0.5 ** 0.5) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+class _JpegMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: handles 0xFF00 byte stuffing and
+    surfaces real markers (restart/EOI) as _JpegMarker."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _load_byte(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt != 0x00:
+                raise _JpegMarker(nxt)
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._load_byte()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_restart(self) -> None:
+        """Byte-align, then consume the FFD0-FFD7 restart marker."""
+        self.nbits = 0
+        self.acc = 0
+        if self.buf[self.pos] != 0xFF or not (0xD0 <= self.buf[self.pos + 1] <= 0xD7):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+class JpegDecoder:
+    """Third REAL image codec, stdlib+numpy only: BASELINE SEQUENTIAL
+    JFIF per the public ITU-T T.81 spec — the format real-world
+    training corpora are overwhelmingly stored in. ``decode``
+    handles grayscale and color (any Hi×Vi sampling incl. 4:2:0 /
+    4:2:2 / 4:4:4, interleaved or single-component scans), 8-bit
+    quant tables, multiple DHT/DQT segments, byte stuffing, and DRI
+    restart intervals; output is the LUMA plane (JFIF Y already is
+    the ITU-R 601 weighted sum the BMP/PNG codecs compute from RGB,
+    so the three codecs share one grayscale convention). Chroma
+    blocks are entropy-decoded to keep the bitstream in sync but
+    skip dequantize+IDCT — the luma-only fast path every
+    thumbnail/feature pipeline takes.
+
+    ``encode`` writes a valid baseline grayscale JFIF (Annex K.1
+    quantization scaled by ``quality``, flat one-length canonical
+    Huffman tables embedded in DHT — larger than the optimal tables
+    but spec-valid, so any external viewer opens the output) and is
+    byte-deterministic for a given pixel array. Progressive
+    (SOF2) and arithmetic-coded files are rejected loudly.
+
+    Same Arrow-batched mapInPandas plumbing as the other codecs;
+    the decode math is numpy matrix IDCT per block (vectorizable,
+    executor-side, no JVM involvement).
+    """
+
+    def __init__(self, quality: int = 90):
+        self.quality = quality
+
+    # -- decode ---------------------------------------------------------
+    @staticmethod
+    def _build_huff(counts: list[int], symbols: list[int]) -> dict:
+        table = {}
+        code = 0
+        it = iter(symbols)
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                table[(ln, code)] = next(it)
+                code += 1
+            code <<= 1
+        return table
+
+    @staticmethod
+    def _huff_decode(rd: _JpegBitReader, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | rd.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+    @staticmethod
+    def _extend(v: int, t: int) -> int:
+        if t == 0:
+            return 0
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    def _decode_block(self, rd, dc_tab, ac_tab, pred: int):
+        coef = np.zeros(64, dtype=np.int32)
+        t = self._huff_decode(rd, dc_tab)
+        pred += self._extend(rd.receive(t), t)
+        coef[0] = pred
+        k = 1
+        while k < 64:
+            rs = self._huff_decode(rd, ac_tab)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run overflows block")
+            coef[k] = self._extend(rd.receive(sz), sz)
+            k += 1
+        return coef, pred
+
+    def decode(self, content: bytes, meta) -> np.ndarray:
+        import struct
+
+        if content[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG blob")
+        pos = 2
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        comps: list[dict] = []
+        w = h = None
+        dri = 0
+        while pos < len(content) - 1:
+            if content[pos] != 0xFF:
+                raise ValueError("JPEG marker sync lost")
+            m = content[pos + 1]
+            pos += 2
+            if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+                continue
+            if m == 0xD9:
+                break
+            (ln,) = struct.unpack_from(">H", content, pos)
+            seg = content[pos + 2 : pos + ln]
+            pos += ln
+            if m == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    if pq != 0:
+                        raise ValueError("16-bit JPEG quant tables unsupported")
+                    qt[tq] = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(
+                        np.int32
+                    )
+                    i += 64
+            elif m == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    counts = list(seg[i : i + 16])
+                    i += 16
+                    n = sum(counts)
+                    huff[(tc, th)] = self._build_huff(
+                        counts, list(seg[i : i + n])
+                    )
+                    i += n
+            elif m == 0xC0:  # SOF0 — baseline sequential
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                for c in range(seg[5]):
+                    cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                    )
+            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                       0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    f"only baseline sequential JPEG (SOF0) supported, got "
+                    f"SOF marker 0x{m:02x}"
+                )
+            elif m == 0xDD:  # DRI
+                dri = int.from_bytes(seg[:2], "big")
+            elif m == 0xDA:  # SOS — entropy data follows
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan.append((cs, tt >> 4, tt & 15))
+                return self._decode_scan(
+                    content, pos, qt, huff, comps, scan, w, h, dri
+                )
+        raise ValueError("JPEG missing SOS segment")
+
+    def _decode_scan(self, buf, pos, qt, huff, comps, scan, w, h, dri):
+        import math
+
+        A = _jpeg_dct_matrix()
+        by_id = {c["id"]: c for c in comps}
+        luma_id = comps[0]["id"]
+        if len(scan) == 1:
+            # non-interleaved: MCU = one data unit of that component
+            comp = by_id[scan[0][0]]
+            bx_n = math.ceil(w / 8) if comp["id"] == luma_id else None
+            grid = [(scan[0], 1, 1)]
+            mcux = math.ceil(w / 8)
+            mcuy = math.ceil(h / 8)
+            plane = np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+        else:
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = math.ceil(w / (8 * hmax))
+            mcuy = math.ceil(h / (8 * vmax))
+            grid = [
+                (s, by_id[s[0]]["h"], by_id[s[0]]["v"]) for s in scan
+            ]
+            yc = by_id[luma_id]
+            plane = np.zeros(
+                (mcuy * 8 * yc["v"], mcux * 8 * yc["h"]), dtype=np.float64
+            )
+        rd = _JpegBitReader(buf, pos)
+        pred = {c["id"]: 0 for c in comps}
+        mcu_idx = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu_idx and mcu_idx % dri == 0:
+                    rd.align_and_expect_restart()
+                    pred = {c["id"]: 0 for c in comps}
+                mcu_idx += 1
+                for (cs, td, ta), ch, cv in grid:
+                    comp = by_id[cs]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            coef, pred[cs] = self._decode_block(
+                                rd, huff[(0, td)], huff[(1, ta)], pred[cs]
+                            )
+                            if cs != luma_id:
+                                continue  # chroma: bitstream-sync only
+                            deq = coef * qt[comp["tq"]]
+                            blk = np.zeros(64, dtype=np.float64)
+                            blk[JPEG_ZIGZAG] = deq
+                            px = A.T @ blk.reshape(8, 8) @ A + 128.0
+                            y0 = (my * cv + by) * 8
+                            x0 = (mx * ch + bx) * 8
+                            plane[y0 : y0 + 8, x0 : x0 + 8] = px
+        out = np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8)
+        return out
+
+    # -- encode (baseline grayscale) ------------------------------------
+    @staticmethod
+    def _flat_huff_spec(symbols: list[int]):
+        """Canonical one-length table: all symbols at the smallest
+        length L with 2^L > len(symbols) (strict — keeps the all-ones
+        code unused, as T.81 requires). Returns (counts16, symbols)."""
+        ln = 1
+        while (1 << ln) <= len(symbols):
+            ln += 1
+        counts = [0] * 16
+        counts[ln - 1] = len(symbols)
+        return counts, symbols
+
+    def encode(self, pixels: np.ndarray) -> bytes:
+        import struct
+
+        px = np.asarray(pixels, dtype=np.uint8)
+        h, w = px.shape
+        q = self.quality
+        scale = 5000 // q if q < 50 else 200 - 2 * q
+        qtab = np.clip(
+            (np.array(JPEG_STD_LUM_Q, dtype=np.int64) * scale + 50) // 100, 1, 255
+        ).astype(np.int32)
+        A = _jpeg_dct_matrix()
+        dc_syms = list(range(12))
+        ac_syms = [0x00, 0xF0] + [
+            (r << 4) | s for r in range(16) for s in range(1, 11)
+        ]
+        dc_counts, dc_vals = self._flat_huff_spec(dc_syms)
+        ac_counts, ac_vals = self._flat_huff_spec(ac_syms)
+
+        def codebook(counts, vals):
+            book, code, it = {}, 0, iter(vals)
+            for ln in range(1, 17):
+                for _ in range(counts[ln - 1]):
+                    book[next(it)] = (ln, code)
+                    code += 1
+                code <<= 1
+            return book
+
+        dc_book, ac_book = codebook(dc_counts, dc_vals), codebook(ac_counts, ac_vals)
+
+        out = bytearray()
+        bitacc, bitn = 0, 0
+
+        def put_bits(code, ln):
+            nonlocal bitacc, bitn
+            bitacc = (bitacc << ln) | code
+            bitn += ln
+            while bitn >= 8:
+                bitn -= 8
+                b = (bitacc >> bitn) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+
+        def emit_coef_bits(v, t):
+            """magnitude-category value bits (T.81 F.1.2.1): negative
+            values store v + 2^t - 1."""
+            if t:
+                put_bits(v if v >= 0 else v + (1 << t) - 1, t)
+
+        # header segments
+        hdr = bytearray(b"\xff\xd8")
+        hdr += (
+            b"\xff\xe0"
+            + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1)
+            + b"\x00\x00"
+        )
+        # DQT carries the table in zig-zag scan order
+        zz_q = np.array([qtab[JPEG_ZIGZAG[i]] for i in range(64)], dtype=np.int32)
+        hdr += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in zz_q)
+        hdr += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+        hdr += (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(dc_vals))
+            + b"\x00"
+            + bytes(dc_counts)
+            + bytes(dc_vals)
+        )
+        hdr += (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(ac_vals))
+            + b"\x10"
+            + bytes(ac_counts)
+            + bytes(ac_vals)
+        )
+        hdr += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+
+        # entropy-coded data: 8x8 blocks, edge-replicated padding
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.empty((ph, pw), dtype=np.float64)
+        padded[:h, :w] = px
+        padded[h:, :w] = px[-1:, :]
+        padded[:, w:] = padded[:, w - 1 : w]
+        pred = 0
+        for y0 in range(0, ph, 8):
+            for x0 in range(0, pw, 8):
+                blk = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                C = A @ blk @ A.T
+                zz = C.reshape(-1)[JPEG_ZIGZAG]
+                qz = np.floor(zz / qtab[JPEG_ZIGZAG] + 0.5).astype(np.int64)
+                dc = int(qz[0])
+                diff = dc - pred
+                pred = dc
+                t = abs(diff).bit_length()
+                ln, code = dc_book[t]
+                put_bits(code, ln)
+                emit_coef_bits(diff, t)
+                run = 0
+                nz = np.nonzero(qz[1:])[0]
+                last = nz[-1] + 1 if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(qz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_book[0xF0]
+                        put_bits(code, ln)
+                        run -= 16
+                    t = abs(v).bit_length()
+                    ln, code = ac_book[(run << 4) | t]
+                    put_bits(code, ln)
+                    emit_coef_bits(v, t)
+                    run = 0
+                if last < 63:
+                    ln, code = ac_book[0x00]
+                    put_bits(code, ln)
+        if bitn:
+            put_bits((1 << (8 - bitn)) - 1, 8 - bitn)  # pad with 1s
+        return bytes(hdr) + bytes(out) + b"\xff\xd9"

@@ -343,3 +343,311 @@ class TestPngCodec:
         got = d.decode(bytes(out[0].content), None)
         ys = (np.arange(2) * 8 / 2).astype(int)
         assert (got == g[np.ix_(ys, ys)]).all()
+
+
+# -- independent reference JFIF encoder (test-side) ----------------------
+# Written separately from the engine decoder so an encode/decode pair
+# bug cannot cancel out: its DCT comes from the explicit DCT-II sum
+# (not the engine's matrix product), it builds its own huffman tables,
+# and it supports the features the engine encoder does not emit
+# (color 4:2:0 scans, restart intervals).
+
+_REF_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _ref_dct_block(b):
+    """Direct DCT-II double sum (T.81 A.3.3) — O(64²), test-only."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += (
+                        b[y, x]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+class _RefJfifEncoder:
+    """Minimal baseline JFIF writer: grayscale or YCbCr 4:2:0, flat
+    quant table (single value), one shared huffman pair, optional
+    restart interval."""
+
+    def __init__(self, qval=8, restart=0):
+        self.q = qval
+        self.restart = restart
+
+    def _tables(self):
+        dc = list(range(12))
+        ac = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+
+        def book(vals):
+            ln = 1
+            while (1 << ln) <= len(vals):
+                ln += 1
+            counts = [0] * 16
+            counts[ln - 1] = len(vals)
+            b, code = {}, 0
+            for sym in vals:
+                b[sym] = (ln, code)
+                code += 1
+            return counts, vals, b
+
+        return book(dc), book(ac)
+
+    def encode(self, y_plane, cb=None, cr=None):
+        import struct
+
+        (dc_counts, dc_vals, dc_book), (ac_counts, ac_vals, ac_book) = self._tables()
+        color = cb is not None
+        h, w = y_plane.shape
+        out = bytearray()
+        bits = [0, 0]  # acc, n
+
+        def put(code, ln):
+            bits[0] = (bits[0] << ln) | code
+            bits[1] += ln
+            while bits[1] >= 8:
+                bits[1] -= 8
+                byte = (bits[0] >> bits[1]) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0)
+
+        def flush_and_restart(i):
+            if bits[1]:
+                put((1 << (8 - bits[1])) - 1, 8 - bits[1])
+            out.append(0xFF)
+            out.append(0xD0 + (i % 8))
+
+        def code_block(blk, pred):
+            C = _ref_dct_block(blk - 128.0)
+            zz = np.array([C.reshape(-1)[_REF_ZZ[i]] for i in range(64)])
+            qz = np.floor(zz / self.q + 0.5).astype(int)
+            dc = int(qz[0])
+            diff = dc - pred
+            t = abs(diff).bit_length()
+            ln, code = dc_book[t]
+            put(code, ln)
+            if t:
+                put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            nz = np.nonzero(qz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            run = 0
+            for k in range(1, last + 1):
+                v = int(qz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_book[0xF0]
+                    put(code, ln)
+                    run -= 16
+                t = abs(v).bit_length()
+                ln, code = ac_book[(run << 4) | t]
+                put(code, ln)
+                put(v if v >= 0 else v + (1 << t) - 1, t)
+                run = 0
+            if last < 63:
+                ln, code = ac_book[0x00]
+                put(code, ln)
+            return dc
+
+        hdr = bytearray(b"\xff\xd8")
+        qzz = bytes([self.q] * 64)
+        hdr += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qzz
+        if color:
+            hdr += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+            hdr += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+        else:
+            hdr += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+        hdr += (
+            b"\xff\xc4" + struct.pack(">H", 19 + len(dc_vals)) + b"\x00"
+            + bytes(dc_counts) + bytes(dc_vals)
+        )
+        hdr += (
+            b"\xff\xc4" + struct.pack(">H", 19 + len(ac_vals)) + b"\x10"
+            + bytes(ac_counts) + bytes(ac_vals)
+        )
+        if self.restart:
+            hdr += b"\xff\xdd" + struct.pack(">HH", 4, self.restart)
+        if color:
+            hdr += b"\xff\xda" + struct.pack(">HB", 12, 3)
+            hdr += bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0])
+            mcux, mcuy = -(-w // 16), -(-h // 16)
+            yp = np.zeros((mcuy * 16, mcux * 16))
+            yp[:h, :w] = y_plane
+            yp[h:, :w] = y_plane[-1:, :]
+            yp[:, w:] = yp[:, w - 1 : w]
+            ch2, cw2 = mcuy * 8, mcux * 8
+            cbp = np.zeros((ch2, cw2)); crp = np.zeros((ch2, cw2))
+            cbp[: cb.shape[0], : cb.shape[1]] = cb
+            crp[: cr.shape[0], : cr.shape[1]] = cr
+            preds = {1: 0, 2: 0, 3: 0}
+            mcu_i = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if self.restart and mcu_i and mcu_i % self.restart == 0:
+                        flush_and_restart(mcu_i // self.restart - 1)
+                        preds = {1: 0, 2: 0, 3: 0}
+                    mcu_i += 1
+                    for by in range(2):
+                        for bx in range(2):
+                            blk = yp[my * 16 + by * 8 : my * 16 + by * 8 + 8,
+                                     mx * 16 + bx * 8 : mx * 16 + bx * 8 + 8]
+                            preds[1] = code_block(blk, preds[1])
+                    preds[2] = code_block(
+                        cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], preds[2]
+                    )
+                    preds[3] = code_block(
+                        crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], preds[3]
+                    )
+        else:
+            hdr += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+            mcux, mcuy = -(-w // 8), -(-h // 8)
+            yp = np.zeros((mcuy * 8, mcux * 8))
+            yp[:h, :w] = y_plane
+            yp[h:, :w] = y_plane[-1:, :]
+            yp[:, w:] = yp[:, w - 1 : w]
+            pred = 0
+            mcu_i = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if self.restart and mcu_i and mcu_i % self.restart == 0:
+                        flush_and_restart(mcu_i // self.restart - 1)
+                        pred = 0
+                    mcu_i += 1
+                    pred = code_block(
+                        yp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], pred
+                    )
+        if bits[1]:
+            put((1 << (8 - bits[1])) - 1, 8 - bits[1])
+        return bytes(hdr) + bytes(out) + b"\xff\xd9"
+
+
+class TestJpegCodec:
+    def _gradient(self, h, w, k=1):
+        y, x = np.mgrid[0:h, 0:w]
+        return np.clip(40 + y * 3 * k + x * 2 * k, 0, 255).astype(np.uint8)
+
+    def test_idct_inverts_reference_dct(self):
+        from dbm_nca_ph_etl_spark.operators.multimodal import _jpeg_dct_matrix
+
+        rng = np.random.default_rng(3)
+        blk = rng.uniform(-120, 120, (8, 8))
+        C = _ref_dct_block(blk)  # reference forward (explicit sum)
+        A = _jpeg_dct_matrix()   # engine inverse (matrix product)
+        back = A.T @ C @ A
+        assert np.abs(back - blk).max() < 1e-9
+
+    def test_decode_external_grayscale(self):
+        from dbm_nca_ph_etl_spark.operators.multimodal import JpegDecoder
+
+        img = self._gradient(24, 33)
+        blob = _RefJfifEncoder(qval=4).encode(img.astype(np.float64))
+        dec = JpegDecoder().decode(blob, None)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.mean() < 1.0 and err.max() <= 6, (err.mean(), err.max())
+
+    def test_decode_external_with_restart_markers(self):
+        from dbm_nca_ph_etl_spark.operators.multimodal import JpegDecoder
+
+        img = self._gradient(24, 40)
+        plain = JpegDecoder().decode(_RefJfifEncoder(qval=4).encode(img.astype(float)), None)
+        with_rst = JpegDecoder().decode(
+            _RefJfifEncoder(qval=4, restart=2).encode(img.astype(float)), None
+        )
+        assert (plain == with_rst).all(), "restart intervals changed pixels"
+
+    def test_decode_external_color_420_luma(self):
+        from dbm_nca_ph_etl_spark.operators.multimodal import JpegDecoder
+
+        yp = self._gradient(32, 48).astype(np.float64)
+        cb = np.full((16, 24), 128.0)  # neutral chroma
+        cr = np.full((16, 24), 140.0)
+        blob = _RefJfifEncoder(qval=4).encode(yp, cb=cb, cr=cr)
+        dec = JpegDecoder().decode(blob, None)
+        assert dec.shape == (32, 48)
+        err = np.abs(dec.astype(int) - yp.astype(int))
+        assert err.mean() < 1.0 and err.max() <= 6, (err.mean(), err.max())
+
+    def test_engine_roundtrip_and_determinism(self):
+        from dbm_nca_ph_etl_spark.operators.multimodal import JpegDecoder
+
+        d = JpegDecoder(quality=90)
+        img = self._gradient(24, 33)
+        b1, b2 = d.encode(img), d.encode(img)
+        assert b1 == b2, "encode must be byte-deterministic"
+        dec = d.decode(b1, None)
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.mean() < 1.5 and err.max() <= 10, (err.mean(), err.max())
+        flat = np.full((16, 16), 77, dtype=np.uint8)
+        assert (d.decode(d.encode(flat), None) == 77).all()
+
+    def test_rejects_non_baseline(self):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.multimodal import JpegDecoder
+
+        d = JpegDecoder()
+        with pytest.raises(ValueError, match="not a JPEG"):
+            d.decode(b"\x89PNG\r\n", None)
+        # progressive SOF2 marker stream
+        blob = bytes.fromhex("ffd8ffc2000b08001000100100110000")
+        with pytest.raises(ValueError, match="SOF0"):
+            d.decode(blob, None)
+
+    def test_spark_resize_on_real_jpeg_blobs(self, spark):
+        """The Arrow/mapInPandas plumbing runs the REAL jpeg codec
+        end-to-end: encode in the driver, decode+resize on executors."""
+        from pyspark.sql import Row
+
+        from dbm_nca_ph_etl_spark.operators.multimodal import (
+            FakeGrayscaleDecoder,
+            JpegDecoder,
+            resize_images,
+        )
+
+        d = JpegDecoder(quality=95)
+        img = self._gradient(32, 32)
+        assets = spark.createDataFrame(
+            [
+                Row(
+                    asset_id=1,
+                    modality="image",
+                    fmt="jpeg",
+                    content=bytearray(d.encode(img)),
+                    meta=Row(
+                        width=32, height=32, channels=1, sample_rate=0, n_frames=1
+                    ),
+                )
+            ]
+        )
+
+        class JpegIn:
+            """decode jpeg, re-encode raw bytes for easy assertion."""
+
+            def decode(self, content, meta):
+                return JpegDecoder().decode(bytes(content), meta)
+
+            def encode(self, pixels):
+                return FakeGrayscaleDecoder().encode(pixels)
+
+        out = resize_images(assets, 8, 8, decoder=JpegIn()).collect()
+        assert len(out) == 1 and out[0].width == 8
+        got = np.frombuffer(bytes(out[0].content), dtype=np.uint8).reshape(8, 8)
+        ys = (np.arange(8) * 32 / 8).astype(int)
+        want = JpegDecoder().decode(d.encode(img), None)[np.ix_(ys, ys)]
+        assert (got == want).all()
