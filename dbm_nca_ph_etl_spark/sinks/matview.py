@@ -51,6 +51,9 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS, get_fs
+from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
+
 _KINDS = ("sum", "count", "min", "max", "hll", "hist")
 
 
@@ -230,20 +233,40 @@ class MaterializedAgg:
         path: str,
         keys: Sequence[str],
         measures: Sequence[Measure],
+        fs: LakeFS | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.measures = list(measures)
-        os.makedirs(path, exist_ok=True)
+        self.fs = fs
+        get_fs(path, fs).mkdirs(path)
 
     # -- version bookkeeping ------------------------------------------------
     def _versions(self) -> list[tuple[int, str, str]]:
+        """Committed versions. Two commit protocols, chosen by the
+        filesystem (same split as merge._rewrite): with atomic
+        rename, directory PRESENCE is the commit (refresh renames a
+        tmp dir into its final name); without it (object stores),
+        the commit is a single-PUT ``_COMMITTED`` marker inside the
+        version dir, and an unmarked dir is an invisible orphan from
+        a crashed refresh — the batch replays into the same dirname
+        and converges."""
+        f = get_fs(self.path, self.fs)
         out = []
-        for d in os.listdir(self.path):
-            m = _VERSION_RE.match(d)
-            if m:
-                out.append((int(m.group(1)), m.group(2), os.path.join(self.path, d)))
+        if f.atomic_rename:
+            for d in os.listdir(self.path):
+                m = _VERSION_RE.match(d)
+                if m:
+                    out.append(
+                        (int(m.group(1)), m.group(2), os.path.join(self.path, d))
+                    )
+            return sorted(out)
+        for d in f.ls_dirs(self.path):
+            name = d.rstrip("/").rsplit("/", 1)[-1]
+            m = _VERSION_RE.match(name)
+            if m and f.exists(_pjoin(d, "_COMMITTED")):
+                out.append((int(m.group(1)), m.group(2), d))
         return sorted(out)
 
     def applied_batches(self) -> set[str]:
@@ -269,15 +292,24 @@ class MaterializedAgg:
             p = merge_partials([base, p], self.keys, self.measures)
         vs = self._versions()
         next_n = vs[-1][0] + 1 if vs else 0
-        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}")
-        p.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, os.path.join(self.path, f"v{next_n:06d}_b{batch_id}"))
+        f = get_fs(self.path, self.fs)
+        if f.atomic_rename:
+            tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}")
+            p.write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, os.path.join(self.path, f"v{next_n:06d}_b{batch_id}"))
+        else:
+            # object store: write the final-named dir, then the
+            # single-PUT marker IS the data+batch_id commit
+            final = _pjoin(self.path, f"v{next_n:06d}_b{batch_id}")
+            p.write.mode("overwrite").parquet(final)
+            f.write_bytes(_pjoin(final, "_COMMITTED"), b"")
         self._prune(keep=2)
         return True
 
     def _prune(self, keep: int) -> None:
+        f = get_fs(self.path, self.fs)
         for _, _, d in self._versions()[:-keep]:
-            shutil.rmtree(d)
+            f.delete_dir(d) if not f.atomic_rename else shutil.rmtree(d)
 
     # -- read ---------------------------------------------------------------
     def read_partials(self, version: int | None = None) -> DataFrame:

@@ -74,6 +74,11 @@ class LakeFS:
         a version-pointer swap (sinks/merge._rewrite)."""
         raise NotImplementedError
 
+    def ls_dirs(self, path: str) -> list[str]:
+        """Immediate subdirectory paths (empty if ``path`` absent) —
+        version enumeration for the marker-committed matview layout."""
+        raise NotImplementedError
+
 
 class PosixLakeFS(LakeFS):
     """Bare local paths — stdlib only, no pyarrow import cost. The
@@ -115,6 +120,15 @@ class PosixLakeFS(LakeFS):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
+
+    def ls_dirs(self, path):
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if os.path.isdir(os.path.join(path, d))
+        )
 
 
 class ArrowLakeFS(LakeFS):
@@ -198,6 +212,22 @@ class ArrowLakeFS(LakeFS):
         fsys, p = self._resolve(path)
         if fsys.get_file_info(p).type != pafs.FileType.NotFound:
             fsys.delete_dir(p)
+
+    def ls_dirs(self, path):
+        from pyarrow import fs as pafs
+
+        fsys, p = self._resolve(path)
+        if fsys.get_file_info(p).type != pafs.FileType.Directory:
+            return []
+        sel = pafs.FileSelector(p, recursive=False)
+        base_uri, base_p = path.rstrip("/"), p.rstrip("/")
+        out = []
+        for fi in fsys.get_file_info(sel):
+            if fi.type != pafs.FileType.Directory:
+                continue
+            child = fi.path[len(base_p):] if fi.path.startswith(base_p) else fi.path
+            out.append(base_uri + "/" + child.lstrip("/"))
+        return sorted(out)
 
 
 def get_fs(path: str, override: LakeFS | None = None) -> LakeFS:

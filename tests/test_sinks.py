@@ -82,6 +82,9 @@ class _ObjectStoreFS:
     def delete_dir(self, path):
         self._inner.delete_dir(path)
 
+    def ls_dirs(self, path):
+        return self._inner.ls_dirs(path)
+
 
 class TestObjectStoreLayout:
     """The merge sinks against object-store semantics: version-dir +
@@ -134,6 +137,41 @@ class TestObjectStoreLayout:
         upsert_parquet(spark, df, p, ["k"], fs)
         upsert_parquet(spark, df, p, ["k"], fs)
         assert rows(read_table(spark, p, fs), "k", "v") == [("a", 1)]
+
+    def test_matview_marker_commit_on_object_store(self, spark, tmp_path):
+        import os
+
+        from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg, Measure
+
+        fs = _ObjectStoreFS()
+        view = MaterializedAgg(
+            spark,
+            str(tmp_path / "mv"),
+            keys=["k"],
+            measures=[Measure("total", "v", "sum")],
+            fs=fs,
+        )
+        b1 = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+        b2 = spark.createDataFrame([Row(k="a", v=10)])
+        assert view.refresh(b1, "batch1") and view.refresh(b2, "batch2")
+        assert not view.refresh(b1, "batch1"), "replayed batch must no-op"
+        got = {r.k: r.total for r in view.read_partials().collect()}
+        assert got == {"a": 11, "b": 2}
+        # every surviving version carries its single-PUT commit marker
+        vdirs = [
+            d for d in os.listdir(tmp_path / "mv") if d.startswith("v")
+        ]
+        assert vdirs and all(
+            os.path.exists(tmp_path / "mv" / d / "_COMMITTED") for d in vdirs
+        )
+        # an UNMARKED version dir (crash between data write and
+        # marker PUT) is invisible and the batch re-applies cleanly
+        orphan = tmp_path / "mv" / "v000099_bcrash"
+        orphan.mkdir()
+        assert "crash" not in view.applied_batches()
+        assert view.refresh(spark.createDataFrame([Row(k="c", v=5)]), "b3")
+        got = {r.k: r.total for r in view.read_partials().collect()}
+        assert got == {"a": 11, "b": 2, "c": 5}
 
     def test_nca_store_cascade_on_object_store(self, spark, tmp_path):
         fs = _ObjectStoreFS()
