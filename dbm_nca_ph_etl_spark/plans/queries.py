@@ -7452,7 +7452,7 @@ def corpus_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emits per-bucket row counts, integer-cent balance sums, and "
     "the touched flag; the oracle replays the merge relationally "
     "plus the md5-prefix bucket assignment. Exact hash match.",
-    tags=("sink", "merge", "bench"),
+    tags=("sink", "merge"),
 )
 def keyed_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

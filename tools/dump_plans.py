@@ -140,6 +140,24 @@ SHOWCASE = {
         "and a build-side NULL short-circuits by flag — never the "
         "O(n·m) BroadcastNestedLoopJoin fallback."
     ),
+    "ann_pq_topk": (
+        "PQ retrieval: the corpus side is the ENCODED representation "
+        "(m codes + a norm per vector — 8-32x smaller than the floats) "
+        "behind an exchange barrier so projection collapse cannot "
+        "re-run encoding per (query, corpus) pair; queries broadcast; "
+        "ADC scoring is python-unrolled plain arithmetic (dim "
+        "multiply-adds per pair, no HOF lambdas, no UDF) feeding the "
+        "standard per-query top-k window. Swap `encoded=` to a "
+        "persisted pq_encode table and the scan side reads only codes."
+    ),
+    "mixed_codec_roundtrip": (
+        "The multimodal contract in one plan: a pruned single-column "
+        "scan (doc_id only — ReadSchema shows no text) feeding one "
+        "Arrow-batched MapInPandas stage that encodes+decodes real "
+        "BMP/PNG/JPEG blobs executor-side. Map-only: blobs never "
+        "shuffle, output is audit rows — decode cost scales linearly "
+        "with assets and parallelizes per input split."
+    ),
 }
 
 
