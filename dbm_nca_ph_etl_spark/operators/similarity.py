@@ -1036,6 +1036,7 @@ def pq_encode(
     id_col: str = "vec_id",
     id_alias: str = "neighbor_id",
     vec_col: str = "embedding",
+    extra_cols: list[Column] | None = None,
 ) -> DataFrame:
     """Encode vectors against trained codebooks →
     ``(id, _codes: array<int>[m], _rn2: double)`` where ``_rn2`` is
@@ -1068,6 +1069,7 @@ def pq_encode(
         F.col(id_col).alias(id_alias),
         packed.getField("codes").alias("_codes"),
         packed.getField("rn2").alias("_rn2"),
+        *(extra_cols or []),
     )
 
 
@@ -1124,10 +1126,32 @@ def pq_topk(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
         l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    # ADC score, python-unrolled (see _pq_assign_structs): per
-    # subspace, element_at picks the coded centroid out of the
-    # literal codebook and the d_sub-term dot product is plain
-    # arithmetic — m×d_sub = dim multiply-adds per pair, zero HOFs.
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pq_adc_cosine(books).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _pq_adc_cosine(books: list[list[list[float]]]) -> Column:
+    """Asymmetric-distance cosine over joined (query, coded-corpus)
+    rows carrying ``_qv``/``_qn``/``_codes``/``_rn2``.
+
+    Python-unrolled (see _pq_assign_structs): per subspace,
+    ``element_at`` picks the coded centroid out of the literal
+    codebook and the d_sub-term dot product is plain arithmetic —
+    m×d_sub = dim multiply-adds per pair, zero HOFs, zero UDFs."""
+    m = len(books)
+    d_sub = len(books[0][0])
     adc = None
     for s in range(m):
         book_lit = F.array(*[_plane_lit(c_) for c_ in books[s]])
@@ -1138,17 +1162,56 @@ def pq_topk(
             )
             adc = term if adc is None else adc + term
     denom = F.col("_qn") * F.sqrt(F.col("_rn2"))
+    return F.when(denom > 0, F.round(adc / denom, 6)).otherwise(F.lit(0.0))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ — the composed 100 TB ANN index (the FAISS ``IVFx,PQy``
+    shape): a coarse IVF quantizer prunes the CANDIDATE SET (each
+    query probes ``n_probe`` of ``n_centroids`` cells — a
+    ~n_probe/n_centroids fraction of the corpus, via a cell-key hash
+    join, never a cross join) and PQ codes compress the
+    REPRESENTATION scored inside those cells (ADC — m small ints per
+    vector instead of dim floats). The two approximations compose
+    orthogonally: IVF bounds compute, PQ bounds memory/IO; at 100 TB
+    both bounds are mandatory, which is why this is the industry-
+    standard layout for billion-vector indexes.
+
+    ``centroids`` takes a :func:`kmeans_train` codebook for the
+    coarse level; ``encoded`` takes a persisted :func:`ivfpq_encode`
+    table (build-once/probe-often). Corpus-side work per probe:
+    scan codes of probed cells only.
+    """
+    cents = centroids if centroids is not None else _centroids(n_centroids, dim, seed)
+    c = (
+        encoded
+        if encoded is not None
+        else ivfpq_encode(corpus, books, cents, id_col, vec_col)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+        F.explode(probe_clusters(F.col(vec_col), cents, n_probe)).alias("cell"),
+    )
     scored = (
         F.broadcast(q)
-        .crossJoin(c)
+        .join(c, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.when(denom > 0, F.round(adc / denom, 6))
-            .otherwise(F.lit(0.0))
-            .alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", _pq_adc_cosine(books).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -1158,3 +1221,26 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ index artifact: PQ codes + reconstruction norm +
+    coarse cell per vector — ONE projection over the corpus (codes
+    and cell assignment share the scan), hash-partitioned by cell
+    (the IVF index shape — probes hash-join on the cell key; also
+    the exchange barrier that keeps the m×k assignment out of the
+    join projection). Persist this once per corpus snapshot."""
+    return pq_encode(
+        corpus,
+        books,
+        id_col,
+        "neighbor_id",
+        vec_col,
+        extra_cols=[assign_cluster(F.col(vec_col), cents).alias("cell")],
+    ).repartition("cell")

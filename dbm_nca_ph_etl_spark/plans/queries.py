@@ -7551,6 +7551,38 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_topk",
+    _SQL_EXACT_KTH,
+    doc="IVF-PQ composite ANN (similarity.ivfpq_encode / ivfpq_topk) "
+    "— the FAISS ``IVFx,PQy`` layout that billion-vector indexes "
+    "actually run: a 16-cell coarse quantizer prunes the CANDIDATE "
+    "SET (each query explodes into its 8 nearest cells and "
+    "hash-joins the cell key — ~n_probe/n_centroids of the corpus "
+    "scored, never a cross join) while the 32-subspace PQ codebook "
+    "compresses the REPRESENTATION inside probed cells (ADC: "
+    "float query against coded centroids, dim multiply-adds per "
+    "surviving pair). The two approximations compose orthogonally — "
+    "IVF bounds compute, PQ bounds memory/IO; at 100 TB both are "
+    "mandatory. The encode artifact (codes + recon norm + cell in "
+    "ONE corpus projection, repartitioned by cell) persists "
+    "build-once/probe-often. Audit: exact k-th similarity "
+    "hash-verified vs DuckDB + recall_ok (hits ≥ 20/100; measured "
+    "50 at sf0.01, 40 at sf0.1 — the n_probe=8/16 candidate prune "
+    "costs ~9 hits vs plain PQ on these near-uniform synthetics).",
+    tags=("similarity", "llm"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    books = _pq_books(spark, sf_dir, emb)
+    return _ann_recall_audit(
+        S.ivfpq_topk(emb, q, books, k=10, n_centroids=16, n_probe=8),
+        S.cosine_topk(emb, q, k=10),
+        floor_hits=20,
+    )
+
+
+@register(
     "mixed_codec_roundtrip",
     """
     WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),

@@ -189,3 +189,18 @@ class TestScd2Keyed:
         first = _rows(read_keyed(spark, p))
         scd2_apply_keyed(spark, p, changes, ["id"], effective=300)  # same values
         assert _rows(read_keyed(spark, p)) == first, "no-op change must not version"
+
+
+class TestKeyedPlans:
+    def test_lookup_prunes_partitions(self, spark, base, tmp_path):
+        """The probed keys' buckets must reach the scan as
+        PartitionFilters — the read-side payoff of the layout."""
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        probe = spark.createDataFrame([(7,)], "id long")
+        plan = lookup_keyed(spark, p, probe, ["id"])._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_kb" in plan, plan
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "_kb" in m.group(1), f"no _kb partition filter: {m}"

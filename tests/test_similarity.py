@@ -268,3 +268,81 @@ class TestProductQuantization:
         }
         inline = {(r.query_id, r.neighbor_id, r.cos_sim) for r in appr.collect()}
         assert via_index == inline
+
+
+class TestIvfPq:
+    def test_full_probe_equals_pq_only(self, spark, sf_dir):
+        """n_probe == n_centroids degrades IVF-PQ to plain PQ ADC —
+        the candidate set is the whole corpus, scores identical."""
+        from dbm_nca_ph_etl_spark.operators.similarity import (
+            ivfpq_topk,
+            pq_topk,
+            pq_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id < 3")
+        books = pq_train(emb, m=8, k=8, iters=4)
+        full = {
+            (r.query_id, r.neighbor_id, r.cos_sim)
+            for r in ivfpq_topk(
+                emb, q, books, k=5, n_centroids=8, n_probe=8
+            ).collect()
+        }
+        plain = {
+            (r.query_id, r.neighbor_id, r.cos_sim)
+            for r in pq_topk(emb, q, books, k=5).collect()
+        }
+        assert full == plain
+
+    def test_partial_probe_subset_and_recall(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.operators.similarity import (
+            cosine_topk,
+            ivfpq_topk,
+            pq_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id < 5")
+        books = pq_train(emb, m=32, k=16, iters=10)
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_topk(
+                emb, q, books, k=10, n_centroids=16, n_probe=8
+            ).collect()
+        }
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(emb, q, k=10).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.15, f"recall {recall}"
+        assert all(a != b for a, b in got)
+
+    def test_persisted_encode_matches_inline(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.operators.similarity import (
+            _centroids,
+            ivfpq_encode,
+            ivfpq_topk,
+            pq_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id < 3")
+        books = pq_train(emb, m=8, k=8, iters=4)
+        cents = _centroids(8, 64, 42)
+        enc = ivfpq_encode(emb, books, cents).localCheckpoint()
+        via = {
+            (r.query_id, r.neighbor_id, r.cos_sim)
+            for r in ivfpq_topk(
+                emb, q, books, k=5, n_centroids=8, n_probe=4,
+                centroids=cents, encoded=enc,
+            ).collect()
+        }
+        inline = {
+            (r.query_id, r.neighbor_id, r.cos_sim)
+            for r in ivfpq_topk(
+                emb, q, books, k=5, n_centroids=8, n_probe=4, centroids=cents
+            ).collect()
+        }
+        assert via == inline
