@@ -535,3 +535,99 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def word_shingles_pos(text: Column, n: int = 8) -> Column:
+    """ORDERED (non-distinct) n-word shingles of a text column — the
+    positional variant of :func:`word_shingles` for span detection:
+    element ``i`` (0-based) is the shingle starting at token ``i+1``
+    (1-based token position), so ``posexplode`` recovers exact token
+    offsets. Rows with fewer than ``n`` tokens yield an empty array
+    (no padded partial shingle — a span shorter than ``n`` tokens is
+    below the detector's resolution by definition). Same codegen'd
+    sequence+transform HOF shape as :func:`word_shingles`; token
+    array let-bound so tokenization runs once per row."""
+
+    def shingle(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens(text), shingle)
+
+
+def repeated_span_pairs(
+    docs: DataFrame,
+    min_len: int = 20,
+    k: int = 8,
+    df_cap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document EXACT repeated-substring detection — the
+    suffix-array "ExactSubstr" dedup of Lee et al. 2022
+    (*Deduplicating Training Data Makes Language Models Better*),
+    re-expressed relationally so it distributes: a shared token span
+    of length L >= k appears as exactly L-k+1 consecutive matching
+    k-shingles at a CONSTANT position offset, so longest-common-run =
+    a gaps-and-islands aggregation over the shingle match table.
+
+    Plan (posting-shaped, never all-pairs):
+
+    1. positional shingle postings ``(doc, pos, shingle)`` — one
+       codegen'd projection (:func:`word_shingles_pos`);
+    2. document-frequency cap: shingles with more than ``df_cap``
+       postings (licenses, boilerplate headers — the skew row of
+       every real corpus) are dropped BEFORE the self-join, bounding
+       per-shingle match fan-out at df_cap²; the survivors' self-join
+       on the shingle key is two co-partitioned hash-shuffles;
+    3. islands: within ``(doc_a, doc_b, delta=pos_a-pos_b)`` a
+       consecutive run satisfies ``pos_a - row_number() = const`` —
+       one window + one same-key aggregate (no extra shuffle: the
+       groupBy key extends the window partition key);
+    4. per pair keep the longest span (ties: smallest start_a, then
+       start_b — total order, deterministic), filter ``>= min_len``.
+
+    Output: ``(doc_a, doc_b, span_tokens, start_a, start_b)`` with
+    1-based token offsets. At 100 TB the match table is bounded by
+    sum(df²) over capped shingles — df_cap trades recall on
+    ultra-common spans (which exact/MinHash dedup already catch) for
+    a hard quadratic bound; raise it with salting if span recall on
+    hot templates matters.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(word_shingles_pos(F.col(text_col), k)).alias("_p0", "_s"),
+    ).select("_d", (F.col("_p0") + 1).alias("_p"), "_s")
+    dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    sh_ok = sh.join(dfreq.where(F.col("_df") <= df_cap), "_s").drop("_df")
+    a, b = sh_ok.alias("a"), sh_ok.alias("b")
+    m = a.join(b, "_s").where(F.col("a._d") < F.col("b._d")).select(
+        F.col("a._d").alias("doc_a"),
+        F.col("b._d").alias("doc_b"),
+        F.col("a._p").alias("pa"),
+        F.col("b._p").alias("pb"),
+        (F.col("a._p") - F.col("b._p")).alias("delta"),
+    )
+    from pyspark.sql import Window
+
+    w_run = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pa")
+    spans = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w_run))
+        .groupBy("doc_a", "doc_b", "delta", "grp")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("int").alias("span_tokens"),
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+        )
+    )
+    w_best = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.col("span_tokens").desc(), F.col("start_a").asc(), F.col("start_b").asc()
+    )
+    return (
+        spans.withColumn("_rn", F.row_number().over(w_best))
+        .where((F.col("_rn") == 1) & (F.col("span_tokens") >= min_len))
+        .select("doc_a", "doc_b", "span_tokens", "start_a", "start_b")
+    )

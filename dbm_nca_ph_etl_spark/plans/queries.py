@@ -7672,3 +7672,64 @@ def mixed_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id bigint, fmt string, n_pixels int, pix_checksum bigint, "
         "recon_ok boolean",
     )
+
+
+@register(
+    "repeated_span_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - 7)) AS pos,
+             unnest(list_transform(generate_series(1, len(t) - 7),
+                    i -> array_to_string(t[i:i+7], ' '))) AS s
+      FROM toks WHERE len(t) >= 8
+    ),
+    ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 16),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb, a.pos - b.pos AS delta
+      FROM sh a JOIN sh b USING (s) JOIN ok USING (s)
+      WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, delta, pa, pb,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, (count(*) + 7)::INT AS span_tokens,
+             min(pa)::BIGINT AS start_a, min(pb)::BIGINT AS start_b
+      FROM runs GROUP BY doc_a, doc_b, delta, grp
+    )
+    SELECT doc_a, doc_b, span_tokens, start_a, start_b FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_a, doc_b
+        ORDER BY span_tokens DESC, start_a, start_b) AS rn
+      FROM spans
+    ) WHERE rn = 1 AND span_tokens >= 20
+    """,
+    doc="Cross-document EXACT repeated-substring dedup "
+    "(operators/dedup.repeated_span_pairs) — the suffix-array "
+    "'ExactSubstr' criterion of Lee et al. 2022 re-expressed "
+    "relationally: a shared token span of length L surfaces as "
+    "L-k+1 consecutive k-shingle matches at constant offset, so "
+    "longest-common-substring per doc pair = gaps-and-islands over "
+    "the positional shingle match table (window row_number minus "
+    "position = island key). Posting-shaped with a df<=16 cap "
+    "dropping boilerplate shingles BEFORE the self-join (hard "
+    "df**2 fan-out bound — the skew guard every real corpus "
+    "needs); the islands window and the run aggregate share a "
+    "partitioning (no extra shuffle). Output: per near-dup pair "
+    "the longest shared span (>= 20 tokens) with 1-based offsets "
+    "in both docs — what a train-data pipeline feeds span excision, "
+    "vs the doc-level verdicts of MinHash/SemDeDup. Exact hash "
+    "match vs the SQL replica at both SFs.",
+    tags=("llm", "dedup", "text"),
+)
+def repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.repeated_span_pairs(d, min_len=20, k=8, df_cap=16)

@@ -339,3 +339,81 @@ class TestPersistedBandIndex:
         build_band_index(corpus, path, num_hashes=16, bands=4)
         with pytest.raises(ValueError, match="silently miss"):
             load_band_index(spark, path, num_hashes=8, bands=4)
+
+
+class TestRepeatedSpans:
+    """repeated_span_pairs: exact shared-token-run detection with
+    known offsets, df-cap exclusion, tie determinism."""
+
+    def _w(self, *idxs):
+        return " ".join(f"w{i}" for i in idxs)
+
+    def test_known_span_offsets_and_length(self, spark):
+        # doc 1 tokens 11..35 == doc 2 tokens 3..27: a 25-token run.
+        shared = self._w(*range(100, 125))
+        d = spark.createDataFrame(
+            [
+                (1, self._w(*range(0, 10)) + " " + shared + " " + self._w(*range(200, 210))),
+                (2, self._w(*range(300, 302)) + " " + shared + " " + self._w(*range(400, 420))),
+                (3, self._w(*range(500, 560))),
+            ],
+            "doc_id long, text string",
+        )
+        from dbm_nca_ph_etl_spark.operators.dedup import repeated_span_pairs
+
+        got = repeated_span_pairs(d, min_len=20, k=8, df_cap=16).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.doc_a, r.doc_b) == (1, 2)
+        assert r.span_tokens == 25
+        assert (r.start_a, r.start_b) == (11, 3)
+
+    def test_min_len_filters_short_spans(self, spark):
+        shared = self._w(*range(100, 112))  # 12-token run
+        d = spark.createDataFrame(
+            [(1, shared + " " + self._w(*range(0, 20))),
+             (2, self._w(*range(50, 70)) + " " + shared)],
+            "doc_id long, text string",
+        )
+        from dbm_nca_ph_etl_spark.operators.dedup import repeated_span_pairs
+
+        assert repeated_span_pairs(d, min_len=20, k=8).count() == 0
+        got = repeated_span_pairs(d, min_len=12, k=8).collect()
+        assert len(got) == 1 and got[0].span_tokens == 12
+
+    def test_df_cap_drops_boilerplate(self, spark):
+        # the same 30-token "license header" in every doc: with the
+        # cap below its df the pairs vanish; raised cap finds them.
+        hdr = self._w(*range(100, 130))
+        rows = [(i, hdr + " " + self._w(*range(1000 * i, 1000 * i + 15)))
+                for i in range(1, 7)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        from dbm_nca_ph_etl_spark.operators.dedup import repeated_span_pairs
+
+        assert repeated_span_pairs(d, min_len=20, k=8, df_cap=5).count() == 0
+        got = repeated_span_pairs(d, min_len=20, k=8, df_cap=6)
+        assert got.count() == 15  # all C(6,2) pairs share the header
+        assert {r.span_tokens for r in got.collect()} == {30}
+
+    def test_longest_of_multiple_runs_wins(self, spark):
+        run_a = self._w(*range(100, 120))  # 20 tokens
+        run_b = self._w(*range(300, 330))  # 30 tokens
+        d = spark.createDataFrame(
+            [(1, run_a + " " + self._w(*range(0, 10)) + " " + run_b),
+             (2, run_b + " " + self._w(*range(50, 62)) + " " + run_a)],
+            "doc_id long, text string",
+        )
+        from dbm_nca_ph_etl_spark.operators.dedup import repeated_span_pairs
+
+        got = repeated_span_pairs(d, min_len=5, k=4).collect()
+        assert len(got) == 1
+        assert got[0].span_tokens == 30
+        assert (got[0].start_a, got[0].start_b) == (31, 1)
+
+    def test_below_k_tokens_no_rows(self, spark):
+        d = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+        )
+        from dbm_nca_ph_etl_spark.operators.dedup import repeated_span_pairs
+
+        assert repeated_span_pairs(d, min_len=2, k=8).count() == 0
