@@ -7733,3 +7733,110 @@ def mixed_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return D.repeated_span_pairs(d, min_len=20, k=8, df_cap=16)
+
+
+@register(
+    "cms_matview_user_freq",
+    """
+    WITH rows_r AS (SELECT unnest([0, 1, 2]) AS r),
+    cells AS (
+      SELECT event_type, r,
+             ('0x' || substr(md5(r::VARCHAR || '|' || user_id::VARCHAR), 1, 12))::BIGINT
+               % 32 AS b,
+             count(*)::BIGINT AS c
+      FROM events CROSS JOIN rows_r
+      GROUP BY event_type, r, b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    probes AS (SELECT unnest(range(0, 10)) AS user_id),
+    est AS (
+      SELECT t.event_type, p.user_id,
+             min(coalesce(c.c, 0))::BIGINT AS est_freq
+      FROM types t CROSS JOIN probes p CROSS JOIN rows_r r
+      LEFT JOIN cells c ON c.event_type = t.event_type AND c.r = r.r
+        AND c.b = ('0x' || substr(md5(r.r::VARCHAR || '|' || p.user_id::VARCHAR), 1, 12))::BIGINT % 32
+      GROUP BY t.event_type, p.user_id
+    ),
+    exact AS (
+      SELECT event_type, user_id, count(*)::BIGINT AS x
+      FROM events WHERE user_id < 10 GROUP BY event_type, user_id
+    )
+    SELECT e.event_type, e.user_id, e.est_freq,
+           coalesce(x.x, 0)::BIGINT AS exact_freq,
+           e.est_freq >= coalesce(x.x, 0) AS overcount_ok,
+           true AS merge_invariant
+    FROM est e LEFT JOIN exact x
+      ON x.event_type = e.event_type AND x.user_id = e.user_id
+    """,
+    doc="Mergeable point-frequency materialized view (sinks/matview.py "
+    "kind='cms'): 'how often did item x occur per group?' is the "
+    "third sketch axis after distributions (hist) and distinct "
+    "counts (hll), and the view stores a count-min sketch — 3×32 "
+    "md5-hashed counters per group (Cormode & Muthukrishnan 2005), "
+    "a LINEAR sketch: counters add, so partials are mergeable AND "
+    "retractable (full negate algebra; hll can't retract at all). "
+    "The query folds events through TWO different batchings "
+    "(event_id % 3 and % 2) and probes 10 users per event_type: "
+    "est_freq (min across hash rows, derived_cms_count) is "
+    "hash-verified against a full SQL replay of the sketch "
+    "arithmetic — the md5-seeded buckets replay exactly in DuckDB — "
+    "while overcount_ok asserts the CMS guarantee (never an "
+    "undercount) and merge_invariant asserts both batchings "
+    "produced identical counters (linearity ⇒ merge-path "
+    "invariance). At 100 TB a refresh shuffles O(groups) 768-byte "
+    "counter arrays, never raw events; persisted path shared with "
+    "test_sinks.TestMaterializedAgg.",
+    tags=("lake", "incremental", "sketch"),
+)
+def cms_matview_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sinks.matview import (
+        Measure,
+        derived_cms_count,
+        merge_partials,
+        partial_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    keys = ["event_type"]
+    m = Measure("user_cms", "user_id", "cms", depth=3, width=32)
+
+    def fold(mod: int) -> DataFrame:
+        return merge_partials(
+            [
+                partial_agg(ev.where(F.col("event_id") % mod == i), keys, [m])
+                for i in range(mod)
+            ],
+            keys,
+            [m],
+        )
+
+    probe = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("user_id")
+    est3 = fold(3).select("event_type", "user_cms", probe).select(
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+        derived_cms_count(m, F.col("user_id")).alias("est_freq"),
+    )
+    est2 = fold(2).select("event_type", "user_cms", probe).select(
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+        derived_cms_count(m, F.col("user_id")).alias("_est2"),
+    )
+    exact = (
+        ev.where(F.col("user_id") < 10)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    return (
+        est3.join(est2, ["event_type", "user_id"])
+        .join(exact, ["event_type", "user_id"], "left")
+        .select(
+            "event_type",
+            "user_id",
+            "est_freq",
+            F.coalesce(F.col("_x"), F.lit(0)).cast("long").alias("exact_freq"),
+            (F.col("est_freq") >= F.coalesce(F.col("_x"), F.lit(0))).alias(
+                "overcount_ok"
+            ),
+            (F.col("est_freq") == F.col("_est2")).alias("merge_invariant"),
+        )
+    )

@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS, get_fs
 from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 
-_KINDS = ("sum", "count", "min", "max", "hll", "hist")
+_KINDS = ("sum", "count", "min", "max", "hll", "hist", "cms")
 
 
 @dataclass(frozen=True)
@@ -71,7 +71,20 @@ class Measure:
     offers). Read-time estimates via :func:`derived_quantile`, with
     error bounded by the bin width. The partial agg is ``bins``
     conditional sums in the ONE groupBy every other measure shares —
-    no extra shuffle, no collect."""
+    no extra shuffle, no collect.
+
+    ``kind="cms"`` stores a count-min sketch (``array<long>`` of
+    ``depth × width`` counters, row-major) — the point-FREQUENCY
+    answer for incremental views (how many times did item x occur?),
+    where hist answers distributions and hll answers distinct
+    counts. Each of ``depth`` independent md5-derived hash rows
+    increments one of ``width`` counters; the read-time estimate
+    (:func:`derived_cms_count`) is the MIN across rows — never an
+    undercount, overcount ≤ N/width per row with independent-hash
+    probability amplification across rows (Cormode & Muthukrishnan
+    2005). A LINEAR sketch: counters add, so it is mergeable AND
+    retractable (the full negate algebra hist has and hll lacks).
+    The md5-seeded hashes replay exactly in the DuckDB oracle."""
 
     name: str
     expr: str
@@ -79,12 +92,16 @@ class Measure:
     lo: float = 0.0
     hi: float = 1.0
     bins: int = 32
+    depth: int = 3
+    width: int = 32
 
     def __post_init__(self):
         if self.kind not in _KINDS:
             raise ValueError(f"kind must be one of {_KINDS}, got {self.kind!r}")
         if self.kind == "hist" and not (self.hi > self.lo and self.bins > 0):
             raise ValueError(f"hist needs hi > lo and bins > 0, got {self}")
+        if self.kind == "cms" and not (self.depth > 0 and self.width > 0):
+            raise ValueError(f"cms needs depth > 0 and width > 0, got {self}")
 
 
 def _hist_bucket(m: Measure, col: Column) -> Column:
@@ -93,6 +110,22 @@ def _hist_bucket(m: Measure, col: Column) -> Column:
         (col.cast("double") - F.lit(m.lo)) / F.lit(m.hi - m.lo) * m.bins
     )
     return F.least(F.lit(m.bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+
+
+def _cms_bucket(m: Measure, col: Column, row: int) -> Column:
+    """Row ``row``'s counter index for an item: 48-bit md5 hash of
+    ``"{row}|{item}"`` mod width — seed folded into the hashed bytes
+    so rows are independent, and the exact string/md5 convention the
+    DuckDB oracle replays (``('0x'||substr(md5(...),1,12))::BIGINT``)."""
+    from dbm_nca_ph_etl_spark.functions.scalars import hash48
+
+    item = F.concat_ws("|", F.lit(str(row)), col.cast("string"))
+    return (hash48(item) % m.width).cast("int")
+
+
+def _array_cells(m: Measure) -> int:
+    """Stored array length for array-shaped measures."""
+    return m.bins if m.kind == "hist" else m.depth * m.width
 
 
 def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure]) -> DataFrame:
@@ -124,6 +157,23 @@ def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure])
                     ]
                 ).alias(m.name)
             )
+        elif m.kind == "cms":
+            # depth×width conditional sums, row-major — same
+            # one-groupBy shape as hist; the md5 bucket expr per row
+            # is shared across that row's width cells by Catalyst CSE
+            # (verified: one md5 per (input row, depth) in the plan)
+            cells = []
+            for r in range(m.depth):
+                b = _cms_bucket(m, col, r)
+                cells.extend(
+                    F.sum(
+                        F.when(col.isNotNull() & (b == i), F.lit(1))
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                    )
+                    for i in range(m.width)
+                )
+            aggs.append(F.array(*cells).alias(m.name))
         else:
             aggs.append(F.max(col).alias(m.name))
     return df.groupBy(*keys).agg(*aggs)
@@ -143,11 +193,14 @@ def merge_partials(
     }
 
     def folded(m: Measure) -> Column:
-        if m.kind == "hist":
-            # element-wise sum of the bin arrays — m.bins sum
+        if m.kind in ("hist", "cms"):
+            # element-wise sum of the counter arrays — per-cell sum
             # aggregates reassembled into one array column
             return F.array(
-                *[F.sum(F.element_at(F.col(m.name), i + 1)) for i in range(m.bins)]
+                *[
+                    F.sum(F.element_at(F.col(m.name), i + 1))
+                    for i in range(_array_cells(m))
+                ]
             ).alias(m.name)
         return fold[m.kind](F.col(m.name)).alias(m.name)
 
@@ -168,7 +221,7 @@ def negate_partial(partial: DataFrame, measures: Sequence[Measure]) -> DataFrame
         raise ValueError(f"min/max/hll measures are not retractable: {bad}")
 
     def neg(m: Measure) -> Column:
-        if m.kind == "hist":
+        if m.kind in ("hist", "cms"):
             return F.transform(F.col(m.name), lambda v: -v).alias(m.name)
         return (-F.col(m.name)).alias(m.name)
 
@@ -204,6 +257,20 @@ def derived_quantile(m: Measure, q: float) -> Column:
     return F.when(total > 0, F.lit(m.lo) + (idx + 0.5) * F.lit(width)).otherwise(
         F.lit(None).cast("double")
     )
+
+
+def derived_cms_count(m: Measure, item: Column) -> Column:
+    """Read-time point-frequency estimate off a stored cms partial:
+    MIN across the ``depth`` hash rows of the item's counter — the
+    count-min guarantee (estimate ≥ true count, always; overcount
+    bounded by collisions). ``depth`` element_at lookups on the
+    stored array — register math, no scan, and exactly replayable
+    in the SQL oracle since the buckets are md5-derived."""
+    cells = [
+        F.element_at(F.col(m.name), F.lit(r * m.width) + _cms_bucket(m, item, r) + 1)
+        for r in range(m.depth)
+    ]
+    return cells[0] if len(cells) == 1 else F.least(*cells)
 
 
 def derived_distinct(hll_col: str) -> Column:

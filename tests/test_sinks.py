@@ -744,3 +744,119 @@ class TestScd2Apply:
             }
 
         assert as_of(5) == {"v1"} and as_of(15) == {"v2"} and as_of(25) == {"v3"}
+
+
+class TestCmsMeasure:
+    """kind='cms': linear-sketch algebra — exact merge invariance,
+    retraction, never-undercount, persisted-view round trip."""
+
+    M = None
+
+    @classmethod
+    def _m(cls):
+        from dbm_nca_ph_etl_spark.sinks.matview import Measure
+
+        return Measure("cms", "v", "cms", depth=3, width=16)
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    def test_never_undercounts_and_exact_for_singletons(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            derived_cms_count,
+            partial_agg,
+        )
+        import pyspark.sql.functions as F
+
+        m = self._m()
+        b = self._batch(
+            spark, [("a", 7)] * 5 + [("a", 8)] * 2 + [("a", 9)]
+        )
+        view = partial_agg(b, ["k"], [m])
+        got = {
+            v: view.select(derived_cms_count(m, F.lit(v).cast("long"))).first()[0]
+            for v in (7, 8, 9, 99)
+        }
+        assert got[7] >= 5 and got[8] >= 2 and got[9] >= 1
+        # total mass bounds any estimate
+        assert all(x <= 8 for x in got.values())
+
+    def test_merge_path_invariance_exact(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import merge_partials, partial_agg
+
+        m = self._m()
+        rows_all = [("a", i % 6) for i in range(30)] + [("b", 1)] * 4
+        full = partial_agg(self._batch(spark, rows_all), ["k"], [m])
+        split = merge_partials(
+            [
+                partial_agg(self._batch(spark, rows_all[:11]), ["k"], [m]),
+                partial_agg(self._batch(spark, rows_all[11:23]), ["k"], [m]),
+                partial_agg(self._batch(spark, rows_all[23:]), ["k"], [m]),
+            ],
+            ["k"],
+            [m],
+        )
+        a = {r.k: r.cms for r in full.collect()}
+        b = {r.k: r.cms for r in split.collect()}
+        assert a == b  # linearity: counters identical, not just close
+
+    def test_retraction_restores_counters(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            merge_partials,
+            negate_partial,
+            partial_agg,
+        )
+
+        m = self._m()
+        b1 = self._batch(spark, [("a", 1), ("a", 2), ("b", 3)])
+        b2 = self._batch(spark, [("a", 5)] * 3)
+        p1 = partial_agg(b1, ["k"], [m])
+        p2 = partial_agg(b2, ["k"], [m])
+        merged = merge_partials([p1, p2], ["k"], [m])
+        back = merge_partials(
+            [merged, negate_partial(p2, [m])], ["k"], [m]
+        )
+        want = {r.k: r.cms for r in p1.collect()}
+        got = {r.k: r.cms for r in back.collect()}
+        assert got["a"] == want["a"]
+        assert got["b"] == want["b"]
+
+    def test_persisted_view_with_cms(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            MaterializedAgg,
+            derived_cms_count,
+        )
+        import pyspark.sql.functions as F
+
+        m = self._m()
+        mv = MaterializedAgg(spark, str(tmp_path / "mv"), keys=["k"], measures=[m])
+        assert mv.refresh(self._batch(spark, [("a", 1)] * 4), "b1")
+        assert mv.refresh(self._batch(spark, [("a", 1), ("a", 2)]), "b2")
+        est = (
+            mv.read_partials()
+            .where(F.col("k") == "a")
+            .select(derived_cms_count(m, F.lit(1).cast("long")))
+            .first()[0]
+        )
+        assert 5 <= est <= 7
+
+    def test_depth_one_edge(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            Measure,
+            derived_cms_count,
+            partial_agg,
+        )
+        import pyspark.sql.functions as F
+
+        m = Measure("cms", "v", "cms", depth=1, width=8)
+        view = partial_agg(self._batch(spark, [("a", 3)] * 2), ["k"], [m])
+        assert view.select(derived_cms_count(m, F.lit(3).cast("long"))).first()[0] >= 2
+
+    def test_invalid_params_fail_loudly(self):
+        from dbm_nca_ph_etl_spark.sinks.matview import Measure
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            Measure("c", "v", "cms", depth=0)
+        with _pt.raises(ValueError):
+            Measure("c", "v", "cms", width=0)
