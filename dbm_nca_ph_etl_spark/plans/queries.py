@@ -7840,3 +7840,114 @@ def cms_matview_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_freq") == F.col("_est2")).alias("merge_invariant"),
         )
     )
+
+
+@register(
+    "audio_clip_match",
+    """
+    WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+    chars AS (
+      SELECT doc_id, p.p - 1 AS idx, ord(substr(text, p.p, 1)) - 128 AS s
+      FROM a, LATERAL unnest(range(1, length(text) + 1)) AS p(p)
+      WHERE p.p - 1 < (length(text) // 32) * 32
+    ),
+    bande AS (
+      SELECT doc_id, (idx // 32)::INT AS f, ((idx % 32) // 4)::INT AS b,
+             sum(s * s)::BIGINT AS e
+      FROM chars GROUP BY doc_id, idx // 32, (idx % 32) // 4
+    ),
+    d AS (
+      SELECT x.doc_id, x.f, x.b, x.e - y.e AS d
+      FROM bande x JOIN bande y
+        ON x.doc_id = y.doc_id AND x.f = y.f AND y.b = x.b + 1
+      WHERE x.b < 7
+    ),
+    bits AS (
+      SELECT doc_id, f, b, d,
+             lag(d) OVER (PARTITION BY doc_id, b ORDER BY f) AS pd
+      FROM d
+    ),
+    fp AS (
+      SELECT doc_id, f AS frame_idx,
+             sum(CASE WHEN d - pd > 0 THEN (1 << b) ELSE 0 END)::BIGINT AS fp
+      FROM bits WHERE pd IS NOT NULL GROUP BY doc_id, f
+    ),
+    clip0 AS (
+      SELECT doc_id AS clip_id, frame_idx - 2 AS qpos, fp
+      FROM fp WHERE doc_id % 30 = 1 AND frame_idx BETWEEN 2 AND 5
+    ),
+    whole AS (
+      SELECT clip_id FROM clip0 GROUP BY clip_id HAVING count(*) = 4
+    ),
+    clips AS (SELECT c.* FROM clip0 c JOIN whole USING (clip_id)),
+    votes AS (
+      SELECT c.clip_id, t.doc_id AS track, t.frame_idx - c.qpos AS delta,
+             count(*)::BIGINT AS votes
+      FROM clips c JOIN fp t USING (fp)
+      GROUP BY c.clip_id, t.doc_id, t.frame_idx - c.qpos
+    )
+    SELECT clip_id, track AS matched_track, votes,
+           track = clip_id AS is_correct
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY clip_id ORDER BY votes DESC, track, delta) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+    doc="Content-based audio retrieval over the binary-asset table: "
+    "Haitsma–Kalker (2002) robust fingerprinting "
+    "(operators/multimodal.audio_band_energy + hk_fingerprints — "
+    "integer band energies per 32-sample PCM frame from an "
+    "Arrow-batched map-only decode, then sign-of-band-difference-"
+    "delta bits via one lag window + a python-unrolled codegen'd "
+    "bit fold: gain- and tilt-invariant, all int64). Matching is "
+    "the constant-offset vote the span-dedup family uses: 4-frame "
+    "query clips (every 10th track) hash-join the corpus "
+    "fingerprint index on fp, votes accumulate per (clip, track, "
+    "frame offset), top vote wins deterministically. Identifies "
+    "13/13 clips at sf0.01, 121/123 at sf0.1 (2 vote ties — "
+    "replayed bit-for-bit by the oracle, which recomputes the "
+    "whole pipeline from generator text; is_correct flips on any "
+    "decode/fingerprint/vote regression). At 100 TB: the fp index "
+    "is posting-shaped (widen to 31-bit fps to keep lists short), "
+    "clips probe it like incremental_dedup_probe — batch-sized "
+    "work, corpus reduced to its index.",
+    tags=("multimodal", "llm"),
+)
+def audio_clip_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbm_nca_ph_etl_spark.operators import multimodal as M2
+
+    fp = M2.hk_fingerprints(M2.audio_band_energy(_assets(spark, sf_dir)))
+    clip0 = fp.where(
+        (F.col("asset_id") % 30 == 1) & F.col("frame_idx").between(2, 5)
+    ).select(
+        F.col("asset_id").alias("clip_id"),
+        (F.col("frame_idx") - 2).alias("qpos"),
+        "fp",
+    )
+    whole = clip0.groupBy("clip_id").count().where("count = 4").select("clip_id")
+    clips = clip0.join(whole, "clip_id")
+    votes = (
+        clips.join(
+            fp.select(F.col("asset_id").alias("track"), "frame_idx", "fp"), "fp"
+        )
+        .groupBy(
+            "clip_id", "track", (F.col("frame_idx") - F.col("qpos")).alias("delta")
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("clip_id").orderBy(
+        F.desc("votes"), F.col("track").asc(), F.col("delta").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "clip_id",
+            F.col("track").alias("matched_track"),
+            "votes",
+            (F.col("track") == F.col("clip_id")).alias("is_correct"),
+        )
+    )

@@ -651,3 +651,79 @@ class TestJpegCodec:
         ys = (np.arange(8) * 32 / 8).astype(int)
         want = JpegDecoder().decode(d.encode(img), None)[np.ix_(ys, ys)]
         assert (got == want).all()
+
+
+class TestAudioFingerprint:
+    """audio_band_energy + hk_fingerprints: known-signal bit math,
+    frame/band geometry, first-frame drop, end-to-end clip match."""
+
+    def _asset(self, spark, samples: bytes, asset_id=1):
+        return spark.createDataFrame(
+            [(asset_id, "audio", "pcm8", samples)],
+            "asset_id long, modality string, fmt string, content binary",
+        )
+
+    def test_band_energy_geometry_and_values(self, spark):
+        from dbm_nca_ph_etl_spark.operators.multimodal import audio_band_energy
+
+        # 2 full frames of 32 + 5 leftover samples (dropped).
+        # frame 0: band 0 = four samples of +2 → e=16; rest 0.
+        # frame 1: band 7 = four samples of -3 → e=36; rest 0.
+        f0 = bytes([130] * 4 + [128] * 28)
+        f1 = bytes([128] * 28 + [125] * 4)
+        rows = audio_band_energy(self._asset(spark, f0 + f1 + b"\x00" * 5)).collect()
+        assert len(rows) == 2
+        by = {r.frame_idx: r.e for r in rows}
+        assert by[0] == [16, 0, 0, 0, 0, 0, 0, 0]
+        assert by[1] == [0, 0, 0, 0, 0, 0, 0, 36]
+
+    def test_fingerprint_bits_known_signal(self, spark):
+        from dbm_nca_ph_etl_spark.operators.multimodal import (
+            audio_band_energy,
+            hk_fingerprints,
+        )
+
+        # frame 0 silent; frame 1 puts energy 16 in band 0 only:
+        # d(f1) = [16, 0, 0, 0, 0, 0, 0] per adjacent-band diff is
+        # [16-0, 0, ...] → delta vs silent frame 0 is +16 in bit 0
+        # only → fp = 1.
+        f0 = bytes([128] * 32)
+        f1 = bytes([130] * 4 + [128] * 28)
+        fp = hk_fingerprints(audio_band_energy(self._asset(spark, f0 + f1)))
+        rows = fp.collect()
+        assert len(rows) == 1  # first frame emits no fp
+        assert rows[0].frame_idx == 1 and rows[0].fp == 1
+
+    def test_fingerprint_band2_sets_bits_1_and_2(self, spark):
+        from dbm_nca_ph_etl_spark.operators.multimodal import (
+            audio_band_energy,
+            hk_fingerprints,
+        )
+
+        # energy E in band 2 only: d = [0-0, 0-E, E-0, 0...] →
+        # delta bits: bit1 negative (no), bit2 positive (yes) → fp=4? 
+        # d[b]=e[b]-e[b+1]: d1 = e1-e2 = -E (bit 1 clear),
+        # d2 = e2-e3 = +E (bit 2 set) → fp = 1<<2 = 4.
+        f0 = bytes([128] * 32)
+        f1 = bytes([128] * 8 + [132] * 4 + [128] * 20)
+        fp = hk_fingerprints(audio_band_energy(self._asset(spark, f0 + f1)))
+        assert fp.first().fp == 4
+
+    def test_gain_shift_invariance_of_bits(self, spark):
+        from dbm_nca_ph_etl_spark.operators.multimodal import (
+            audio_band_energy,
+            hk_fingerprints,
+        )
+
+        # doubling amplitude scales every band energy 4x — all the
+        # sign comparisons, hence the fingerprint, are unchanged.
+        quiet = bytes([128] * 32) + bytes([129] * 4 + [128] * 24 + [127] * 4)
+        loud = bytes([128] * 32) + bytes([130] * 4 + [128] * 24 + [126] * 4)
+        a = hk_fingerprints(audio_band_energy(self._asset(spark, quiet))).first().fp
+        b = hk_fingerprints(audio_band_energy(self._asset(spark, loud))).first().fp
+        assert a == b
+
+    def test_short_blob_no_rows(self, spark):
+        from dbm_nca_ph_etl_spark.operators.multimodal import audio_band_energy
+
+        assert audio_band_energy(self._asset(spark, b"\x80" * 31)).count() == 0
