@@ -7569,7 +7569,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-verified vs DuckDB + recall_ok (hits ≥ 20/100; measured "
     "50 at sf0.01, 40 at sf0.1 — the n_probe=8/16 candidate prune "
     "costs ~9 hits vs plain PQ on these near-uniform synthetics).",
-    tags=("similarity", "llm"),
+    tags=("similarity", "llm", "bench"),
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -7728,7 +7728,7 @@ def mixed_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in both docs — what a train-data pipeline feeds span excision, "
     "vs the doc-level verdicts of MinHash/SemDeDup. Exact hash "
     "match vs the SQL replica at both SFs.",
-    tags=("llm", "dedup", "text"),
+    tags=("llm", "dedup", "text", "bench"),
 )
 def repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -7912,7 +7912,7 @@ def cms_matview_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is posting-shaped (widen to 31-bit fps to keep lists short), "
     "clips probe it like incremental_dedup_probe — batch-sized "
     "work, corpus reduced to its index.",
-    tags=("multimodal", "llm"),
+    tags=("multimodal", "llm", "bench"),
 )
 def audio_clip_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
