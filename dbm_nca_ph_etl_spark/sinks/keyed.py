@@ -107,9 +107,41 @@ def write_keyed(
     out.repartition(F.col(KB_COL)).write.mode("overwrite").partitionBy(
         KB_COL
     ).parquet(path)
-    meta = {"keys": list(keys), "num_buckets": int(num_buckets)}
+    meta = {
+        "keys": list(keys),
+        "num_buckets": int(num_buckets),
+        "schema": _ddl(out),
+    }
     with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
+
+
+def _ddl(df: DataFrame) -> str:
+    """Schema as a DDL string with the layout column last (hive
+    partition discovery appends it)."""
+    cols = [f for f in df.schema.fields if f.name != KB_COL]
+    parts = [f"{f.name} {f.dataType.simpleString()}" for f in cols]
+    return ", ".join(parts + [f"{KB_COL} int"])
+
+
+def _read_base(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the base table under the SIDECAR-tracked schema — the
+    table-format move that makes schema evolution work on plain
+    parquet: after an evolving merge only the touched buckets'
+    files carry the new column, and a footer-sampled read would
+    miss or randomly see it. The sidecar schema is authoritative
+    (files missing a column read it as null, at zero IO cost);
+    falls back to footer discovery for pre-evolution tables whose
+    meta has no schema. Avoids ``mergeSchema=true``, which reads
+    EVERY footer — O(files) metadata IO at 100 TB."""
+    try:
+        ddl = _read_meta(path).get("schema")
+    except (OSError, ValueError):
+        ddl = None
+    reader = spark.read
+    if ddl:
+        reader = reader.schema(ddl)
+    return reader.parquet(path)
 
 
 def read_keyed(spark: SparkSession, path: str) -> DataFrame:
@@ -117,7 +149,7 @@ def read_keyed(spark: SparkSession, path: str) -> DataFrame:
     key columns do NOT prune (the bucket id is derived); point
     lookups should filter on ``key_bucket(...)`` too — see
     :func:`lookup_keyed`."""
-    return spark.read.parquet(path).drop(KB_COL)
+    return _read_base(spark, path).drop(KB_COL)
 
 
 def lookup_keyed(
@@ -130,14 +162,19 @@ def lookup_keyed(
         KB_COL, key_bucket(keys, n)
     )
     buckets = [r[KB_COL] for r in probe.select(KB_COL).distinct().collect()]
-    base = spark.read.parquet(path).where(F.col(KB_COL).isin(buckets))
+    base = _read_base(spark, path).where(F.col(KB_COL).isin(buckets))
     return base.join(
         F.broadcast(probe.select(*keys)), on=keys, how="left_semi"
     ).drop(KB_COL)
 
 
 def upsert_keyed(
-    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    *,
+    evolve_schema: bool = False,
 ) -> list[int]:
     """Merge ``df`` into the keyed table on ``keys`` — matching rows
     replaced, new rows inserted (same semantics as
@@ -152,6 +189,17 @@ def upsert_keyed(
     ``overwrite_partitions`` on ``_kb``. Untouched bucket directories
     are never opened, never rewritten.
 
+    Schema drift: by default a batch whose column set differs from
+    the table FAILS LOUDLY (silently dropping a new column is data
+    loss; silently nulling a missing one may not be what the caller
+    meant). With ``evolve_schema=True`` the merge widens instead —
+    batch-only columns join the table schema (pre-existing rows read
+    them as null via the sidecar-tracked schema, no rewrite of
+    untouched buckets), and table-only columns are null on the
+    replaced/inserted rows (a replace is the whole row). Same-name/
+    different-type conflicts always fail — changing a column's type
+    under readers needs a rewrite, not a merge.
+
     Returns the list of touched bucket ids (for tests/observability).
     """
     if not os.path.exists(path):
@@ -165,14 +213,38 @@ def upsert_keyed(
     )
     if not touched:
         return []
-    base = spark.read.parquet(path).where(F.col(KB_COL).isin(touched))
+    base = _read_base(spark, path).where(F.col(KB_COL).isin(touched))
+    base_t = {f.name: f.dataType for f in base.schema.fields}
+    in_t = {f.name: f.dataType for f in incoming.schema.fields}
+    clash = [c for c in in_t if c in base_t and in_t[c] != base_t[c]]
+    if clash:
+        raise ValueError(
+            f"column type conflict on {clash}: table "
+            f"{[str(base_t[c]) for c in clash]} vs batch "
+            f"{[str(in_t[c]) for c in clash]} — type changes need a "
+            "table rewrite, not a merge"
+        )
+    drift = set(in_t) != set(base_t)
+    if drift and not evolve_schema:
+        raise ValueError(
+            f"schema drift: batch-only columns {sorted(set(in_t) - set(base_t))}, "
+            f"table-only columns {sorted(set(base_t) - set(in_t))}; pass "
+            "evolve_schema=True to widen the table (old rows read new "
+            "columns as null) instead of silently dropping data"
+        )
     kept = base.join(
         F.broadcast(incoming.select(*keys)), on=keys, how="left_anti"
     )
-    merged = kept.unionByName(incoming.select(*kept.columns)).localCheckpoint(
-        eager=True
-    )
+    merged = kept.unionByName(
+        incoming if drift else incoming.select(*kept.columns),
+        allowMissingColumns=drift,
+    ).localCheckpoint(eager=True)
     overwrite_partitions(merged, path, [KB_COL])
+    if drift:
+        meta = _read_meta(path)
+        meta["schema"] = _ddl(merged)
+        with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
     return touched
 
 
@@ -192,7 +264,7 @@ def delete_keyed(
     )
     if not touched:
         return []
-    base = spark.read.parquet(path).where(F.col(KB_COL).isin(touched))
+    base = _read_base(spark, path).where(F.col(KB_COL).isin(touched))
     kept = base.join(
         F.broadcast(doomed.select(*keys)), on=keys, how="left_anti"
     ).localCheckpoint(eager=True)
@@ -237,7 +309,7 @@ def scd2_apply_keyed(
     if not touched:
         return []
     dim_sub = (
-        spark.read.parquet(path)
+        _read_base(spark, path)
         .where(F.col(KB_COL).isin(touched))
         .drop(KB_COL)
     )

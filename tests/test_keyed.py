@@ -204,3 +204,102 @@ class TestKeyedPlans:
 
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "_kb" in m.group(1), f"no _kb partition filter: {m}"
+
+
+class TestSchemaEvolution:
+    """evolve_schema: widen-on-merge with sidecar-tracked schema —
+    old buckets never rewritten, new column reads null there."""
+
+    def test_strict_mode_fails_loudly_on_drift(self, spark, base, tmp_path):
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        batch = spark.createDataFrame(
+            [(7, "name_7b", 99, "NL")],
+            "id long, name string, score long, country string",
+        )
+        with pytest.raises(ValueError, match="schema drift"):
+            upsert_keyed(spark, batch, p, ["id"])
+
+    def test_widen_adds_column_null_for_old_rows(self, spark, base, tmp_path):
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        before = _bucket_state(p)
+        batch = spark.createDataFrame(
+            [(7, "name_7b", 99, "NL")],
+            "id long, name string, score long, country string",
+        )
+        touched = upsert_keyed(spark, batch, p, ["id"], evolve_schema=True)
+        assert len(touched) == 1
+        after = _bucket_state(p)
+        for b, st in before.items():
+            if int(b.split("=")[1]) not in touched:
+                assert after[b] == st, f"untouched bucket {b} was rewritten"
+        got = read_keyed(spark, p)
+        assert got.columns == ["id", "name", "score", "country"]
+        rows = {r.id: (r.name, r.score, r.country) for r in got.collect()}
+        assert rows[7] == ("name_7b", 99, "NL")
+        assert rows[3] == ("name_3", 30, None)  # untouched bucket: null
+        assert len(rows) == 40
+
+    def test_batch_missing_column_nulls_replaced_row(self, spark, base, tmp_path):
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        batch = spark.createDataFrame([(5, "five")], "id long, name string")
+        upsert_keyed(spark, batch, p, ["id"], evolve_schema=True)
+        rows = {r.id: (r.name, r.score) for r in read_keyed(spark, p).collect()}
+        assert rows[5] == ("five", None)  # replace is the whole row
+        assert rows[6] == ("name_6", 60)
+
+    def test_type_conflict_always_fails(self, spark, base, tmp_path):
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        batch = spark.createDataFrame(
+            [(7, "x", "not-a-long")], "id long, name string, score string"
+        )
+        with pytest.raises(ValueError, match="type conflict"):
+            upsert_keyed(spark, batch, p, ["id"], evolve_schema=True)
+
+    def test_evolved_table_supports_lookup_and_delete(self, spark, base, tmp_path):
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        batch = spark.createDataFrame(
+            [(41, "new", 410, "DE")],
+            "id long, name string, score long, country string",
+        )
+        upsert_keyed(spark, batch, p, ["id"], evolve_schema=True)
+        probe = spark.createDataFrame([(41,), (3,)], "id long")
+        got = _rows(lookup_keyed(spark, p, probe, ["id"]))
+        assert got == [(3, "name_3", 30, None), (41, "new", 410, "DE")]
+        delete_keyed(spark, p, spark.createDataFrame([(41,)], "id long"), ["id"])
+        assert read_keyed(spark, p).where("id = 41").count() == 0
+        assert read_keyed(spark, p).columns == ["id", "name", "score", "country"]
+
+    def test_second_evolution_accumulates(self, spark, base, tmp_path):
+        p = str(tmp_path / "keyed")
+        write_keyed(base, p, ["id"], N_BUCKETS)
+        upsert_keyed(
+            spark,
+            spark.createDataFrame(
+                [(1, "a", 1, "NL")],
+                "id long, name string, score long, country string",
+            ),
+            p,
+            ["id"],
+            evolve_schema=True,
+        )
+        upsert_keyed(
+            spark,
+            spark.createDataFrame(
+                [(2, "b", 2, 3.5)],
+                "id long, name string, score long, rating double",
+            ),
+            p,
+            ["id"],
+            evolve_schema=True,
+        )
+        got = read_keyed(spark, p)
+        assert set(got.columns) == {"id", "name", "score", "country", "rating"}
+        rows = {r.id: (r.country, r.rating) for r in got.collect()}
+        assert rows[1] == ("NL", None)
+        assert rows[2] == (None, 3.5)
+        assert rows[10] == (None, None)
