@@ -7951,3 +7951,44 @@ def audio_clip_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("track") == F.col("clip_id")).alias("is_correct"),
         )
     )
+
+
+@register(
+    "view_click_attribution",
+    """
+    WITH v AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id, v.event_id AS l_event_id, c.event_id AS r_event_id,
+           floor(epoch(c.ts))::BIGINT - floor(epoch(v.ts))::BIGINT
+             AS lag_seconds
+    FROM v JOIN c ON v.user_id = c.user_id
+      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Two-feed interval (attribution) join "
+    "(streaming/joins.interval_join): every click landing within 30 "
+    "minutes of a same-user view — the canonical stream-stream join "
+    "whose Spark contract (watermark on BOTH inputs + a time-RANGE "
+    "join predicate) is exactly what bounds state at 100 TB/day: "
+    "each side buffers only (watermark + interval) of history, "
+    "partitioned by the equality key like any hash join. THIS "
+    "catalog entry runs the operator's batch twin (same function, "
+    "same plan minus state) so DuckDB hash-verifies the pair set "
+    "and integer lag; test_streaming TestIntervalJoin runs the "
+    "identical operator as a genuine two-stream join and asserts "
+    "stream == batch. lag_seconds uses floor-epoch on both engines "
+    "(sub-second event times).",
+    tags=("streaming", "relational"),
+)
+def view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    return interval_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+        within="30 minutes",
+    )

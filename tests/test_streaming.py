@@ -1180,3 +1180,67 @@ class TestStreamProbeDedup:
         assert load_band_index(spark, p, expected_layout="band").count() > 0
         with pytest.raises(ValueError, match="layout"):
             load_band_index(spark, p, expected_layout="epoch")
+
+
+class TestIntervalJoin:
+    def test_stream_stream_equals_batch(self, spark, tmp_path, sf_dir):
+        """interval_join as a GENUINE stream-stream join: two file
+        streams (views, clicks), watermarks on both, availableNow →
+        memory sink; pair set must equal the batch twin's."""
+        from dbm_nca_ph_etl_spark.sources.catalog import load_table
+        from dbm_nca_ph_etl_spark.streaming.joins import interval_join
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .limit(2000)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .cache()
+        )
+        views = ev.where(F.col("event_type") == "view")
+        clicks = ev.where(F.col("event_type") == "click")
+        vp, cp = str(tmp_path / "views"), str(tmp_path / "clicks")
+        views.write.parquet(vp)
+        clicks.write.parquet(cp)
+
+        vs = spark.readStream.schema(views.schema).parquet(vp)
+        cs = spark.readStream.schema(clicks.schema).parquet(cp)
+        q = (
+            interval_join(vs, cs, within="30 minutes")
+            .writeStream.format("memory")
+            .queryName("ij_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM ij_test").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in interval_join(views, clicks, within="30 minutes").collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_interval_bound_is_closed(self, spark):
+        """Boundary click exactly at +30:00 joins; +30:00.000001
+        doesn't; clicks before the view never join."""
+        from dbm_nca_ph_etl_spark.streaming.joins import interval_join
+
+        views = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 100)],
+            "user_id long, ts string, event_id long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        clicks = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:30:00", 200),       # exactly +30m: in
+                (1, "2024-01-01 10:30:00.000001", 201),  # just past: out
+                (1, "2024-01-01 09:59:59", 202),       # before: out
+                (2, "2024-01-01 10:05:00", 203),       # other user: out
+            ],
+            "user_id long, ts string, event_id long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = interval_join(views, clicks, within="30 minutes").collect()
+        assert [(r.user_id, r.l_event_id, r.r_event_id, r.lag_seconds) for r in got] == [
+            (1, 100, 200, 1800)
+        ]
