@@ -135,3 +135,68 @@ def bm25_search(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "doc_id", "score", "n_matched_terms", "rank"
     )
+
+
+def build_positional_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, doc id, pos) — the POSITIONAL posting table (1-based
+    token offsets, one row per occurrence, not per distinct pair):
+    what phrase/proximity search needs beyond :func:`build_postings`'
+    tf rows. Same one-pass explode build; ~doc_len rows per doc.
+    Written token-sort-clustered it file-prunes exactly like the tf
+    table (the position column rides along for free)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_p0", "token"),
+    ).select("token", "doc_id", (F.col("_p0") + 1).alias("pos"))
+
+
+def phrase_search(
+    positional_postings: DataFrame, phrase: Sequence[str]
+) -> DataFrame:
+    """Documents containing the EXACT consecutive-token phrase, with
+    occurrence counts — the index-probe formulation: an occurrence
+    starting at base position ``b`` is ``len(phrase)`` posting rows
+    ``(phrase[i], doc, b + i)``, so align every matched posting to
+    its candidate base (``pos - i`` for each phrase slot ``i`` its
+    token fills — a slot-array filter+explode, no join, handles
+    repeated terms like "table table" exactly) and keep bases where
+    every slot checked in. Overlapping occurrences all count
+    (standard positional-index semantics).
+
+    Plan: pushed-down ``In`` probe of the positional postings (the
+    phrase's lists only — O(postings of the rarest terms' company),
+    never the corpus), one groupBy on (doc, base), one per-doc
+    rollup. Output: ``(doc_id, n_occurrences, first_pos)``.
+    """
+    terms = list(phrase)
+    if not terms:
+        raise ValueError("empty phrase")
+    uniq = sorted(set(terms))
+    slots = F.array(
+        *[
+            F.when(F.col("token") == F.lit(t), F.lit(i).cast("int"))
+            for i, t in enumerate(terms)
+        ]
+    )
+    matched = (
+        positional_postings.where(F.col("token").isin(uniq))
+        .select(
+            "doc_id",
+            "pos",
+            F.explode(F.filter(slots, lambda x: x.isNotNull())).alias("slot"),
+        )
+        .select("doc_id", (F.col("pos") - F.col("slot")).alias("base"))
+    )
+    starts = (
+        matched.groupBy("doc_id", "base")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == len(terms))
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("base").cast("long").alias("first_pos"),
+    )

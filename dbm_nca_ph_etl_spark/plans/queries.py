@@ -7992,3 +7992,53 @@ def view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click"),
         within="30 minutes",
     )
+
+
+@register(
+    "phrase_search_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t FROM documents
+    ),
+    pp AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t))) AS pos,
+             unnest(t) AS token
+      FROM toks
+    ),
+    spec AS (SELECT * FROM (VALUES (0, 'table'), (1, 'table')) s(slot, term)),
+    matched AS (
+      SELECT pp.doc_id, pp.pos - s.slot AS base
+      FROM pp JOIN spec s ON pp.token = s.term
+    ),
+    starts AS (
+      SELECT doc_id, base FROM matched
+      GROUP BY doc_id, base HAVING count(*) = 2
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_occurrences,
+           min(base)::BIGINT AS first_pos
+    FROM starts GROUP BY doc_id
+    """,
+    doc="Exact phrase search over the positional posting index "
+    "(operators/inverted.build_positional_postings + phrase_search): "
+    "an occurrence starting at base b is len(phrase) posting rows "
+    "(phrase[i], doc, b+i), so matched postings align to candidate "
+    "bases (pos - slot, via a slot-array explode that handles the "
+    "REPEATED-term phrase searched here — 'table table' — exactly) "
+    "and bases where every slot checked in are hits; overlapping "
+    "occurrences ('table table table' = 2) all count. The term "
+    "filter is a pushed-down In probe of the positional postings — "
+    "O(the phrase's posting lists), never the corpus — then one "
+    "(doc, base) groupBy and a per-doc rollup; on the token-sort-"
+    "clustered layout the probe file-prunes like every other index "
+    "lookup. Exact hash match vs the SQL replica at both SFs.",
+    tags=("llm", "text"),
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.inverted import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(build_positional_postings(d), ["table", "table"])

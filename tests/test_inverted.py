@@ -137,3 +137,55 @@ class TestUnigramNLL:
         import math
 
         assert 0 < rows[2]["avg_nll"] < math.log(6 + 2) + 1e-9
+
+
+class TestPhraseSearch:
+    def _pp(self, spark, rows):
+        from dbm_nca_ph_etl_spark.operators.inverted import (
+            build_positional_postings,
+        )
+
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        return build_positional_postings(d)
+
+    def test_exact_phrase_and_positions(self, spark):
+        from dbm_nca_ph_etl_spark.operators.inverted import phrase_search
+
+        pp = self._pp(
+            spark,
+            [
+                (1, "the quick brown fox"),
+                (2, "quick brown shoes and quick brown boots"),
+                (3, "brown quick"),  # reversed: no match
+            ],
+        )
+        got = {
+            r.doc_id: (r.n_occurrences, r.first_pos)
+            for r in phrase_search(pp, ["quick", "brown"]).collect()
+        }
+        assert got == {1: (1, 2), 2: (2, 1)}
+
+    def test_repeated_term_phrase_overlaps(self, spark):
+        from dbm_nca_ph_etl_spark.operators.inverted import phrase_search
+
+        pp = self._pp(spark, [(1, "go go go stop go go")])
+        got = phrase_search(pp, ["go", "go"]).collect()
+        # "go go go" has 2 overlapping starts + 1 in the tail
+        assert [(r.n_occurrences, r.first_pos) for r in got] == [(3, 1)]
+
+    def test_three_token_phrase(self, spark):
+        from dbm_nca_ph_etl_spark.operators.inverted import phrase_search
+
+        pp = self._pp(
+            spark, [(1, "a b c d"), (2, "a b x c"), (3, "x a b c")]
+        )
+        got = {r.doc_id: r.first_pos for r in phrase_search(pp, ["a", "b", "c"]).collect()}
+        assert got == {1: 1, 3: 2}
+
+    def test_empty_phrase_raises(self, spark):
+        from dbm_nca_ph_etl_spark.operators.inverted import phrase_search
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            phrase_search(self._pp(spark, [(1, "a")]), [])
