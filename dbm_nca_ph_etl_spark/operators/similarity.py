@@ -931,36 +931,70 @@ def int8_topk(
 # -----------------------------------------------------------------------
 
 
-def _pq_assign_structs(
-    vec: Column, books: list[list[list[float]]], s: int, d_sub: int
-) -> Column:
-    """Flat array of (l2_dist, code, centroid_norm²) structs for
-    subspace ``s``. The distance sum is PYTHON-UNROLLED plain
-    arithmetic over ``element_at`` terms, not a zip_with+aggregate
-    fold: subspaces are tiny (d_sub = dim/m, typically 2-8), and m×k
-    lambda-functions-worth of HOF machinery dominates compile time
-    (measured ~17 s per first execution at m=32, k=16) while the
-    unrolled tree codegens like any arithmetic expression."""
-    cands = []
-    for j, c in enumerate(books[s]):
-        d2 = None
-        for i, ci in enumerate(c):
-            # per-element cast at access: vec is the RAW array column
-            # (a cast-transform wrapper here would be re-evaluated
-            # array-wide at every one of the m×k×d_sub references)
-            diff = F.element_at(vec, s * d_sub + i + 1).cast("double") - F.lit(
-                float(ci)
-            )
-            term = diff * diff
-            d2 = term if d2 is None else d2 + term
-        cands.append(
-            F.struct(
-                d2.alias("d"),
-                F.lit(j).alias("j"),
-                F.lit(float(sum(x * x for x in c))).alias("n2"),
-            )
+def _books_lit(books: list[list[list[float]]]) -> Column:
+    """``array<array<array<double>>>`` codebook literal (m×k×d_sub)
+    in ONE expr parse — constant-folded to a single Literal, so HOF
+    lambdas that index it pay an object reference, not a rebuild."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_array_lit_sql(c) for c in book) + ")"
+            for book in books
         )
-    return F.array(*cands)
+        + ")"
+    )
+
+
+def _norms_lit(books: list[list[list[float]]]) -> Column:
+    """``array<array<double>>`` of centroid norm² (m×k) literal."""
+    return F.expr(
+        "array("
+        + ",".join(
+            _array_lit_sql([sum(x * x for x in c) for c in book])
+            for book in books
+        )
+        + ")"
+    )
+
+
+def _pq_argmin(
+    vec: Column, b3: Column, s: Column, k: int, d_sub: int
+) -> Column:
+    """Nearest-centroid code for subspace ``s`` (a lambda variable):
+    an L2 argmin fold over the k codebook entries, first index wins
+    ties (strict <). Nested-HOF shape on purpose — the expression
+    tree is O(1) lambdas regardless of m×k, so plan construction,
+    analysis, and codegen stay constant-size while the m×k×d_sub
+    iteration happens in DATA space. (The python-unrolled
+    struct-array predecessor built ~10k expression nodes: ~10 s of
+    driver-side py4j+analysis per invocation and an interpreted-
+    fallback eval — the exact trap the module header documents.)"""
+    from dbm_nca_ph_etl_spark.functions.scalars import let
+
+    book = F.element_at(b3, s + 1)  # array<array<double>>[k]
+    d2 = lambda j: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(d_sub - 1)),
+        F.lit(0.0),
+        lambda acc, i: let(
+            F.element_at(vec, (s * d_sub + i + 1).cast("int")).cast("double")
+            - F.element_at(F.element_at(book, (j + 1).cast("int")), (i + 1).cast("int")),
+            lambda diff: acc + diff * diff,
+        ),
+    )
+    best = F.aggregate(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("j")
+        ),
+        lambda acc, j: let(
+            d2(j),
+            lambda d: F.when(
+                d < acc.getField("d"),
+                F.struct(d.alias("d"), j.cast("int").alias("j")),
+            ).otherwise(acc),
+        ),
+    )
+    return best.getField("j")
 
 
 def pq_train(
@@ -1044,24 +1078,36 @@ def pq_encode(
     chosen-centroid norm² — subspaces concatenate, so norms add).
     Map-only projection; this is the persistable index artifact (m
     small ints + one double per vector — the 100 TB corpus
-    representation ADC scoring reads instead of raw floats)."""
+    representation ADC scoring reads instead of raw floats).
+
+    Expression shape: one ``transform`` over the m subspaces, each
+    running the :func:`_pq_argmin` fold — O(1) lambdas total, so the
+    plan stays constant-size at any m×k (see _pq_argmin on why the
+    unrolled alternative is 10-40× slower end-to-end)."""
     from dbm_nca_ph_etl_spark.functions.scalars import let
 
     m = len(books)
+    k = len(books[0])
     d_sub = len(books[0][0])
     raw = F.col(vec_col)
-    bests = F.array(
-        *[
-            F.element_at(F.array_sort(_pq_assign_structs(raw, books, s, d_sub)), 1)
-            for s in range(m)
-        ]
+    b3 = _books_lit(books)
+    n2 = _norms_lit(books)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _pq_argmin(raw, b3, s, k, d_sub),
     )
     packed = let(
-        bests,
-        lambda bs: F.struct(
-            F.transform(bs, lambda b: b.getField("j")).alias("codes"),
+        codes,
+        lambda cs: F.struct(
+            cs.alias("codes"),
             F.aggregate(
-                bs, F.lit(0.0), lambda acc, b: acc + b.getField("n2")
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.element_at(n2, (s + 1).cast("int")),
+                    (F.element_at(cs, (s + 1).cast("int")) + 1).cast("int"),
+                ),
             ).alias("rn2"),
         ),
     )
@@ -1144,23 +1190,34 @@ def pq_topk(
 
 def _pq_adc_cosine(books: list[list[list[float]]]) -> Column:
     """Asymmetric-distance cosine over joined (query, coded-corpus)
-    rows carrying ``_qv``/``_qn``/``_codes``/``_rn2``.
+    rows carrying ``_qv``/``_qn``/``_codes``/``_rn2``: one flat fold
+    over the dim positions — per position p, query element × the
+    coded centroid's element (three ``element_at`` hops into the
+    constant-folded codebook literal). Same left-to-right summation
+    order as a subspace-major unroll (p = s·d_sub + i), so scores
+    are bit-identical — but the expression tree is O(1) lambdas
+    instead of ~10k unrolled nodes (see :func:`_pq_argmin`)."""
+    from dbm_nca_ph_etl_spark.functions.scalars import let
 
-    Python-unrolled (see _pq_assign_structs): per subspace,
-    ``element_at`` picks the coded centroid out of the literal
-    codebook and the d_sub-term dot product is plain arithmetic —
-    m×d_sub = dim multiply-adds per pair, zero HOFs, zero UDFs."""
     m = len(books)
     d_sub = len(books[0][0])
-    adc = None
-    for s in range(m):
-        book_lit = F.array(*[_plane_lit(c_) for c_ in books[s]])
-        chosen = F.element_at(book_lit, F.element_at("_codes", s + 1) + 1)
-        for i in range(d_sub):
-            term = F.element_at("_qv", s * d_sub + i + 1) * F.element_at(
-                chosen, i + 1
-            )
-            adc = term if adc is None else adc + term
+    b3 = _books_lit(books)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m * d_sub - 1)),
+        F.lit(0.0),
+        lambda acc, p: let(
+            F.floor(p / d_sub).cast("int") + 1,  # 1-based subspace
+            lambda s1: acc
+            + F.element_at("_qv", (p + 1).cast("int"))
+            * F.element_at(
+                F.element_at(
+                    F.element_at(b3, s1),
+                    (F.element_at("_codes", s1) + 1).cast("int"),
+                ),
+                (p % d_sub + 1).cast("int"),
+            ),
+        ),
+    )
     denom = F.col("_qn") * F.sqrt(F.col("_rn2"))
     return F.when(denom > 0, F.round(adc / denom, 6)).otherwise(F.lit(0.0))
 
