@@ -986,3 +986,51 @@ def hk_fingerprints(band_energy: DataFrame, bands: int = 8) -> DataFrame:
         .where(F.col("_pe").isNotNull())  # first frame: no delta, no fp
         .select("asset_id", "frame_idx", bits.alias("fp"))
     )
+
+
+def scene_cut_stats(assets: DataFrame) -> DataFrame:
+    """Per-boundary frame-difference (SAD) table for video assets —
+    the front end of shot/scene-change detection: for consecutive
+    equal-size frames (``meta.n_frames`` frames of ``size // nf``
+    bytes, the :func:`sample_frames` model), emit the exact int64
+    sum of absolute byte differences. Thresholding/cut policy stays
+    RELATIONAL in the caller (a cut is `sad·10⁶/frame_bytes > τ`),
+    so the same decode pass serves any sensitivity — and the oracle
+    replays the whole thing from the generator text. Map-only
+    mapInPandas, numpy-vectorized; blobs never shuffle.
+
+    Output: ``(asset_id, boundary, sad, n_frame_bytes)`` with
+    boundary b comparing frame b against frame b-1 (1-based).
+    """
+    video = assets.where(F.col("modality") == "video").select(
+        "asset_id", "content", "meta"
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, bounds, sads, fss = [], [], [], []
+            for aid, content, meta in zip(b["asset_id"], b["content"], b["meta"]):
+                blob = np.frombuffer(bytes(content), dtype=np.uint8)
+                nf = max(int(meta["n_frames"]), 1)
+                fs = blob.size // nf
+                if fs == 0 or nf < 2:
+                    continue
+                fr = blob[: nf * fs].reshape(nf, fs).astype(np.int64)
+                sad = np.abs(fr[1:] - fr[:-1]).sum(axis=1)
+                for i, s in enumerate(sad):
+                    ids.append(aid)
+                    bounds.append(i + 1)
+                    sads.append(int(s))
+                    fss.append(fs)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "boundary": pd.Series(bounds, dtype="int32"),
+                    "sad": pd.Series(sads, dtype="int64"),
+                    "n_frame_bytes": pd.Series(fss, dtype="int32"),
+                }
+            )
+
+    return video.mapInPandas(
+        gen, "asset_id long, boundary int, sad long, n_frame_bytes int"
+    )

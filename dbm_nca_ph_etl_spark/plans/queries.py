@@ -8054,3 +8054,79 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return phrase_search(build_positional_postings(d), ["table", "table"])
+
+
+@register(
+    "video_scene_cuts",
+    """
+    WITH a AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+    ),
+    p AS (
+      SELECT doc_id, length(text) AS n,
+             greatest(length(text) // 64, 1) AS nf
+      FROM a
+    ),
+    f AS (
+      SELECT doc_id, nf, n // nf AS fs FROM p WHERE n // nf > 0 AND nf >= 2
+    ),
+    sad AS (
+      SELECT f.doc_id, b.b AS boundary, any_value(fs) AS fs,
+             sum(abs(ord(substr(a.text, b.b * fs + j.j + 1, 1))
+                     - ord(substr(a.text, (b.b - 1) * fs + j.j + 1, 1))))::BIGINT
+               AS sad
+      FROM f JOIN a USING (doc_id),
+           LATERAL unnest(range(1, nf)) b(b),
+           LATERAL unnest(range(0, fs)) j(j)
+      GROUP BY f.doc_id, b.b
+    ),
+    cuts AS (
+      SELECT doc_id, boundary,
+             (sad * 1000000 // fs) > 29000000 AS is_cut
+      FROM sad
+    )
+    SELECT doc_id AS asset_id,
+           count(*)::INT AS n_boundaries,
+           sum(CASE WHEN is_cut THEN 1 ELSE 0 END)::INT AS n_cuts,
+           min(CASE WHEN is_cut THEN boundary END)::INT AS first_cut
+    FROM cuts GROUP BY doc_id
+    """,
+    doc="Shot/scene-change detection on the video leg "
+    "(operators/multimodal.scene_cut_stats): consecutive equal-size "
+    "frames (the sample_frames model) produce an exact int64 SAD "
+    "per boundary in one numpy-vectorized map-only pass — blobs "
+    "never shuffle — and the CUT POLICY is relational on top "
+    "(normalized micro-SAD > 29e6, integer floor math, so any "
+    "sensitivity re-thresholds the same decode artifact without "
+    "re-decoding; production would persist the SAD table per "
+    "corpus snapshot). Per asset: boundary count, cut count, first "
+    "cut index (null when no cut — detected shots a frame-sampling "
+    "policy would key on). The oracle replays frames, SADs and "
+    "threshold from the generator text char-by-char — exact hash "
+    "match at both SFs.",
+    tags=("multimodal", "llm"),
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.multimodal import scene_cut_stats
+
+    sad = scene_cut_stats(_assets(spark, sf_dir))
+    return (
+        sad.select(
+            "asset_id",
+            "boundary",
+            (
+                F.floor((F.col("sad") * F.lit(1_000_000)) / F.col("n_frame_bytes"))
+                > F.lit(29_000_000)
+            ).alias("is_cut"),
+        )
+        .groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_boundaries"),
+            F.sum(F.when(F.col("is_cut"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_cuts"),
+            F.min(F.when(F.col("is_cut"), F.col("boundary")))
+            .cast("int")
+            .alias("first_cut"),
+        )
+    )

@@ -727,3 +727,39 @@ class TestAudioFingerprint:
         from dbm_nca_ph_etl_spark.operators.multimodal import audio_band_energy
 
         assert audio_band_energy(self._asset(spark, b"\x80" * 31)).count() == 0
+
+
+class TestSceneCuts:
+    def _asset(self, spark, blob: bytes, nf: int, asset_id=1):
+        return spark.createDataFrame(
+            [(asset_id, "video", "rawvideo", blob,
+              {"width": 16, "height": 1, "channels": 1,
+               "sample_rate": 0, "n_frames": nf})],
+            "asset_id long, modality string, fmt string, content binary, "
+            "meta struct<width:int, height:int, channels:int, "
+            "sample_rate:int, n_frames:int>",
+        )
+
+    def test_known_sad_values(self, spark):
+        from dbm_nca_ph_etl_spark.operators.multimodal import scene_cut_stats
+
+        # 3 frames of 4 bytes: f0=10s, f1=10s (sad 0), f2=30s (sad 80)
+        blob = bytes([10] * 4 + [10] * 4 + [30] * 4)
+        got = sorted(
+            (r.boundary, r.sad, r.n_frame_bytes)
+            for r in scene_cut_stats(self._asset(spark, blob, 3)).collect()
+        )
+        assert got == [(1, 0, 4), (2, 80, 4)]
+
+    def test_trailing_remainder_ignored(self, spark):
+        from dbm_nca_ph_etl_spark.operators.multimodal import scene_cut_stats
+
+        # 2 frames of 3 bytes + 1 leftover byte (len 7, nf 2 → fs 3)
+        blob = bytes([0, 0, 0, 9, 9, 9, 255])
+        got = scene_cut_stats(self._asset(spark, blob, 2)).collect()
+        assert [(r.boundary, r.sad, r.n_frame_bytes) for r in got] == [(1, 27, 3)]
+
+    def test_single_frame_no_rows(self, spark):
+        from dbm_nca_ph_etl_spark.operators.multimodal import scene_cut_stats
+
+        assert scene_cut_stats(self._asset(spark, bytes(64), 1)).count() == 0
