@@ -1301,3 +1301,115 @@ def ivfpq_encode(
         vec_col,
         extra_cols=[assign_cluster(F.col(vec_col), cents).alias("cell")],
     ).repartition("cell")
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cand: int = 15,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998) — the standard RAG-retrieval diversifier:
+    greedily pick the candidate maximizing
+    ``λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`` so the result
+    set trades pure relevance for coverage (near-duplicate passages
+    stop crowding out distinct ones).
+
+    Distributed shape: the SEQUENTIAL part of MMR is over k
+    (literal, small); everything per-step is relational across all
+    queries at once — candidate top-N (:func:`cosine_topk` here;
+    swap in the LSH/IVF/PQ probes at scale), one N²-per-query
+    pairwise-sim table computed ONCE, then k-1 chained
+    (anti-join → max-sim aggregate → window argmax) steps build a
+    static k-deep plan. Driver never sees a row.
+
+    All scores are integer micro-units (round6 × 10⁶) and λ is the
+    rational ``lam_num/lam_den``, so selection compares integers —
+    deterministic, and the DuckDB oracle replays it exactly.
+    Output: ``(query_id, neighbor_id, pick)`` with pick = 1..k in
+    selection order.
+    """
+    if not (0 < k <= 32):
+        raise ValueError(f"k must be in 1..32 (chained-plan depth), got {k}")
+    e6 = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    cand = cosine_topk(corpus, queries, k=n_cand, id_col=id_col, vec_col=vec_col)
+    rel = cand.select(
+        "query_id", "neighbor_id", e6(F.col("cos_sim")).alias("rel_e6")
+    ).localCheckpoint(eager=True)
+    cv = rel.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_v"),
+            l2_norm(F.col(vec_col)).alias("_n"),
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "_v", "_n")
+    x, y = cv.alias("x"), cv.alias("y")
+    pair_sims = (
+        x.join(
+            y,
+            (F.col("x.query_id") == F.col("y.query_id"))
+            & (F.col("x.neighbor_id") != F.col("y.neighbor_id")),
+        )
+        .select(
+            F.col("x.query_id").alias("query_id"),
+            F.col("x.neighbor_id").alias("a"),
+            F.col("y.neighbor_id").alias("b"),
+            e6(
+                _paired_cosine(
+                    F.col("x._v"), F.col("y._v"), F.col("x._n"), F.col("y._n")
+                )
+            ).alias("sim_e6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel_e6").desc(), F.col("neighbor_id").asc()
+    )
+    selected = (
+        rel.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("pick"))
+    )
+    for t in range(2, k + 1):
+        remaining = rel.join(
+            selected, ["query_id", "neighbor_id"], "left_anti"
+        )
+        maxs = (
+            pair_sims.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("b")
+                ),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "a")
+            .agg(F.max("sim_e6").alias("_ms"))
+        )
+        scored = remaining.join(
+            maxs.select(
+                "query_id", F.col("a").alias("neighbor_id"), "_ms"
+            ),
+            ["query_id", "neighbor_id"],
+        ).select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.lit(lam_num) * F.col("rel_e6")
+                - F.lit(lam_den - lam_num) * F.col("_ms")
+            ).alias("_mmr"),
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            F.col("_mmr").desc(), F.col("neighbor_id").asc()
+        )
+        pick_t = (
+            scored.withColumn("_rn", F.row_number().over(wt))
+            .where(F.col("_rn") == 1)
+            .select("query_id", "neighbor_id", F.lit(t).alias("pick"))
+        )
+        selected = selected.unionByName(pick_t)
+    return selected

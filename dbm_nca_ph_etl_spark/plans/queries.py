@@ -8130,3 +8130,132 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("first_cut"),
         )
     )
+
+
+@register(
+    "mmr_diverse_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS s
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, round(s * 1000000)::BIGINT AS rel
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 15
+    ),
+    pv AS (
+      SELECT cand.query_id, cand.neighbor_id, c.cv
+      FROM cand JOIN c USING (neighbor_id)
+    ),
+    ps AS (
+      SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+             round(round(list_dot_product(x.cv, y.cv)
+                   / (sqrt(list_dot_product(x.cv, x.cv)) * sqrt(list_dot_product(y.cv, y.cv))),
+                   6) * 1000000)::BIGINT AS sim
+      FROM pv x JOIN pv y
+        ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id
+    ),
+    s1 AS (
+      SELECT query_id, neighbor_id, 1 AS pick FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT ps.query_id, ps.a, max(ps.sim) AS ms
+      FROM ps JOIN s1 sel ON ps.query_id = sel.query_id AND ps.b = sel.neighbor_id
+      GROUP BY ps.query_id, ps.a
+    ),
+    s2 AS (
+      SELECT query_id, a AS neighbor_id, 2 AS pick FROM (
+        SELECT c2.query_id, c2.neighbor_id AS a, row_number() OVER (
+          PARTITION BY c2.query_id
+          ORDER BY (c2.rel - m2.ms) DESC, c2.neighbor_id) AS rn
+        FROM cand c2 JOIN m2 ON m2.query_id = c2.query_id AND m2.a = c2.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.query_id = c2.query_id
+                          AND s1.neighbor_id = c2.neighbor_id)
+      ) WHERE rn = 1
+    ),
+    sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+    m3 AS (
+      SELECT ps.query_id, ps.a, max(ps.sim) AS ms
+      FROM ps JOIN sel2 sel ON ps.query_id = sel.query_id AND ps.b = sel.neighbor_id
+      GROUP BY ps.query_id, ps.a
+    ),
+    s3 AS (
+      SELECT query_id, a AS neighbor_id, 3 AS pick FROM (
+        SELECT c2.query_id, c2.neighbor_id AS a, row_number() OVER (
+          PARTITION BY c2.query_id
+          ORDER BY (c2.rel - m3.ms) DESC, c2.neighbor_id) AS rn
+        FROM cand c2 JOIN m3 ON m3.query_id = c2.query_id AND m3.a = c2.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel2 WHERE sel2.query_id = c2.query_id
+                          AND sel2.neighbor_id = c2.neighbor_id)
+      ) WHERE rn = 1
+    ),
+    sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM s3),
+    m4 AS (
+      SELECT ps.query_id, ps.a, max(ps.sim) AS ms
+      FROM ps JOIN sel3 sel ON ps.query_id = sel.query_id AND ps.b = sel.neighbor_id
+      GROUP BY ps.query_id, ps.a
+    ),
+    s4 AS (
+      SELECT query_id, a AS neighbor_id, 4 AS pick FROM (
+        SELECT c2.query_id, c2.neighbor_id AS a, row_number() OVER (
+          PARTITION BY c2.query_id
+          ORDER BY (c2.rel - m4.ms) DESC, c2.neighbor_id) AS rn
+        FROM cand c2 JOIN m4 ON m4.query_id = c2.query_id AND m4.a = c2.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel3 WHERE sel3.query_id = c2.query_id
+                          AND sel3.neighbor_id = c2.neighbor_id)
+      ) WHERE rn = 1
+    ),
+    sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM s4),
+    m5 AS (
+      SELECT ps.query_id, ps.a, max(ps.sim) AS ms
+      FROM ps JOIN sel4 sel ON ps.query_id = sel.query_id AND ps.b = sel.neighbor_id
+      GROUP BY ps.query_id, ps.a
+    ),
+    s5 AS (
+      SELECT query_id, a AS neighbor_id, 5 AS pick FROM (
+        SELECT c2.query_id, c2.neighbor_id AS a, row_number() OVER (
+          PARTITION BY c2.query_id
+          ORDER BY (c2.rel - m5.ms) DESC, c2.neighbor_id) AS rn
+        FROM cand c2 JOIN m5 ON m5.query_id = c2.query_id AND m5.a = c2.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel4 WHERE sel4.query_id = c2.query_id
+                          AND sel4.neighbor_id = c2.neighbor_id)
+      ) WHERE rn = 1
+    )
+    SELECT * FROM sel4 UNION ALL SELECT * FROM s5
+    """,
+    doc="Maximal-Marginal-Relevance diversified retrieval "
+    "(operators/similarity.mmr_rerank; Carbonell & Goldstein SIGIR "
+    "1998, λ=1/2): greedy top-5 from exact top-15 candidates where "
+    "each pick maximizes rel − max-sim-to-already-picked — the "
+    "standard RAG diversifier that stops near-duplicate passages "
+    "crowding a context window. The SEQUENTIAL part is over k (a "
+    "literal): per step everything is relational across all queries "
+    "at once (anti-join remaining → max-sim aggregate vs picked → "
+    "window argmax), one N²-per-query pairwise-sim table computed "
+    "once, k-deep static plan, zero driver rows. Integer micro-unit "
+    "scores + id tiebreaks make selection exactly replayable — the "
+    "oracle unrolls the same 5 steps in SQL. At scale the candidate "
+    "stage swaps to the LSH/IVF/PQ probes; MMR cost stays k·N² per "
+    "query regardless of corpus size.",
+    tags=("similarity", "llm"),
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    return S.mmr_rerank(emb, q, k=5, n_cand=15)

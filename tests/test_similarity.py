@@ -346,3 +346,66 @@ class TestIvfPq:
             ).collect()
         }
         assert via == inline
+
+
+class TestMmrRerank:
+    def test_diversity_beats_pure_relevance(self, spark):
+        """Three near-identical top candidates + one distinct: pure
+        top-2 takes two clones; MMR's second pick is the distinct
+        vector."""
+        from dbm_nca_ph_etl_spark.operators.similarity import mmr_rerank
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),          # query
+            (1, [0.99, 0.14, 0.0, 0.0]),        # clone A (most relevant)
+            (2, [0.99, 0.141, 0.0, 0.0]),       # clone B
+            (3, [0.7, 0.0, 0.71, 0.0]),         # distinct, less relevant
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.where("vec_id = 0")
+        got = {
+            r.pick: r.neighbor_id
+            for r in mmr_rerank(df, q, k=2, n_cand=3).collect()
+        }
+        assert got[1] == 1       # relevance first
+        assert got[2] == 3       # diversity second — not clone B
+
+    def test_lambda_one_is_pure_relevance(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.operators.similarity import (
+            cosine_topk,
+            mmr_rerank,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id < 3")
+        got = {
+            (r.query_id, r.pick): r.neighbor_id
+            for r in mmr_rerank(emb, q, k=5, n_cand=10, lam_num=1, lam_den=1).collect()
+        }
+        want = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        assert got == want
+
+    def test_k_guard(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.operators.similarity import mmr_rerank
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="k must be"):
+            mmr_rerank(emb, emb.where("vec_id < 2"), k=40)
+
+    def test_picks_distinct_and_complete(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.operators.similarity import mmr_rerank
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id < 4")
+        rows = mmr_rerank(emb, q, k=5, n_cand=12).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append((r.pick, r.neighbor_id))
+        for qid, picks in per_q.items():
+            assert sorted(p for p, _ in picks) == [1, 2, 3, 4, 5]
+            assert len({n for _, n in picks}) == 5
