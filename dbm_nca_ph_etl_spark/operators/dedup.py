@@ -597,12 +597,30 @@ def repeated_span_pairs(
     a hard quadratic bound; raise it with salting if span recall on
     hot templates matters.
     """
-    sh = docs.select(
-        F.col(id_col).alias("_d"),
-        F.posexplode(word_shingles_pos(F.col(text_col), k)).alias("_p0", "_s"),
-    ).select("_d", (F.col("_p0") + 1).alias("_p"), "_s")
+    from pyspark import StorageLevel
+
+    # persist the positional-posting artifact: the plan reads it four
+    # times (document-frequency build, df-cap probe, and BOTH sides
+    # of the self-join) and the shingle HOF explode is the expensive
+    # projection — without the persist it re-evaluates per read
+    # (measured 4× the corpus-scan cost at the sf1 scale audit).
+    # Same persist(MEMORY_AND_DISK)-not-localCheckpoint reasoning as
+    # text_analysis.segment_dedup: lazy, spillable, recomputable
+    # after executor loss.
+    sh = (
+        docs.select(
+            F.col(id_col).alias("_d"),
+            F.posexplode(word_shingles_pos(F.col(text_col), k)).alias("_p0", "_s"),
+        )
+        .select("_d", (F.col("_p0") + 1).alias("_p"), "_s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    sh_ok = sh.join(dfreq.where(F.col("_df") <= df_cap), "_s").drop("_df")
+    sh_ok = (
+        sh.join(dfreq.where(F.col("_df") <= df_cap), "_s")
+        .drop("_df")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = sh_ok.alias("a"), sh_ok.alias("b")
     m = a.join(b, "_s").where(F.col("a._d") < F.col("b._d")).select(
         F.col("a._d").alias("doc_a"),

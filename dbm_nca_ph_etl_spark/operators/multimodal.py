@@ -1034,3 +1034,26 @@ def scene_cut_stats(assets: DataFrame) -> DataFrame:
     return video.mapInPandas(
         gen, "asset_id long, boundary int, sad long, n_frame_bytes int"
     )
+
+
+def fp_bigrams(fp: DataFrame, bits: int = 7) -> DataFrame:
+    """Consecutive-fingerprint bigrams — the standard block-matching
+    move that keeps fingerprint posting lists short as the corpus
+    grows: a single HK fingerprint here carries ``bits`` bits (128
+    values — at corpus scale every value's posting list grows
+    linearly and the match join fans out with it), while the bigram
+    of consecutive frames carries 2×bits (16k values) at the cost of
+    one lag window. Match joins run on ``bg``; per-track vote
+    alignment is unchanged. Output: ``(asset_id, frame_idx, bg)``
+    where frame_idx is the bigram's FIRST frame."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    return (
+        fp.withColumn(
+            "bg",
+            F.col("fp") * F.lit(1 << bits) + F.lead("fp").over(w),
+        )
+        .where(F.col("bg").isNotNull())
+        .select("asset_id", "frame_idx", "bg")
+    )

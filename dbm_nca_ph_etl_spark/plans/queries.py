@@ -7884,18 +7884,26 @@ def cms_matview_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN d - pd > 0 THEN (1 << b) ELSE 0 END)::BIGINT AS fp
       FROM bits WHERE pd IS NOT NULL GROUP BY doc_id, f
     ),
+    bg AS (
+      SELECT doc_id, frame_idx, bg FROM (
+        SELECT doc_id, frame_idx,
+               fp * 128 + lead(fp) OVER (
+                 PARTITION BY doc_id ORDER BY frame_idx) AS bg
+        FROM fp
+      ) WHERE bg IS NOT NULL
+    ),
     clip0 AS (
-      SELECT doc_id AS clip_id, frame_idx - 2 AS qpos, fp
-      FROM fp WHERE doc_id % 30 = 1 AND frame_idx BETWEEN 2 AND 5
+      SELECT doc_id AS clip_id, frame_idx - 2 AS qpos, bg
+      FROM bg WHERE doc_id % 30 = 1 AND frame_idx BETWEEN 2 AND 4
     ),
     whole AS (
-      SELECT clip_id FROM clip0 GROUP BY clip_id HAVING count(*) = 4
+      SELECT clip_id FROM clip0 GROUP BY clip_id HAVING count(*) = 3
     ),
     clips AS (SELECT c.* FROM clip0 c JOIN whole USING (clip_id)),
     votes AS (
       SELECT c.clip_id, t.doc_id AS track, t.frame_idx - c.qpos AS delta,
              count(*)::BIGINT AS votes
-      FROM clips c JOIN fp t USING (fp)
+      FROM clips c JOIN bg t USING (bg)
       GROUP BY c.clip_id, t.doc_id, t.frame_idx - c.qpos
     )
     SELECT clip_id, track AS matched_track, votes,
@@ -7913,15 +7921,19 @@ def cms_matview_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Arrow-batched map-only decode, then sign-of-band-difference-"
     "delta bits via one lag window + a python-unrolled codegen'd "
     "bit fold: gain- and tilt-invariant, all int64). Matching is "
-    "the constant-offset vote the span-dedup family uses: 4-frame "
-    "query clips (every 10th track) hash-join the corpus "
-    "fingerprint index on fp, votes accumulate per (clip, track, "
-    "frame offset), top vote wins deterministically. Identifies "
-    "13/13 clips at sf0.01, 121/123 at sf0.1 (2 vote ties — "
-    "replayed bit-for-bit by the oracle, which recomputes the "
-    "whole pipeline from generator text; is_correct flips on any "
-    "decode/fingerprint/vote regression). At 100 TB: the fp index "
-    "is posting-shaped (widen to 31-bit fps to keep lists short), "
+    "the constant-offset vote the span-dedup family uses, over "
+    "consecutive-fingerprint BIGRAMS (fp_bigrams — 14-bit keys; "
+    "single 7-bit fps gave exp≈1.2 at the sf1 scale audit because "
+    "128-value posting lists fan the join out with the corpus; "
+    "bigrams cut list length ~128× for one lag window — the "
+    "fingerprint-block trick real audio indexes use): 4-frame "
+    "query clips (every 10th track) contribute 3 bigrams each, "
+    "votes accumulate per (clip, track, frame offset), top vote "
+    "wins deterministically. Identifies 13/13 clips at sf0.01, "
+    "121/123 at sf0.1 (2 vote ties — replayed bit-for-bit by the "
+    "oracle, which recomputes the whole pipeline from generator "
+    "text; is_correct flips on any decode/fingerprint/vote "
+    "regression). At 100 TB: the bigram index is posting-shaped, "
     "clips probe it like incremental_dedup_probe — batch-sized "
     "work, corpus reduced to its index.",
     tags=("multimodal", "llm", "bench"),
@@ -7931,19 +7943,21 @@ def audio_clip_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dbm_nca_ph_etl_spark.operators import multimodal as M2
 
-    fp = M2.hk_fingerprints(M2.audio_band_energy(_assets(spark, sf_dir)))
-    clip0 = fp.where(
-        (F.col("asset_id") % 30 == 1) & F.col("frame_idx").between(2, 5)
+    bg = M2.fp_bigrams(
+        M2.hk_fingerprints(M2.audio_band_energy(_assets(spark, sf_dir)))
+    )
+    clip0 = bg.where(
+        (F.col("asset_id") % 30 == 1) & F.col("frame_idx").between(2, 4)
     ).select(
         F.col("asset_id").alias("clip_id"),
         (F.col("frame_idx") - 2).alias("qpos"),
-        "fp",
+        "bg",
     )
-    whole = clip0.groupBy("clip_id").count().where("count = 4").select("clip_id")
+    whole = clip0.groupBy("clip_id").count().where("count = 3").select("clip_id")
     clips = clip0.join(whole, "clip_id")
     votes = (
         clips.join(
-            fp.select(F.col("asset_id").alias("track"), "frame_idx", "fp"), "fp"
+            bg.select(F.col("asset_id").alias("track"), "frame_idx", "bg"), "bg"
         )
         .groupBy(
             "clip_id", "track", (F.col("frame_idx") - F.col("qpos")).alias("delta")

@@ -763,3 +763,18 @@ class TestSceneCuts:
         from dbm_nca_ph_etl_spark.operators.multimodal import scene_cut_stats
 
         assert scene_cut_stats(self._asset(spark, bytes(64), 1)).count() == 0
+
+
+class TestFpBigrams:
+    def test_bigram_values_and_last_frame_drop(self, spark):
+        from dbm_nca_ph_etl_spark.operators.multimodal import fp_bigrams
+
+        fp = spark.createDataFrame(
+            [(1, 1, 5), (1, 2, 7), (1, 3, 0), (2, 1, 3)],
+            "asset_id long, frame_idx int, fp long",
+        )
+        got = sorted(
+            (r.asset_id, r.frame_idx, r.bg) for r in fp_bigrams(fp).collect()
+        )
+        # 5*128+7, 7*128+0; track 2's single frame has no bigram
+        assert got == [(1, 1, 647), (1, 2, 896)]
