@@ -1,23 +1,15 @@
-"""Stream-stream interval (attribution) join — the two-feed event
-correlation the reference's single-queue pipeline never needed
-(§2.9 is one SQS feed), and the canonical Structured Streaming
-stream-stream join shape: impressions join clicks that land on the
-same key within a bounded event-time window.
+"""Attribution-shaped facade over the stream-stream interval join.
 
-Spark's requirements for an inner stream-stream join — a watermark
-on BOTH inputs plus a time-RANGE join condition — are exactly what
-bounds the state store: each side buffers only rows younger than
-(watermark + interval), so a 100 TB/day two-feed correlation holds
-hours of state, not history. The same function runs identically on
-batch DataFrames (the watermark no-ops, the range condition is just
-a join predicate), which is what makes the semantics
-oracle-checkable: the catalog's ``view_click_attribution`` runs the
-batch twin against DuckDB and the streaming test asserts
-stream == batch on the same feed.
-
-Equality on the key rides the range condition into a regular hash
-join (state keyed by ``key``); at scale the state store partitions
-by key like any shuffle.
+The core operator is :func:`streaming.events.stream_stream_interval_
+join` (watermark on BOTH inputs + a time-range predicate — the
+combination that lets Spark evict buffered state, so each side holds
+≈ (watermark + interval) of history instead of forever; see its
+docstring for the 100 TB state-store analysis). This module adds the
+click-attribution PROJECTION a pipeline actually consumes — key +
+chosen id columns + integer lag — which is also what makes the
+semantics oracle-checkable: the catalog's ``view_click_attribution``
+runs the batch twin against DuckDB (floor-epoch lag, exact hash) and
+the streaming test asserts stream == batch on the same feed.
 """
 
 from __future__ import annotations
@@ -25,51 +17,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dbm_nca_ph_etl_spark.streaming.events import stream_stream_interval_join
+
 
 def interval_join(
     left: DataFrame,
     right: DataFrame,
     key: str = "user_id",
-    left_ts: str = "ts",
-    right_ts: str = "ts",
+    ts_col: str = "ts",
     within: str = "30 minutes",
     watermark: str = "10 minutes",
     left_cols: tuple[str, ...] = ("event_id",),
     right_cols: tuple[str, ...] = ("event_id",),
 ) -> DataFrame:
     """Inner join ``right`` rows onto ``left`` rows with the same
-    ``key`` where ``left_ts <= right_ts <= left_ts + within`` —
+    ``key`` where ``left.ts <= right.ts <= left.ts + within`` —
     click-attribution semantics (every qualifying pair is emitted;
     dedup-to-first is a downstream ``row_number`` the caller owns).
 
     Output: ``(key, l_<left_cols...>, r_<right_cols...>,
-    lag_seconds)``. Works on two streams (watermarked, bounded
-    state), two batch frames (oracle twin), or a mix.
+    lag_seconds)`` with lag as floor-epoch second difference (the
+    integer both engines compute identically on sub-second event
+    times). Works on two streams (bounded state), two batch frames
+    (the oracle twin), or a mix — delegation to the core operator
+    keeps one join implementation.
     """
-    lw = (
-        left.withWatermark(left_ts, watermark) if left.isStreaming else left
-    ).select(
-        F.col(key).alias("_lk"),
-        F.col(left_ts).alias("_lts"),
-        *[F.col(c).alias(f"l_{c}") for c in left_cols],
+    j = stream_stream_interval_join(
+        left.select(key, ts_col, *left_cols),
+        right.select(key, ts_col, *right_cols),
+        key=key,
+        ts_col=ts_col,
+        within=within,
+        watermark=watermark,
     )
-    rw = (
-        right.withWatermark(right_ts, watermark) if right.isStreaming else right
-    ).select(
-        F.col(key).alias("_rk"),
-        F.col(right_ts).alias("_rts"),
-        *[F.col(c).alias(f"r_{c}") for c in right_cols],
-    )
-    cond = (
-        (F.col("_lk") == F.col("_rk"))
-        & (F.col("_rts") >= F.col("_lts"))
-        & (F.col("_rts") <= F.col("_lts") + F.expr(f"INTERVAL {within}"))
-    )
-    return lw.join(rw, cond).select(
-        F.col("_lk").alias(key),
-        *[f"l_{c}" for c in left_cols],
-        *[f"r_{c}" for c in right_cols],
-        (F.unix_timestamp("_rts") - F.unix_timestamp("_lts")).alias(
-            "lag_seconds"
-        ),
+    lts, rts = f"l_{ts_col}", f"r_{ts_col}"
+    return j.select(
+        F.col(f"l_{key}").alias(key),
+        *[F.col(f"l_{c}") for c in left_cols],
+        *[F.col(f"r_{c}") for c in right_cols],
+        (F.unix_timestamp(rts) - F.unix_timestamp(lts)).alias("lag_seconds"),
     )
