@@ -8273,3 +8273,184 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 8)
     return S.mmr_rerank(emb, q, k=5, n_cand=15)
+
+
+@register(
+    "context_window_pack",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> ''))::BIGINT AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0)::BIGINT AS s
+      FROM t WHERE n > 0
+    ),
+    e AS (
+      SELECT doc_id, n, s, s + n AS fin,
+             unnest(generate_series(s // 2048, (s + n - 1) // 2048)) AS window_id
+      FROM c
+    )
+    SELECT window_id,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN s >= window_id * 2048 THEN 1 ELSE 0 END)::BIGINT
+             AS n_docs_started,
+           sum(CASE WHEN s >= window_id * 2048
+                     AND fin <= window_id * 2048 + 2048 THEN 1 ELSE 0 END)::BIGINT
+             AS n_full_docs,
+           sum(least(fin, window_id * 2048 + 2048)
+               - greatest(s, window_id * 2048))::BIGINT AS window_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM e GROUP BY window_id
+    """,
+    doc="Fixed-context sequence packing accounting — the GPT-style "
+    "pretraining layout: concatenate every document's tokens in "
+    "doc_id order and cut the stream every 2048 tokens; a document "
+    "whose span straddles a cut contributes a fragment to BOTH "
+    "context windows. Per window: docs touching it, docs *starting* "
+    "in it (attention-mask reset points), docs fully contained, and "
+    "the token fill (exactly 2048 everywhere but the tail — the "
+    "packing-efficiency audit). The global token offset comes from "
+    "operators/windows.prefix_sum (two-phase block scan — no single "
+    "task ever holds the 100 TB total order, unlike the oracle's "
+    "one-reducer window which is only the semantic spec), then each "
+    "doc explodes to the window range [start div C, (end-1) div C] "
+    "it overlaps — output size is corpus_tokens/C windows, and all "
+    "arithmetic is integer so the hash match is exact. Complements "
+    "shard_packing (whole-doc shard assignment by start offset): "
+    "this is the token-exact split layout a dataloader actually "
+    "consumes.",
+    tags=("llm", "text", "scale"),
+)
+def context_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    C = 2048
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(_token_array()).cast("long").alias("n")).where(
+        F.col("n") > 0
+    )
+    c = W.prefix_sum(t, "n", ["doc_id"], out_col="s").withColumn(
+        "fin", F.col("s") + F.col("n")
+    )
+    e = c.select(
+        "doc_id",
+        "s",
+        "fin",
+        F.explode(
+            F.sequence(F.expr(f"s div {C}"), F.expr(f"(fin - 1) div {C}"))
+        ).alias("window_id"),
+    )
+    lo = F.col("window_id") * C
+    hi = lo + C
+    return e.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("s") >= lo).cast("long")).alias("n_docs_started"),
+        F.sum(((F.col("s") >= lo) & (F.col("fin") <= hi)).cast("long")).alias(
+            "n_full_docs"
+        ),
+        F.sum(F.least(F.col("fin"), hi) - F.greatest(F.col("s"), lo)).alias(
+            "window_tokens"
+        ),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "temperature_mixture_sample",
+    """
+    WITH base AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> ''))::BIGINT AS n,
+             md5('tm:' || doc_id::VARCHAR) AS h
+      FROM documents
+    ),
+    tot AS (SELECT lang, sum(n)::BIGINT AS n_l FROM base GROUP BY lang),
+    wts AS (SELECT lang, n_l, floor(sqrt(n_l))::BIGINT AS w FROM tot),
+    sw AS (SELECT sum(w)::BIGINT AS s_w FROM wts),
+    tgt AS (
+      SELECT lang, n_l, w, ((20000 * w) // s_w)::BIGINT AS target
+      FROM wts, sw
+    ),
+    cum AS (
+      SELECT b.doc_id, b.lang, b.n,
+             coalesce(sum(b.n) OVER (PARTITION BY b.lang ORDER BY b.h, b.doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)::BIGINT AS c
+      FROM base b
+    ),
+    kept AS (
+      SELECT cum.lang, count(*)::BIGINT AS nd, sum(cum.n)::BIGINT AS nt
+      FROM cum JOIN tgt USING (lang)
+      WHERE cum.c < tgt.target
+      GROUP BY cum.lang
+    )
+    SELECT t.lang, t.n_l AS n_tokens_total, t.w AS weight,
+           t.target AS target_tokens,
+           coalesce(k.nd, 0)::BIGINT AS n_docs_kept,
+           coalesce(k.nt, 0)::BIGINT AS n_tokens_kept
+    FROM tgt t LEFT JOIN kept k USING (lang)
+    """,
+    doc="Temperature-weighted mixture resampling (the LLaMA/XLM-R "
+    "alpha=0.5 rule): per-language sampling weight = n_tokens^alpha, "
+    "normalized into an integer token budget (20000 here), then each "
+    "language fills its target in a deterministic md5 order — "
+    "up-weighting low-resource languages relative to raw frequency "
+    "without RNG. sqrt is IEEE-correctly-rounded in both engines and "
+    "floor()-ed to an integer weight, the target split is pure "
+    "integer arithmetic, and the per-language quota fill reuses the "
+    "corpus_quota_sample exclusive-cumsum contract (a doc is kept "
+    "iff tokens before it are under target), so every column "
+    "hash-matches exactly. Shape at 100 TB: the weight/target table "
+    "is languages-sized (broadcast); the corpus sees one tokenize "
+    "pass and one per-language window — a giant language swaps in "
+    "prefix_sum for the same semantics. Output is the per-language "
+    "resampling ledger (raw tokens, weight, target, kept docs/"
+    "tokens): the difference between n_tokens_total's distribution "
+    "and n_tokens_kept's IS the temperature flattening.",
+    tags=("llm", "sampling", "quality"),
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.size(_token_array()).cast("long").alias("n"),
+        F.md5(F.concat(F.lit("tm:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    tot = base.groupBy("lang").agg(F.sum("n").cast("long").alias("n_l"))
+    wts = tot.withColumn("w", F.floor(F.sqrt(F.col("n_l"))).cast("long"))
+    sw = wts.agg(F.sum("w").cast("long").alias("s_w"))
+    tgt = wts.crossJoin(F.broadcast(sw)).withColumn(
+        "target", F.expr("(20000 * w) div s_w").cast("long")
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = base.withColumn(
+        "c", F.coalesce(F.sum("n").over(win), F.lit(0)).cast("long")
+    )
+    kept = (
+        cum.join(F.broadcast(tgt.select("lang", "target")), "lang")
+        .where(F.col("c") < F.col("target"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            F.sum("n").cast("long").alias("nt"),
+        )
+    )
+    return tgt.join(kept, "lang", "left").select(
+        "lang",
+        F.col("n_l").alias("n_tokens_total"),
+        F.col("w").alias("weight"),
+        F.col("target").alias("target_tokens"),
+        F.coalesce("nd", F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce("nt", F.lit(0)).cast("long").alias("n_tokens_kept"),
+    )
