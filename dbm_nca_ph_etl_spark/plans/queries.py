@@ -998,6 +998,33 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_rp_topk",
+    _SQL_EXACT_KTH,
+    doc="Johnson–Lindenstrauss random-projection ANN (extension, the "
+    "index-COMPRESSION leg next to int8/PQ): corpus and queries "
+    "project through a deterministic 64→32 matrix (same LCG planes "
+    "as LSH — no RNG), candidates are scored in the projected space "
+    "(half the scan bytes/FLOPs; 768-dim real embeddings compress "
+    "12×), the top-100 per query re-rank by exact full-dim cosine. "
+    "Recall-bound audit: exact k-th similarity hash-verified vs "
+    "DuckDB + recall_ok (hits ≥ 20/100; measured 71 at sf0.01, 50 "
+    "at sf0.1 — the synthetic near-isotropic vectors are the JL "
+    "worst case). Projection is one Arrow matmul per batch; at "
+    "100 TB the projected corpus is the persisted index and the "
+    "full-dim table is touched only for n_cand rows per query.",
+    tags=("similarity", "llm"),
+)
+def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return _ann_recall_audit(
+        S.rp_topk(emb, q, k=10, r=32, n_cand=100),
+        S.cosine_topk(emb, q, k=10),
+        floor_hits=20,
+    )
+
+
 _SQL_STOP_EN = "['the','and','of','to','a','in','is','it','that','for']"
 _SQL_STOP_ES = "['el','la','de','que','y','en','un','los','se','por']"
 _SQL_STOP_FR = "['le','la','de','et','les','des','un','une','du','que']"

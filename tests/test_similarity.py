@@ -409,3 +409,54 @@ class TestMmrRerank:
         for qid, picks in per_q.items():
             assert sorted(p for p, _ in picks) == [1, 2, 3, 4, 5]
             assert len({n for _, n in picks}) == 5
+
+
+class TestRandomProjection:
+    def test_rp_project_deterministic_shape(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.operators.similarity import rp_project
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+        a = {r.id: r._p for r in rp_project(emb, r=8).collect()}
+        b = {r.id: r._p for r in rp_project(emb.repartition(7), r=8).collect()}
+        assert set(a) == set(b)
+        for i in a:
+            assert len(a[i]) == 8
+            assert a[i] == b[i]  # batch boundaries can't change values
+
+    def test_rp_topk_recovers_identical_vectors(self, spark):
+        # clones of the query vector must survive any projection:
+        # JL preserves exact colinearity (P(v)==P(v)) regardless of r
+        from dbm_nca_ph_etl_spark.operators.similarity import rp_topk
+
+        base = [1.0 if i % 7 == 0 else 0.25 for i in range(64)]
+        rows = [Row(vec_id=0, embedding=base)]
+        rows += [Row(vec_id=i, embedding=list(base)) for i in (1, 2, 3)]
+        rows += [
+            Row(vec_id=10 + j, embedding=[((i * j + 13) % 9) - 4.0 for i in range(64)])
+            for j in range(1, 7)  # j=0 would be the all-zero vector
+        ]
+        df = spark.createDataFrame(rows)
+        out = rp_topk(df, df.where("vec_id = 0"), k=3, r=4, n_cand=5).collect()
+        assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+        assert all(r.cos_sim == 1.0 for r in out)
+
+    def test_rp_topk_exact_rerank_matches_cosine(self, spark, sf_dir):
+        # the re-rank leg must be bit-identical to cosine_topk on the
+        # candidate set: with n_cand == corpus size rp_topk degenerates
+        # to the exact operator
+        from dbm_nca_ph_etl_spark.operators.similarity import rp_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("vec_id < 60")
+        q = emb.where("vec_id < 3")
+        exact = cosine_topk(emb, q, k=5).collect()
+        full = rp_topk(emb, q, k=5, r=8, n_cand=60).collect()
+        assert sorted((r.query_id, r.neighbor_id, r.cos_sim) for r in exact) == sorted(
+            (r.query_id, r.neighbor_id, r.cos_sim) for r in full
+        )
+
+    def test_rp_topk_ncand_guard(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.operators.similarity import rp_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with pytest.raises(ValueError, match="n_cand"):
+            rp_topk(emb, emb.limit(1), k=10, n_cand=5)
