@@ -8481,3 +8481,94 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("nd", F.lit(0)).cast("long").alias("n_docs_kept"),
         F.coalesce("nt", F.lit(0)).cast("long").alias("n_tokens_kept"),
     )
+
+
+@register(
+    "bloom_prune_audit",
+    """
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ),
+    hashes AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    pos AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5('bf' || h.i || ':' || b.c_custkey::VARCHAR),
+                        1, 12))::BIGINT % 65536 AS p
+      FROM build b CROSS JOIN hashes h
+    ),
+    ppos AS (
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_custkey,
+        ('0x' || substr(md5('bf' || h.i || ':' || o.o_custkey::VARCHAR),
+                        1, 12))::BIGINT % 65536 AS p
+      FROM orders o CROSS JOIN hashes h
+    ),
+    probed AS (
+      SELECT pp.o_orderkey,
+             any_value(pp.o_orderpriority) AS o_orderpriority,
+             any_value(pp.o_custkey) AS o_custkey,
+             (count(pos.p) = 4) AS bloom_hit
+      FROM ppos pp LEFT JOIN pos ON pp.p = pos.p
+      GROUP BY pp.o_orderkey
+    ),
+    flagged AS (
+      SELECT p.o_orderpriority, p.bloom_hit,
+             (b.c_custkey IS NOT NULL) AS exact_member
+      FROM probed p LEFT JOIN build b ON p.o_custkey = b.c_custkey
+    )
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           sum(CASE WHEN exact_member THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+           sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pass,
+           sum(CASE WHEN bloom_hit AND NOT exact_member THEN 1 ELSE 0 END)::BIGINT
+             AS n_false_pos,
+           bool_and(bloom_hit OR NOT exact_member) AS no_false_neg
+    FROM flagged GROUP BY o_orderpriority
+    """,
+    doc="Runtime Bloom-filter join pruning as a driver-checkable "
+    "audit (operators/bloom): the selective dimension subset "
+    "(customers with acctbal > 9000) builds a 2^16-bit md5-hashed "
+    "bitmap — word-packed into a one-row broadcast map — and every "
+    "order probes it with 4 JVM-side lookups BEFORE any join "
+    "machinery touches the row. Per priority class: probe count, "
+    "exact member count, bloom pass count, false positives, and the "
+    "no-false-negative invariant (the property that makes pruning "
+    "SAFE — a dropped matching row would corrupt the join, a false "
+    "positive only wastes a probe). This is the semi-join-reduction "
+    "shape engines inject at 100 TB (Spark's runtime bloomFilter "
+    "conf does the same with engine-private hashing — which is WHY "
+    "this audit hashes with md5: DuckDB replays membership "
+    "bit-for-bit, so the pruning decision itself is verified, not "
+    "just row counts). The fact side never shuffles: the bitmap "
+    "broadcasts, probes are map lookups, and the final rollup is "
+    "priority-sized.",
+    tags=("relational", "scale"),
+)
+def bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators import bloom as B
+
+    cust = _t(spark, sf_dir, "customer")
+    build = cust.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    bf = B.bloom_build(build, "c_custkey", m_bits=1 << 16, k=4)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    probed = orders.crossJoin(F.broadcast(bf)).withColumn(
+        "bloom_hit",
+        B.bloom_might_contain(F.col("_bf"), F.col("o_custkey"), 1 << 16, 4),
+    )
+    flagged = probed.join(
+        F.broadcast(build.withColumnRenamed("c_custkey", "_bk")),
+        probed["o_custkey"] == F.col("_bk"),
+        "left",
+    ).withColumn("exact_member", F.col("_bk").isNotNull())
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("exact_member").cast("long")).alias("n_exact"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_pass"),
+        F.sum((F.col("bloom_hit") & ~F.col("exact_member")).cast("long")).alias(
+            "n_false_pos"
+        ),
+        F.bool_and(F.col("bloom_hit") | ~F.col("exact_member")).alias(
+            "no_false_neg"
+        ),
+    )
