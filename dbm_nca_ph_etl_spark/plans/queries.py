@@ -8572,3 +8572,149 @@ def bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_neg"
         ),
     )
+
+
+@register(
+    "entity_resolution_clusters",
+    """
+    WITH RECURSIVE cust AS (SELECT c_custkey AS ck FROM customer),
+    base AS (
+      SELECT ck,
+             substr(md5('nm:' || ck::VARCHAR), 1, 10) AS e,
+             (ck % 10 + 1)::BIGINT AS dp,
+             (ck % 9 + 1)::BIGINT AS tp
+      FROM cust
+    ),
+    recs AS (
+      SELECT ck * 10 AS rec_id, ck, e AS nm FROM base
+      UNION ALL
+      SELECT ck * 10 + 1, ck,
+             substr(e, 1, dp - 1) || substr(e, dp + 1, 10)
+      FROM base
+      UNION ALL
+      SELECT ck * 10 + 2, ck,
+             substr(e, 1, tp - 1) || substr(e, tp + 1, 1)
+               || substr(e, tp, 1) || substr(e, tp + 2, 10)
+      FROM base
+    ),
+    keyed AS (
+      SELECT rec_id, ck, nm,
+             substr(nm, 1, 4) AS b1,
+             substr(nm, length(nm) - 3, 4) AS b2
+      FROM recs
+    ),
+    cands AS (
+      SELECT a.rec_id AS ra, b.rec_id AS rb, a.nm AS na, b.nm AS nb
+      FROM keyed a JOIN keyed b ON a.b1 = b.b1 AND a.rec_id < b.rec_id
+      UNION
+      SELECT a.rec_id, b.rec_id, a.nm, b.nm
+      FROM keyed a JOIN keyed b ON a.b2 = b.b2 AND a.rec_id < b.rec_id
+    ),
+    e0 AS (SELECT ra, rb FROM cands WHERE levenshtein(na, nb) <= 2),
+    edges AS (SELECT ra AS a, rb AS b FROM e0
+              UNION SELECT rb, ra FROM e0),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS x FROM nodes
+      UNION
+      SELECT r.id, e2.b AS x FROM reach r JOIN edges e2 ON e2.a = r.x
+    ),
+    clusters AS (SELECT id, min(x) AS cluster_id FROM reach GROUP BY id)
+    SELECT coalesce(c.cluster_id, k.rec_id) AS cluster_id,
+           count(*)::BIGINT AS n_members,
+           count(DISTINCT k.ck)::BIGINT AS n_true_entities
+    FROM keyed k LEFT JOIN clusters c ON k.rec_id = c.id
+    GROUP BY 1
+    """,
+    doc="Entity resolution / record linkage — the blocking → "
+    "pairwise-match → transitive-closure pipeline every curation "
+    "stack runs on authors, domains, and source registries. Inputs "
+    "are three deterministic records per entity (a clean md5-derived "
+    "name, a char-deletion variant, a transposition variant — no "
+    "RNG, both engines derive identical dirt). Candidate generation "
+    "is MULTI-PASS BLOCKING (name-prefix and name-suffix keys, "
+    "unioned): every variant provably shares at least one key with "
+    "its clean record, so no true pair needs the O(n²) all-pairs "
+    "scan that blocking exists to avoid — pair cost is sum of "
+    "block-size squares, and a skewed block salts like any hot key. "
+    "Matching is levenshtein <= 2 (identical DP definition in both "
+    "engines); clustering reuses operators/dedup.connected_components "
+    "(iterative min-label, same as semantic_dedup_keep); the ledger "
+    "reports cluster size and n_true_entities — the ground-truth "
+    "purity audit (a merge of two entities surfaces as "
+    "n_true_entities > 1, never hidden). Oracle replays blocking, "
+    "matching, and closure as a recursive CTE — exact hash match.",
+    tags=("dedup", "llm", "relational"),
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("ck"))
+    base = cust.select(
+        "ck",
+        F.substring(
+            F.md5(F.concat(F.lit("nm:"), F.col("ck").cast("string")).cast("binary")),
+            1,
+            10,
+        ).alias("e"),
+        (F.col("ck") % 10 + 1).cast("long").alias("dp"),
+        (F.col("ck") % 9 + 1).cast("long").alias("tp"),
+    )
+    clean = base.select(
+        (F.col("ck") * 10).alias("rec_id"), "ck", F.col("e").alias("nm")
+    )
+    deleted = base.select(
+        (F.col("ck") * 10 + 1).alias("rec_id"),
+        "ck",
+        F.concat(
+            F.expr("substr(e, 1, cast(dp - 1 as int))"),
+            F.expr("substr(e, cast(dp + 1 as int), 10)"),
+        ).alias("nm"),
+    )
+    swapped = base.select(
+        (F.col("ck") * 10 + 2).alias("rec_id"),
+        "ck",
+        F.concat(
+            F.expr("substr(e, 1, cast(tp - 1 as int))"),
+            F.expr("substr(e, cast(tp + 1 as int), 1)"),
+            F.expr("substr(e, cast(tp as int), 1)"),
+            F.expr("substr(e, cast(tp + 2 as int), 10)"),
+        ).alias("nm"),
+    )
+    keyed = (
+        clean.unionByName(deleted)
+        .unionByName(swapped)
+        .withColumn("b1", F.substring("nm", 1, 4))
+        .withColumn("b2", F.expr("substr(nm, length(nm) - 3, 4)"))
+    )
+    a = keyed.select(
+        F.col("rec_id").alias("ra"), F.col("nm").alias("na"),
+        F.col("b1").alias("k1"), F.col("b2").alias("k2"),
+    )
+    b = keyed.select(
+        F.col("rec_id").alias("rb"), F.col("nm").alias("nb"),
+        F.col("b1").alias("j1"), F.col("b2").alias("j2"),
+    )
+    cands = (
+        a.join(b, (F.col("k1") == F.col("j1")) & (F.col("ra") < F.col("rb")))
+        .select("ra", "rb", "na", "nb")
+        .unionByName(
+            a.join(b, (F.col("k2") == F.col("j2")) & (F.col("ra") < F.col("rb")))
+            .select("ra", "rb", "na", "nb")
+        )
+        .distinct()
+    )
+    pairs = cands.where(F.levenshtein("na", "nb") <= 2).select(
+        F.col("ra").alias("a"), F.col("rb").alias("b")
+    )
+    comp = D.connected_components(pairs)
+    return (
+        keyed.join(comp, keyed["rec_id"] == comp["id"], "left")
+        .select(
+            F.coalesce(F.col("cluster_id"), F.col("rec_id")).alias("cluster_id"),
+            "ck",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.count_distinct("ck").cast("long").alias("n_true_entities"),
+        )
+    )
