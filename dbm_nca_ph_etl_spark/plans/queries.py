@@ -8718,3 +8718,97 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("ck").cast("long").alias("n_true_entities"),
         )
     )
+
+
+@register(
+    "span_corruption_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks)::BIGINT AS n,
+             ('0x' || substr(md5('sc1:' || doc_id::VARCHAR), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5('sc2:' || doc_id::VARCHAR), 1, 12))::BIGINT AS h2
+      FROM t WHERE len(toks) >= 8
+    ),
+    spans AS (
+      SELECT doc_id, toks, n,
+             (h1 % (n // 2 - 3) + 1)::BIGINT AS a,
+             (n // 2 + 1 + (h2 % (n - n // 2 - 2)))::BIGINT AS b
+      FROM sized
+    )
+    SELECT doc_id, n AS n_tokens,
+           array_to_string(list_concat(list_concat(list_concat(list_concat(
+             CASE WHEN a > 1 THEN toks[1:a-1] ELSE [] END, ['<x0>']),
+             toks[a+3:b-1]), ['<x1>']),
+             CASE WHEN b + 3 <= n THEN toks[b+3:n] ELSE [] END), ' ')
+             AS model_input,
+           array_to_string(list_concat(list_concat(list_concat(
+             ['<x0>'], toks[a:a+2]), ['<x1>']), toks[b:b+2]), ' ')
+             AS model_target
+    FROM spans
+    """,
+    doc="T5-style span corruption (Raffel et al. 2020) — the "
+    "denoising-objective training-pair generator: two 3-token spans "
+    "per document (one per half, provably non-overlapping) are "
+    "replaced by sentinels in the model input and emitted after "
+    "their sentinels as the target. Span starts come from salted "
+    "md5 of the doc_id — no RNG, so the corruption is byte-identical "
+    "on any cluster size, any partitioning, and every re-run (the "
+    "property that makes a training set REPRODUCIBLE); both engines "
+    "derive the same spans and the full input/target strings "
+    "hash-match. Pure array algebra over one tokenize pass — "
+    "tokens materialize once per row (a column, not a re-evaluated "
+    "expression), then six slices and two concat_ws; map-only, no "
+    "shuffle, embarrassingly parallel at 100 TB. Docs under 8 "
+    "tokens are filtered (too short to hold two spans).",
+    tags=("llm", "text"),
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", _token_array().alias("toks")).where(
+        F.size("toks") >= 8
+    )
+    from dbm_nca_ph_etl_spark.functions.scalars import hash48
+
+    sized = t.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("long").alias("n"),
+        hash48(F.concat(F.lit("sc1:"), F.col("doc_id").cast("string"))).alias("h1"),
+        hash48(F.concat(F.lit("sc2:"), F.col("doc_id").cast("string"))).alias("h2"),
+    )
+    spans = sized.select(
+        "doc_id",
+        "toks",
+        "n",
+        (F.col("h1") % (F.expr("n div 2") - 3) + 1).cast("long").alias("a"),
+        (F.expr("n div 2") + 1 + F.col("h2") % (F.col("n") - F.expr("n div 2") - 2))
+        .cast("long")
+        .alias("b"),
+    )
+    # DuckDB t[x:y] is 1-based inclusive == Spark slice(t, x, y-x+1)
+    pre = F.when(
+        F.col("a") > 1, F.expr("slice(toks, 1, cast(a - 1 as int))")
+    ).otherwise(F.array().cast("array<string>"))
+    mid = F.expr("slice(toks, cast(a + 3 as int), cast(b - a - 3 as int))")
+    post = F.when(
+        F.col("b") + 3 <= F.col("n"),
+        F.expr("slice(toks, cast(b + 3 as int), cast(n - b - 2 as int))"),
+    ).otherwise(F.array().cast("array<string>"))
+    span1 = F.expr("slice(toks, cast(a as int), 3)")
+    span2 = F.expr("slice(toks, cast(b as int), 3)")
+    sent0 = F.array(F.lit("<x0>"))
+    sent1 = F.array(F.lit("<x1>"))
+    return spans.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.concat_ws(" ", F.concat(pre, sent0, mid, sent1, post)).alias(
+            "model_input"
+        ),
+        F.concat_ws(" ", F.concat(sent0, span1, sent1, span2)).alias(
+            "model_target"
+        ),
+    )
