@@ -8812,3 +8812,150 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "model_target"
         ),
     )
+
+
+@register(
+    "collocation_pmi_topk",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS ws FROM documents
+    ),
+    big AS (
+      SELECT unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(range(len(ws) - 1),
+                                             i -> array_to_string(ws[i+1:i+2], ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM w
+    ),
+    uni AS (
+      SELECT unnest(ws) AS tok FROM w
+    ),
+    cu AS (SELECT tok, count(*)::BIGINT AS c FROM uni GROUP BY tok),
+    nn AS (SELECT count(*)::BIGINT AS n FROM uni),
+    cb AS (
+      SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+             count(*)::BIGINT AS c_xy
+      FROM big GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT w1, w2, c_xy,
+           ((1000000 * c_xy * nn.n) // (a.c * b.c))::BIGINT AS lift_e6
+    FROM cb JOIN cu a ON cb.w1 = a.tok
+            JOIN cu b ON cb.w2 = b.tok
+            CROSS JOIN nn
+    ORDER BY lift_e6 DESC, w1, w2 LIMIT 50
+    """,
+    doc="Collocation extraction — corpus-global top bigram "
+    "associations ranked by PMI lift (Church & Hanks 1990): "
+    "lift = N·c(xy)/(c(x)·c(y)), the inside of the PMI log. Ranking "
+    "by the INTEGER micro-unit lift instead of the log keeps every "
+    "value exact — log is monotone, so the top-k is identical, and "
+    "no engine's libm rounding can flip a boundary rank (the repo's "
+    "no-float-comparison convention). One tokenize pass feeds both "
+    "the bigram counts (map-side partial agg on consecutive-pair "
+    "grams) and the unigram counts; the two count joins are "
+    "vocabulary-sized, N is one broadcast row, and the min-count "
+    "HAVING (>=5) prunes the hapax tail before any join. The "
+    "standard phrase-mining / tokenizer-vocab-candidate pass over a "
+    "training corpus.",
+    tags=("llm", "text"),
+)
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(_token_array().alias("ws"))
+    big = w.select(F.explode(_word_ngrams(F.col("ws"), 2)).alias("gram"))
+    uni = w.select(F.explode("ws").alias("tok"))
+    cu = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nn = uni.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cb = (
+        big.select(
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= 5)
+    )
+    a = cu.select(F.col("tok").alias("_t1"), F.col("c").alias("_c1"))
+    b = cu.select(F.col("tok").alias("_t2"), F.col("c").alias("_c2"))
+    return (
+        cb.join(a, cb["w1"] == F.col("_t1"))
+        .join(b, cb["w2"] == F.col("_t2"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.expr("(1000000 * c_xy * n) div (_c1 * _c2)").cast("long").alias(
+                "lift_e6"
+            ),
+        )
+        .orderBy(F.desc("lift_e6"), "w1", "w2")
+        .limit(50)
+    )
+
+
+@register(
+    "epoch_shuffle_manifest",
+    """
+    WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+    r AS (
+      SELECT e.epoch, d.doc_id,
+             ('0x' || substr(md5('ep' || e.epoch || ':' || d.doc_id::VARCHAR),
+                             1, 12))::BIGINT AS h
+      FROM documents d CROSS JOIN e
+    ),
+    rk AS (
+      SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1 AS rnk
+      FROM r
+    )
+    SELECT epoch, (rnk // 100)::BIGINT AS shard_id,
+           count(*)::BIGINT AS n_docs,
+           sum(doc_id)::BIGINT AS sum_doc_ids
+    FROM rk GROUP BY 1, 2
+    """,
+    doc="Multi-epoch deterministic shuffle manifest — the dataloader "
+    "contract for multi-epoch training: every epoch reads the corpus "
+    "in a DIFFERENT but fully reproducible order (md5 of an "
+    "epoch-salted doc_id — reshuffling without RNG, so a resumed or "
+    "re-run job sees byte-identical batches), cut into 100-doc "
+    "shards by global rank within the epoch. Rank comes from "
+    "operators/windows.prefix_sum over the (hash, doc_id) total "
+    "order — the oracle's per-epoch row_number window is the "
+    "semantic spec, but a global sort-rank through ONE reducer is "
+    "exactly what dies at 100 TB; the two-phase block scan ranks "
+    "with no task ever holding an epoch's full order. Epochs are a "
+    "literal list (one prefix_sum pass each, unioned). sum_doc_ids "
+    "is the shard's permutation fingerprint: identical shard ids "
+    "across epochs carry different doc sets, which IS the reshuffle, "
+    "and any rank drift anywhere flips some shard's sum.",
+    tags=("llm", "sampling", "scale"),
+)
+def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.functions.scalars import hash48
+
+    d = _t(spark, sf_dir, "documents")
+    outs = []
+    for e in (0, 1, 2):
+        r = d.select(
+            "doc_id",
+            hash48(
+                F.concat(F.lit(f"ep{e}:"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+            F.lit(1).cast("long").alias("one"),
+        )
+        c = W.prefix_sum(r, "one", ["h", "doc_id"], out_col="rnk")
+        outs.append(
+            c.select(
+                F.lit(e).cast("int").alias("epoch"),
+                F.expr("rnk div 100").cast("long").alias("shard_id"),
+                "doc_id",
+            )
+        )
+    allep = outs[0]
+    for o in outs[1:]:
+        allep = allep.unionByName(o)
+    return allep.groupBy("epoch", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+    )
