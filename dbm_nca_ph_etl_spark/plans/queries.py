@@ -8959,3 +8959,106 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("doc_id").cast("long").alias("sum_doc_ids"),
     )
+
+
+@register(
+    "contrastive_negative_sample",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS cos_sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    pos AS (
+      SELECT query_id, neighbor_id AS pos_id,
+             floor(cos_sim * 1000000.0 + 0.5)::BIGINT AS pos_sim_e6
+      FROM ranked WHERE rank = 1
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             md5('neg:' || query_id::VARCHAR || ':' || neighbor_id::VARCHAR) AS hp
+      FROM ranked WHERE rank > 10 AND rank <= 100
+    ),
+    negs AS (
+      SELECT query_id, neighbor_id AS neg_id,
+             floor(cos_sim * 1000000.0 + 0.5)::BIGINT AS neg_sim_e6
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY hp, neighbor_id) AS pick
+        FROM pool
+      ) WHERE pick <= 5
+    )
+    SELECT p.query_id, p.pos_id, p.pos_sim_e6, n.neg_id, n.neg_sim_e6,
+           (p.pos_sim_e6 - n.neg_sim_e6)::BIGINT AS margin_e6
+    FROM pos p JOIN negs n ON p.query_id = n.query_id
+    """,
+    doc="Contrastive training-pair preparation — per anchor: the "
+    "positive (exact nearest neighbor) plus 5 deterministic "
+    "negatives sampled from the rank-11..100 band. The band is the "
+    "FALSE-NEGATIVE EXCLUSION (ranks 2-10 are too likely to be true "
+    "matches to train against) and also makes the negatives "
+    "semi-hard — the regime contrastive losses learn fastest from. "
+    "The 'random' pick inside the band is an md5 order — no RNG, so "
+    "the training pairs are byte-identical on any cluster size and "
+    "across re-runs (the epoch_shuffle_manifest property, applied "
+    "to pair mining). All similarities ship as integer micro-units "
+    "and margin_e6 = pos - neg is integer subtraction: nothing "
+    "float-compared. Candidate generation is the exact baseline "
+    "here (8 anchors, labeled-bounded); at 100 TB the ranked CTE "
+    "swaps to the LSH/IVF/PQ probes and the band/pick/margin "
+    "algebra is unchanged.",
+    tags=("llm", "similarity", "sampling"),
+)
+def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.functions.scalars import hash48
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 8)
+    ranked = S.cosine_topk(emb, anchors, k=100)
+    e6 = lambda c: F.floor(F.col(c) * 1000000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    pos = ranked.where(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("pos_id"),
+        e6("cos_sim").alias("pos_sim_e6"),
+    )
+    pool = ranked.where((F.col("rank") > 10) & (F.col("rank") <= 100)).withColumn(
+        "hp",
+        F.md5(
+            F.concat(
+                F.lit("neg:"),
+                F.col("query_id").cast("string"),
+                F.lit(":"),
+                F.col("neighbor_id").cast("string"),
+            ).cast("binary")
+        ),
+    )
+    wp = Window.partitionBy("query_id").orderBy("hp", "neighbor_id")
+    negs = (
+        pool.withColumn("pick", F.row_number().over(wp))
+        .where(F.col("pick") <= 5)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("neg_id"),
+            e6("cos_sim").alias("neg_sim_e6"),
+        )
+    )
+    return pos.join(negs, "query_id").select(
+        "query_id",
+        "pos_id",
+        "pos_sim_e6",
+        "neg_id",
+        "neg_sim_e6",
+        (F.col("pos_sim_e6") - F.col("neg_sim_e6")).cast("long").alias("margin_e6"),
+    )
