@@ -9062,3 +9062,82 @@ def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_sim_e6",
         (F.col("pos_sim_e6") - F.col("neg_sim_e6")).cast("long").alias("margin_e6"),
     )
+
+
+@register(
+    "xml_source_roundtrip",
+    """
+    WITH sub AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             floor(o_totalprice * 100 + 0.5)::BIGINT AS price_cents
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n_orders,
+           sum(price_cents)::BIGINT AS total_cents,
+           count(DISTINCT o_orderpriority)::BIGINT AS n_priorities,
+           min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+    FROM sub GROUP BY o_orderstatus
+    """,
+    doc="XML source/sink round trip (sources/xml_source over Spark "
+    "4's native XML, the upstreamed spark-xml): a 2% order slice is "
+    "written as one <order> element per record and read back with "
+    "an EXPLICIT schema — never inference, which costs a full "
+    "extra parse pass of the corpus and drifts types between "
+    "shards. Money crosses the text format as integer cents "
+    "(floor(x*100+0.5) at WRITE time): XML has no binary doubles, "
+    "and decimal formatting is not bit-stable across writers, so "
+    "nothing float-shaped survives into the file. The aggregate "
+    "downstream of the read proves values, keys, and grouping "
+    "columns all round-tripped exactly — the oracle computes the "
+    "same rollup straight from parquet, so any parse/format defect "
+    "breaks the hash. rowTag record splitting keeps even a single "
+    "giant XML file task-parallel.",
+    tags=("source",),
+)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dbm_nca_ph_etl_spark.sources.xml_source import read_xml, write_xml
+
+    sub = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    try:
+        path = f"{scratch}/orders_xml"
+        write_xml(sub, path, row_tag="order")
+        back = read_xml(
+            spark,
+            path,
+            "o_orderkey bigint, o_orderstatus string, "
+            "o_orderpriority string, price_cents bigint",
+            row_tag="order",
+        )
+        out = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("price_cents").cast("long").alias("total_cents"),
+                F.count_distinct("o_orderpriority")
+                .cast("long")
+                .alias("n_priorities"),
+                F.min("o_orderkey").alias("first_key"),
+                F.max("o_orderkey").alias("last_key"),
+            )
+            # materialize before the scratch dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
