@@ -9141,3 +9141,80 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@register(
+    "knn_label_eval",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS true_label, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 200
+    ),
+    c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, q.true_label, c.label AS pred_label,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS cos_sim,
+             c.neighbor_id
+      FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+    ),
+    nn AS (
+      SELECT query_id, true_label, pred_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT true_label,
+           count(*)::BIGINT AS n_queries,
+           sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT
+             AS n_correct,
+           ((1000000 * sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END))
+             // count(*))::BIGINT AS accuracy_ppm
+    FROM nn GROUP BY true_label
+    """,
+    doc="Embedding-quality evaluation by leave-one-out 1-NN label "
+    "prediction — the standard representation-quality probe run "
+    "before embeddings are trusted for retrieval or semantic dedup: "
+    "each held-out vector is classified by its exact nearest "
+    "neighbor's label, accuracy reported per true class as exact "
+    "integer ppm. The probe set is bounded (200 anchors, the "
+    "labeled exact-baseline contract); at 100 TB the neighbor stage "
+    "swaps to the LSH/IVF/PQ probes and the eval algebra is "
+    "unchanged. Near-random accuracy here is a property of the "
+    "synthetic near-isotropic vectors, and that is exactly what "
+    "this audit exists to DETECT on a real corpus.",
+    tags=("similarity", "llm", "quality"),
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 200)
+    nn = S.cosine_topk(emb, anchors, k=1, max_queries=1000)
+    labels = emb.select("vec_id", "label")
+    joined = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("_qid"), F.col("label").alias("true_label")
+            ),
+            nn["query_id"] == F.col("_qid"),
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("_nid"), F.col("label").alias("pred_label")
+            ),
+            nn["neighbor_id"] == F.col("_nid"),
+        )
+    )
+    correct = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return joined.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(correct).alias("n_correct"),
+        F.expr(
+            "(1000000 * sum(case when pred_label = true_label then 1 else 0 end))"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("accuracy_ppm"),
+    )
