@@ -9218,3 +9218,83 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("accuracy_ppm"),
     )
+
+
+@register(
+    "zonemap_skip_audit",
+    """
+    WITH sub AS (
+      SELECT o_orderstatus,
+             floor(o_totalprice * 100 + 0.5)::BIGINT AS pc,
+             (floor(o_totalprice * 100 + 0.5)::BIGINT // 5000000) AS zb
+      FROM orders
+    ),
+    zones AS (SELECT zb, min(pc) AS zmin, max(pc) AS zmax FROM sub GROUP BY zb),
+    audit AS (
+      SELECT count(*)::BIGINT AS n_files_total,
+             sum(CASE WHEN NOT (zmax < 10000000 OR zmin > 19999999)
+                      THEN 1 ELSE 0 END)::BIGINT AS n_files_read
+      FROM zones
+    )
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n_orders,
+           sum(pc)::BIGINT AS total_cents,
+           a.n_files_read, a.n_files_total
+    FROM sub CROSS JOIN audit a
+    WHERE pc BETWEEN 10000000 AND 19999999
+    GROUP BY o_orderstatus, a.n_files_read, a.n_files_total
+    """,
+    doc="Zone-map data skipping end-to-end (sinks/zonemap — the "
+    "Delta-stats/Iceberg-manifest shape): orders land range-"
+    "clustered by integer price into one file per $50k band, a "
+    "DISTRIBUTED footer harvest (mapInPandas over the file list, "
+    "zero data IO — stats parquet already wrote) persists the "
+    "per-file min/max sidecar, and a $100k-200k range predicate "
+    "then OPENS only intersecting files — the audit columns carry "
+    "files_read/files_total so the pruning ratio itself is "
+    "hash-verified, not just the surviving rows (the oracle "
+    "re-derives each file's zone as its band's true min/max — the "
+    "clustered layout makes file boundaries value-replayable). "
+    "Pruning is conservative by construction: the predicate "
+    "re-applies to survivors, statless files always read. At 100 TB "
+    "this is the difference between opening 3 files and 400k — and "
+    "a layout regression (lost clustering) surfaces as a "
+    "files_read jump, which is exactly what a lakehouse's stats "
+    "audit should catch.",
+    tags=("sink", "scale"),
+)
+def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dbm_nca_ph_etl_spark.sinks.zonemap import pruned_read, write_zonemaps
+
+    sub = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    scratch = tempfile.mkdtemp(prefix="zonemap_audit_")
+    try:
+        path = f"{scratch}/orders_zoned"
+        clustered = sub.withColumn("zb", F.expr("price_cents div 5000000"))
+        clustered.repartition(F.col("zb")).write.partitionBy("zb").parquet(path)
+        write_zonemaps(spark, path, ["price_cents"])
+        rows, n_read, n_total = pruned_read(
+            spark, path, "price_cents", 10_000_000, 19_999_999
+        )
+        out = (
+            rows.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("price_cents").cast("long").alias("total_cents"),
+            )
+            .withColumn("n_files_read", F.lit(n_read).cast("long"))
+            .withColumn("n_files_total", F.lit(n_total).cast("long"))
+            # materialize before the scratch dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
