@@ -8440,7 +8440,7 @@ def context_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resampling ledger (raw tokens, weight, target, kept docs/"
     "tokens): the difference between n_tokens_total's distribution "
     "and n_tokens_kept's IS the temperature flattening.",
-    tags=("llm", "sampling", "quality"),
+    tags=("llm", "sampling", "quality", "bench"),
 )
 def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -8541,7 +8541,7 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "just row counts). The fact side never shuffles: the bitmap "
     "broadcasts, probes are map lookups, and the final rollup is "
     "priority-sized.",
-    tags=("relational", "scale"),
+    tags=("relational", "scale", "bench"),
 )
 def bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbm_nca_ph_etl_spark.operators import bloom as B
@@ -8764,7 +8764,7 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expression), then six slices and two concat_ws; map-only, no "
     "shuffle, embarrassingly parallel at 100 TB. Docs under 8 "
     "tokens are filtered (too short to hold two spans).",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -8935,6 +8935,11 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbm_nca_ph_etl_spark.functions.scalars import hash48
 
     d = _t(spark, sf_dir, "documents")
+    # static block cuts: the order key is a 48-bit md5 value —
+    # uniform by construction — so evenly spaced literals balance
+    # blocks without prefix_sum's per-call approxQuantile job
+    # (any sorted boundary list is CORRECT; see prefix_sum's doc)
+    cuts = [i * (1 << 48) / 32 for i in range(1, 32)]
     outs = []
     for e in (0, 1, 2):
         r = d.select(
@@ -8944,7 +8949,7 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
             F.lit(1).cast("long").alias("one"),
         )
-        c = W.prefix_sum(r, "one", ["h", "doc_id"], out_col="rnk")
+        c = W.prefix_sum(r, "one", ["h", "doc_id"], out_col="rnk", cuts=cuts)
         outs.append(
             c.select(
                 F.lit(e).cast("int").alias("epoch"),
@@ -9148,7 +9153,7 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
       SELECT vec_id AS query_id, label AS true_label, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < 200
+      FROM embeddings WHERE vec_id < 100
     ),
     c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
           FROM embeddings),
@@ -9180,7 +9185,7 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "before embeddings are trusted for retrieval or semantic dedup: "
     "each held-out vector is classified by its exact nearest "
     "neighbor's label, accuracy reported per true class as exact "
-    "integer ppm. The probe set is bounded (200 anchors, the "
+    "integer ppm. The probe set is bounded (100 anchors, the "
     "labeled exact-baseline contract); at 100 TB the neighbor stage "
     "swaps to the LSH/IVF/PQ probes and the eval algebra is "
     "unchanged. Near-random accuracy here is a property of the "
@@ -9190,7 +9195,7 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    anchors = emb.where(F.col("vec_id") < 200)
+    anchors = emb.where(F.col("vec_id") < 100)
     nn = S.cosine_topk(emb, anchors, k=1, max_queries=1000)
     labels = emb.select("vec_id", "label")
     joined = (
