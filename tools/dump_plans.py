@@ -158,6 +158,33 @@ SHOWCASE = {
         "shuffle, output is audit rows — decode cost scales linearly "
         "with assets and parallelizes per input split."
     ),
+    "bloom_prune_audit": (
+        "Runtime row-level pruning: the build side reduces to a one-row "
+        "word-packed bitmap that CROSSES as a broadcast (BroadcastExchange "
+        "of 1 row, no shuffle anywhere on the fact side); every order "
+        "evaluates 4 md5 map-lookups inside the scan's projection, and "
+        "only the priority-sized rollup exchanges. The fact table never "
+        "materializes a join row for the ~98% of keys the filter kills — "
+        "the semi-join-reduction shape engines inject at 100 TB."
+    ),
+    "context_window_pack": (
+        "Sequence packing over prefix_sum's two-phase scan: block ids are "
+        "LITERAL comparisons inside the projection (no re-sampled range "
+        "exchange), the per-block window shuffles once on the block key, "
+        "and the block-offset side is a metadata-sized aggregate "
+        "broadcast back. The explode to overlapped windows is map-side; "
+        "the final window_id hash-agg is output-sized (corpus_tokens/2048 "
+        "rows). No single task ever holds the global token order."
+    ),
+    "ann_rp_topk": (
+        "JL compression retrieval: one ArrowEvalPython stage projects "
+        "both sides to r=32 dims (fixed-shape per-row GEMV — partition-"
+        "invariant values), the projected scan feeds a broadcast-queries "
+        "nested loop whose per-pair cost is an r-length fold (half the "
+        "FLOPs/bytes of full-dim), and only n_cand survivors reach the "
+        "exact full-dim re-rank. At 100 TB the projected corpus is the "
+        "persisted index; the full vectors are fetched per-candidate."
+    ),
 }
 
 
