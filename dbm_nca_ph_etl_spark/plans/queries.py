@@ -9303,3 +9303,86 @@ def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@register(
+    "var_matview_price_spread",
+    """
+    WITH p AS (
+      SELECT o_orderpriority,
+             count(*)::BIGINT AS n,
+             sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS DECIMAL(38,0))) AS s,
+             sum(CAST(floor((o_totalprice * o_totalprice) * 1000000 + 0.5)
+                      AS DECIMAL(38,0))) AS s2
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           n AS n_orders,
+           floor((CAST(s AS DOUBLE) / 1000000) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS avg_price,
+           floor(((CAST(s2 AS DOUBLE) / 1000000)
+                  - ((CAST(s AS DOUBLE) / 1000000) * (CAST(s AS DOUBLE) / 1000000))
+                    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS var_price,
+           floor(sqrt(((CAST(s2 AS DOUBLE) / 1000000)
+                       - ((CAST(s AS DOUBLE) / 1000000) * (CAST(s AS DOUBLE) / 1000000))
+                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000 AS std_price
+    FROM p
+    """,
+    doc="Mergeable + retractable VARIANCE materialized view "
+    "(sinks/matview.py kind='var'): the fourth sketch axis — spread. "
+    "The view stores the moment struct (n, Σx, Σx²) with x and x² "
+    "quantized per row to 1e-6 integer micro-units and summed as "
+    "DECIMAL(38,0), so partials are exact integers: merge order can "
+    "never perturb them, and every field is a plain sum ⇒ the full "
+    "negate algebra. The query folds orders through three %-batches "
+    "in a non-arrival association, then RETRACTS batch 2 and re-adds "
+    "it (negate_partial round trip) — the result must still hash-match "
+    "the oracle's one-shot aggregate, proving both the merge AND the "
+    "retraction algebra. Read-time avg/var/std run identical "
+    "double-expression trees in both engines over the exact integer "
+    "sums. At 100 TB a refresh shuffles O(groups) 3-field structs, "
+    "never raw rows; persisted path shared with "
+    "test_sinks.TestMaterializedAgg.",
+    tags=("lake", "incremental", "sketch"),
+)
+def var_matview_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sinks.matview import (
+        Measure,
+        derived_stddev,
+        derived_variance,
+        merge_partials,
+        negate_partial,
+        partial_agg,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    m = Measure("price_var", "o_totalprice", "var")
+    batches = [
+        partial_agg(o.where(F.col("o_orderkey") % 3 == i), keys, [m])
+        for i in range(3)
+    ]
+    # (b1 ⊕ b0) ⊕ b2 ⊕ (−b2) ⊕ b2 — merge in a non-arrival
+    # association, retract a batch, re-apply it
+    folded = merge_partials(
+        [
+            merge_partials([batches[1], batches[0]], keys, [m]),
+            batches[2],
+            negate_partial(batches[2], [m]),
+            batches[2],
+        ],
+        keys,
+        [m],
+    )
+    c = F.col("price_var")
+    nd = c.getField("n").cast("double")
+    sd = c.getField("s").cast("double") / F.lit(1e6)
+    return folded.select(
+        "o_orderpriority",
+        c.getField("n").alias("n_orders"),
+        (F.floor((sd / nd) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("avg_price"),
+        derived_variance("price_var").alias("var_price"),
+        derived_stddev("price_var").alias("std_price"),
+    )

@@ -18,6 +18,9 @@ partial-aggregate* form and fold each new batch in:
             :func:`derived_distinct`
     avg   ← sum / count, derived at READ time — never stored, so it
             stays exact under any merge order
+    var   ← (n, Σx, Σx²) moment struct; every field is a plain sum,
+            so the sketch is mergeable AND retractable. Variance /
+            stddev derived at READ time via :func:`derived_variance`
 
 Each refresh therefore shuffles O(groups) rows — the view itself —
 never the raw data; the batch's own partial agg is map-side combined
@@ -54,7 +57,7 @@ from pyspark.sql import functions as F
 from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS, get_fs
 from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 
-_KINDS = ("sum", "count", "min", "max", "hll", "hist", "cms")
+_KINDS = ("sum", "count", "min", "max", "hll", "hist", "cms", "var")
 
 
 @dataclass(frozen=True)
@@ -84,7 +87,18 @@ class Measure:
     probability amplification across rows (Cormode & Muthukrishnan
     2005). A LINEAR sketch: counters add, so it is mergeable AND
     retractable (the full negate algebra hist has and hll lacks).
-    The md5-seeded hashes replay exactly in the DuckDB oracle."""
+    The md5-seeded hashes replay exactly in the DuckDB oracle.
+
+    ``kind="var"`` stores the moment struct ``(n, s, s2)`` — count,
+    Σx and Σx² — the VARIANCE/STDDEV answer for incremental views.
+    x and x² are quantized per row to 1e-6 integer micro-units
+    (``floor(v·1e6 + 0.5)``, the engine-parity rounding convention)
+    and summed as DECIMAL(38,0), so the partials are exact integers:
+    merge order can never perturb them, and every field is a plain
+    sum ⇒ mergeable AND retractable. Read-time variance/stddev via
+    :func:`derived_variance` / :func:`derived_stddev`. Safe input
+    domain |x| ≤ ~3e6 (x²·1e6 must fit the per-row LONG before the
+    decimal cast); beyond that, pre-scale the expr."""
 
     name: str
     expr: str
@@ -174,6 +188,17 @@ def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure])
                     for i in range(m.width)
                 )
             aggs.append(F.array(*cells).alias(m.name))
+        elif m.kind == "var":
+            d = col.cast("double")
+            micro = F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+            micro2 = F.floor(d * d * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+            aggs.append(
+                F.struct(
+                    F.count(col).alias("n"),
+                    F.sum(micro).alias("s"),
+                    F.sum(micro2).alias("s2"),
+                ).alias(m.name)
+            )
         else:
             aggs.append(F.max(col).alias(m.name))
     return df.groupBy(*keys).agg(*aggs)
@@ -193,6 +218,12 @@ def merge_partials(
     }
 
     def folded(m: Measure) -> Column:
+        if m.kind == "var":
+            return F.struct(
+                F.sum(F.col(m.name).getField("n")).alias("n"),
+                F.sum(F.col(m.name).getField("s")).cast("decimal(38,0)").alias("s"),
+                F.sum(F.col(m.name).getField("s2")).cast("decimal(38,0)").alias("s2"),
+            ).alias(m.name)
         if m.kind in ("hist", "cms"):
             # element-wise sum of the counter arrays — per-cell sum
             # aggregates reassembled into one array column
@@ -221,6 +252,13 @@ def negate_partial(partial: DataFrame, measures: Sequence[Measure]) -> DataFrame
         raise ValueError(f"min/max/hll measures are not retractable: {bad}")
 
     def neg(m: Measure) -> Column:
+        if m.kind == "var":
+            c = F.col(m.name)
+            return F.struct(
+                (-c.getField("n")).alias("n"),
+                (-c.getField("s")).cast("decimal(38,0)").alias("s"),
+                (-c.getField("s2")).cast("decimal(38,0)").alias("s2"),
+            ).alias(m.name)
         if m.kind in ("hist", "cms"):
             return F.transform(F.col(m.name), lambda v: -v).alias(m.name)
         return (-F.col(m.name)).alias(m.name)
@@ -271,6 +309,37 @@ def derived_cms_count(m: Measure, item: Column) -> Column:
         for r in range(m.depth)
     ]
     return cells[0] if len(cells) == 1 else F.least(*cells)
+
+
+def _var_raw(name: str, ddof: int) -> Column:
+    """Raw read-time variance off a stored var partial. The stored
+    integer micro-unit sums are exact, so the double arithmetic here
+    runs on merge-order-independent inputs; the expression tree is
+    written to match the oracle's token-for-token (same association
+    → bit-identical IEEE result in both engines)."""
+    c = F.col(name)
+    nd = c.getField("n").cast("double")
+    sd = c.getField("s").cast("double") / F.lit(1e6)
+    s2d = c.getField("s2").cast("double") / F.lit(1e6)
+    return (s2d - (sd * sd) / nd) / (nd - F.lit(float(ddof)))
+
+
+def derived_variance(name: str, ddof: int = 0, scale: int = 6) -> Column:
+    """Read-time variance estimate off a stored var partial, rounded
+    with the engine-parity ``floor(x·10^k + 0.5)`` convention. Error
+    vs the unquantized variance is bounded by the 1e-6 per-row
+    quantum; deterministic and merge-order independent."""
+    return F.floor(_var_raw(name, ddof) * F.lit(float(10**scale)) + F.lit(0.5)) / F.lit(
+        float(10**scale)
+    )
+
+
+def derived_stddev(name: str, ddof: int = 0, scale: int = 6) -> Column:
+    """Read-time stddev off a stored var partial — sqrt of the RAW
+    (unrounded) variance, then parity-rounded."""
+    return F.floor(
+        F.sqrt(_var_raw(name, ddof)) * F.lit(float(10**scale)) + F.lit(0.5)
+    ) / F.lit(float(10**scale))
 
 
 def derived_distinct(hll_col: str) -> Column:

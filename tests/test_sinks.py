@@ -524,6 +524,62 @@ class TestMaterializedAgg:
         assert got.n == 100  # events, not users
         assert got.d == 75  # sketch is exact at this cardinality
 
+    def test_var_measure_matches_statistics_pvariance(self, spark, tmp_path):
+        import statistics
+
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            MaterializedAgg,
+            Measure,
+            derived_stddev,
+            derived_variance,
+        )
+
+        mv = MaterializedAgg(
+            spark,
+            str(tmp_path / "mv_var"),
+            keys=["k"],
+            measures=[Measure("mom", "v", "var")],
+        )
+        vals = [1.25, 2.5, 7.75, 7.75, 100.0, -3.5]
+        b1 = spark.createDataFrame([("a", v) for v in vals[:3]], "k string, v double")
+        b2 = spark.createDataFrame([("a", v) for v in vals[3:]], "k string, v double")
+        assert mv.refresh(b1, "b1") and mv.refresh(b2, "b2")
+        got = (
+            mv.read_partials()
+            .select(
+                derived_variance("mom").alias("var"),
+                derived_stddev("mom").alias("std"),
+            )
+            .collect()[0]
+        )
+        want = statistics.pvariance(vals)
+        assert abs(got.var - want) < 1e-4  # 1e-6 per-row quantum
+        assert abs(got.std - want**0.5) < 1e-4
+
+    def test_var_measure_retraction_round_trip(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg, Measure
+
+        mv = MaterializedAgg(
+            spark,
+            str(tmp_path / "mv_var_r"),
+            keys=["k"],
+            measures=[Measure("mom", "v", "var")],
+        )
+        b1 = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 9.0)], "k string, v double"
+        )
+        b2 = spark.createDataFrame([("a", 5.0)], "k string, v double")
+        mv.refresh(b1, "b1")
+        mv.refresh(b2, "b2")
+        mv.refresh(b2, "b2-retract", retract=True)
+        got = {
+            r.k: (r.mom.n, int(r.mom.s), int(r.mom.s2))
+            for r in mv.read_partials().collect()
+        }
+        # back to exactly b1's moments — integer micro-unit sums
+        assert got["a"] == (2, 3_000_000, 5_000_000)
+        assert got["b"] == (1, 9_000_000, 81_000_000)
+
     def test_hll_measure_refuses_retraction(self, spark, tmp_path):
         from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg, Measure
 
