@@ -200,3 +200,126 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.min("base").cast("long").alias("first_pos"),
     )
+
+
+def tfidf_weights(
+    postings: DataFrame, max_df_ratio: float = 0.5, quantum: int = 1_000_000
+) -> DataFrame:
+    """(token, doc_id, w) integer micro-unit TF-IDF weights — the
+    sparse document-vector table a "more like this" index persists
+    next to its postings.
+
+    - df/N stats aggregate the postings (vocab-sized / 1 row);
+    - tokens with ``df > max_df_ratio·N`` are PRUNED (Lucene
+      MoreLikeThis' max_doc_freq): stopword-grade lists carry no
+      similarity signal but dominate posting-join cost — the cap is
+      what bounds the token-join fan-out at corpus scale;
+    - ``w = floor(tf · ln(1 + N/df) · quantum + 0.5)`` quantized
+      PER ROW to an exact integer, so every downstream dot product /
+      norm is a sum of exact integers — partial-agg merge order can
+      never perturb a cosine (catalog determinism contract).
+
+    The df join is token-keyed; at 100 TB build it once per corpus
+    snapshot and denormalize df into the postings layout (same
+    advice as bm25_search's doc_len)."""
+    n_docs = postings.agg(
+        F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs")
+    )
+    dfreq = (
+        postings.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        # integer-math df cap (3dp ratio resolution, oracle-replayable)
+        .where(
+            F.col("df") * F.lit(1000)
+            <= F.lit(int(max_df_ratio * 1000)) * F.col("n_docs")
+        )
+    )
+    idf = F.log(F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df").cast("double"))
+    return postings.join(dfreq, "token").select(
+        "token",
+        "doc_id",
+        F.floor(F.col("tf").cast("double") * idf * F.lit(float(quantum)) + F.lit(0.5))
+        .cast("decimal(18,0)")
+        .alias("w"),
+    )
+
+
+def doc_norms(weights: DataFrame) -> DataFrame:
+    """(doc_id, norm2) — exact Σw² per document over the pruned
+    vocabulary, as DECIMAL so the sum is merge-order-exact."""
+    return weights.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("decimal(38,0)").alias("norm2")
+    )
+
+
+def more_like_this(
+    postings: DataFrame,
+    query_ids: Sequence[int],
+    topk: int = 10,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """TF-IDF cosine "more like this": for each query document, the
+    ``topk`` most similar corpus documents by sparse dot product
+    through the inverted index — the classic related-content /
+    near-topic retrieval that needs no embeddings.
+
+    Plan, sized for a 100 TB corpus:
+
+    - query-side vectors are a pushed-down ``isin`` probe of the
+      weights table (|query| · doc_len rows) and BROADCAST — the
+      corpus side never shuffles for the match;
+    - the candidate set is token-driven: only documents sharing a
+      surviving (df-capped) token with a query doc ever score — no
+      all-pairs anything;
+    - dot products and norms are sums of exact integer products
+      (DECIMAL accumulators), so scores are bit-stable under any
+      partitioning; the final cosine is one double expression on
+      exact integers, emitted as integer ppm (catalog parity
+      convention);
+    - ranking cuts on (cos_ppm DESC, doc_id) — a total order, so
+      the top-k frontier is reproducible.
+
+    Output: (query_doc, doc_id, cos_ppm, rank), self-matches
+    excluded."""
+    qids = sorted(int(i) for i in query_ids)
+    if not qids:
+        raise ValueError("query_ids must be non-empty")
+    weights = tfidf_weights(postings, max_df_ratio=max_df_ratio)
+    norms = doc_norms(weights)
+    qw = weights.where(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("query_doc"), "token", F.col("w").alias("qw")
+    )
+    dots = (
+        weights.join(F.broadcast(qw), "token")
+        .where(F.col("doc_id") != F.col("query_doc"))
+        .groupBy("query_doc", "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).cast("decimal(38,0)").alias("dot"))
+    )
+    qnorms = norms.where(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("query_doc"), F.col("norm2").alias("qnorm2")
+    )
+    cos = (
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("qnorm2").cast("double"))
+            * F.sqrt(F.col("norm2").cast("double"))
+        )
+    )
+    scored = (
+        dots.join(F.broadcast(qnorms), "query_doc")
+        .join(norms, "doc_id")
+        .select(
+            "query_doc",
+            "doc_id",
+            F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long").alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.col("cos_ppm").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("query_doc", "doc_id", "cos_ppm", "rank")
+    )

@@ -9386,3 +9386,67 @@ def var_matview_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         derived_variance("price_var").alias("var_price"),
         derived_stddev("price_var").alias("std_price"),
     )
+
+
+@register(
+    "more_like_this_docs",
+    f"""
+    WITH posting AS ({_SQL_POSTINGS}),
+    nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM posting),
+    dfq AS (SELECT token, count(*)::BIGINT AS df FROM posting GROUP BY token),
+    wts AS (
+      SELECT p.doc_id, p.token,
+             CAST(floor(CAST(p.tf AS DOUBLE)
+                        * ln(1.0 + CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                        * 1000000 + 0.5) AS DECIMAL(18,0)) AS w
+      FROM posting p JOIN dfq USING (token) CROSS JOIN nd
+      WHERE df * 1000 <= 500 * n
+    ),
+    norms AS (
+      SELECT doc_id, CAST(sum(w * w) AS DECIMAL(38,0)) AS norm2
+      FROM wts GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT q.doc_id AS query_doc, c.doc_id,
+             CAST(sum(q.w * c.w) AS DECIMAL(38,0)) AS dot
+      FROM wts q JOIN wts c USING (token)
+      WHERE q.doc_id IN (0, 1, 2) AND c.doc_id <> q.doc_id
+      GROUP BY q.doc_id, c.doc_id
+    ),
+    scored AS (
+      SELECT d.query_doc, d.doc_id,
+             CAST(floor(CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(qn.norm2 AS DOUBLE))
+                           * sqrt(CAST(cn.norm2 AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+      FROM dots d
+      JOIN norms qn ON qn.doc_id = d.query_doc
+      JOIN norms cn ON cn.doc_id = d.doc_id
+    )
+    SELECT query_doc, doc_id, cos_ppm, rank FROM (
+      SELECT query_doc, doc_id, cos_ppm,
+             row_number() OVER (PARTITION BY query_doc
+                                ORDER BY cos_ppm DESC, doc_id)::INT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="TF-IDF 'more like this' retrieval (operators/inverted."
+    "more_like_this): related-document search through the inverted "
+    "index with NO embeddings — the Lucene MoreLikeThis shape. "
+    "Sparse document vectors are integer micro-unit tf·idf weights "
+    "(tfidf_weights; df-capped at 0.5N so stopword-grade posting "
+    "lists never join), query vectors broadcast against the "
+    "token-keyed weights table, and dot products / norms accumulate "
+    "as exact DECIMAL integer sums — bit-stable under any "
+    "partitioning, which is what lets the cosine emit as integer "
+    "ppm and hash-match a full SQL replay. Candidates are "
+    "token-driven (docs sharing a surviving token), never "
+    "all-pairs. Top-10 per query doc on the (cos_ppm, doc_id) "
+    "total order.",
+    tags=("llm", "text", "search"),
+)
+def more_like_this_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.inverted import build_postings, more_like_this
+
+    d = _t(spark, sf_dir, "documents")
+    return more_like_this(build_postings(d), query_ids=[0, 1, 2], topk=10)

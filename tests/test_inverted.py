@@ -189,3 +189,65 @@ class TestPhraseSearch:
 
         with _pt.raises(ValueError):
             phrase_search(self._pp(spark, [(1, "a")]), [])
+
+
+class TestMoreLikeThis:
+    def _corpus(self, spark):
+        # docs 1 and 2 are near-identical; 3 shares one rare token
+        # with 1; 4 is disjoint; "the" appears in every doc (df=N)
+        # so the df cap must prune it from all vectors.
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),
+                (2, "the quick brown fox leaps"),
+                (3, "the lazy fox sleeps"),
+                (4, "the numeric vector table"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_near_identical_doc_ranks_first(self, spark):
+        from dbm_nca_ph_etl_spark.operators.inverted import (
+            build_postings,
+            more_like_this,
+        )
+
+        # cap at 0.8: "fox" (df 3/4) survives, "the" (df 4/4) pruned
+        got = more_like_this(
+            build_postings(self._corpus(spark)), query_ids=[1], topk=3,
+            max_df_ratio=0.8,
+        ).collect()
+        by_rank = {r.rank: r for r in got}
+        assert by_rank[1].doc_id == 2  # 3 shared informative tokens
+        assert by_rank[2].doc_id == 3  # 1 shared token ("fox")
+        # doc 4 shares only the df-pruned "the": no candidate row at all
+        assert {r.doc_id for r in got} == {2, 3}
+        # self-match excluded everywhere
+        assert all(r.doc_id != 1 for r in got)
+        assert by_rank[1].cos_ppm > by_rank[2].cos_ppm
+
+    def test_exact_duplicate_scores_unit_cosine(self, spark):
+        from dbm_nca_ph_etl_spark.operators.inverted import (
+            build_postings,
+            more_like_this,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+            "doc_id long, text string",
+        )
+        got = more_like_this(
+            build_postings(docs), query_ids=[1], topk=2, max_df_ratio=0.7
+        ).collect()
+        assert got[0].doc_id == 2 and got[0].cos_ppm == 1_000_000
+
+    def test_empty_query_set_refused(self, spark):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.inverted import (
+            build_postings,
+            more_like_this,
+        )
+
+        with pytest.raises(ValueError):
+            more_like_this(build_postings(self._corpus(spark)), query_ids=[])
