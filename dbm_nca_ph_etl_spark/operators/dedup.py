@@ -649,3 +649,71 @@ def repeated_span_pairs(
         .where((F.col("_rn") == 1) & (F.col("span_tokens") >= min_len))
         .select("doc_a", "doc_b", "span_tokens", "start_a", "start_b")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer/Wilkerson/Aiken 2003
+    — the MOSS local fingerprinting algorithm): hash every k-gram,
+    slide a window of ``w`` consecutive hashes, and in each window
+    select the RIGHTMOST MINIMUM. The selected set is position-
+    covering (every shared run of ≥ w+k-1 tokens is guaranteed to
+    share a fingerprint — the winnowing guarantee) at ~2/(w+1)
+    density, which is what makes it the plagiarism/overlap detector
+    of record where MinHash's whole-document signatures can't
+    localize matches.
+
+    Spark-first shape: selection is a PER-DOCUMENT computation, so it
+    runs entirely inside one projection — tokenize → positional
+    k-gram hashes (let-bound, evaluated once) → per-window
+    rightmost-argmin as an O(w) ``aggregate`` fold per window →
+    ``array_distinct`` — ZERO shuffles, no UDF, map-parallel over any
+    corpus size. Docs with fewer than ``w+k-1`` tokens are below the
+    detector's resolution and emit nothing (the winnowing paper's
+    noise threshold).
+
+    Output: one row per selected fingerprint, ``(doc_id, pos, fp)``
+    with ``pos`` the 1-based token position of the k-gram and ``fp``
+    its 48-bit md5 hash (DuckDB-replayable convention)."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+
+    def pick(hs: Column) -> Column:
+        n = F.size(hs)
+        init = F.struct(
+            F.lit((1 << 62)).cast("bigint").alias("h"),
+            F.lit(0).cast("int").alias("p"),
+        )
+
+        def rightmost_min(s: Column) -> Column:
+            return F.aggregate(
+                F.sequence(s, s + F.lit(w - 1)),
+                init,
+                lambda acc, i: F.when(
+                    F.element_at(hs, i) <= acc["h"],
+                    F.struct(
+                        F.element_at(hs, i).alias("h"), i.cast("int").alias("p")
+                    ),
+                ).otherwise(acc),
+            )
+
+        return F.when(
+            n >= w,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), n - F.lit(w - 1)), rightmost_min)
+            ),
+        ).otherwise(F.array().cast("array<struct<h:bigint,p:int>>"))
+
+    fps = let(
+        F.transform(word_shingles_pos(F.col(text_col), n=k), hash48), pick
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(fps).alias("f")).select(
+        "doc_id",
+        F.col("f.p").cast("long").alias("pos"),
+        F.col("f.h").alias("fp"),
+    )

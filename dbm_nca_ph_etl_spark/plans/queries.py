@@ -9450,3 +9450,80 @@ def more_like_this_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return more_like_this(build_postings(d), query_ids=[0, 1, 2], topk=10)
+
+
+@register(
+    "winnow_plagiarism_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - 4)) AS pos,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+                    i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),
+                                         1, 12))::BIGINT)) AS h
+      FROM toks WHERE len(t) >= 5
+    ),
+    nk AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    win AS (
+      SELECT sh.doc_id, sh.pos, sh.h, sh.pos - off AS w0
+      FROM sh JOIN nk USING (doc_id)
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS off) o
+      WHERE sh.pos - off >= 1 AND sh.pos - off <= n - 3
+    ),
+    chosen AS (
+      SELECT doc_id, pos, h FROM (
+        SELECT doc_id, pos, h,
+               row_number() OVER (PARTITION BY doc_id, w0
+                                  ORDER BY h ASC, pos DESC) AS rn
+        FROM win
+      ) WHERE rn = 1
+    ),
+    fps AS (SELECT DISTINCT doc_id, h FROM chosen),
+    ok AS (SELECT h FROM fps GROUP BY h HAVING count(*) <= 16),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+      FROM fps a JOIN fps b USING (h) JOIN ok USING (h)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs
+    ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20
+    """,
+    doc="Winnowing fingerprint overlap report (operators/dedup."
+    "winnow_fingerprints) — the MOSS plagiarism-detection pipeline "
+    "(Schleimer et al. 2003): per-window rightmost-minimum k-gram "
+    "hashes give a position-covering ~2/(w+1)-density fingerprint "
+    "set (any shared run of ≥ w+k-1 tokens MUST share a "
+    "fingerprint), localizing overlap where MinHash signatures "
+    "can't. Selection is per-document — one let-bound HOF "
+    "projection, zero shuffles — so the only data-sized exchanges "
+    "are the df-capped fingerprint self-join (bounded posting "
+    "lists, the LSH-pairs discipline) and the pair rollup. Exact "
+    "hash match vs a full SQL replay of the window argmin "
+    "(rightmost-min tiebreak included); top-20 on the "
+    "(n_shared, doc_a, doc_b) total order.",
+    tags=("llm", "dedup"),
+)
+def winnow_plagiarism_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=5, w=4).select("doc_id", "fp").distinct()
+    ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") <= 16)
+        .select("fp")
+    )
+    pruned = fps.join(ok, "fp")
+    pairs = (
+        pruned.select(F.col("doc_id").alias("doc_a"), "fp")
+        .join(pruned.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return pairs.orderBy(F.col("n_shared").desc(), "doc_a", "doc_b").limit(20)

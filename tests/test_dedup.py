@@ -417,3 +417,74 @@ class TestRepeatedSpans:
         from dbm_nca_ph_etl_spark.operators.dedup import repeated_span_pairs
 
         assert repeated_span_pairs(d, min_len=2, k=8).count() == 0
+
+
+class TestWinnowFingerprints:
+    @staticmethod
+    def _ref(doc_id, text, k, w):
+        """Pure-Python winnowing (Schleimer et al. 2003, rightmost min)."""
+        import hashlib
+
+        toks = [t for t in text.lower().split() if t]
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:12], 16) for g in grams]
+        out = set()
+        for s in range(len(hs) - w + 1):
+            best = min(range(s, s + w), key=lambda i: (hs[i], -i))
+            out.add((doc_id, best + 1, hs[best]))
+        return out
+
+    def test_differential_vs_pure_python(self, spark):
+        from dbm_nca_ph_etl_spark.operators.dedup import winnow_fingerprints
+
+        texts = [
+            (1, "a b c d e f g h i j k l"),
+            (2, "short doc"),
+            (3, "x x x x x x x x"),  # all-equal hashes: ties everywhere
+            (4, "the quick brown fox jumps over the lazy dog again and again"),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.pos, r.fp)
+            for r in winnow_fingerprints(df, k=3, w=4).collect()
+        }
+        want = set()
+        for d, t in texts:
+            want |= self._ref(d, t, k=3, w=4)
+        assert got == want
+
+    def test_covering_guarantee_on_shared_run(self, spark):
+        # winnowing guarantee: a shared token run of >= w+k-1 tokens
+        # must yield at least one shared fingerprint
+        from dbm_nca_ph_etl_spark.operators.dedup import winnow_fingerprints
+
+        shared = "one two three four five six seven eight"  # 8 >= 4+5-1
+        df = spark.createDataFrame(
+            [
+                (1, f"aa bb cc {shared} dd ee"),
+                (2, f"zz yy {shared} xx ww vv uu"),
+            ],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(df, k=5, w=4)
+        shared_fps = (
+            fps.groupBy("fp").count().where("count >= 2").count()
+        )
+        assert shared_fps >= 1
+
+    def test_below_resolution_docs_emit_nothing(self, spark):
+        from dbm_nca_ph_etl_spark.operators.dedup import winnow_fingerprints
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )  # 6 tokens, k=5 -> 2 kgrams < w=4 windows
+        assert winnow_fingerprints(df, k=5, w=4).count() == 0
+
+    def test_param_guard(self, spark):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.dedup import winnow_fingerprints
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            winnow_fingerprints(df, k=0)
