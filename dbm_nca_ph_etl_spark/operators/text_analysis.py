@@ -636,3 +636,107 @@ def bpe_train(
     if prev is not None:
         prev.unpersist()
     return merges_df
+
+
+def bigram_nll(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model scoring with add-one
+    smoothing — the order-2 upgrade of :func:`unigram_nll`'s
+    perplexity filter: p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), which
+    catches word-salad documents whose unigram distribution looks
+    fine but whose transitions are noise (the CCNet binning signal).
+
+    One tokenize pass; everything downstream is rollups of the
+    per-doc bigram table:
+
+    - occ (doc, w1, w2, btf): per-doc bigram type counts — the
+      tf-weighting discipline (a repeated transition is one row);
+    - c12 = Σ btf over docs (corpus bigram counts), c1 = Σ c12 over
+      w2 (context counts) — rollups, no second scan;
+    - V = |vocab| from the c12 table's two token columns (1-row
+      broadcast);
+    - per-type NLL is quantized to integer micro-nats
+      (``floor((ln(c1+V) − ln(c12+1))·1e6 + 0.5)``) so the per-doc
+      sum is an EXACT integer — partial-agg merge order can never
+      perturb a perplexity (catalog determinism contract);
+    - the scoring join occ ⋈ per on (w1, w2) shuffles bigram TYPES,
+      not instances; at 100 TB both sides co-partition on the
+      bigram key (or denormalize the counts into a persisted
+      postings-style artifact, as bm25/tfidf advise).
+
+    Output per doc: n_bigrams, exact ``nll_micro``, the rounded
+    ``avg_nll_micro`` and integer perplexity ``ppl`` (exp of the
+    average — deterministic double math on exact integers). Docs
+    with < 2 tokens have no transitions and drop out."""
+    from dbm_nca_ph_etl_spark.functions.scalars import let
+    from dbm_nca_ph_etl_spark.operators.dedup import tokens
+
+    def bigrams(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - 1)
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    occ = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(let(tokens(F.col(text_col)), bigrams)).alias("b"),
+        )
+        .groupBy("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("btf"))
+    )
+    c12 = occ.groupBy("w1", "w2").agg(F.sum("btf").cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab = (
+        c12.select(F.col("w1").alias("tok"))
+        .union(c12.select(F.col("w2").alias("tok")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("V"))
+    )
+    per = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                (
+                    F.log((F.col("c1") + F.col("V")).cast("double"))
+                    - F.log((F.col("c12") + F.lit(1)).cast("double"))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nm"),
+        )
+    )
+    scored = (
+        occ.join(per, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("btf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("btf") * F.col("nm")).cast("long").alias("nll_micro"),
+        )
+    )
+    avg = F.floor(
+        F.col("nll_micro").cast("double") / F.col("n_bigrams").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_micro",
+        avg.alias("avg_nll_micro"),
+        F.floor(F.exp(avg.cast("double") / F.lit(1e6)) + F.lit(0.5))
+        .cast("long")
+        .alias("ppl"),
+    )

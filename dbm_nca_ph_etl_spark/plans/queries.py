@@ -9527,3 +9527,67 @@ def winnow_plagiarism_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
     return pairs.orderBy(F.col("n_shared").desc(), "doc_a", "doc_b").limit(20)
+
+
+@register(
+    "bigram_perplexity_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    occ AS (
+      SELECT doc_id, w1, w2, count(*)::BIGINT AS btf
+      FROM big GROUP BY doc_id, w1, w2
+    ),
+    c12 AS (SELECT w1, w2, sum(btf)::BIGINT AS c12 FROM occ GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
+    vocab AS (
+      SELECT count(*)::BIGINT AS V FROM (
+        SELECT w1 AS tok FROM c12 UNION SELECT w2 FROM c12
+      )
+    ),
+    per AS (
+      SELECT w1, w2,
+             CAST(floor((ln(CAST(c1 + V AS DOUBLE)) - ln(CAST(c12 + 1 AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS nm
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN vocab
+    ),
+    scored AS (
+      SELECT doc_id, sum(btf)::BIGINT AS n_bigrams,
+             sum(btf * nm)::BIGINT AS nll_micro
+      FROM occ JOIN per USING (w1, w2) GROUP BY doc_id
+    ),
+    finalized AS (
+      SELECT doc_id, n_bigrams, nll_micro,
+             CAST(floor(CAST(nll_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                        + 0.5) AS BIGINT) AS avg_nll_micro
+      FROM scored
+    )
+    SELECT doc_id, n_bigrams, nll_micro, avg_nll_micro,
+           CAST(floor(exp(CAST(avg_nll_micro AS DOUBLE) / 1000000) + 0.5)
+                AS BIGINT) AS ppl
+    FROM finalized
+    ORDER BY avg_nll_micro DESC, doc_id LIMIT 20
+    """,
+    doc="Bigram language-model perplexity filter (operators/"
+    "text_analysis.bigram_nll): order-2 add-one-smoothed "
+    "p(w2|w1) trained on the corpus itself, the transition-noise "
+    "detector unigram perplexity can't see. Per-bigram-type NLL "
+    "quantizes to integer micro-nats so per-doc sums are exact "
+    "integers (merge-order-proof); ranking and the top-20 cut run "
+    "on the (avg_nll_micro, doc_id) total order. Counts are "
+    "rollups of one tokenize pass; the scoring join shuffles "
+    "bigram TYPES only. Exact hash match vs the full SQL replay.",
+    tags=("llm", "text", "quality"),
+)
+def bigram_perplexity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.text_analysis import bigram_nll
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_nll(d).orderBy(F.col("avg_nll_micro").desc(), "doc_id").limit(20)

@@ -251,3 +251,51 @@ class TestMoreLikeThis:
 
         with pytest.raises(ValueError):
             more_like_this(build_postings(self._corpus(spark)), query_ids=[])
+
+
+class TestBigramNLL:
+    def test_differential_vs_pure_python(self, spark):
+        import math
+
+        from dbm_nca_ph_etl_spark.operators.text_analysis import bigram_nll
+
+        texts = [
+            (1, "a b a b a b"),           # predictable transitions
+            (2, "a b c d e f"),           # every transition unique
+            (3, "solo"),                  # < 2 tokens: drops out
+        ]
+        got = {
+            r.doc_id: r
+            for r in bigram_nll(
+                spark.createDataFrame(texts, "doc_id long, text string")
+            ).collect()
+        }
+        assert 3 not in got
+
+        # pure-Python replay of the exact micro-nat algebra
+        occ, c12, c1 = {}, {}, {}
+        for d, t in texts:
+            toks = t.split()
+            for w1, w2 in zip(toks, toks[1:]):
+                occ[(d, w1, w2)] = occ.get((d, w1, w2), 0) + 1
+                c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+        for (w1, _), c in c12.items():
+            c1[w1] = c1.get(w1, 0) + c
+        vocab = {w for p in c12 for w in p}
+        nm = {
+            p: math.floor(
+                (math.log(c1[p[0]] + len(vocab)) - math.log(c + 1)) * 1e6 + 0.5
+            )
+            for p, c in c12.items()
+        }
+        for d in (1, 2):
+            n = sum(v for (dd, *_), v in occ.items() if dd == d)
+            nll = sum(
+                v * nm[(w1, w2)] for (dd, w1, w2), v in occ.items() if dd == d
+            )
+            assert got[d].n_bigrams == n
+            assert got[d].nll_micro == nll
+
+        # word salad is more perplexing than the predictable doc
+        assert got[2].avg_nll_micro > got[1].avg_nll_micro
+        assert got[2].ppl > got[1].ppl
