@@ -79,6 +79,30 @@ class LakeFS:
         version enumeration for the marker-committed matview layout."""
         raise NotImplementedError
 
+    def delete_file(self, path: str) -> None:
+        """Remove a single object/file (no-op if absent) — lease
+        expiry/release in sinks/txlog."""
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Create ``path`` with ``data`` ONLY if it does not exist;
+        return whether this call created it — the compare-and-swap
+        every multi-writer commit protocol reduces to (sinks/txlog).
+
+        The base implementation is check-then-write: atomic only
+        when the store offers a conditional PUT. POSIX overrides
+        with ``O_EXCL`` (truly atomic); S3/GCS both expose
+        ``If-None-Match: *`` conditional PUTs — a production
+        adapter must route through that (pyarrow.fs does not
+        surface it, so ArrowLakeFS inherits the best-effort
+        fallback and multi-writer tables on it need an external
+        CAS, the documented Delta-on-S3 position pre-conditional-
+        PUT)."""
+        if self.exists(path):
+            return False
+        self.write_bytes(path, data)
+        return True
+
 
 class PosixLakeFS(LakeFS):
     """Bare local paths — stdlib only, no pyarrow import cost. The
@@ -106,6 +130,22 @@ class PosixLakeFS(LakeFS):
         with open(tmp, "wb") as fh:
             fh.write(data)
         os.replace(tmp, path)
+
+    def put_if_absent(self, path, data):
+        # O_CREAT|O_EXCL — the kernel arbitrates the race
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+        return True
+
+    def delete_file(self, path):
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
     def exists(self, path):
         return os.path.exists(path)
@@ -212,6 +252,13 @@ class ArrowLakeFS(LakeFS):
         fsys, p = self._resolve(path)
         if fsys.get_file_info(p).type != pafs.FileType.NotFound:
             fsys.delete_dir(p)
+
+    def delete_file(self, path):
+        from pyarrow import fs as pafs
+
+        fsys, p = self._resolve(path)
+        if fsys.get_file_info(p).type != pafs.FileType.NotFound:
+            fsys.delete_file(p)
 
     def ls_dirs(self, path):
         from pyarrow import fs as pafs
