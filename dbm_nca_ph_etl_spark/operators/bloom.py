@@ -82,7 +82,7 @@ def bloom_build(
     n = keys.select(F.count_distinct(key).alias("_bf_n"))
     return words.agg(
         F.map_from_arrays(F.collect_list("_w"), F.collect_list("_bits")).alias("_bf")
-    ).crossJoin(n)
+    ).crossJoin(F.broadcast(n))
 
 
 def bloom_might_contain(
