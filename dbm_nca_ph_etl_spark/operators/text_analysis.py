@@ -8,7 +8,7 @@ so a 100 TB corpus pass is a single codegen'd projection.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbm_nca_ph_etl_spark.functions.scalars import hash64, round6
@@ -740,3 +740,118 @@ def bigram_nll(
         .cast("long")
         .alias("ppl"),
     )
+
+
+def hashed_features(
+    docs: DataFrame, dim: int = 256, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, bucket, btf, n_tokens) hashed bag-of-words features —
+    the hashing-trick representation (no vocabulary table to ship)
+    shared by :func:`hashed_linear_score` and the trainer below. One
+    tokenize pass; bucket = hash48(token) % dim (DuckDB-replayable)."""
+    from dbm_nca_ph_etl_spark.functions.scalars import hash48
+    from dbm_nca_ph_etl_spark.operators.inverted import build_postings
+
+    postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    per_doc = Window.partitionBy("doc_id")
+    return (
+        postings.groupBy("doc_id", (hash48(F.col("token")) % dim).alias("bucket"))
+        .agg(F.sum("tf").cast("long").alias("btf"))
+        .withColumn("n_tokens", F.sum("btf").over(per_doc).cast("long"))
+    )
+
+
+def linear_classifier_train(
+    feats: DataFrame,
+    labels: DataFrame,
+    dim: int = 256,
+    iters: int = 2,
+    lr: float = 4.0,
+    max_iters: int = 64,
+) -> DataFrame:
+    """IN-ENGINE logistic-regression training over hashed features —
+    the missing half of the fastText-style corpus gate: the engine
+    can now TRAIN the quality/language classifier it applies, not
+    just score with shipped weights. Full-batch gradient descent,
+    ``iters`` iterations:
+
+        z_d  = Σ_b btf·w_b / (n_tokens·1e6)      (exact-int dot)
+        p_d  = σ(z_d),  r_d = p_d − y_d
+        g_b  = Σ_d floor(r_d·btf/n_tokens·1e6 + .5)   (exact-int sum)
+        w_b ← w_b − floor(lr·g_b/n_docs + .5)
+
+    Every stored quantity (weights, gradients) is an INTEGER
+    micro-unit: per-row double math quantizes before any cross-row
+    sum, so training is bit-reproducible under any partitioning and
+    the whole k-iteration loop unrolls into a SQL oracle (the
+    pagerank/bpe discipline). Per iteration: one broadcast join of
+    the dim-row weight table into the feature scan, one groupBy doc
+    (scores), one groupBy bucket (gradients) — the model never
+    leaves the cluster, no collect; ``iters`` bounds job count
+    exactly like ``kmeans_train``/``bpe_train`` (guarded by
+    ``max_iters``). At 100 TB the feature table is the persisted
+    postings artifact and each iteration is two scans of it.
+
+    ``labels``: (doc_id, y) with y ∈ {0,1}. Docs without tokens or
+    labels don't train. Returns the (bucket, w_micro) weight table,
+    all ``dim`` rows."""
+    if iters > max_iters:
+        raise ValueError(f"iters={iters} exceeds max_iters={max_iters}")
+    spark = feats.sparkSession
+    lf = feats.join(labels.select("doc_id", "y"), "doc_id")
+    n_docs = lf.select("doc_id").distinct().count()
+    if n_docs == 0:
+        raise ValueError("no labeled documents with features")
+    w = spark.range(dim).select(
+        F.col("id").cast("long").alias("bucket"),
+        F.lit(0).cast("long").alias("w_micro"),
+    )
+    for _ in range(iters):
+        scored = (
+            lf.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id", "y", "n_tokens")
+            .agg(F.sum(F.col("btf") * F.col("w_micro")).cast("long").alias("s"))
+        )
+        z = F.col("s").cast("double") / (
+            F.col("n_tokens").cast("double") * F.lit(1e6)
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        resid = scored.select(
+            "doc_id", (p - F.col("y").cast("double")).alias("r")
+        )
+        grads = (
+            lf.join(resid, "doc_id")
+            .select(
+                "bucket",
+                F.floor(
+                    (
+                        F.col("r")
+                        * F.col("btf").cast("double")
+                        / F.col("n_tokens").cast("double")
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("g"),
+            )
+            .groupBy("bucket")
+            .agg(F.sum("g").cast("long").alias("g"))
+        )
+        upd = F.floor(
+            F.lit(lr) * F.col("g").cast("double") / F.lit(float(n_docs))
+            + F.lit(0.5)
+        ).cast("long")
+        # localCheckpoint truncates the lineage each iteration — the
+        # weight table is dim rows of model state, so the checkpoint
+        # is bytes; without the cut, k chained broadcast-join plans
+        # grow the driver-side tree ~k× (OOMs well before k=16)
+        w = (
+            w.join(grads, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("w_micro") - F.coalesce(upd, F.lit(0))).alias("w_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w

@@ -9591,3 +9591,132 @@ def bigram_perplexity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bigram_nll(d).orderBy(F.col("avg_nll_micro").desc(), "doc_id").limit(20)
+
+
+_LC_DIM, _LC_ITERS, _LC_LR = 256, 16, 128.0
+
+
+def _langid_oracle() -> str:
+    """Programmatically unrolled k-iteration GD oracle (the pagerank
+    CTE-unroll discipline, generated instead of hand-written): each
+    iteration is the same 4-CTE block over the previous weight
+    table. Iteration 1 needs no special case — w0=0 gives z=0 and
+    p=0.5 exactly in both engines."""
+    blocks = [
+        f"""
+    WITH posting AS MATERIALIZED ({_SQL_POSTINGS}),
+    feats AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 12))::BIGINT % {_LC_DIM} AS bucket,
+             sum(tf)::BIGINT AS btf
+      FROM posting GROUP BY doc_id, bucket
+    ),
+    nt AS (SELECT doc_id, sum(btf)::BIGINT AS n_tokens FROM feats GROUP BY doc_id),
+    lab AS (SELECT doc_id, (lang = 'en')::INT AS y FROM documents),
+    lf AS MATERIALIZED (
+      SELECT f.doc_id, bucket, btf, n_tokens, y
+      FROM feats f JOIN nt USING (doc_id) JOIN lab USING (doc_id)
+    ),
+    nd AS MATERIALIZED (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM lf),
+    w0 AS MATERIALIZED (SELECT unnest(range(0, {_LC_DIM})) AS bucket, 0::BIGINT AS w)"""
+    ]
+    for i in range(1, _LC_ITERS + 1):
+        blocks.append(f"""
+    s{i} AS MATERIALIZED (
+      SELECT doc_id, y, n_tokens, sum(btf * w)::BIGINT AS s
+      FROM lf JOIN w{i - 1} USING (bucket) GROUP BY doc_id, y, n_tokens
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT doc_id,
+             (1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)
+                                 / (CAST(n_tokens AS DOUBLE) * 1000000)))))
+               - CAST(y AS DOUBLE) AS r
+      FROM s{i}
+    ),
+    g{i} AS MATERIALIZED (
+      SELECT bucket,
+             sum(CAST(floor((r * CAST(btf AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT))::BIGINT AS g
+      FROM lf JOIN r{i} USING (doc_id) GROUP BY bucket
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT w{i - 1}.bucket,
+             (w{i - 1}.w - coalesce(CAST(floor({_LC_LR} * CAST(g AS DOUBLE)
+                                         / CAST(n_docs AS DOUBLE) + 0.5)
+                                    AS BIGINT), 0))::BIGINT AS w
+      FROM w{i - 1} LEFT JOIN g{i} USING (bucket) CROSS JOIN nd
+    )""")
+    k = _LC_ITERS
+    tail = f"""
+    , se AS (
+      SELECT doc_id, y, sum(btf * w)::BIGINT AS s
+      FROM lf JOIN w{k} USING (bucket) GROUP BY doc_id, y
+    ),
+    ev AS (
+      SELECT y, count(*)::BIGINT AS n_docs,
+             sum((s >= 0)::INT)::BIGINT AS n_pred_en,
+             sum(((s >= 0) = (y = 1))::INT)::BIGINT AS n_correct
+      FROM se GROUP BY y
+    ),
+    ws AS (SELECT sum(w)::BIGINT AS w_sum, sum(abs(w))::BIGINT AS w_abs FROM w{k})
+    SELECT y, n_docs, n_pred_en, n_correct, w_sum, w_abs
+    FROM ev CROSS JOIN ws
+    """
+    return ",".join(blocks) + tail
+
+
+@register(
+    "train_langid_classifier",
+    _langid_oracle(),
+    doc="IN-ENGINE classifier TRAINING (operators/text_analysis."
+    "linear_classifier_train): 16 full-batch logistic-regression "
+    "iterations over hashed bag-of-words features (dim=256, lr=128) "
+    "learning lang=='en' from token distributions — the trainable "
+    "half of the fastText-style corpus gate whose inference "
+    "(hashed_linear_score) already ships. Weights and gradients are "
+    "exact integer micro-units (per-row quantize before any "
+    "cross-row sum), so the whole loop is bit-reproducible AND "
+    "unrolls into a PROGRAMMATICALLY-GENERATED k-block SQL oracle "
+    "replaying weights digit-for-digit (w_sum/w_abs checksums) plus "
+    "the trained model's per-class confusion counts. Trained "
+    "accuracy 60.0% vs the 56.4% majority baseline — the synthetic "
+    "corpus's lang labels are only weakly text-separable (~62% "
+    "float-GD ceiling, all langs share one 31-token vocabulary); "
+    "learnability on separable data is pinned by "
+    "test_inverted.TestLinearClassifierTrain. Per iteration: one "
+    "dim-row broadcast join + two groupBys; the model never leaves "
+    "the cluster (no collect).",
+    tags=("llm", "text", "quality", "train"),
+)
+def train_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.text_analysis import (
+        hashed_features,
+        linear_classifier_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = hashed_features(d, dim=_LC_DIM).persist()
+    labels = d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y"))
+    w = linear_classifier_train(
+        feats, labels, dim=_LC_DIM, iters=_LC_ITERS, lr=_LC_LR
+    )
+    scored = (
+        feats.join(labels, "doc_id")
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("btf") * F.col("w_micro")).cast("long").alias("s"))
+    )
+    pred = F.col("s") >= 0
+    ev = scored.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(pred.cast("int")).cast("long").alias("n_pred_en"),
+        F.sum((pred == (F.col("y") == 1)).cast("int")).cast("long").alias("n_correct"),
+    )
+    ws = w.agg(
+        F.sum("w_micro").cast("long").alias("w_sum"),
+        F.sum(F.abs(F.col("w_micro"))).cast("long").alias("w_abs"),
+    )
+    out = ev.crossJoin(F.broadcast(ws)).select(
+        "y", "n_docs", "n_pred_en", "n_correct", "w_sum", "w_abs"
+    )
+    return out

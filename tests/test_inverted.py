@@ -299,3 +299,60 @@ class TestBigramNLL:
         # word salad is more perplexing than the predictable doc
         assert got[2].avg_nll_micro > got[1].avg_nll_micro
         assert got[2].ppl > got[1].ppl
+
+
+class TestLinearClassifierTrain:
+    def test_learns_separable_vocab(self, spark):
+        from dbm_nca_ph_etl_spark.operators.text_analysis import (
+            hashed_features,
+            linear_classifier_train,
+        )
+
+        # two disjoint vocabularies -> perfectly separable
+        spam = ["buy cheap pills now", "cheap pills buy", "now buy cheap"]
+        ham = ["meeting agenda minutes", "minutes agenda", "agenda meeting notes"]
+        rows = [(i, t) for i, t in enumerate(spam)] + [
+            (i + 10, t) for i, t in enumerate(ham)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        feats = hashed_features(docs, dim=64)
+        labels = docs.select(
+            "doc_id", (F.col("doc_id") < 10).cast("int").alias("y")
+        )
+        w = linear_classifier_train(feats, labels, dim=64, iters=8, lr=64.0)
+        scored = (
+            feats.join(labels, "doc_id")
+            .join(F.broadcast(w), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("btf") * F.col("w_micro")).alias("s"))
+            .collect()
+        )
+        assert all((r.s >= 0) == (r.y == 1) for r in scored)  # 100% train acc
+
+    def test_iteration_guard(self, spark):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.text_analysis import (
+            hashed_features,
+            linear_classifier_train,
+        )
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        feats = hashed_features(docs, dim=8)
+        labels = docs.select("doc_id", F.lit(1).alias("y"))
+        with pytest.raises(ValueError):
+            linear_classifier_train(feats, labels, dim=8, iters=100, max_iters=64)
+
+    def test_no_labeled_docs_refused(self, spark):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.text_analysis import (
+            hashed_features,
+            linear_classifier_train,
+        )
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        feats = hashed_features(docs, dim=8)
+        labels = spark.createDataFrame([], "doc_id long, y int")
+        with pytest.raises(ValueError):
+            linear_classifier_train(feats, labels, dim=8, iters=1)
