@@ -215,6 +215,7 @@ def upsert_keyed_serialized(
     lease_ttl_s: float = 60.0,
     timeout_s: float = 30.0,
     fs: LakeFS | None = None,
+    extra: dict | None = None,
 ) -> list[int]:
     """Multi-writer-safe keyed merge: LEASE → merge touched buckets →
     fencing check → LOG append → release.
@@ -240,11 +241,11 @@ def upsert_keyed_serialized(
                 f"lease on {path} lost mid-merge (writer={writer}); "
                 "merge must be retried"
             )
+        entry = {"op": "upsert", "writer": writer, "buckets": touched}
+        entry.update(extra or {})
         while True:
             v = log.version()
-            if log.try_commit(
-                {"op": "upsert", "writer": writer, "buckets": touched}, v
-            ):
+            if log.try_commit(entry, v):
                 return touched
     finally:
         lease.release()

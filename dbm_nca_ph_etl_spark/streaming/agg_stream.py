@@ -66,3 +66,55 @@ def matview_for_stream(
 ) -> MaterializedAgg:
     """Convenience constructor mirroring NCAStore's shape."""
     return MaterializedAgg(spark, path, keys, measures)
+
+
+def stream_into_keyed(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    *,
+    writer: str = "stream",
+    available_now: bool = True,
+) -> None:
+    """Stream micro-batch upserts into a KEYED lake table through the
+    multi-writer coordination layer (sinks/txlog): each epoch takes
+    the writer lease, merges only the buckets its keys touch, and
+    appends a commit-log entry tagged with the epoch id.
+
+    Why this composition matters: a real deployment has BOTH a
+    streaming ingester and ad-hoc batch backfills writing the same
+    table; the lease serializes them (no lost update regardless of
+    which side is mid-merge), and the log is one audit trail across
+    both. Exactly-once per epoch = the same T6 layering as
+    stream_into_matview — the checkpoint re-delivers, and a replayed
+    epoch is skipped when its log entry exists (crash between merge
+    and log append re-merges idempotently, then logs once)."""
+    from dbm_nca_ph_etl_spark.sinks.txlog import CommitLog, upsert_keyed_serialized
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        log = CommitLog(path)
+        if any(
+            e.get("writer") == writer and e.get("epoch") == epoch_id
+            for e in log.entries()
+        ):
+            return  # re-delivered epoch already applied + logged
+        upsert_keyed_serialized(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            list(keys),
+            writer=writer,
+            extra={"epoch": epoch_id},
+        )
+
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - long-running mode
+        w.start()
