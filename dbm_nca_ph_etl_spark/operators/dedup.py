@@ -717,3 +717,69 @@ def winnow_fingerprints(
         F.col("f.p").cast("long").alias("pos"),
         F.col("f.h").alias("fp"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    avg_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the token-level analogue of
+    Rabin/gear CDC used by dedup storage systems): a token is a cut
+    point iff ``hash48(token) % avg_tokens == 0``, so boundaries are
+    a property of the CONTENT, not of offsets — inserting a prefix
+    into a document perturbs only the chunks up to the next
+    boundary, while fixed-size windows shift every chunk after the
+    edit. Expected chunk length = ``avg_tokens``; no min/max clamp
+    (the clamped variant needs a sequential fold — this form stays
+    a pure slice algebra and is what the SQL oracle replays).
+
+    Spark-first shape: boundaries, chunk slicing and fingerprints
+    all happen INSIDE one let-bound projection per document — cut
+    positions via one O(n) filter, chunks via O(chunks) slices —
+    then a single posexplode. ZERO shuffles; chunking 100 TB is a
+    map-only corpus pass (same contract as winnow_fingerprints).
+
+    Output: (doc_id, chunk_id 0-based, n_tokens, fp) where fp is
+    the 48-bit md5 of the space-joined chunk — the content address
+    a chunk store dedups on. Boundary tokens END their chunk. Empty
+    docs emit nothing."""
+    if avg_tokens < 1:
+        raise ValueError(f"avg_tokens must be >= 1, got {avg_tokens}")
+
+    def chunks_of(toks: Column) -> Column:
+        n = F.size(toks)
+        bp = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: hash48(F.element_at(toks, i)) % avg_tokens == 0,
+        )
+        starts = F.concat(F.array(F.lit(1)), F.transform(bp, lambda p: p + 1))
+        ends = F.concat(bp, F.array(n))
+        sliced = F.transform(
+            F.sequence(F.lit(1), F.size(ends)),
+            lambda j: F.slice(
+                toks,
+                F.element_at(starts, j),
+                F.element_at(ends, j) - F.element_at(starts, j) + 1,
+            ),
+        )
+        # a trailing boundary leaves an empty tail slice — drop it
+        return F.when(n >= 1, F.filter(sliced, lambda c: F.size(c) > 0)).otherwise(
+            F.array().cast("array<array<string>>")
+        )
+
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(let(tokens(F.col(text_col)), chunks_of)).alias(
+                "chunk_id", "c"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("c").cast("long").alias("n_tokens"),
+            hash48(F.concat_ws(" ", F.col("c"))).alias("fp"),
+        )
+    )

@@ -9720,3 +9720,80 @@ def train_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y", "n_docs", "n_pred_en", "n_correct", "w_sum", "w_abs"
     )
     return out
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t FROM documents
+    ),
+    bp AS (
+      SELECT doc_id, t,
+             list_filter(generate_series(1, len(t)),
+                         i -> ('0x' || substr(md5(t[i]), 1, 12))::BIGINT % 32 = 0)
+               AS cuts
+      FROM toks WHERE len(t) >= 1
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(cuts) + 1)) AS j,
+             unnest(list_transform(generate_series(1, len(cuts) + 1),
+               j -> t[(list_concat([1], list_transform(cuts, p -> p + 1)))[j]
+                      : (list_concat(cuts, [len(t)]))[j]])) AS c
+      FROM bp
+    ),
+    ne AS (
+      SELECT doc_id, c,
+             ('0x' || substr(md5(array_to_string(c, ' ')), 1, 12))::BIGINT AS fp
+      FROM chunks WHERE len(c) > 0
+    ),
+    shared AS (
+      SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd FROM ne GROUP BY fp)
+      WHERE nd >= 2
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_chunks,
+             sum(len(c))::BIGINT AS n_tokens,
+             max(len(c))::BIGINT AS max_chunk,
+             sum((fp IN (SELECT fp FROM shared))::INT)::BIGINT AS n_shared_chunks
+      FROM ne GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_tokens, max_chunk, n_shared_chunks
+    FROM per_doc
+    ORDER BY n_shared_chunks DESC, doc_id LIMIT 20
+    """,
+    doc="Content-defined chunking + chunk-store dedup accounting "
+    "(operators/dedup.cdc_chunks): the Rabin/gear-CDC idea at token "
+    "level — a token cuts iff hash48(token) %% 32 == 0, so chunk "
+    "boundaries are content properties and an edited/prefixed "
+    "near-duplicate still shares every chunk after the next cut "
+    "(fixed windows shift ALL of them). Chunking is one let-bound "
+    "slice-algebra projection per doc — zero shuffles, map-only at "
+    "any corpus size; the only exchanges here are the fp rollups "
+    "that compute which chunks appear in ≥2 docs (the chunk-store "
+    "dedup ratio). Exact hash match vs the full SQL replay of cuts/"
+    "slices/fingerprints; top-20 docs on the (n_shared_chunks, "
+    "doc_id) total order.",
+    tags=("llm", "dedup"),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.dedup import cdc_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    ch = cdc_chunks(d, avg_tokens=32)
+    shared = (
+        ch.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("fp")
+    )
+    flagged = ch.join(F.broadcast(shared.withColumn("_s", F.lit(1))), "fp", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.max("n_tokens").cast("long").alias("max_chunk"),
+        F.sum(F.coalesce(F.col("_s"), F.lit(0))).cast("long").alias("n_shared_chunks"),
+    )
+    return per_doc.orderBy(F.col("n_shared_chunks").desc(), "doc_id").limit(20)

@@ -488,3 +488,77 @@ class TestWinnowFingerprints:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError):
             winnow_fingerprints(df, k=0)
+
+
+class TestCdcChunks:
+    @staticmethod
+    def _ref(doc, text, avg):
+        import hashlib
+
+        def h48(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+        toks = [t for t in text.lower().split() if t]
+        out, cur = [], []
+        for t in toks:
+            cur.append(t)
+            if h48(t) % avg == 0:
+                out.append(cur)
+                cur = []
+        if cur:
+            out.append(cur)
+        return {(doc, i, len(c), h48(" ".join(c))) for i, c in enumerate(out)}
+
+    def test_differential_vs_pure_python(self, spark):
+        import random
+
+        from dbm_nca_ph_etl_spark.operators.dedup import cdc_chunks
+
+        random.seed(7)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [
+            (d, " ".join(random.choice(vocab) for _ in range(random.randint(0, 60))))
+            for d in range(12)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.chunk_id, r.n_tokens, r.fp)
+            for r in cdc_chunks(df, avg_tokens=8).collect()
+        }
+        want = set()
+        for d, t in texts:
+            want |= self._ref(d, t, 8)
+        assert got == want
+
+    def test_shift_resistance(self, spark):
+        # a prefixed copy must share every chunk after the first cut
+        # point; fixed windows would share none
+        import random
+
+        from dbm_nca_ph_etl_spark.operators.dedup import cdc_chunks
+
+        random.seed(3)
+        body = " ".join(f"w{random.randint(0, 30)}" for _ in range(80))
+        df = spark.createDataFrame(
+            [(1, body), (2, "inserted prefix goes here " + body)],
+            "doc_id long, text string",
+        )
+        ch = cdc_chunks(df, avg_tokens=8)
+        fps = {
+            d: {r.fp for r in rows}
+            for d, rows in (
+                (1, ch.where("doc_id = 1").collect()),
+                (2, ch.where("doc_id = 2").collect()),
+            )
+        }
+        shared = fps[1] & fps[2]
+        assert len(shared) >= len(fps[1]) - 2  # all but the head chunk(s)
+
+    def test_param_guard(self, spark):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.dedup import cdc_chunks
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            cdc_chunks(df, avg_tokens=0)
