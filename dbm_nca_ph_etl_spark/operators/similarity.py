@@ -1526,3 +1526,80 @@ def mmr_rerank(
         )
         selected = selected.unionByName(pick_t)
     return selected
+
+
+def margin_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    m: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int | None = EXACT_TOPK_MAX_QUERIES,
+) -> DataFrame:
+    """Margin-based candidate mining (Artetxe & Schwenk 2019 — the
+    criterion behind CCMatrix/LASER bitext mining, and the
+    hubness-corrected retrieval rule plain cosine lacks): score a
+    candidate pair not by raw cosine but by its RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgk(x) + avgk(y)) / 2)
+
+    where avgk(v) is the mean cosine of v's k nearest neighbors. A
+    "hub" vector that is close to everything has a high avgk, so its
+    pairs need to be MUCH closer than its background to score — the
+    correction that makes mined pairs precision-usable.
+
+    Plan: forward top-k via :func:`cosine_topk` (scale-guarded exact
+    baseline; swap the LSH/IVF legs in at scale), backward averages
+    computed ONLY for the candidate set (≤ |queries|·k vectors —
+    bounded, never corpus²). Cosines convert to exact e6 integers
+    before any cross-row sum, so both averages are exact integer
+    sums and the margin is one double expression on exact ints —
+    emitted as integer ppm with a (margin_ppm, neighbor_id)
+    total-order top-m. Self-pairs excluded by cosine_topk."""
+    fwd = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cos_sim") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("cos_e6"),
+    )
+    qsum = fwd.groupBy("query_id").agg(F.sum("cos_e6").alias("_qsum"))
+    cand_ids = fwd.select(F.col("neighbor_id").alias(id_col)).distinct()
+    back = cosine_topk(
+        corpus,
+        corpus.join(F.broadcast(cand_ids), id_col),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_queries=max_queries,
+    ).select(
+        F.col("query_id").alias("neighbor_id"),
+        F.floor(F.col("cos_sim") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("cos_e6"),
+    )
+    nsum = back.groupBy("neighbor_id").agg(F.sum("cos_e6").alias("_nsum"))
+    margin = F.floor(
+        F.lit(float(2 * k))
+        * F.col("cos_e6").cast("double")
+        / (F.col("_qsum") + F.col("_nsum")).cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        fwd.join(F.broadcast(qsum), "query_id")
+        .join(F.broadcast(nsum), "neighbor_id")
+        .select("query_id", "neighbor_id", margin.alias("margin_ppm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("margin_ppm").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= m)
+        .select("query_id", "neighbor_id", "margin_ppm", "rank")
+    )

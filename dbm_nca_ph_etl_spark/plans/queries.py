@@ -9797,3 +9797,87 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("_s"), F.lit(0))).cast("long").alias("n_shared_chunks"),
     )
     return per_doc.orderBy(F.col("n_shared_chunks").desc(), "doc_id").limit(20)
+
+
+@register(
+    "margin_mined_pairs",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ),
+    fwd AS MATERIALIZED (
+      SELECT query_id, neighbor_id,
+             CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      FROM (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                 neighbor_id) AS rk
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+      ) WHERE rk <= 4
+    ),
+    qsum AS (SELECT query_id, sum(cos_e6)::BIGINT AS qs FROM fwd GROUP BY query_id),
+    cand AS (
+      SELECT neighbor_id AS bid, cv AS bv
+      FROM (SELECT DISTINCT neighbor_id FROM fwd) JOIN c USING (neighbor_id)
+    ),
+    back AS MATERIALIZED (
+      SELECT bid, CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      FROM (
+        SELECT bid, neighbor_id,
+               round(list_dot_product(bv, cv)
+                     / (sqrt(list_dot_product(bv, bv))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY bid
+                 ORDER BY round(list_dot_product(bv, cv)
+                     / (sqrt(list_dot_product(bv, bv))
+                        * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                 neighbor_id) AS rk
+        FROM cand CROSS JOIN c WHERE bid <> neighbor_id
+      ) WHERE rk <= 4
+    ),
+    nsum AS (SELECT bid, sum(cos_e6)::BIGINT AS ns FROM back GROUP BY bid),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(8.0 * CAST(cos_e6 AS DOUBLE)
+                        / CAST(qs + ns AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS margin_ppm
+      FROM fwd JOIN qsum USING (query_id)
+      JOIN nsum ON nsum.bid = fwd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, margin_ppm, rank FROM (
+      SELECT query_id, neighbor_id, margin_ppm,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY margin_ppm DESC, neighbor_id)::INT AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Margin-based pair mining (operators/similarity.margin_topk) "
+    "— the Artetxe & Schwenk 2019 ratio-margin criterion behind "
+    "CCMatrix/LASER bitext mining: score cos(x,y) against the mean "
+    "of both endpoints' k-NN cosines, so 'hub' vectors close to "
+    "everything need to beat their own background to pair "
+    "(hubness correction raw cosine lacks). Forward top-k via the "
+    "guarded exact baseline; backward averages only for the "
+    "candidate set (≤|Q|·k vectors — bounded, never corpus²). "
+    "Cosines → exact e6 integers before any cross-row sum, margin "
+    "is one double expr on exact ints as integer ppm; top-3 per "
+    "query on the (margin_ppm, neighbor_id) total order. Exact "
+    "hash match vs the full SQL replay; LSH/IVF legs swap in at "
+    "scale.",
+    tags=("similarity", "llm"),
+)
+def margin_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.margin_topk(emb, emb.where(F.col("vec_id") < 10), k=4, m=3)

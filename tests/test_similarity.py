@@ -460,3 +460,49 @@ class TestRandomProjection:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         with pytest.raises(ValueError, match="n_cand"):
             rp_topk(emb, emb.limit(1), k=10, n_cand=5)
+
+
+class TestMarginTopk:
+    def test_hub_vector_is_demoted(self, spark):
+        """A hub close to everything outranks a genuine pair on raw
+        cosine but must lose on ratio margin."""
+        import math
+
+        from dbm_nca_ph_etl_spark.operators.similarity import margin_topk
+
+        # 2-D embeddings: q at 0°; true partner at 5°; hub at 20° but
+        # with many near-identical friends (19°,21°,22°) pushing its
+        # own k-NN background up; partner's background is far away.
+        def v(deg):
+            r = math.radians(deg)
+            return [math.cos(r), math.sin(r)]
+
+        rows = [
+            (0, v(0)),      # query
+            (1, v(8)),      # true partner (isolated: background far)
+            (2, v(20)),     # hub
+            (3, v(19)), (4, v(21)), (5, v(22)),  # hub's crowd
+            (6, v(120)), (7, v(240)),            # distractors
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = margin_topk(
+            emb, emb.where("vec_id = 0"), k=3, m=2, max_queries=None
+        ).collect()
+        by_rank = {r.rank: r.neighbor_id for r in got}
+        assert by_rank[1] == 1  # margin promotes the isolated partner
+        # raw cosine for comparison: hub crowd dominates plain top-1? not
+        # necessarily — but the hub itself must not outrank the partner
+        assert by_rank[2] != 1
+
+    def test_margin_of_identical_vectors_maximal(self, spark):
+        from dbm_nca_ph_etl_spark.operators.similarity import margin_topk
+
+        rows = [
+            (0, [1.0, 0.0]), (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]), (3, [0.7, 0.7]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = margin_topk(
+            emb, emb.where("vec_id = 0"), k=2, m=1, max_queries=None
+        ).collect()
+        assert got[0].neighbor_id == 1 and got[0].margin_ppm > 1_000_000
