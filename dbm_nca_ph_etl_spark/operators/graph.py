@@ -158,3 +158,52 @@ def triangle_count(
     # join output columns
     tri = wedges.join(closing, ["x", "y"], "left_semi")
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: list[str],
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """WEIGHTED single-source shortest paths — Bellman-Ford as
+    bounded supersteps, the weighted upgrade of :func:`bfs_levels`
+    (Dijkstra's priority queue is inherently sequential; Bellman-
+    Ford relaxation is a join+min-groupBy per round, which is the
+    form a cluster can actually run — the Pregel SSSP example).
+
+    ``max_hops`` bounds the path LENGTH considered (k rounds relax
+    every ≤k-edge path): deterministic, oracle-replayable, and the
+    standard production cap. Integer weights are the contract —
+    distances stay exact under any partitioning, so the SQL-oracle
+    hash comparison has no float caveats. Negative weights are
+    refused (with a bounded-round relaxation they silently yield
+    path-length-dependent results; Bellman-Ford's negative-cycle
+    detection needs the unbounded variant).
+
+    Per superstep: frontier ⋈ edges (one shuffle), min-groupBy
+    (map-side combinable), localCheckpoint lineage cut — O(k·|E|)
+    total work, the same scale shape as bfs_levels/pagerank."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint()
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("shortest_paths requires non-negative integer weights")
+    dist = e.sparkSession.createDataFrame(
+        [(s, 0) for s in sources], "node string, dist long"
+    )
+    for _ in range(max_hops):
+        relax = e.join(dist, e["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

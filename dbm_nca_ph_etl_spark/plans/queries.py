@@ -9881,3 +9881,63 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def margin_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return S.margin_topk(emb, emb.where(F.col("vec_id") < 10), k=4, m=3)
+
+
+def _sssp_iter_sql(i: int) -> str:
+    return f"""
+    sp{i} AS (
+      SELECT node, min(d)::BIGINT AS d FROM (
+        SELECT node, d FROM sp{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.d + e.w AS d
+        FROM wedges e JOIN sp{i - 1} p ON p.node = e.src
+      ) GROUP BY node
+    )"""
+
+
+@register(
+    "weighted_trade_paths",
+    """
+    WITH ce AS (
+      SELECT 'c' || o_custkey::VARCHAR AS src,
+             's' || l_suppkey::VARCHAR AS dst,
+             min(CAST(floor(l_quantity) AS BIGINT)) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY src, dst
+    ),
+    wedges AS (SELECT src, dst, w FROM ce UNION ALL SELECT dst, src, w FROM ce),
+    sp0 AS (SELECT 's1' AS node, 0::BIGINT AS d),
+    """
+    + ",".join(_sssp_iter_sql(i) for i in range(1, 5))
+    + """
+    SELECT node, d AS dist FROM sp4
+    """,
+    doc="WEIGHTED single-source shortest paths (operators/graph."
+    "shortest_paths): Bellman-Ford relaxation as 4 bounded "
+    "supersteps over the undirected trade graph with integer "
+    "min-quantity edge costs — the weighted upgrade of "
+    "bfs_trade_distance (Dijkstra's queue is sequential; "
+    "join+min-groupBy relaxation is the Pregel SSSP form a cluster "
+    "runs). All-INTEGER distances ⇒ exact oracle hash with no "
+    "float caveats; negative weights refused by the operator. Per "
+    "superstep one frontier join + one map-side-combinable "
+    "min-groupBy with localCheckpoint lineage cuts, O(k·|E|).",
+    tags=("graph", "iterative"),
+)
+def weighted_trade_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.graph import shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ce = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.min(F.floor(F.col("l_quantity")).cast("long")).alias("w"))
+    )
+    edges = ce.unionByName(
+        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return shortest_paths(edges, ["s1"], max_hops=4)

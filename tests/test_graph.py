@@ -105,3 +105,39 @@ class TestTriangleCount:
             "src string, dst string",
         )
         assert triangle_count(df).collect()[0].n_triangles == 1
+
+
+class TestShortestPaths:
+    def test_weighted_beats_hop_count(self, spark):
+        from dbm_nca_ph_etl_spark.operators.graph import shortest_paths
+
+        # a->b direct costs 10; a->c->b costs 2+3=5: weighted SSSP
+        # must prefer the longer-hop cheaper path (BFS would not)
+        edges = spark.createDataFrame(
+            [("a", "b", 10), ("a", "c", 2), ("c", "b", 3)],
+            "src string, dst string, w long",
+        )
+        got = {r.node: r.dist for r in shortest_paths(edges, ["a"], max_hops=3).collect()}
+        assert got == {"a": 0, "b": 5, "c": 2}
+
+    def test_hop_bound_limits_relaxation(self, spark):
+        from dbm_nca_ph_etl_spark.operators.graph import shortest_paths
+
+        # chain a-1->b-1->c-1->d; 2 hops can't reach d
+        edges = spark.createDataFrame(
+            [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)],
+            "src string, dst string, w long",
+        )
+        got = {r.node: r.dist for r in shortest_paths(edges, ["a"], max_hops=2).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_negative_weights_refused(self, spark):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.graph import shortest_paths
+
+        edges = spark.createDataFrame(
+            [("a", "b", -1)], "src string, dst string, w long"
+        )
+        with pytest.raises(ValueError):
+            shortest_paths(edges, ["a"])
