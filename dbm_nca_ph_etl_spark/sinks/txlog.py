@@ -249,3 +249,31 @@ def upsert_keyed_serialized(
                 return touched
     finally:
         lease.release()
+
+
+def expire_log(
+    table_path: str,
+    keep: int = 1000,
+    fs: LakeFS | None = None,
+) -> int:
+    """Retention for the commit log: delete the oldest entries,
+    keeping the most recent ``keep`` (the VACUUM/expire-snapshots
+    half every table format ships). The log's correctness contract
+    survives expiry: ``version()`` is the MAX entry number (dense
+    numbering is append-side only — try_commit CASes version+1,
+    which never needs the expired tail), and replay gating
+    (stream_into_keyed) only needs entries younger than the feed's
+    redelivery horizon — size ``keep`` to that horizon, exactly
+    like MaterializedAgg's version pruning. Returns the number of
+    entries deleted."""
+    log = CommitLog(table_path, fs=fs)
+    f = get_fs(table_path, fs)
+    entries = sorted(
+        p
+        for p in f.ls(log._dir, suffixes=[".json"])
+        if os.path.basename(p)[:-5].isdigit()
+    )
+    victims = entries[:-keep] if keep > 0 else entries
+    for p in victims:
+        f.delete_file(p)
+    return len(victims)
