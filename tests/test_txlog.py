@@ -183,3 +183,27 @@ class TestSerializedUpsert:
                 spark, df, path, ["k"], writer="stale", lease_ttl_s=0.01
             )
         assert CommitLog(path).version() == 0  # nothing recorded
+
+
+class TestExpireLog:
+    def test_expiry_keeps_version_counter_and_recent_entries(self, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.txlog import expire_log
+
+        log = CommitLog(str(tmp_path))
+        for i in range(7):
+            assert log.try_commit({"i": i}, i)
+        assert expire_log(str(tmp_path), keep=3) == 4
+        entries = log.entries()
+        assert [e["version"] for e in entries] == [5, 6, 7]
+        # version() is MAX-based: expiry never resets the counter
+        assert log.version() == 7
+        assert log.try_commit({"i": 7}, 7)
+        assert log.version() == 8
+
+    def test_keep_larger_than_log_is_noop(self, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.txlog import expire_log
+
+        log = CommitLog(str(tmp_path))
+        log.try_commit({"i": 0}, 0)
+        assert expire_log(str(tmp_path), keep=10) == 0
+        assert log.version() == 1
