@@ -9443,7 +9443,7 @@ def var_matview_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token-driven (docs sharing a surviving token), never "
     "all-pairs. Top-10 per query doc on the (cos_ppm, doc_id) "
     "total order.",
-    tags=("llm", "text", "search"),
+    tags=("llm", "text", "search", "bench"),
 )
 def more_like_this_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbm_nca_ph_etl_spark.operators.inverted import build_postings, more_like_this
@@ -9505,7 +9505,7 @@ def more_like_this_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash match vs a full SQL replay of the window argmin "
     "(rightmost-min tiebreak included); top-20 on the "
     "(n_shared, doc_a, doc_b) total order.",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def winnow_plagiarism_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbm_nca_ph_etl_spark.operators.dedup import winnow_fingerprints
@@ -9989,7 +9989,7 @@ def weighted_trade_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Counting instead of failing fast gives the violation PROFILE a "
     "quarantine decision needs, at the cost of the same scan. Every "
     "result is an exact count — hash-exact vs the SQL replay.",
-    tags=("lake", "quality"),
+    tags=("lake", "quality", "bench"),
 )
 def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbm_nca_ph_etl_spark.operators import constraints as C
