@@ -10006,3 +10006,58 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.foreign_key("custkey_fk", "o_custkey", "customer", "c_custkey"),
     ]
     return C.check_constraints(o, suite, parents={"customer": cust})
+
+
+@register(
+    "watermark_drop_audit",
+    """
+    WITH t AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+      FROM events
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum((ts_us < run_max - 300000000)::INT)::BIGINT AS n_late,
+           coalesce(max(CASE WHEN ts_us < run_max - 300000000
+                             THEN (run_max - 300000000 - ts_us) // 1000000
+                        END), 0)::BIGINT AS max_late_s
+    FROM t GROUP BY event_type
+    """,
+    doc="Watermark planning audit (the batch twin of streaming/"
+    "events.py's watermark policy): replay each source partition in "
+    "arrival order (event_id; per-event_type partitions — the "
+    "per-Kafka-partition watermark model; Spark's global watermark "
+    "is their min) and count the events a 5-minute watermark would "
+    "DROP as late, plus how far behind the worst straggler runs. "
+    "This is the query you run BEFORE picking a delay: it turns "
+    "'10 minutes should be enough' into measured drop counts. One "
+    "running max per partition (parallel across types/sources, "
+    "never a global single-task order) + one rollup; all integer "
+    "microsecond arithmetic — exact hash vs the SQL replay.",
+    tags=("streaming", "events"),
+)
+def watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = ev.select("event_type", "event_id", "ts_us").withColumn(
+        "run_max", F.max("ts_us").over(w)
+    )
+    late = F.col("ts_us") < F.col("run_max") - F.lit(300_000_000)
+    late_s = F.floor(
+        (F.col("run_max") - F.lit(300_000_000) - F.col("ts_us")).cast("double")
+        / F.lit(1e6)
+    ).cast("long")
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(late.cast("int")).cast("long").alias("n_late"),
+        F.coalesce(F.max(F.when(late, late_s)), F.lit(0))
+        .cast("long")
+        .alias("max_late_s"),
+    )
