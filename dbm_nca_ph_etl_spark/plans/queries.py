@@ -10061,3 +10061,84 @@ def watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_late_s"),
     )
+
+
+@register(
+    "copurchase_part_pairs",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ptot AS (SELECT l_partkey, count(*)::BIGINT AS c FROM li GROUP BY l_partkey),
+    n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM li),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::BIGINT AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2 HAVING count(*) >= 2
+    )
+    SELECT p1, p2, support,
+           CAST(floor(CAST(support AS DOUBLE) / CAST(c1.c AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS conf_ppm,
+           CAST(floor(CAST(support * n_orders AS DOUBLE)
+                      / CAST(c1.c * c2.c AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS lift_milli
+    FROM pairs
+    JOIN ptot c1 ON c1.l_partkey = p1
+    JOIN ptot c2 ON c2.l_partkey = p2
+    CROSS JOIN n
+    ORDER BY support DESC, p1, p2 LIMIT 25
+    """,
+    doc="Market-basket co-purchase mining (frequent-itemset pairs — "
+    "the association-rule workload): parts appearing in the same "
+    "order, support ≥ 2, with integer-ppm confidence and "
+    "milli-lift. The pair join is WITHIN-order (self-join on the "
+    "order key, p1<p2): fan-out is bounded by basket size — "
+    "O(Σ basket²), never parts² — the same in-bucket pair "
+    "discipline as LSH. Part totals ride a model-sized broadcast; "
+    "the 1-row order count crosses as a broadcast literal. "
+    "All-integer ranking on the (support, p1, p2) total order; "
+    "exact hash vs the SQL replay.",
+    tags=("analytics",),
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    ptot = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = li.agg(F.count_distinct("l_orderkey").cast("long").alias("n_orders"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    conf = F.floor(
+        F.col("support").cast("double") / F.col("c1").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    lift = F.floor(
+        (F.col("support") * F.col("n_orders")).cast("double")
+        / (F.col("c1") * F.col("c2")).cast("double")
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    out = (
+        pairs.join(
+            F.broadcast(ptot.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(ptot.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1", "p2", "support", conf.alias("conf_ppm"), lift.alias("lift_milli")
+        )
+    )
+    return out.orderBy(F.col("support").desc(), "p1", "p2").limit(25)
