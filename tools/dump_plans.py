@@ -176,6 +176,34 @@ SHOWCASE = {
         "the final window_id hash-agg is output-sized (corpus_tokens/2048 "
         "rows). No single task ever holds the global token order."
     ),
+    "more_like_this_docs": (
+        "Sparse retrieval without embeddings: the df-cap keeps "
+        "stopword-grade posting lists out of the token join entirely "
+        "(the fan-out bound), query vectors ride one BroadcastExchange "
+        "into the weights scan, and every dot/norm accumulates as a "
+        "DECIMAL integer sum — bit-stable under any partitioning, so "
+        "the integer-ppm cosine needs no float tolerance. Candidates "
+        "are token-driven: a doc sharing no surviving token with a "
+        "query never materializes a row."
+    ),
+    "winnow_plagiarism_pairs": (
+        "The MOSS selection is a pure projection: k-gram hashes, "
+        "per-window rightmost-argmin folds, and array_distinct all "
+        "run inside one let-bound map stage — the corpus never "
+        "shuffles to get fingerprinted. Only the df-capped "
+        "fingerprint self-join and the pair rollup exchange, and both "
+        "are bounded by the cap (the LSH-pairs discipline). At 100 TB "
+        "the fingerprint table is ~2/(w+1) the corpus token count."
+    ),
+    "data_quality_audit": (
+        "Five row-local rules compile into ONE aggregate scan of "
+        "orders (conditional sums, map-side combined — the plan has a "
+        "single FileScan for all of them); unique adds one "
+        "output-sized groupBy and the FK check one broadcast "
+        "left-anti count. A 100 TB table's entire quality profile "
+        "costs one pass plus two bounded aggregates — the property "
+        "that makes per-ingest gating affordable."
+    ),
     "ann_rp_topk": (
         "JL compression retrieval: one ArrowEvalPython stage projects "
         "both sides to r=32 dims (fixed-shape per-row GEMV — partition-"
