@@ -1057,3 +1057,106 @@ def fp_bigrams(fp: DataFrame, bits: int = 7) -> DataFrame:
         .where(F.col("bg").isNotNull())
         .select("asset_id", "frame_idx", "bg")
     )
+
+
+def dhash_images(assets: DataFrame, rows: int = 7, cols: int = 9) -> DataFrame:
+    """Difference-hash (dHash) perceptual image fingerprints — the
+    integer member of the perceptual-hash family (aHash/dHash/pHash)
+    used for image near-dup detection in crawl pipelines: each bit
+    is the sign of the horizontal gradient between adjacent pixels
+    of a small grayscale thumbnail, so the hash survives re-encoding
+    and brightness shifts (gradient SIGNS are invariant to
+    monotone tone mapping) while edits flip only local bits.
+
+    This operates on the engine's gray-frame model: the first
+    ``rows × cols`` bytes of the blob are the thumbnail (a real
+    deployment puts decode_image+resize in front — same Arrow
+    plumbing). bit[r·(cols−1)+c] = px[r][c] > px[r][c+1], packed
+    into one BIGINT (default 56 bits — stays positive). Map-only
+    numpy over Arrow batches; blobs never shuffle. Assets shorter
+    than the thumbnail are below resolution and emit nothing.
+
+    Output: (asset_id, dhash)."""
+    if rows * (cols - 1) > 62:
+        raise ValueError(f"{rows}x{cols} needs >62 bits; shrink the thumbnail")
+    imgs = assets.where(F.col("modality") == "image").select("asset_id", "content")
+    need = rows * cols
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(rows * (cols - 1), dtype=np.int64)
+        for b in batches:
+            ids, hs = [], []
+            for aid, content in zip(b["asset_id"], b["content"]):
+                blob = np.frombuffer(bytes(content), dtype=np.uint8)
+                if blob.size < need:
+                    continue
+                px = blob[:need].reshape(rows, cols).astype(np.int64)
+                bits = (px[:, :-1] > px[:, 1:]).astype(np.int64).ravel()
+                ids.append(aid)
+                hs.append(int((bits << shifts).sum()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return imgs.mapInPandas(gen, "asset_id long, dhash long")
+
+
+def dhash_near_dup(
+    hashes: DataFrame,
+    n_bits: int = 56,
+    bands: int = 4,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Banded-hamming near-duplicate pairs over dHash fingerprints —
+    the multi-index hashing trick (Norouzi et al.): split the hash
+    into ``bands`` bit-slices; any pair within hamming distance d
+    shares an EXACT band whenever d < bands (pigeonhole), and pairs
+    beyond that are caught with standard LSH-style recall. Candidates
+    are in-band pairs only (never all-pairs); survivors are verified
+    with the exact popcount — same candidates→verify discipline as
+    the MinHash pipeline, all integer, fully SQL-replayable.
+
+    Output: (asset_a, asset_b, hamming), asset_a < asset_b."""
+    if n_bits % bands != 0:
+        raise ValueError(f"n_bits={n_bits} not divisible by bands={bands}")
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    bandv = hashes.select(
+        "asset_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftright(F.col("dhash"), k * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for k in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "dhash", "b.k", "b.bv")
+    a = bandv.select(
+        F.col("k"), F.col("bv"), F.col("asset_id").alias("asset_a"),
+        F.col("dhash").alias("_ha"),
+    )
+    b = bandv.select(
+        F.col("k"), F.col("bv"), F.col("asset_id").alias("asset_b"),
+        F.col("dhash").alias("_hb"),
+    )
+    cand = (
+        a.join(b, ["k", "bv"])
+        .where(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", "_ha", "_hb")
+        .dropDuplicates(["asset_a", "asset_b"])
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
+    return (
+        cand.select("asset_a", "asset_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -10142,3 +10142,59 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("support").desc(), "p1", "p2").limit(25)
+
+
+@register(
+    "image_dhash_near_dup",
+    """
+    WITH imgs AS (
+      SELECT doc_id AS asset_id, text FROM documents
+      WHERE doc_id % 3 = 0 AND length(text) >= 63
+    ),
+    bits AS (
+      SELECT asset_id, r.r * 8 + c.c AS i,
+             (ord(substr(text, r.r * 9 + c.c + 1, 1))
+              > ord(substr(text, r.r * 9 + c.c + 2, 1)))::BIGINT AS bit
+      FROM imgs,
+           LATERAL unnest(range(0, 7)) r(r),
+           LATERAL unnest(range(0, 8)) c(c)
+    ),
+    hs AS (
+      SELECT asset_id, sum(bit * (1::BIGINT << i))::BIGINT AS dhash
+      FROM bits GROUP BY asset_id
+    ),
+    bandv AS (
+      SELECT asset_id, dhash, k.k, (dhash >> (14 * k.k)) & 16383 AS bv
+      FROM hs, LATERAL unnest(range(0, 4)) k(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+             a.dhash AS ha, b.dhash AS hb
+      FROM bandv a JOIN bandv b
+        ON a.k = b.k AND a.bv = b.bv AND a.asset_id < b.asset_id
+    )
+    SELECT asset_a, asset_b, bit_count(xor(ha, hb))::INT AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 10
+    ORDER BY asset_a, asset_b
+    """,
+    doc="Perceptual image near-dup (operators/multimodal.dhash_images "
+    "+ dhash_near_dup): 56-bit difference-hash thumbnails — gradient "
+    "SIGNS survive re-encode/brightness shifts — paired by "
+    "multi-index banded hamming (Norouzi et al.): 4 × 14-bit "
+    "bit-slices, in-band candidates only (never all-pairs; "
+    "pigeonhole-complete below hamming 4, LSH-grade recall above), "
+    "exact popcount verify ≤ 10. Hashing is map-only Arrow numpy "
+    "(blobs never shuffle); pairing shuffles band-sized keys — the "
+    "image twin of the MinHash candidates→verify discipline. Oracle "
+    "replays bits/pack/bands/popcount from the generator text "
+    "byte-for-byte — exact hash both SFs.",
+    tags=("multimodal", "llm", "dedup"),
+)
+def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_dup,
+    )
+
+    hashes = dhash_images(_assets(spark, sf_dir))
+    return dhash_near_dup(hashes).orderBy("asset_a", "asset_b")

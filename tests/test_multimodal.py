@@ -778,3 +778,64 @@ class TestFpBigrams:
         )
         # 5*128+7, 7*128+0; track 2's single frame has no bigram
         assert got == [(1, 1, 647), (1, 2, 896)]
+
+
+class TestDhash:
+    def _assets(self, spark, blobs):
+        return spark.createDataFrame(
+            [(i, "image", bytes(b)) for i, b in enumerate(blobs)],
+            "asset_id long, modality string, content binary",
+        )
+
+    def test_brightness_shift_invariance_and_edit_locality(self, spark):
+        import random
+
+        from dbm_nca_ph_etl_spark.operators.multimodal import dhash_images
+
+        random.seed(11)
+        base = [random.randint(0, 200) for _ in range(63)]
+        brighter = [min(b + 40, 255) for b in base]  # monotone tone map
+        edited = list(base)
+        edited[30] = 255 - edited[30]  # one-pixel edit
+        rows = dhash_images(
+            self._assets(spark, [base, brighter, edited])
+        ).collect()
+        h = {r.asset_id: r.dhash for r in rows}
+        assert h[0] == h[1]  # gradient signs survive the shift
+        diff = bin(h[0] ^ h[2]).count("1")
+        assert 0 < diff <= 4  # an edit flips only local bits
+
+    def test_near_dup_banding_finds_close_pairs_only(self, spark):
+        import random
+
+        from dbm_nca_ph_etl_spark.operators.multimodal import (
+            dhash_images,
+            dhash_near_dup,
+        )
+
+        random.seed(5)
+        a = [random.randint(0, 255) for _ in range(63)]
+        b = list(a)
+        b[10], b[40] = 255 - b[10], 255 - b[40]  # near-dup of a
+        c = [random.randint(0, 255) for _ in range(63)]  # unrelated
+        got = dhash_near_dup(
+            dhash_images(self._assets(spark, [a, b, c])), max_hamming=10
+        ).collect()
+        pairs = {(r.asset_a, r.asset_b) for r in got}
+        assert (0, 1) in pairs
+        assert all(2 not in p for p in pairs)
+
+    def test_short_blob_skipped_and_guard(self, spark):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.multimodal import (
+            dhash_images,
+            dhash_near_dup,
+        )
+
+        df = self._assets(spark, [[1, 2, 3]])
+        assert dhash_images(df).count() == 0
+        with pytest.raises(ValueError):
+            dhash_images(df, rows=8, cols=9)  # 64 bits: sign overflow
+        with pytest.raises(ValueError):
+            dhash_near_dup(dhash_images(df), n_bits=56, bands=5)
