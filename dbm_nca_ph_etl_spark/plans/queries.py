@@ -10259,7 +10259,7 @@ def audience_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("est_b"),
     )
     est = (
-        ska.crossJoin(skb)
+        ska.crossJoin(F.broadcast(skb))
         .where(F.col("type_a") < F.col("type_b"))
         .select(
             "type_a",
