@@ -10279,3 +10279,77 @@ def audience_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(F.broadcast(est), ["type_a", "type_b"])
         .select("type_a", "type_b", "exact_overlap", verdict.alias("est_ok"))
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH sim AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 113 <> 0
+    ),
+    lf AS (
+      SELECT o_orderkey,
+             ('0x' || substr(md5(
+                concat_ws(chr(31),
+                  coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                  coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))), 1, 12))::BIGINT AS fp
+      FROM orders
+    ),
+    rf AS (
+      SELECT o_orderkey,
+             ('0x' || substr(md5(
+                concat_ws(chr(31),
+                  coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                  coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))), 1, 12))::BIGINT AS fp
+      FROM sim
+    ),
+    d AS (
+      SELECT coalesce(lf.o_orderkey, rf.o_orderkey) AS o_orderkey,
+             CASE WHEN lf.fp IS NULL THEN 'added'
+                  WHEN rf.fp IS NULL THEN 'removed'
+                  WHEN lf.fp <> rf.fp THEN 'changed' END AS diff_kind
+      FROM lf FULL OUTER JOIN rf USING (o_orderkey)
+    )
+    SELECT diff_kind, count(*)::BIGINT AS n_keys,
+           min(o_orderkey)::BIGINT AS min_key, max(o_orderkey)::BIGINT AS max_key
+    FROM d WHERE diff_kind IS NOT NULL
+    GROUP BY diff_kind
+    """,
+    doc="Keyed snapshot reconciliation (sinks/merge.table_diff) — the "
+    "migration-validation / anti-entropy primitive: diff two table "
+    "snapshots by key, classifying added/removed/changed. The right "
+    "snapshot is simulated in-query (every 113th order deleted, "
+    "every 97th price bumped) so the expected delta is exact. Both "
+    "sides reduce to (key, md5-48 row fingerprint) INSIDE their "
+    "scans; the full-outer join shuffles ~20 bytes per row, never "
+    "the payload — diffing two 100 TB snapshots is a metadata-sized "
+    "exchange. Identical keys (the at-scale common case) are "
+    "dropped before output. Exact hash vs the SQL replay of the "
+    "fingerprint convention.",
+    tags=("lake", "quality"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sinks.merge import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    sim = o.where(F.col("o_orderkey") % 113 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    d = table_diff(o, sim, keys=["o_orderkey"])
+    return d.groupBy("diff_kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

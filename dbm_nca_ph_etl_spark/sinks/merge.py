@@ -364,3 +364,60 @@ class NCAStore:
                 self.fs,
             )
         delete_by_keys(self.spark, self.path("release"), ids, ["id"], self.fs)
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Keyed reconciliation of two table snapshots — the
+    migration-validation / anti-entropy primitive (audit an engine
+    swap, a backfill, or two replicas): classify every key as
+    ``added`` (right only), ``removed`` (left only), ``changed``
+    (both sides, any non-key column differs) or pass silently when
+    identical.
+
+    Plan: both sides reduce to (key, row_fingerprint) projections —
+    the md5-48 of the concatenated non-key columns with null
+    sentinels, computed INSIDE the scan — then one full-outer join
+    on the key. The shuffle carries key+fingerprint (16-24 bytes a
+    row), never the payload, which is what makes diffing two 100 TB
+    snapshots a metadata-sized exchange. Output: (key columns...,
+    diff_kind). Identical rows are dropped pre-join-output (the
+    common case at scale — emit only the delta).
+
+    Columns must match (checked). Key columns are assumed non-null —
+    FULL OUTER null semantics would report a null-keyed row as an
+    added+removed pair rather than matching it; run a
+    ``constraints.not_null`` check on the keys first when in doubt
+    (the same suite this diff typically runs beside)."""
+    from dbm_nca_ph_etl_spark.functions.scalars import hash48
+
+    if set(left.columns) != set(right.columns):
+        raise ValueError(
+            f"column sets differ: {sorted(left.columns)} vs {sorted(right.columns)}"
+        )
+    payload = [c for c in left.columns if c not in keys]
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        sig = hash48(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(payload)],
+            )
+        )
+        return df.select(*keys, sig.alias(alias))
+
+    lf = fp(left, "_lfp")
+    rf = fp(right, "_rfp")
+    joined = lf.join(rf, keys, "full_outer")
+    kind = (
+        F.when(F.col("_lfp").isNull(), F.lit("added"))
+        .when(F.col("_rfp").isNull(), F.lit("removed"))
+        .when(F.col("_lfp") != F.col("_rfp"), F.lit("changed"))
+    )
+    return (
+        joined.select(*keys, kind.alias("diff_kind"))
+        .where(F.col("diff_kind").isNotNull())
+    )

