@@ -10353,3 +10353,78 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "value_trend_by_type",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) - 1600000000 AS x,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+      FROM g GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+                THEN CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                                * 86400.0 + 0.5) AS BIGINT)
+           END AS slope_micro_per_day
+    FROM m
+    """,
+    doc="Per-group OLS trend (grouped linear regression, closed "
+    "form): the 'is this metric drifting?' question answered in ONE "
+    "map-side-combined aggregate pass — each group reduces to five "
+    "exact moments (n, Σx, Σy, Σxy, Σx²; per-row integer quantize "
+    "then DECIMAL sums, so the moments are merge-order-proof) and "
+    "the slope is one double expression on exact integers, emitted "
+    "as integer micro-units/day. No MLlib, no iteration, no "
+    "shuffle beyond the group agg — the regression equivalent of "
+    "the variance matview's moment trick (and composable with it: "
+    "the moments ARE mergeable partials, so the trend can be "
+    "maintained incrementally). Exact hash vs the SQL replay.",
+    tags=("events", "analytics"),
+)
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x = (
+        F.floor(F.col("ts_us").cast("double") / F.lit(1e6)).cast("long")
+        - F.lit(1_600_000_000)
+    )
+    y = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    g = ev.select("event_type", x.alias("x"), y.alias("y"))
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = nd * sxxd - sxd * sxd
+    slope = F.floor(
+        ((nd * sxyd - sxd * syd) / den) * F.lit(86400.0) + F.lit(0.5)
+    ).cast("long")
+    return m.select(
+        "event_type",
+        "n",
+        F.when(den != 0.0, slope).alias("slope_micro_per_day"),
+    )
