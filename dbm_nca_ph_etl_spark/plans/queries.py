@@ -10428,3 +10428,63 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when(den != 0.0, slope).alias("slope_micro_per_day"),
     )
+
+
+@register(
+    "exact_jaccard_join",
+    f"""
+    WITH toksd AS (
+      SELECT doc_id, {_SQL_SHINGLES.format(t='text')} AS ts
+      FROM documents
+      WHERE len({_SQL_SHINGLES.format(t='text')}) > 0
+        AND ({_SQL_SHINGLES.format(t='text')})[1] <> ''
+    ),
+    tok AS (SELECT doc_id, unnest(ts) AS t FROM toksd),
+    dfq AS (SELECT t, count(*)::BIGINT AS df FROM tok GROUP BY t),
+    wdf AS (
+      SELECT doc_id, tok.t, df,
+             count(*) OVER (PARTITION BY doc_id) AS n,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df, tok.t) AS rn
+      FROM tok JOIN dfq ON tok.t = dfq.t
+    ),
+    pref AS (
+      SELECT doc_id, t FROM wdf WHERE rn <= n - ceil(0.6 * n) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.ts, sb.ts))::BIGINT AS i,
+             (len(sa.ts) + len(sb.ts)
+              - len(list_intersect(sa.ts, sb.ts)))::BIGINT AS u
+      FROM cand
+      JOIN toksd sa ON sa.doc_id = doc_a
+      JOIN toksd sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(CAST(i AS DOUBLE) / CAST(u AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS jac_ppm
+    FROM ver WHERE i * 1000000 >= 600000 * u
+    """,
+    doc="EXACT set-similarity self-join with prefix filtering "
+    "(operators/dedup.prefix_filter_jaccard_join) — the AllPairs/"
+    "PPJoin family (Bayardo 2007, Xiao 2008): every pair with "
+    "token-set Jaccard ≥ 0.6, no probabilistic recall — the exact "
+    "counterpart of the MinHash pipeline for compliance-grade "
+    "dedup. The pruning theorem: with tokens in a global "
+    "rarest-first canonical order, J ≥ t pairs MUST share a token "
+    "in each other's (n − ⌈t·n⌉ + 1)-prefix, so candidates are "
+    "prefix-posting pairs only (rare-token lists — the shortest "
+    "available), never corpus². Threshold decided by exact integer "
+    "rational compare (inter·1e6 ≥ t_ppm·union), never float "
+    "rounding; pytest holds a randomized differential vs brute "
+    "force. Exact hash vs the SQL replay of ranking/prefix/verify.",
+    tags=("llm", "dedup"),
+)
+def exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.dedup import prefix_filter_jaccard_join
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_join(d, threshold=0.6)

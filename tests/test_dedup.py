@@ -562,3 +562,56 @@ class TestCdcChunks:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError):
             cdc_chunks(df, avg_tokens=0)
+
+
+class TestPrefixFilterJaccardJoin:
+    @staticmethod
+    def _shingles(text, n=3):
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) >= n:
+            out = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        else:
+            out = {" ".join(toks)}
+        return {s for s in out if s != ""} or None
+
+    def test_differential_vs_brute_force(self, spark):
+        import itertools
+        import random
+
+        from dbm_nca_ph_etl_spark.operators.dedup import (
+            prefix_filter_jaccard_join,
+        )
+
+        random.seed(42)
+        vocab = [f"w{i}" for i in range(50)]
+        texts = [
+            (d, " ".join(random.choice(vocab) for _ in range(random.randint(0, 25))))
+            for d in range(40)
+        ]
+        texts.append((100, texts[0][1]))                      # exact dup
+        texts.append((101, texts[5][1] + " tail word here"))  # near dup
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in prefix_filter_jaccard_join(df, threshold=0.6).collect()
+        }
+        want = set()
+        for (a, ta), (b, tb) in itertools.combinations(texts, 2):
+            A, B = self._shingles(ta), self._shingles(tb)
+            if not A or not B:
+                continue
+            i, u = len(A & B), len(A | B)
+            if i * 1_000_000 >= 600_000 * u:
+                want.add((min(a, b), max(a, b)))
+        assert got == want and (0, 100) in got
+
+    def test_threshold_guard(self, spark):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.dedup import (
+            prefix_filter_jaccard_join,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            prefix_filter_jaccard_join(df, threshold=0.0)
