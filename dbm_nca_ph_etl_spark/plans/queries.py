@@ -10488,3 +10488,67 @@ def exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return prefix_filter_jaccard_join(d, threshold=0.6)
+
+
+@register(
+    "token_drift_report",
+    f"""
+    WITH posting AS ({_SQL_POSTINGS}),
+    halves AS (
+      SELECT token, sum(CASE WHEN doc_id % 2 = 0 THEN tf ELSE 0 END)::BIGINT AS c1,
+             sum(CASE WHEN doc_id % 2 = 1 THEN tf ELSE 0 END)::BIGINT AS c2
+      FROM posting GROUP BY token
+    ),
+    tot AS (
+      SELECT sum(c1)::BIGINT AS t1, sum(c2)::BIGINT AS t2 FROM halves
+    ),
+    scored AS (
+      SELECT token, c1, c2,
+             CAST(floor(abs(ln((CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 1 AS DOUBLE))
+                              / (CAST(c2 + 1 AS DOUBLE) / CAST(t2 + 1 AS DOUBLE))))
+                        * 1000000 + 0.5) AS BIGINT) AS drift_micro
+      FROM halves CROSS JOIN tot WHERE c1 + c2 >= 20
+    )
+    SELECT token, c1, c2, drift_micro FROM scored
+    ORDER BY drift_micro DESC, token LIMIT 20
+    """,
+    doc="Corpus drift report (distribution-shift monitoring between "
+    "two corpus slices — the check a training pipeline runs between "
+    "crawl snapshots or train/val splits before blaming the model): "
+    "per-token add-one-smoothed log frequency ratio between the "
+    "doc_id-parity halves, min-support 20, top-20 by absolute drift "
+    "in integer micro-nats. One postings pass → vocab-sized rollup; "
+    "totals are a 1-row broadcast; ranking on the "
+    "(drift_micro, token) total order. Exact hash vs the SQL "
+    "replay. Swap the parity split for snapshot ids in production — "
+    "the plan is identical.",
+    tags=("llm", "text", "quality"),
+)
+def token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.inverted import build_postings
+
+    p = build_postings(_t(spark, sf_dir, "documents"))
+    halves = p.groupBy("token").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c2"),
+    )
+    tot = halves.agg(
+        F.sum("c1").cast("long").alias("t1"), F.sum("c2").cast("long").alias("t2")
+    )
+    ratio = (
+        (F.col("c1") + F.lit(1)).cast("double") / (F.col("t1") + F.lit(1)).cast("double")
+    ) / (
+        (F.col("c2") + F.lit(1)).cast("double") / (F.col("t2") + F.lit(1)).cast("double")
+    )
+    drift = F.floor(F.abs(F.log(ratio)) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        halves.crossJoin(F.broadcast(tot))
+        .where(F.col("c1") + F.col("c2") >= 20)
+        .select("token", "c1", "c2", drift.alias("drift_micro"))
+        .orderBy(F.col("drift_micro").desc(), "token")
+        .limit(20)
+    )
