@@ -227,3 +227,59 @@ def leading_run_concat(arr: Column, sep: str = " ") -> Column:
     )
     keep_n = F.when(first_empty > 0, first_empty - 1).otherwise(F.size(arr))
     return F.concat_ws(sep, F.slice(arr, 1, keep_n))
+
+
+def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows no other row dominates,
+    where B dominates A iff B is <= A on ``minimize`` AND >= A on
+    ``maximize`` with at least one comparison strict. The classic
+    multi-criteria shortlist (cheapest-for-the-capacity, price vs
+    quality) the reference's top-1/top-k orderings can't express.
+
+    Plan (the textbook sort-filter skyline, two-phase for scale):
+
+    1. ``distinct`` over the two criteria — dominance only depends on
+       the value pair, so the frontier of the distinct pairs is the
+       frontier of the table. Map-side combine shrinks the shuffle to
+       the value-domain cardinality.
+    2. LOCAL skylines: within each shuffle partition, sort by
+       (minimize asc, maximize desc) and keep a pair iff its
+       ``maximize`` strictly exceeds the running max of all preceding
+       rows (a preceding row has <= minimize; within an equal
+       minimize group the first row carries the group's best
+       maximize, so equal-pair ties survive and intra-group dominated
+       rows don't). One window, no self-join.
+    3. GLOBAL pass: the same predicate over the union of local
+       survivors. Sound because dominance is transitive: a globally
+       dominated row either meets its dominator in the global pass,
+       or that dominator lost locally to a row that dominates both
+       and DID survive. Survivor sets are tiny (the frontier of n
+       uniform pairs is ~O(log n) in 2-D), so the single-task global
+       window is metadata-sized at any scale.
+    4. Broadcast-join the frontier pairs back to the table — every
+       row carrying a frontier value pair is on the frontier.
+
+    Deterministic: dominance is a pure value predicate; no ranks or
+    row_numbers reach the output.
+    """
+    mn, mx = F.col(minimize), F.col(maximize)
+    pairs = df.select(minimize, maximize).distinct()
+
+    def _sky(pdf: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(mn.asc(), mx.desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        best = F.max(maximize).over(w)
+        return (
+            pdf.withColumn("_pm", best)
+            .where(F.col("_pm").isNull() | (mx > F.col("_pm")))
+            .drop("_pm")
+        )
+
+    local = _sky(pairs.withColumn("_pid", F.spark_partition_id()), ["_pid"]).drop(
+        "_pid"
+    )
+    frontier = _sky(local, [])
+    return df.join(F.broadcast(frontier), [minimize, maximize])

@@ -10630,3 +10630,34 @@ def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.cosine_topk(emb, q, k=10),
         floor_hits=20,
     )
+
+
+@register(
+    "pareto_frontier_parts",
+    """
+    SELECT a.p_partkey, round(a.p_retailprice, 2) AS retail, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+    doc="2-D skyline / Pareto frontier (extension — the "
+    "multi-criteria shortlist O1-O4's total orders can't express): "
+    "parts no other part beats on (cheaper retail, larger size) with "
+    "one strict. operators/windows.skyline_2d: distinct value pairs "
+    "→ per-partition sort-filter local skylines (one window each) → "
+    "global pass over the ~O(log n) survivors → broadcast join back. "
+    "No self-join, no cartesian; the oracle replays the NOT EXISTS "
+    "definition directly, so the hash check proves the two-phase "
+    "window plan equals the quadratic spec.",
+    tags=("relational", "extension"),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return W.skyline_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("retail"),
+        "p_size",
+    )

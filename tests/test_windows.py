@@ -240,3 +240,69 @@ class TestQuotaViaPrefixSum:
             .collect()
         }
         assert via_window == via_prefix and len(via_window) > 10
+
+
+class TestSkyline2D:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id int, price double, size int")
+
+    def test_small_frontier_with_ties_and_dups(self, spark):
+        # frontier pairs: (1.0, 5), (2.0, 8); (3.0, 8) dominated by
+        # (2.0, 8); (1.5, 5) dominated by (1.0, 5); equal pairs both
+        # survive (neither strictly dominates the other)
+        df = self._df(
+            spark,
+            [
+                (1, 1.0, 5),
+                (2, 1.0, 5),   # duplicate frontier pair — kept too
+                (3, 2.0, 8),
+                (4, 3.0, 8),
+                (5, 1.5, 5),
+                (6, 2.0, 3),
+            ],
+        )
+        from dbm_nca_ph_etl_spark.operators.windows import skyline_2d
+
+        got = sorted(r.id for r in skyline_2d(df, "price", "size").collect())
+        assert got == [1, 2, 3]
+
+    def test_matches_not_exists_spec(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.sources.catalog import load_table
+        from dbm_nca_ph_etl_spark.operators.windows import skyline_2d
+
+        part = load_table(spark, sf_dir, "part")
+        part.createOrReplaceTempView("_sky_part")
+        spec = {
+            r.p_partkey
+            for r in spark.sql(
+                """
+                SELECT a.p_partkey FROM _sky_part a
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM _sky_part b
+                  WHERE b.p_retailprice <= a.p_retailprice
+                    AND b.p_size >= a.p_size
+                    AND (b.p_retailprice < a.p_retailprice
+                         OR b.p_size > a.p_size))
+                """
+            ).collect()
+        }
+        got = {
+            r.p_partkey
+            for r in skyline_2d(part, "p_retailprice", "p_size").collect()
+        }
+        assert got == spec and got
+
+    def test_partition_invariant(self, spark):
+        import random
+
+        from dbm_nca_ph_etl_spark.operators.windows import skyline_2d
+
+        rng = random.Random(11)
+        rows = [
+            (i, float(rng.randint(1, 40)), rng.randint(1, 30))
+            for i in range(300)
+        ]
+        df = self._df(spark, rows)
+        a = sorted(r.id for r in skyline_2d(df.repartition(1), "price", "size").collect())
+        b = sorted(r.id for r in skyline_2d(df.repartition(13), "price", "size").collect())
+        assert a == b and a
