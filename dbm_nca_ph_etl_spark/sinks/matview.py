@@ -44,6 +44,7 @@ direct one-shot aggregate.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 import shutil
@@ -57,7 +58,7 @@ from pyspark.sql import functions as F
 from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS, get_fs
 from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 
-_KINDS = ("sum", "count", "min", "max", "hll", "hist", "cms", "var")
+_KINDS = ("sum", "count", "min", "max", "hll", "hist", "cms", "var", "dd")
 
 
 @dataclass(frozen=True)
@@ -98,7 +99,25 @@ class Measure:
     sum ⇒ mergeable AND retractable. Read-time variance/stddev via
     :func:`derived_variance` / :func:`derived_stddev`. Safe input
     domain |x| ≤ ~3e6 (x²·1e6 must fit the per-row LONG before the
-    decimal cast); beyond that, pre-scale the expr."""
+    decimal cast); beyond that, pre-scale the expr.
+
+    ``kind="dd"`` stores a DDSketch-style LOG-bucketed histogram
+    (``array<long>`` of ``bins`` counts over geometric buckets
+    [lo·γᵇ, lo·γᵇ⁺¹), γ = (hi/lo)^(1/bins)) — the RELATIVE-error
+    quantile answer for incremental views. Where ``hist``'s equi-width
+    bins bound quantile error by half a bin width (useless in the
+    tail of a skewed money/latency distribution), dd bounds it by
+    α = (γ−1)/(γ+1) of the VALUE at every quantile simultaneously —
+    the p99.9 is as accurate as the median (Masson et al., VLDB'19).
+    Deliberately NOT KLL/t-digest: those compact adaptively, so the
+    sketch depends on merge order; dd buckets are plain counts —
+    mergeable, retractable, and bit-identical under any batch
+    arrival order, the invariant this module's oracle proves.
+    Positive values only: v < lo clamps to bin 0, v ≥ hi to the last
+    bin (the hist clamping convention — α holds on [lo, hi)); v ≤ 0
+    is dropped (null log), counted by a sibling ``count`` measure if
+    the caller needs it. Read-time quantiles via
+    :func:`derived_dd_quantile`; the guarantee via :func:`dd_alpha`."""
 
     name: str
     expr: str
@@ -116,6 +135,8 @@ class Measure:
             raise ValueError(f"hist needs hi > lo and bins > 0, got {self}")
         if self.kind == "cms" and not (self.depth > 0 and self.width > 0):
             raise ValueError(f"cms needs depth > 0 and width > 0, got {self}")
+        if self.kind == "dd" and not (self.hi > self.lo > 0 and self.bins > 0):
+            raise ValueError(f"dd needs hi > lo > 0 and bins > 0, got {self}")
 
 
 def _hist_bucket(m: Measure, col: Column) -> Column:
@@ -124,6 +145,23 @@ def _hist_bucket(m: Measure, col: Column) -> Column:
         (col.cast("double") - F.lit(m.lo)) / F.lit(m.hi - m.lo) * m.bins
     )
     return F.least(F.lit(m.bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+
+
+def _dd_gamma(m: Measure) -> float:
+    """Geometric bucket growth factor: bins buckets span [lo, hi)."""
+    return (m.hi / m.lo) ** (1.0 / m.bins)
+
+
+def _dd_bucket(m: Measure, col: Column) -> Column:
+    """Clamped log-space bin index for a dd measure. Null (hence no
+    count) for v ≤ 0 or null v — the explicit ``when`` matters:
+    ``log`` of a non-positive is null, and Spark's greatest/least
+    SKIP null arguments, so without it the clamp would silently file
+    negatives into bucket 0 instead of dropping them."""
+    d = col.cast("double")
+    raw = F.floor(F.log(d / F.lit(m.lo)) / F.lit(math.log(_dd_gamma(m))))
+    clamped = F.least(F.lit(m.bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    return F.when(d > 0, clamped).otherwise(F.lit(None).cast("int"))
 
 
 def _cms_bucket(m: Measure, col: Column, row: int) -> Column:
@@ -139,11 +177,55 @@ def _cms_bucket(m: Measure, col: Column, row: int) -> Column:
 
 def _array_cells(m: Measure) -> int:
     """Stored array length for array-shaped measures."""
-    return m.bins if m.kind == "hist" else m.depth * m.width
+    return m.bins if m.kind in ("hist", "dd") else m.depth * m.width
 
 
 def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure]) -> DataFrame:
-    """One batch → its partial-aggregate rows (map-side combined)."""
+    """One batch → its partial-aggregate rows (map-side combined).
+
+    dd sketches take a different path from the other kinds: at
+    bins=512, running bins conditional sums over the FACT table is
+    512 aggregate buffers touched per input row (measured 143 s on
+    sf0.01 orders). Instead each dd measure counts (keys, bucket)
+    occupancy first — one O(1)-per-row groupBy with map-side combine,
+    output ≤ |groups|·bins rows — and densifies to the stored array
+    over THAT group-sized relation, then joins back onto the shared
+    groupBy of the remaining measures (143 s → 13 s on the catalog
+    query; at 100 TB the per-row cost is one log, not bins
+    comparisons). Groups whose dd
+    values are all null/≤0 keep an explicit zero array via the
+    join's coalesce, identical to the conditional-sum encoding."""
+    dd_frames: list[tuple[Measure, DataFrame]] = []
+    for m in measures:
+        if m.kind != "dd":
+            continue
+        b = _dd_bucket(m, F.expr(m.expr)).alias("_b")
+        occ = (
+            df.select(*keys, b)
+            .where(F.col("_b").isNotNull())
+            .groupBy(*keys, "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        # densify via a bucket→count map: ONE expression regardless
+        # of bins (a 512-term F.array(*sums) costs ~17 s of py4j
+        # round-trips per plan build — the similarity.py array-literal
+        # lesson) and O(bins) per group at runtime
+        dense = (
+            occ.groupBy(*keys)
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m")
+            )
+            .select(
+                *keys,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m.bins - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("_m"), i), F.lit(0).cast("long")
+                    ),
+                ).alias(m.name),
+            )
+        )
+        dd_frames.append((m, dense))
     aggs = []
     for m in measures:
         col = F.expr(m.expr)
@@ -157,6 +239,8 @@ def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure])
         elif m.kind == "hll":
             # lgConfigK=14: ±~0.8% rsd, 16 KiB dense — dashboard grade
             aggs.append(F.hll_sketch_agg(col, 14).alias(m.name))
+        elif m.kind == "dd":
+            continue  # joined in from its occupancy aggregation below
         elif m.kind == "hist":
             b = _hist_bucket(m, col)
             aggs.append(
@@ -201,7 +285,18 @@ def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure])
             )
         else:
             aggs.append(F.max(col).alias(m.name))
-    return df.groupBy(*keys).agg(*aggs)
+    if not aggs:
+        # all-dd measure list: the shared groupBy still defines which
+        # key groups exist in the batch (incl. all-null/≤0 ones)
+        out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_g")).drop("_g")
+    else:
+        out = df.groupBy(*keys).agg(*aggs)
+    for m, dense in dd_frames:
+        out = out.join(dense, list(keys), "left").withColumn(
+            m.name,
+            F.coalesce(F.col(m.name), F.array_repeat(F.lit(0).cast("long"), m.bins)),
+        )
+    return out
 
 
 def merge_partials(
@@ -223,6 +318,17 @@ def merge_partials(
                 F.sum(F.col(m.name).getField("n")).alias("n"),
                 F.sum(F.col(m.name).getField("s")).cast("decimal(38,0)").alias("s"),
                 F.sum(F.col(m.name).getField("s2")).cast("decimal(38,0)").alias("s2"),
+            ).alias(m.name)
+        if m.kind == "dd":
+            # element-wise fold of the collected arrays: + on longs is
+            # associative/commutative, so collect_list's arbitrary
+            # order can't perturb the result. One expression at any
+            # bins (vs a bins-term per-cell sum list, which costs
+            # seconds of plan-build py4j at bins=512)
+            return F.aggregate(
+                F.collect_list(F.col(m.name)),
+                F.array_repeat(F.lit(0).cast("long"), _array_cells(m)),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
             ).alias(m.name)
         if m.kind in ("hist", "cms"):
             # element-wise sum of the counter arrays — per-cell sum
@@ -259,7 +365,7 @@ def negate_partial(partial: DataFrame, measures: Sequence[Measure]) -> DataFrame
                 (-c.getField("s")).cast("decimal(38,0)").alias("s"),
                 (-c.getField("s2")).cast("decimal(38,0)").alias("s2"),
             ).alias(m.name)
-        if m.kind in ("hist", "cms"):
+        if m.kind in ("hist", "cms", "dd"):
             return F.transform(F.col(m.name), lambda v: -v).alias(m.name)
         return (-F.col(m.name)).alias(m.name)
 
@@ -295,6 +401,55 @@ def derived_quantile(m: Measure, q: float) -> Column:
     return F.when(total > 0, F.lit(m.lo) + (idx + 0.5) * F.lit(width)).otherwise(
         F.lit(None).cast("double")
     )
+
+
+def dd_alpha(m: Measure) -> float:
+    """The dd sketch's relative-error guarantee on [lo, hi):
+    α = (γ−1)/(γ+1)."""
+    g = _dd_gamma(m)
+    return (g - 1.0) / (g + 1.0)
+
+
+def derived_dd_quantile(m: Measure, q: float) -> Column:
+    """Read-time quantile estimate off a stored dd partial: walk the
+    cumulative bucket counts to the bucket holding the q-th value and
+    return 2γ/(γ+1)·lo·γᵇ — the point minimizing worst-case RELATIVE
+    error over that bucket's span [lo·γᵇ, lo·γᵇ⁺¹), giving
+    |est − true|/true ≤ :func:`dd_alpha` for every quantile whose
+    true value lies in [lo, hi). Same cumsum slice-fold as
+    :func:`derived_quantile` — register math on ``bins`` longs, no
+    scan; deterministic and merge-order independent because the
+    buckets themselves are — and the walk is ONE O(bins) fold, not
+    derived_quantile's O(bins²) slice cumsum (register math either
+    way at 32 hist bins; real money at 512)."""
+    col = F.col(m.name)
+    total = F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.ceil(F.lit(q) * total.cast("double")).cast("long")
+    # single fold carrying (running cum, first idx with cum ≥ target,
+    # position); idx = -1 until found
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).alias("idx"),
+        F.lit(0).alias("pos"),
+    )
+    found = F.aggregate(
+        col,
+        zero,
+        lambda acc, x: F.struct(
+            (acc.getField("cum") + x).alias("cum"),
+            F.when(
+                (acc.getField("idx") >= 0) | (acc.getField("cum") + x < target),
+                acc.getField("idx"),
+            )
+            .otherwise(acc.getField("pos"))
+            .alias("idx"),
+            (acc.getField("pos") + 1).alias("pos"),
+        ),
+    ).getField("idx")
+    idx = F.when(found >= 0, found).otherwise(F.lit(m.bins - 1))
+    g = _dd_gamma(m)
+    est = F.lit(2.0 * g / (g + 1.0) * m.lo) * F.pow(F.lit(g), idx.cast("double"))
+    return F.when(total > 0, est).otherwise(F.lit(None).cast("double"))
 
 
 def derived_cms_count(m: Measure, item: Column) -> Column:

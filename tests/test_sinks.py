@@ -952,3 +952,114 @@ class TestTableDiff:
         b = spark.createDataFrame([(1, 2.0)], "k long, v double")
         with pytest.raises(ValueError):
             table_diff(a, b, ["k"])
+
+
+class TestDdMeasure:
+    """kind='dd': mergeable AND retractable log-bucket (DDSketch)
+    relative-error quantile sketch."""
+
+    def _measures(self, bins=64):
+        from dbm_nca_ph_etl_spark.sinks.matview import Measure
+
+        return ["k"], [Measure("d", "v", "dd", lo=1.0, hi=10000.0, bins=bins)]
+
+    def _df(self, spark):
+        # lognormal-ish positive values plus clampers and drops
+        vals = [1.5**i for i in range(1, 20)] + [0.5, 20000.0]
+        rows = [("a", float(v)) for v in vals] + [
+            ("b", -3.0),  # dropped: negative
+            ("b", 0.0),   # dropped: zero
+            ("b", 7.0),
+        ]
+        return spark.createDataFrame(rows, "k string, v double")
+
+    def test_merge_equals_one_shot_any_order(self, spark):
+        import pyspark.sql.functions as F
+
+        from dbm_nca_ph_etl_spark.sinks.matview import merge_partials, partial_agg
+
+        keys, ms = self._measures()
+        df = self._df(spark)
+        parts = [
+            partial_agg(df.where((F.col("v") >= 10).cast("int") == i), keys, ms)
+            for i in range(2)
+        ]
+        direct = {r.k: r.d for r in partial_agg(df, keys, ms).collect()}
+        fwd = {r.k: r.d for r in merge_partials(parts, keys, ms).collect()}
+        rev = {r.k: r.d for r in merge_partials(parts[::-1], keys, ms).collect()}
+        assert fwd == direct == rev
+
+    def test_clamp_drop_semantics(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import partial_agg
+
+        keys, ms = self._measures()
+        out = {r.k: r.d for r in partial_agg(self._df(spark), keys, ms).collect()}
+        # b: -3 and 0 dropped, one positive value counted
+        assert sum(out["b"]) == 1
+        # a: 0.5 clamps to bucket 0, 20000 clamps to the last bucket
+        assert out["a"][0] >= 1 and out["a"][-1] >= 1
+        assert sum(out["a"]) == 21  # nothing else lost
+
+    def test_retract_round_trip(self, spark):
+        import pyspark.sql.functions as F
+
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            merge_partials,
+            negate_partial,
+            partial_agg,
+        )
+
+        keys, ms = self._measures()
+        df = self._df(spark)
+        full = partial_agg(df, keys, ms)
+        batch = partial_agg(df.where(F.col("v") > 100), keys, ms)
+        rest = partial_agg(df.where(~(F.col("v") > 100)), keys, ms)
+        back = merge_partials([full, negate_partial(batch, ms)], keys, ms)
+        got = {r.k: r.d for r in back.collect()}
+        want = {r.k: r.d for r in rest.collect()}
+        assert got == want
+
+    def test_quantile_relative_error_bound(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            dd_alpha,
+            derived_dd_quantile,
+            partial_agg,
+        )
+
+        keys, ms = self._measures(bins=256)
+        m = ms[0]
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vals = np.exp(rng.normal(3.0, 1.2, size=4000))
+        vals = np.clip(vals, 1.0001, 9999.0)  # inside [lo, hi): pure α regime
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in vals], "k string, v double"
+        )
+        sk = partial_agg(df, keys, ms)
+        alpha = dd_alpha(m)
+        for q in (0.05, 0.5, 0.9, 0.99):
+            est = sk.select(derived_dd_quantile(m, q)).collect()[0][0]
+            true = float(np.quantile(vals, q, method="inverted_cdf"))
+            assert abs(est - true) / true <= alpha, (q, est, true, alpha)
+
+    def test_empty_sketch_null_quantile(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            derived_dd_quantile,
+            partial_agg,
+        )
+
+        keys, ms = self._measures()
+        df = spark.createDataFrame([("z", -1.0)], "k string, v double")
+        out = partial_agg(df, keys, ms).select(
+            derived_dd_quantile(ms[0], 0.5)
+        ).collect()
+        assert out[0][0] is None
+
+    def test_validation_guard(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import Measure
+
+        with pytest.raises(ValueError, match="dd needs"):
+            Measure("d", "v", "dd", lo=0.0, hi=10.0, bins=8)
+        with pytest.raises(ValueError, match="dd needs"):
+            Measure("d", "v", "dd", lo=5.0, hi=5.0, bins=8)
