@@ -283,3 +283,88 @@ def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
     )
     frontier = _sky(local, [])
     return df.join(F.broadcast(frontier), [minimize, maximize])
+
+
+def time_grid_interpolate(
+    observed: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    step: int,
+) -> DataFrame:
+    """Dense-grid LINEAR interpolation of an integer-valued series —
+    the resampling step between raw events and model-ready features
+    (forward_fill answers "carry the last reading"; this answers
+    "estimate between readings", the right semantic for continuous
+    signals like balances, gauges, rates).
+
+    Input: one row per (keys, ts) observation; ``ts_col`` an integer
+    epoch (µs convention), ``val_col`` an integer measure (e6-scaled
+    convention). Output: one row per (keys, grid tick) spanning each
+    key's [min, max] observation range at ``step`` spacing, with:
+
+    - ``interp`` — the observation when the tick is observed, else
+      v0 + (v1−v0)·(t−t0)/(t1−t0) between the bracketing
+      observations, computed ENTIRELY in decimal(38,0) integer
+      arithmetic with one final floor-half-up division: exact, so
+      the result is partition- and engine-invariant (the µs·e6
+      products overflow int64; decimals don't).
+    - ``observed`` — 1 for real points, 0 for interpolated ones.
+
+    Every tick interpolates: grid ends are observation min/max, so a
+    bracketing pair always exists (edge ticks are themselves
+    observed). Plan: per-key grid explode (bounded by the key's own
+    span), one left join and two directional IGNORE NULLS window
+    passes sharing a single shuffle+sort on (keys, tick) — the
+    hourly_grid_ffill shape plus the backward frame.
+    """
+    k = [F.col(c) for c in keys]
+    span = observed.groupBy(*keys).agg(
+        F.min(ts_col).alias("_h0"), F.max(ts_col).alias("_h1")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_h0"), F.col("_h1"), F.lit(int(step)))
+        ).alias(ts_col),
+    )
+    j = grid.join(observed, [*keys, ts_col], "left")
+    v = F.col(val_col).cast("decimal(38,0)")
+    t = F.col(ts_col).cast("decimal(38,0)")
+    before = (
+        Window.partitionBy(*k)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    after = (
+        Window.partitionBy(*k)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v0 = F.last(v, ignorenulls=True).over(before)
+    t0 = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(before)
+    v1 = F.first(v, ignorenulls=True).over(after)
+    t1 = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(after)
+    # round-half-up(N/D) = (2N + D) div (2D) for N ≥ 0, D > 0 — the
+    # shift C keeps N positive for negative-valued series so integer
+    # div (truncation) IS floor on both engines (Spark `div`, DuckDB
+    # `//`); it cancels exactly because C·D div D is exact:
+    # N = u0·(D−dt) + u1·dt with u = v + C, both addends ≥ 0
+    C = F.lit(1 << 41).cast("decimal(38,0)")
+    dt, dur = t - t0, t1 - t0
+    num = F.lit(2) * ((v0 + C) * (dur - dt) + (v1 + C) * dt) + dur
+    half_up = (
+        j.withColumn("_num", num)
+        # null (not 0) when the tick is itself observed: dur = 0
+        # there, and div-by-null is null while div-by-zero would
+        # throw under ANSI — the observed branch never reads _q
+        .withColumn("_den", F.when(dur > 0, F.lit(2) * dur))
+        .withColumn("_q", F.expr("_num div _den") - (1 << 41))
+    )
+    interp = F.when(v.isNotNull(), v.cast("long")).otherwise(F.col("_q"))
+    return half_up.select(
+        *keys,
+        F.col(ts_col),
+        interp.cast("long").alias("interp"),
+        F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("observed"),
+    )

@@ -10726,3 +10726,80 @@ def dd_matview_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.col(f"_x_{n}"), 2).alias(n) for _, n in qs],
         ok.alias("dd_ok"),
     )
+
+
+@register(
+    "hourly_interp_values",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+    hr AS (
+      SELECT user_id, t - t % 3600000000 AS hour_us,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v_e6
+      FROM e GROUP BY user_id, t - t % 3600000000
+    ),
+    span AS (
+      SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1 FROM hr GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, 3600000000)) AS hour_us
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.hour_us, hr.v_e6
+      FROM grid g LEFT JOIN hr ON g.user_id = hr.user_id AND g.hour_us = hr.hour_us
+    ),
+    w AS (
+      SELECT user_id, hour_us, v_e6,
+        last_value(v_e6 IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hour_us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+        last_value(CASE WHEN v_e6 IS NOT NULL THEN hour_us END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hour_us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+        first_value(v_e6 IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hour_us
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+        first_value(CASE WHEN v_e6 IS NOT NULL THEN hour_us END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hour_us
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+      FROM j
+    )
+    SELECT user_id, hour_us,
+      CASE WHEN v_e6 IS NOT NULL THEN v_e6
+           ELSE CAST(
+             (2 * ((v0 + 2199023255552)::HUGEINT * (t1 - hour_us)::HUGEINT
+                   + (v1 + 2199023255552)::HUGEINT * (hour_us - t0)::HUGEINT)
+              + (t1 - t0)::HUGEINT)
+             // (2 * (t1 - t0))::HUGEINT - 2199023255552 AS BIGINT)
+      END AS interp,
+      CASE WHEN v_e6 IS NOT NULL THEN 1 ELSE 0 END AS observed
+    FROM w
+    """,
+    doc="Dense-grid LINEAR interpolation (extension — the resampling "
+    "semantic hourly_grid_ffill's carry-forward can't give: estimate "
+    "BETWEEN readings, for continuous signals): per-user hourly "
+    "value sums interpolated across empty hours via "
+    "operators/windows.time_grid_interpolate. All arithmetic is "
+    "decimal(38,0) integers with one final round-half-up spelled as "
+    "positive-shifted integer div — Spark `div` and DuckDB `//` "
+    "truncate identically on the shifted-positive numerator, so the "
+    "hash match is exact (float interpolation would be ULP-hostage "
+    "at µs·e6 magnitudes, which overflow int64). Plan: per-user grid "
+    "explode + left join + two directional IGNORE NULLS window "
+    "passes sharing one (user, hour) sort — the hourly_grid_ffill "
+    "shape plus the backward frame.",
+    tags=("window", "events"),
+)
+def hourly_interp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    HOUR = 3600000000
+    e = _t(spark, sf_dir, "events")
+    hr = (
+        e.withColumn("hour_us", F.col("ts_us") - F.col("ts_us") % HOUR)
+        .groupBy("user_id", "hour_us")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("long")
+            .alias("v_e6")
+        )
+    )
+    return W.time_grid_interpolate(hr, ["user_id"], "hour_us", "v_e6", HOUR)

@@ -306,3 +306,59 @@ class TestSkyline2D:
         a = sorted(r.id for r in skyline_2d(df.repartition(1), "price", "size").collect())
         b = sorted(r.id for r in skyline_2d(df.repartition(13), "price", "size").collect())
         assert a == b and a
+
+
+class TestTimeGridInterpolate:
+    def _run(self, spark, rows, step=1):
+        from dbm_nca_ph_etl_spark.operators.windows import time_grid_interpolate
+
+        df = spark.createDataFrame(rows, "k string, t long, v long")
+        out = time_grid_interpolate(df, ["k"], "t", "v", step)
+        return {(r.k, r.t): (r.interp, r.observed) for r in out.collect()}
+
+    def test_linear_between_observations(self, spark):
+        got = self._run(spark, [("a", 0, 100), ("a", 4, 200)])
+        assert got == {
+            ("a", 0): (100, 1),
+            ("a", 1): (125, 0),
+            ("a", 2): (150, 0),
+            ("a", 3): (175, 0),
+            ("a", 4): (200, 1),
+        }
+
+    def test_round_half_up(self, spark):
+        got = self._run(spark, [("a", 0, 0), ("a", 2, 1)])
+        assert got[("a", 1)] == (1, 0)  # exact 0.5 rounds up
+
+    def test_negative_values(self, spark):
+        got = self._run(spark, [("a", 0, -100), ("a", 4, 0)])
+        assert got[("a", 1)] == (-75, 0) and got[("a", 3)] == (-25, 0)
+        # -0.5 rounds half-UP to 0 (toward +inf), the convention both
+        # engines reproduce through the positive shift
+        got2 = self._run(spark, [("b", 0, -1), ("b", 2, 0)])
+        assert got2[("b", 1)] == (0, 0)
+
+    def test_multi_key_and_partition_invariance(self, spark):
+        rows = [("a", 0, 10), ("a", 10, 110), ("b", 5, 1000), ("b", 8, 400)]
+        from dbm_nca_ph_etl_spark.operators.windows import time_grid_interpolate
+
+        df = spark.createDataFrame(rows, "k string, t long, v long")
+        a = {
+            (r.k, r.t): (r.interp, r.observed)
+            for r in time_grid_interpolate(
+                df.repartition(1), ["k"], "t", "v", 1
+            ).collect()
+        }
+        b = {
+            (r.k, r.t): (r.interp, r.observed)
+            for r in time_grid_interpolate(
+                df.repartition(9), ["k"], "t", "v", 1
+            ).collect()
+        }
+        assert a == b
+        assert a[("a", 5)] == (60, 0) and a[("b", 6)] == (800, 0)
+        assert len(a) == 11 + 4
+
+    def test_single_observation_key(self, spark):
+        got = self._run(spark, [("solo", 7, 42)])
+        assert got == {("solo", 7): (42, 1)}
