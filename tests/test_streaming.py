@@ -1316,3 +1316,56 @@ class TestStreamIntoKeyed:
         self._run(spark, src, path, ckpt)
         assert CommitLog(path).version() == 1  # no duplicate entry
         assert {r.k: r.v for r in read_keyed(spark, path).collect()}[1] == "new"
+
+
+class TestStreamingDdMatview:
+    """kind='dd' composes through stream_into_matview unchanged: the
+    streamed sketch equals the one-shot batch sketch bit-for-bit."""
+
+    def test_streamed_equals_batch_sketch(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            MaterializedAgg,
+            Measure,
+            derived_dd_quantile,
+            partial_agg,
+        )
+        from dbm_nca_ph_etl_spark.streaming.agg_stream import stream_into_matview
+
+        m = Measure("d", "v", "dd", lo=1.0, hi=10000.0, bins=64)
+        inbox = str(tmp_path / "inbox")
+        os.makedirs(inbox)
+        view = MaterializedAgg(spark, str(tmp_path / "mv"), ["k"], [m])
+
+        batches = [
+            [("a", float(1.7**i)) for i in range(1, 10)],
+            [("a", 5000.0), ("b", 3.0)],
+            [("b", 42.0), ("a", -1.0)],  # negative dropped
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, "k string, v double").coalesce(1).write.mode(
+                "append"
+            ).parquet(inbox)
+        stream = (
+            spark.readStream.schema("k string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        stream_into_matview(stream, view, str(tmp_path / "ckpt"))
+
+        streamed = {r["k"]: r["d"] for r in view.read_partials().collect()}
+        allrows = [r for b in batches for r in b]
+        direct = {
+            r["k"]: r["d"]
+            for r in partial_agg(
+                spark.createDataFrame(allrows, "k string, v double"), ["k"], [m]
+            ).collect()
+        }
+        assert streamed == direct
+        # and the read-out answers off the streamed state
+        est = (
+            view.read_partials()
+            .where("k = 'a'")
+            .select(derived_dd_quantile(m, 0.5))
+            .collect()[0][0]
+        )
+        assert est is not None and 1.0 <= est <= 10000.0
