@@ -785,6 +785,44 @@ def cdc_chunks(
     )
 
 
+def _canonical_token_arrays(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(doc_id, ts) with each doc's DISTINCT set elements sorted in
+    the global canonical order (ascending document frequency, token
+    as tiebreak — rarest first). The shared front half of the
+    prefix-filtering joins (Jaccard and containment): the df table is
+    a vocab-sized rollup, the per-doc sort an array HOF over
+    (df, token) structs (struct order is lexicographic)."""
+    elems = (
+        word_shingles(F.col(text_col), n=shingle_n)
+        if shingle_n > 1
+        else F.array_distinct(tokens(F.col(text_col)))
+    )
+    # word_shingles gives [''] for an empty doc (the <n-token
+    # fallback) — no content, no set
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), elems.alias("ts")
+    ).where((F.size("ts") > 0) & (F.element_at("ts", 1) != ""))
+    dfreq = toks.select(F.explode("ts").alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return (
+        toks.select("doc_id", F.explode("ts").alias("token"))
+        .join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("token")))
+            ).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("ordered"), lambda s: s["token"]).alias("ts"),
+        )
+    )
+
+
 def prefix_filter_jaccard_join(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -823,35 +861,7 @@ def prefix_filter_jaccard_join(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t_ppm = int(threshold * 1_000_000)
-    elems = (
-        word_shingles(F.col(text_col), n=shingle_n)
-        if shingle_n > 1
-        else F.array_distinct(tokens(F.col(text_col)))
-    )
-    # word_shingles gives [''] for an empty doc (the <n-token
-    # fallback) — no content, no set
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), elems.alias("ts")
-    ).where((F.size("ts") > 0) & (F.element_at("ts", 1) != ""))
-    dfreq = toks.select(F.explode("ts").alias("token")).groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    # canonical order: (df, token) ascending — computed by sorting an
-    # array of (df, token) structs per doc, struct order is lexicographic
-    ranked = (
-        toks.select("doc_id", F.explode("ts").alias("token"))
-        .join(dfreq, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("token")))
-            ).alias("ordered")
-        )
-        .select(
-            "doc_id",
-            F.transform(F.col("ordered"), lambda s: s["token"]).alias("ts"),
-        )
-    )
+    ranked = _canonical_token_arrays(docs, text_col, id_col, shingle_n)
     n = F.size("ts")
     prefix_len = n - F.ceil(F.lit(threshold) * n.cast("double")).cast("int") + 1
     pref = ranked.select(
@@ -890,4 +900,82 @@ def prefix_filter_jaccard_join(
         jac_ppm.alias("jac_ppm"),
     ).where(F.col("_i") * F.lit(1_000_000) >= F.lit(t_ppm) * F.col("_u")).select(
         "doc_a", "doc_b", "jac_ppm"
+    )
+
+
+def containment_join(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_size: int = 5,
+) -> DataFrame:
+    """EXACT directional CONTAINMENT join: every ordered pair
+    (a, b), a ≠ b, with C(A→B) = |A∩B| / |A| ≥ t — "a is (nearly)
+    contained in b". The excerpt/quote/boilerplate-inclusion
+    detector symmetric Jaccard structurally misses: a 50-line excerpt
+    inside a 5000-line document has J ≈ 0.01 but C = 1.0.
+
+    Prefix pruning, directional form (Chaudhuri et al. 2006 SSJoin):
+    C(A→B) ≥ t means at most |A| − ⌈t·|A|⌉ of A's elements miss B,
+    so A's canonical-order prefix of length |A| − ⌈t·|A|⌉ + 1 MUST
+    intersect B's FULL set. Candidates are therefore the join of
+    A-side PREFIX postings against B-side full postings — asymmetric
+    where the Jaccard join is prefix×prefix, because only the
+    contained side's size bounds the miss budget. Rarest-first
+    ordering keeps the probed posting lists short: a boilerplate
+    shingle in B's postings is only ever probed when it lands in
+    some A's (rare) prefix.
+
+    Verify is exact set intersection on the carried sorted arrays;
+    the threshold decides by integer rational compare
+    (inter·1e6 ≥ t_ppm·|A| — no float boundary). ``min_size`` drops
+    trivially-contained tiny sets (|A| < min_size shingles), the
+    standard guard for quote-detection noise.
+
+    Output: (doc_a, doc_b, size_a, inter, cont_ppm) where doc_a is
+    the contained side. Scale: vocab-sized df rollup + one posting
+    join whose cost tracks rare-token co-occurrence; never corpus².
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if min_size < 1:
+        raise ValueError(f"min_size must be >= 1, got {min_size}")
+    t_ppm = int(threshold * 1_000_000)
+    ranked = _canonical_token_arrays(docs, text_col, id_col, shingle_n).where(
+        F.size("ts") >= min_size
+    )
+    n = F.size("ts")
+    prefix_len = n - F.ceil(F.lit(threshold) * n.cast("double")).cast("int") + 1
+    probe = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ts").alias("_ta"),
+        F.explode(F.slice("ts", 1, prefix_len)).alias("token"),
+    )
+    index = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ts").alias("_tb"),
+        F.explode("ts").alias("token"),
+    )
+    cand = (
+        probe.join(index, "token")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "_ta", "_tb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb"))).cast("long")
+    size_a = F.size(F.col("_ta")).cast("long")
+    cont_ppm = F.floor(
+        inter.cast("double") / size_a.cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            size_a.alias("size_a"),
+            inter.alias("inter"),
+            cont_ppm.alias("cont_ppm"),
+        )
+        .where(F.col("inter") * F.lit(1_000_000) >= F.lit(t_ppm) * F.col("size_a"))
     )

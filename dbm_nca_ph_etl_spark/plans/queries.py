@@ -10803,3 +10803,87 @@ def hourly_interp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return W.time_grid_interpolate(hr, ["user_id"], "hour_us", "v_e6", HOUR)
+
+
+@register(
+    "excerpt_containment_pairs",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string(
+               ({_SQL_TOKENS.format(t='text')})[
+                 1:CAST(ceil(0.6 * len({_SQL_TOKENS.format(t='text')})) AS INT)],
+               ' ') AS text
+      FROM base
+      WHERE doc_id % 7 = 0 AND len({_SQL_TOKENS.format(t='text')}) >= 20
+    ),
+    toksd AS (
+      SELECT doc_id, {_SQL_SHINGLES.format(t='text')} AS ts FROM corpus
+      WHERE len({_SQL_SHINGLES.format(t='text')}) > 0
+        AND ({_SQL_SHINGLES.format(t='text')})[1] <> ''
+    ),
+    sized AS (SELECT doc_id, ts FROM toksd WHERE len(ts) >= 5),
+    tok AS (SELECT doc_id, unnest(ts) AS t FROM sized),
+    dfq AS (SELECT t, count(*)::BIGINT AS df FROM tok GROUP BY t),
+    wdf AS (
+      SELECT doc_id, tok.t, df,
+             count(*) OVER (PARTITION BY doc_id) AS n,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df, tok.t) AS rn
+      FROM tok JOIN dfq ON tok.t = dfq.t
+    ),
+    pref AS (SELECT doc_id, t FROM wdf WHERE rn <= n - ceil(0.9 * n) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN tok b ON a.t = b.t AND a.doc_id <> b.doc_id
+    ),
+    ver AS (
+      SELECT doc_a, doc_b,
+             len(sa.ts)::BIGINT AS size_a,
+             len(list_intersect(sa.ts, sb.ts))::BIGINT AS inter
+      FROM cand
+      JOIN sized sa ON sa.doc_id = doc_a
+      JOIN sized sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, size_a, inter,
+           CAST(floor(CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS cont_ppm
+    FROM ver WHERE inter * 1000000 >= 900000 * size_a
+    """,
+    doc="EXACT directional containment join "
+    "(operators/dedup.containment_join — SSJoin prefix pruning, "
+    "Chaudhuri 2006): every ordered pair with |A∩B|/|A| ≥ 0.9 over "
+    "a corpus where every 7th document plants a 60%-prefix excerpt "
+    "(id + 1e7) — the excerpt/quote/boilerplate-inclusion detector "
+    "symmetric Jaccard structurally misses (a 50-line excerpt in a "
+    "5000-line doc has J≈0.01, C=1.0). Candidates join the contained "
+    "side's rarest-first PREFIX postings against FULL postings (only "
+    "|A| bounds the miss budget — the asymmetric form of the "
+    "AllPairs prefix theorem), verify is exact set intersection with "
+    "an integer-rational threshold. The SQL replays construction, "
+    "ranking, prefix, and verify digit-for-digit.",
+    tags=("llm", "dedup"),
+)
+def excerpt_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.dedup import containment_join, tokens
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    excerpts = (
+        base.where((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 20))
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks,
+                    1,
+                    F.ceil(F.lit(0.6) * F.size(toks).cast("double")).cast("int"),
+                ),
+            ).alias("text"),
+        )
+    )
+    corpus = base.unionByName(excerpts)
+    return containment_join(corpus, threshold=0.9, min_size=5)

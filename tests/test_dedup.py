@@ -615,3 +615,102 @@ class TestPrefixFilterJaccardJoin:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with pytest.raises(ValueError):
             prefix_filter_jaccard_join(df, threshold=0.0)
+
+
+class TestContainmentJoin:
+    _shingles = staticmethod(TestPrefixFilterJaccardJoin._shingles)
+
+    def test_differential_vs_brute_force(self, spark):
+        import itertools
+        import random
+
+        from dbm_nca_ph_etl_spark.operators.dedup import containment_join
+
+        random.seed(7)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [
+            (d, " ".join(random.choice(vocab) for _ in range(random.randint(0, 30))))
+            for d in range(35)
+        ]
+        # planted excerpt: first 60% of the longest doc's tokens
+        src_id, src_text = max(texts, key=lambda kv: len(kv[1].split()))
+        ts = src_text.split()
+        texts.append((200, " ".join(ts[: max(1, int(len(ts) * 0.6))])))
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            (r.doc_a, r.doc_b): (r.size_a, r.inter, r.cont_ppm)
+            for r in containment_join(df, threshold=0.8, min_size=3).collect()
+        }
+        want = {}
+        for (a, ta), (b, tb) in itertools.permutations(texts, 2):
+            A, B = self._shingles(ta), self._shingles(tb)
+            if not A or not B or len(A) < 3 or len(B) < 3:
+                continue
+            i = len(A & B)
+            if i * 1_000_000 >= 800_000 * len(A):
+                want[(a, b)] = (
+                    len(A),
+                    i,
+                    int(i / len(A) * 1_000_000 + 0.5),
+                )
+        assert got == want
+        assert (200, src_id) in got          # excerpt found
+        assert (src_id, 200) not in got      # not the reverse
+
+    def test_asymmetry_where_jaccard_fails(self, spark):
+        from dbm_nca_ph_etl_spark.operators.dedup import (
+            containment_join,
+            prefix_filter_jaccard_join,
+        )
+
+        body = " ".join(f"u{i}" for i in range(200))
+        excerpt = " ".join(f"u{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, body), (2, excerpt)], "doc_id long, text string"
+        )
+        cont = containment_join(df, threshold=0.9, min_size=3).collect()
+        assert [(r.doc_a, r.doc_b, r.cont_ppm) for r in cont] == [(2, 1, 1000000)]
+        # symmetric Jaccard misses it entirely at any near-dup threshold
+        assert prefix_filter_jaccard_join(df, threshold=0.5).count() == 0
+
+    def test_min_size_drops_trivia(self, spark):
+        from dbm_nca_ph_etl_spark.operators.dedup import containment_join
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "a b c")],  # doc 2: 1 shingle
+            "doc_id long, text string",
+        )
+        assert containment_join(df, threshold=0.9, min_size=2).count() == 0
+
+    def test_guards(self, spark):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.dedup import containment_join
+
+        df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="threshold"):
+            containment_join(df, threshold=0.0)
+        with pytest.raises(ValueError, match="min_size"):
+            containment_join(df, min_size=0)
+
+    def test_partition_invariant(self, spark):
+        import random
+
+        from dbm_nca_ph_etl_spark.operators.dedup import containment_join
+
+        random.seed(9)
+        vocab = [f"v{i}" for i in range(30)]
+        texts = [
+            (d, " ".join(random.choice(vocab) for _ in range(15)))
+            for d in range(25)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        a = sorted(
+            (r.doc_a, r.doc_b, r.cont_ppm)
+            for r in containment_join(df.repartition(1), threshold=0.7).collect()
+        )
+        b = sorted(
+            (r.doc_a, r.doc_b, r.cont_ppm)
+            for r in containment_join(df.repartition(11), threshold=0.7).collect()
+        )
+        assert a == b
