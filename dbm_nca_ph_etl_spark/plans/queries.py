@@ -10887,3 +10887,63 @@ def excerpt_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(excerpts)
     return containment_join(corpus, threshold=0.9, min_size=5)
+
+
+@register(
+    "incremental_join_view",
+    """
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total,
+           c.c_name, c.c_nationkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+    doc="Incremental JOIN-view maintenance (sinks/joinview.py — the "
+    "equi-join half of IVM next to matview's aggregates; delta rule "
+    "Δ(R⋈S) = ΔR⋈S_pre ∪ R_pre⋈ΔS ∪ ΔR⋈ΔS, Blakeley 1986): "
+    "high-value orders and customers arrive as three interleaved "
+    "insert batches (left-only, right-only, both) into key-bucketed "
+    "bases; each refresh joins DELTAS against bucket-PRUNED stored "
+    "sides (≤|Δkeys| bucket ids of driver state — a day's delta "
+    "joins a day's touched buckets, never the table) and appends the "
+    "view delta via batch-keyed dynamic overwrite (replay-idempotent "
+    "without a commit log). The folded view must hash-match DuckDB's "
+    "one-shot join of the complete tables — the algebra proof that "
+    "no cross term was lost or double-counted.",
+    tags=("sink", "incremental", "lake"),
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dbm_nca_ph_etl_spark.sinks.joinview import MaterializedJoin
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_custkey").alias("k"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name", "c_nationkey"
+    )
+    scratch = tempfile.mkdtemp(prefix="incremental_join_view_")
+    try:
+        v = MaterializedJoin(spark, f"{scratch}/v", ["k"], num_buckets=16)
+        v.refresh(1, left_delta=o.where(F.col("o_orderkey") % 3 == 0))
+        v.refresh(2, right_delta=c.where(F.col("k") % 3 == 0))
+        v.refresh(
+            3,
+            left_delta=o.where(F.col("o_orderkey") % 3 != 0),
+            right_delta=c.where(F.col("k") % 3 != 0),
+        )
+        out = (
+            v.read_view()
+            .select("o_orderkey", "total", "c_name", "c_nationkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out

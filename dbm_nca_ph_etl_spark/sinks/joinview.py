@@ -1,0 +1,196 @@
+"""Incremental JOIN-view maintenance (delta rules over the keyed lake).
+
+``sinks/matview.py`` keeps AGGREGATES fresh without re-reading the
+world; this module does the same for an equi-JOIN view — the other
+half of classic incremental view maintenance. The insert-only delta
+rule (Blakeley et al. 1986):
+
+    Δ(R ⋈ S) = ΔR ⋈ S_pre  ∪  R_pre ⋈ ΔS  ∪  ΔR ⋈ ΔS
+
+so a refresh touches work proportional to the DELTAS, never |R ⋈ S|.
+
+The 100 TB leg: both base tables live in the key-bucketed layout
+(``sinks/keyed.key_bucket`` — md5-prefix buckets, hive-partitioned),
+so ``ΔR ⋈ S_pre`` partition-PRUNES the stored side to the buckets
+containing ΔR's join keys (bounded driver state: ≤ min(|ΔR|, n)
+bucket ids) — a day's delta joins against a day's worth of touched
+buckets, not a 100 TB scan. The view itself is batch-partitioned
+append-only.
+
+Exactly-once over at-least-once delivery WITHOUT a commit log: every
+write in a refresh is a DYNAMIC PARTITION OVERWRITE keyed by the
+batch id (``_b=<id>`` — the epoch-overwrite pattern
+``streaming/dedup_stream.py`` proves), and every base read EXCLUDES
+the refreshing batch's own partition (``_b != id``). A replayed or
+half-crashed refresh therefore recomputes the identical delta from
+the identical pre-state and overwrites the same three partitions
+byte-for-byte — idempotent regardless of which subset of the three
+writes survived the crash.
+
+Scope: insert-only deltas (the streaming-append case). Updates /
+deletes compose as retraction rows at the VIEW read (CDF-style sign
+column) or by rebuilding touched buckets with ``sinks/keyed``; both
+are orthogonal to the delta-join algebra here and documented rather
+than hidden.
+
+Reference parity: the reference has no join materialization at all
+(its repository joins are per-request lookups, supabase_repository.py
+— S12/J2); this is north-star extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbm_nca_ph_etl_spark.sinks.keyed import KB_COL, key_bucket
+
+_META = "_joinview_meta.json"
+B_COL = "_b"
+
+
+def _overwrite_batch(df: DataFrame, path: str, parts: list[str]) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*parts)
+        .parquet(path)
+    )
+
+
+class MaterializedJoin:
+    """An incrementally-maintained equi-join view: ``refresh`` folds
+    per-batch inserts for either or both sides; ``read_view`` scans
+    the materialized join rows. Non-key column names of the two
+    sides must be disjoint (validated on first refresh)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: list[str],
+        num_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key = list(key)
+        self.left_path = os.path.join(path, "left")
+        self.right_path = os.path.join(path, "right")
+        self.view_path = os.path.join(path, "view")
+        meta_path = os.path.join(path, _META)
+        if os.path.exists(meta_path):
+            with open(meta_path, encoding="utf-8") as fh:
+                meta = json.load(fh)
+            if meta["key"] != self.key or (
+                num_buckets is not None and meta["num_buckets"] != num_buckets
+            ):
+                raise ValueError(
+                    f"join view at {path} was created with key={meta['key']} "
+                    f"num_buckets={meta['num_buckets']}; opening with "
+                    f"key={self.key} num_buckets={num_buckets} would route "
+                    "keys to the wrong buckets — match the layout"
+                )
+            self.num_buckets = int(meta["num_buckets"])
+        else:
+            self.num_buckets = int(num_buckets)
+            os.makedirs(path, exist_ok=True)
+            with open(meta_path, "w", encoding="utf-8") as fh:
+                json.dump({"key": self.key, "num_buckets": self.num_buckets}, fh)
+
+    # -- internals ----------------------------------------------------
+
+    def _bucketed(self, df: DataFrame, batch_id: int) -> DataFrame:
+        return df.withColumn(KB_COL, key_bucket(self.key, self.num_buckets)).withColumn(
+            B_COL, F.lit(int(batch_id))
+        )
+
+    def _read_base(self, path: str, exclude_batch: int) -> DataFrame:
+        if not any(
+            d.startswith(f"{KB_COL}=") for d in (os.listdir(path) if os.path.exists(path) else [])
+        ):
+            return None
+        return self.spark.read.parquet(path).where(F.col(B_COL) != int(exclude_batch))
+
+    def _pruned(self, base: DataFrame, delta: DataFrame) -> DataFrame:
+        """Partition-prune ``base`` to the buckets containing
+        ``delta``'s join keys — ≤ min(|delta keys|, num_buckets)
+        ids of driver state, the lookup_keyed discipline."""
+        buckets = [
+            r[KB_COL]
+            for r in delta.select(
+                key_bucket(self.key, self.num_buckets).alias(KB_COL)
+            )
+            .distinct()
+            .collect()
+        ]
+        return base.where(F.col(KB_COL).isin(buckets))
+
+    @staticmethod
+    def _payload(df: DataFrame, key: list[str]) -> list[str]:
+        return [c for c in df.columns if c not in (*key, KB_COL, B_COL)]
+
+    # -- API ----------------------------------------------------------
+
+    def refresh(
+        self,
+        batch_id: int,
+        left_delta: DataFrame | None = None,
+        right_delta: DataFrame | None = None,
+    ) -> None:
+        """Fold one batch of inserts. Replay-idempotent: see module
+        doc (batch-keyed dynamic overwrites + own-batch-excluding
+        reads)."""
+        dl = left_delta
+        dr = right_delta
+        if dl is not None and dr is not None:
+            clash = (set(self._payload(dl, self.key)) & set(self._payload(dr, self.key)))
+            if clash:
+                raise ValueError(
+                    f"non-key columns must be disjoint across sides, got {sorted(clash)}"
+                )
+        l_pre = self._read_base(self.left_path, batch_id)
+        r_pre = self._read_base(self.right_path, batch_id)
+
+        pieces = []
+        if dl is not None and r_pre is not None:
+            pieces.append(dl.join(self._pruned(r_pre, dl).drop(KB_COL, B_COL), self.key))
+        if dr is not None and l_pre is not None:
+            pieces.append(self._pruned(l_pre, dr).drop(KB_COL, B_COL).join(dr, self.key))
+        if dl is not None and dr is not None:
+            pieces.append(dl.join(dr, self.key))
+        view_delta = None
+        for p in pieces:
+            view_delta = p if view_delta is None else view_delta.unionByName(
+                p, allowMissingColumns=False
+            )
+        if view_delta is not None:
+            _overwrite_batch(
+                view_delta.withColumn(B_COL, F.lit(int(batch_id))),
+                self.view_path,
+                [B_COL],
+            )
+        # (a batch whose deltas join nothing writes no view partition —
+        # a replay recomputes the same empty delta and is a no-op)
+        if dl is not None:
+            _overwrite_batch(
+                self._bucketed(dl, batch_id), self.left_path, [KB_COL, B_COL]
+            )
+        if dr is not None:
+            _overwrite_batch(
+                self._bucketed(dr, batch_id), self.right_path, [KB_COL, B_COL]
+            )
+
+    def read_view(self) -> DataFrame:
+        if not os.path.exists(self.view_path):
+            # schema unknowable before the first joined batch
+            raise ValueError(f"join view at {self.path} has no materialized rows yet")
+        return self.spark.read.parquet(self.view_path).drop(B_COL)
+
+    def read_left(self) -> DataFrame:
+        return self.spark.read.parquet(self.left_path).drop(KB_COL, B_COL)
+
+    def read_right(self) -> DataFrame:
+        return self.spark.read.parquet(self.right_path).drop(KB_COL, B_COL)

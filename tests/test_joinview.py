@@ -1,0 +1,99 @@
+"""MaterializedJoin: delta-rule incremental equi-join maintenance —
+folded view == direct join under any batch interleaving, replay
+idempotence, bucket-pruned stored-side reads."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbm_nca_ph_etl_spark.sinks.joinview import MaterializedJoin
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, "k long, o string")
+
+
+def _custs(spark, rows):
+    return spark.createDataFrame(rows, "k long, c string")
+
+
+def _view_rows(v):
+    return sorted((r.k, r.o, r.c) for r in v.read_view().collect())
+
+
+class TestMaterializedJoin:
+    def test_folded_equals_direct_any_interleaving(self, spark, tmp_path):
+        lrows = [(i, f"o{i}") for i in range(30)]
+        rrows = [(i % 10, f"c{j}") for j, i in enumerate(range(20))]
+        direct = sorted(
+            (lk, lo, rc)
+            for lk, lo in lrows
+            for rk, rc in rrows
+            if lk == rk
+        )
+        # interleaving A: left then right then mixed
+        va = MaterializedJoin(spark, str(tmp_path / "a"), ["k"])
+        va.refresh(1, left_delta=_orders(spark, lrows[:10]))
+        va.refresh(2, right_delta=_custs(spark, rrows[:5]))
+        va.refresh(
+            3,
+            left_delta=_orders(spark, lrows[10:]),
+            right_delta=_custs(spark, rrows[5:]),
+        )
+        assert _view_rows(va) == direct
+        # interleaving B: everything in one batch
+        vb = MaterializedJoin(spark, str(tmp_path / "b"), ["k"])
+        vb.refresh(
+            7, left_delta=_orders(spark, lrows), right_delta=_custs(spark, rrows)
+        )
+        assert _view_rows(vb) == direct
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"])
+        v.refresh(1, left_delta=_orders(spark, [(1, "o1"), (2, "o2")]))
+        v.refresh(2, right_delta=_custs(spark, [(1, "c1"), (1, "c1b")]))
+        once = _view_rows(v)
+        # re-deliver batch 2 (same payload): overwrites its own
+        # partitions byte-identically, view unchanged
+        v.refresh(2, right_delta=_custs(spark, [(1, "c1"), (1, "c1b")]))
+        assert _view_rows(v) == once
+        assert sorted((r.k, r.c) for r in v.read_right().collect()) == [
+            (1, "c1"),
+            (1, "c1b"),
+        ]
+
+    def test_no_join_batch_then_later_match(self, spark, tmp_path):
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"])
+        v.refresh(1, left_delta=_orders(spark, [(5, "o5")]))
+        with pytest.raises(ValueError, match="no materialized rows"):
+            v.read_view()
+        v.refresh(2, right_delta=_custs(spark, [(5, "c5")]))
+        assert _view_rows(v) == [(5, "o5", "c5")]
+
+    def test_payload_clash_guard(self, spark, tmp_path):
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"])
+        with pytest.raises(ValueError, match="disjoint"):
+            v.refresh(
+                1,
+                left_delta=_orders(spark, [(1, "x")]),
+                right_delta=spark.createDataFrame([(1, "y")], "k long, o string"),
+            )
+
+    def test_meta_drift_guard(self, spark, tmp_path):
+        MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=8)
+        with pytest.raises(ValueError, match="wrong buckets"):
+            MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=16)
+
+    def test_stored_side_read_is_bucket_pruned(self, spark, tmp_path):
+        """The ΔR ⋈ S_pre scan must touch only buckets containing
+        ΔR's keys — asserted at the plan level via the partition
+        filter on _kb."""
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=8)
+        v.refresh(1, right_delta=_custs(spark, [(i, f"c{i}") for i in range(64)]))
+        delta = _orders(spark, [(3, "o3")])
+        pruned = v._pruned(v._read_base(v.right_path, 2), delta)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "_kb" in plan
+        n_parts = pruned.select("_kb").distinct().count()
+        assert n_parts == 1  # one key -> one bucket survives the scan
