@@ -10947,3 +10947,79 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@register(
+    "cdc_join_view",
+    """
+    WITH final_orders AS (
+      SELECT o_custkey AS k, o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN round(o_totalprice + 1000, 2)
+                  ELSE round(o_totalprice, 2) END AS total
+      FROM orders
+      WHERE o_totalprice > 400000 AND o_orderkey % 5 <> 1
+    )
+    SELECT o.o_orderkey, o.total, c.c_name
+    FROM final_orders o JOIN customer c ON o.k = c.c_custkey
+    """,
+    doc="CDC through the incremental join view (sinks/joinview.py "
+    "signed deltas — differential-dataflow weights): after the "
+    "insert batches, an update batch retracts+reinserts every 5th "
+    "order with +1000 total and a delete batch retracts the "
+    "orderkey%5=1 rows; weights multiply through the delta join "
+    "(w(r⋈s)=w(r)·w(s) — deltas join the raw signed history, no "
+    "pre-netting) and the read nets the multiset (Σw>0, "
+    "multiplicity restored). Must hash-match DuckDB's one-shot join "
+    "of the FINAL table state — the proof that update/delete "
+    "propagation through the view is exact, not approximately "
+    "converging.",
+    tags=("sink", "incremental", "lake"),
+)
+def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dbm_nca_ph_etl_spark.sinks.joinview import MaterializedJoin
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_custkey").alias("k"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 5 == 0)
+        .select("k", "o_orderkey", "total", F.lit(-1).alias("w"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 5 == 0).select(
+                "k",
+                "o_orderkey",
+                F.round(F.col("total") + 1000, 2).alias("total"),
+                F.lit(1).alias("w"),
+            )
+        )
+    )
+    deletes = o.where(F.col("o_orderkey") % 5 == 1).select(
+        "k", "o_orderkey", "total", F.lit(-1).alias("w")
+    )
+    scratch = tempfile.mkdtemp(prefix="cdc_join_view_")
+    try:
+        v = MaterializedJoin(spark, f"{scratch}/v", ["k"], num_buckets=16)
+        v.refresh(1, left_delta=o)
+        v.refresh(2, right_delta=c)
+        v.refresh(3, left_delta=updates.unionByName(deletes), sign_col="w")
+        out = (
+            v.read_view()
+            .select("o_orderkey", "total", "c_name")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out

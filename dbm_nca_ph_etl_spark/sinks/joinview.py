@@ -27,11 +27,16 @@ the identical pre-state and overwrites the same three partitions
 byte-for-byte — idempotent regardless of which subset of the three
 writes survived the crash.
 
-Scope: insert-only deltas (the streaming-append case). Updates /
-deletes compose as retraction rows at the VIEW read (CDF-style sign
-column) or by rebuilding touched buckets with ``sinks/keyed``; both
-are orthogonal to the delta-join algebra here and documented rather
-than hidden.
+Updates and deletes are SIGNED deltas (differential-dataflow / CDF
+multiset algebra): a delta row carries weight +1 (insert) or −1
+(retract an earlier insert), an update is retract+insert in one
+batch. The delta-join rule is LINEAR in the weights, so joining a
+delta against the raw signed history — no pre-netting — produces
+view rows whose weights sum to exactly the net join delta:
+``w(r⋈s) = w(r)·w(s)``. Reads net the multiset at the end
+(groupBy → Σw > 0 → restore multiplicity), which is view-sized
+register math. Same algebra as matview's retractable sums, extended
+to join multiplicities.
 
 Reference parity: the reference has no join materialization at all
 (its repository joins are per-request lookups, supabase_repository.py
@@ -50,6 +55,21 @@ from dbm_nca_ph_etl_spark.sinks.keyed import KB_COL, key_bucket
 
 _META = "_joinview_meta.json"
 B_COL = "_b"
+S_COL = "_s"
+
+
+def _net_multiset(df: DataFrame) -> DataFrame:
+    """Collapse a signed row multiset to its net contents: group the
+    payload, keep positive net weights, restore multiplicity. The
+    one non-linear step of the algebra — runs at READ time on
+    view-sized data, never inside a refresh."""
+    payload = [c for c in df.columns if c != S_COL]
+    net = df.groupBy(*payload).agg(F.sum(S_COL).cast("int").alias("_m")).where(
+        F.col("_m") > 0
+    )
+    return net.select(
+        *payload, F.explode(F.sequence(F.lit(1), F.col("_m"))).alias("_i")
+    ).drop("_i")
 
 
 def _overwrite_batch(df: DataFrame, path: str, parts: list[str]) -> None:
@@ -130,7 +150,13 @@ class MaterializedJoin:
 
     @staticmethod
     def _payload(df: DataFrame, key: list[str]) -> list[str]:
-        return [c for c in df.columns if c not in (*key, KB_COL, B_COL)]
+        return [c for c in df.columns if c not in (*key, KB_COL, B_COL, S_COL)]
+
+    @staticmethod
+    def _signed(df: DataFrame, sign_col: str | None) -> DataFrame:
+        if sign_col is None:
+            return df.withColumn(S_COL, F.lit(1))
+        return df.withColumn(S_COL, F.col(sign_col).cast("int")).drop(sign_col)
 
     # -- API ----------------------------------------------------------
 
@@ -139,12 +165,15 @@ class MaterializedJoin:
         batch_id: int,
         left_delta: DataFrame | None = None,
         right_delta: DataFrame | None = None,
+        sign_col: str | None = None,
     ) -> None:
-        """Fold one batch of inserts. Replay-idempotent: see module
-        doc (batch-keyed dynamic overwrites + own-batch-excluding
-        reads)."""
-        dl = left_delta
-        dr = right_delta
+        """Fold one batch of signed deltas (all +1 inserts when
+        ``sign_col`` is None; ±1 weights otherwise — a retraction
+        must restate the retracted row exactly). Replay-idempotent:
+        see module doc (batch-keyed dynamic overwrites +
+        own-batch-excluding reads)."""
+        dl = None if left_delta is None else self._signed(left_delta, sign_col)
+        dr = None if right_delta is None else self._signed(right_delta, sign_col)
         if dl is not None and dr is not None:
             clash = (set(self._payload(dl, self.key)) & set(self._payload(dr, self.key)))
             if clash:
@@ -154,13 +183,24 @@ class MaterializedJoin:
         l_pre = self._read_base(self.left_path, batch_id)
         r_pre = self._read_base(self.right_path, batch_id)
 
+        def piece(left: DataFrame, right: DataFrame) -> DataFrame:
+            # weights multiply through the join — the linearity that
+            # lets deltas join the raw signed history un-netted
+            l = left.withColumnRenamed(S_COL, "_sl")
+            r = right.withColumnRenamed(S_COL, "_sr")
+            return (
+                l.join(r, self.key)
+                .withColumn(S_COL, F.col("_sl") * F.col("_sr"))
+                .drop("_sl", "_sr")
+            )
+
         pieces = []
         if dl is not None and r_pre is not None:
-            pieces.append(dl.join(self._pruned(r_pre, dl).drop(KB_COL, B_COL), self.key))
+            pieces.append(piece(dl, self._pruned(r_pre, dl).drop(KB_COL, B_COL)))
         if dr is not None and l_pre is not None:
-            pieces.append(self._pruned(l_pre, dr).drop(KB_COL, B_COL).join(dr, self.key))
+            pieces.append(piece(self._pruned(l_pre, dr).drop(KB_COL, B_COL), dr))
         if dl is not None and dr is not None:
-            pieces.append(dl.join(dr, self.key))
+            pieces.append(piece(dl, dr))
         view_delta = None
         for p in pieces:
             view_delta = p if view_delta is None else view_delta.unionByName(
@@ -187,10 +227,14 @@ class MaterializedJoin:
         if not os.path.exists(self.view_path):
             # schema unknowable before the first joined batch
             raise ValueError(f"join view at {self.path} has no materialized rows yet")
-        return self.spark.read.parquet(self.view_path).drop(B_COL)
+        return _net_multiset(self.spark.read.parquet(self.view_path).drop(B_COL))
 
     def read_left(self) -> DataFrame:
-        return self.spark.read.parquet(self.left_path).drop(KB_COL, B_COL)
+        return _net_multiset(
+            self.spark.read.parquet(self.left_path).drop(KB_COL, B_COL)
+        )
 
     def read_right(self) -> DataFrame:
-        return self.spark.read.parquet(self.right_path).drop(KB_COL, B_COL)
+        return _net_multiset(
+            self.spark.read.parquet(self.right_path).drop(KB_COL, B_COL)
+        )

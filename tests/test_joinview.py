@@ -97,3 +97,58 @@ class TestMaterializedJoin:
         assert "_kb" in plan
         n_parts = pruned.select("_kb").distinct().count()
         assert n_parts == 1  # one key -> one bucket survives the scan
+
+
+class TestSignedDeltas:
+    """±1-weight deltas: updates and deletes flow through the linear
+    join algebra; reads net the multiset."""
+
+    def test_update_and_delete_converge_to_final_state(self, spark, tmp_path):
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"])
+        v.refresh(1, left_delta=_orders(spark, [(1, "o1"), (2, "o2"), (3, "o3")]))
+        v.refresh(2, right_delta=_custs(spark, [(1, "c1"), (2, "c2"), (3, "c3")]))
+        # batch 3: update o2 -> o2x (retract + insert), delete o3
+        upd = spark.createDataFrame(
+            [(2, "o2", -1), (2, "o2x", 1), (3, "o3", -1)], "k long, o string, w int"
+        )
+        v.refresh(3, left_delta=upd, sign_col="w")
+        assert _view_rows(v) == [(1, "o1", "c1"), (2, "o2x", "c2")]
+        assert sorted((r.k, r.o) for r in v.read_left().collect()) == [
+            (1, "o1"),
+            (2, "o2x"),
+        ]
+
+    def test_right_side_retraction_cascades(self, spark, tmp_path):
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"])
+        v.refresh(
+            1,
+            left_delta=_orders(spark, [(7, "a"), (7, "b")]),
+            right_delta=_custs(spark, [(7, "c7")]),
+        )
+        assert _view_rows(v) == [(7, "a", "c7"), (7, "b", "c7")]
+        gone = spark.createDataFrame([(7, "c7", -1)], "k long, c string, w int")
+        v.refresh(2, right_delta=gone, sign_col="w")
+        assert _view_rows(v) == []
+
+    def test_duplicate_multiplicity_preserved(self, spark, tmp_path):
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"])
+        v.refresh(1, left_delta=_orders(spark, [(1, "same"), (1, "same")]))
+        v.refresh(2, right_delta=_custs(spark, [(1, "c")]))
+        assert _view_rows(v) == [(1, "same", "c"), (1, "same", "c")]
+        one_less = spark.createDataFrame([(1, "same", -1)], "k long, o string, w int")
+        v.refresh(3, left_delta=one_less, sign_col="w")
+        assert _view_rows(v) == [(1, "same", "c")]
+
+    def test_signed_replay_idempotent(self, spark, tmp_path):
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"])
+        v.refresh(
+            1,
+            left_delta=_orders(spark, [(1, "o1")]),
+            right_delta=_custs(spark, [(1, "c1")]),
+        )
+        d = spark.createDataFrame([(1, "o1", -1)], "k long, o string, w int")
+        v.refresh(2, left_delta=d, sign_col="w")
+        v.refresh(2, left_delta=d, sign_col="w")  # re-delivery
+        assert _view_rows(v) == []
+        v.refresh(3, left_delta=_orders(spark, [(1, "o1b")]))
+        assert _view_rows(v) == [(1, "o1b", "c1")]
