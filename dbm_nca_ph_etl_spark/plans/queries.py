@@ -11023,3 +11023,85 @@ def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@register(
+    "incremental_agg_over_join",
+    """
+    WITH final_orders AS (
+      SELECT o_custkey AS k, o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN round(o_totalprice + 1000, 2)
+                  ELSE round(o_totalprice, 2) END AS total
+      FROM orders
+      WHERE o_totalprice > 400000 AND o_orderkey % 5 <> 1
+    )
+    SELECT c.c_nationkey,
+           round(sum(o.total), 2) AS revenue,
+           count(*)::BIGINT AS n_orders
+    FROM final_orders o JOIN customer c ON o.k = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    doc="Aggregate OVER the incremental join view — the two IVM "
+    "halves composed (joinview × matview): the CDC batch sequence "
+    "of cdc_join_view feeds read_view_signed(), and "
+    "revenue-by-nation derives as Σ(_s·total)/Σ(_s) over the SIGNED "
+    "rows — plain retraction-native sums, so the rollup needs no "
+    "multiset netting and stays fresh at view-delta cost (this is "
+    "the 'dashboard over a 100 TB join' shape: neither the join nor "
+    "the aggregate ever recomputes from base tables). Hash-matches "
+    "DuckDB's one-shot join+group of final state.",
+    tags=("sink", "incremental", "lake"),
+)
+def incremental_agg_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dbm_nca_ph_etl_spark.sinks.joinview import MaterializedJoin
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_custkey").alias("k"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_nationkey"
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 5 == 0)
+        .select("k", "o_orderkey", "total", F.lit(-1).alias("w"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 5 == 0).select(
+                "k",
+                "o_orderkey",
+                F.round(F.col("total") + 1000, 2).alias("total"),
+                F.lit(1).alias("w"),
+            )
+        )
+    )
+    deletes = o.where(F.col("o_orderkey") % 5 == 1).select(
+        "k", "o_orderkey", "total", F.lit(-1).alias("w")
+    )
+    scratch = tempfile.mkdtemp(prefix="incremental_agg_over_join_")
+    try:
+        v = MaterializedJoin(spark, f"{scratch}/v", ["k"], num_buckets=16)
+        v.refresh(1, left_delta=o)
+        v.refresh(2, right_delta=c)
+        v.refresh(3, left_delta=updates.unionByName(deletes), sign_col="w")
+        out = (
+            v.read_view_signed()
+            .groupBy("c_nationkey")
+            .agg(
+                F.round(F.sum(F.col("_s") * F.col("total")), 2).alias("revenue"),
+                F.sum("_s").cast("long").alias("n_orders"),
+            )
+            .where(F.col("n_orders") > 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -229,6 +229,17 @@ class MaterializedJoin:
             raise ValueError(f"join view at {self.path} has no materialized rows yet")
         return _net_multiset(self.spark.read.parquet(self.view_path).drop(B_COL))
 
+    def read_view_signed(self) -> DataFrame:
+        """The raw signed view rows (``_s`` = ±1 weight) — the feed
+        for DOWNSTREAM incremental aggregation: Σ(_s·x) / Σ(_s) over
+        these rows are exactly the retraction-native sum/count
+        partials of ``sinks/matview``, so an aggregate OVER the join
+        stays fresh at view-delta cost with no netting step at all
+        (netting is only needed when row identity matters)."""
+        if not os.path.exists(self.view_path):
+            raise ValueError(f"join view at {self.path} has no materialized rows yet")
+        return self.spark.read.parquet(self.view_path).drop(B_COL)
+
     def read_left(self) -> DataFrame:
         return _net_multiset(
             self.spark.read.parquet(self.left_path).drop(KB_COL, B_COL)
