@@ -128,8 +128,17 @@ class MaterializedJoin:
         )
 
     def _read_base(self, path: str, exclude_batch: int) -> DataFrame:
+        # a bucket dir can exist with no batch partitions left after
+        # full-retraction compaction — schema-less, same as absent
+        kbs = [
+            d
+            for d in (os.listdir(path) if os.path.exists(path) else [])
+            if d.startswith(f"{KB_COL}=")
+        ]
         if not any(
-            d.startswith(f"{KB_COL}=") for d in (os.listdir(path) if os.path.exists(path) else [])
+            b.startswith(f"{B_COL}=")
+            for kb in kbs
+            for b in os.listdir(os.path.join(path, kb))
         ):
             return None
         return self.spark.read.parquet(path).where(F.col(B_COL) != int(exclude_batch))
@@ -223,9 +232,82 @@ class MaterializedJoin:
                 self._bucketed(dr, batch_id), self.right_path, [KB_COL, B_COL]
             )
 
+    def compact(self, up_to_batch: int) -> None:
+        """Fold every partition with ``_b ≤ up_to_batch`` into one
+        netted partition at ``_b = up_to_batch`` (view and both
+        bases) and drop the older directories — the small-file /
+        unbounded-partition maintenance a batch-per-refresh layout
+        otherwise accumulates. Netting the signed history changes no
+        net content, so reads before and after are identical.
+
+        Contract: call only for batches the UPSTREAM checkpoint has
+        committed (a replay of a compacted-away batch would re-apply
+        it — the same horizon rule as any log-compaction scheme).
+        The swap is crash-safe in the dedup_stream sense: the netted
+        partition is dynamic-overwritten FIRST at ``up_to_batch``
+        (idempotent), and stale older directories are removed after —
+        a crash between the two leaves extra partitions whose rows
+        are now double-counted ONLY until the rerun completes, which
+        is why compact itself must also be replayed to completion
+        after a crash (rerunning is safe: the netted write re-derives
+        from whatever partitions remain)."""
+        import shutil
+
+        hz = int(up_to_batch)
+
+        def _stale_dirs(path: str, kept: set[str]) -> list[str]:
+            """Every _b ≤ hz partition directory not just rewritten —
+            including a pre-existing _b=hz one whose content netted to
+            zero (dynamic overwrite replaces only partitions PRESENT
+            in the new data, so 'netted away' must be deleted, not
+            assumed overwritten)."""
+            out = []
+            for root, dirs, _ in os.walk(path):
+                for d in dirs:
+                    if not d.startswith(f"{B_COL}="):
+                        continue
+                    full = os.path.join(root, d)
+                    rel = os.path.relpath(full, path)
+                    if int(d.split("=")[1]) <= hz and rel not in kept:
+                        out.append(full)
+            return out
+
+        for path, parts in (
+            (self.view_path, [B_COL]),
+            (self.left_path, [KB_COL, B_COL]),
+            (self.right_path, [KB_COL, B_COL]),
+        ):
+            if not os.path.exists(path):
+                continue
+            df = self.spark.read.parquet(path).where(F.col(B_COL) <= hz)
+            payload = [c for c in df.columns if c not in (S_COL, B_COL)]
+            netted = (
+                df.groupBy(*payload)
+                .agg(F.sum(S_COL).cast("int").alias(S_COL))
+                .where(F.col(S_COL) != 0)
+                .withColumn(B_COL, F.lit(hz))
+                # the overwrite below reads-then-replaces this path:
+                # cut lineage first (the sinks/keyed discipline)
+                .localCheckpoint(eager=True)
+            )
+            if KB_COL in parts:
+                kept = {
+                    f"{KB_COL}={r[KB_COL]}/{B_COL}={hz}"
+                    for r in netted.select(KB_COL).distinct().collect()
+                }
+            else:
+                kept = {f"{B_COL}={hz}"} if not netted.isEmpty() else set()
+            if kept:
+                _overwrite_batch(netted, path, parts)
+            for full in _stale_dirs(path, kept):
+                shutil.rmtree(full)
+
     def read_view(self) -> DataFrame:
-        if not os.path.exists(self.view_path):
-            # schema unknowable before the first joined batch
+        if not os.path.exists(self.view_path) or not any(
+            d.startswith(f"{B_COL}=") for d in os.listdir(self.view_path)
+        ):
+            # schema unknowable before the first joined batch — and a
+            # fully-retracted-then-compacted view is the same state
             raise ValueError(f"join view at {self.path} has no materialized rows yet")
         return _net_multiset(self.spark.read.parquet(self.view_path).drop(B_COL))
 

@@ -152,3 +152,60 @@ class TestSignedDeltas:
         assert _view_rows(v) == []
         v.refresh(3, left_delta=_orders(spark, [(1, "o1b")]))
         assert _view_rows(v) == [(1, "o1b", "c1")]
+
+
+class TestCompact:
+    def test_compact_preserves_net_content_and_drops_dirs(self, spark, tmp_path):
+        import os
+
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=4)
+        v.refresh(1, left_delta=_orders(spark, [(1, "o1"), (2, "o2")]))
+        v.refresh(2, right_delta=_custs(spark, [(1, "c1"), (2, "c2")]))
+        upd = spark.createDataFrame(
+            [(2, "o2", -1), (2, "o2x", 1)], "k long, o string, w int"
+        )
+        v.refresh(3, left_delta=upd, sign_col="w")
+        before = _view_rows(v)
+        lbefore = sorted((r.k, r.o) for r in v.read_left().collect())
+        v.compact(3)
+        assert _view_rows(v) == before
+        assert sorted((r.k, r.o) for r in v.read_left().collect()) == lbefore
+        # one batch partition left per surviving bucket / in the view
+        vdirs = [d for d in os.listdir(v.view_path) if d.startswith("_b=")]
+        assert vdirs == ["_b=3"]
+        for kb in os.listdir(v.left_path):
+            if kb.startswith("_kb="):
+                bs = os.listdir(os.path.join(v.left_path, kb))
+                assert all(b == "_b=3" for b in bs if b.startswith("_b="))
+
+    def test_compact_removes_fully_retracted_content(self, spark, tmp_path):
+        import os
+
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=4)
+        v.refresh(
+            1,
+            left_delta=_orders(spark, [(1, "o1")]),
+            right_delta=_custs(spark, [(1, "c1")]),
+        )
+        v.refresh(
+            2,
+            left_delta=spark.createDataFrame(
+                [(1, "o1", -1)], "k long, o string, w int"
+            ),
+            sign_col="w",
+        )
+        v.compact(2)
+        # fully-retracted + compacted == never materialized
+        with pytest.raises(ValueError, match="no materialized rows"):
+            v.read_view()
+        # nothing nets positive on the left: all its batch dirs gone
+        for kb in os.listdir(v.left_path):
+            if kb.startswith("_kb="):
+                assert not [
+                    d
+                    for d in os.listdir(os.path.join(v.left_path, kb))
+                    if d.startswith("_b=")
+                ]
+        # and refreshes keep working after compaction
+        v.refresh(5, left_delta=_orders(spark, [(1, "o1b")]))
+        assert _view_rows(v) == [(1, "o1b", "c1")]
