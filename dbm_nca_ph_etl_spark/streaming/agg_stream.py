@@ -118,3 +118,50 @@ def stream_into_keyed(
         q.awaitTermination()
     else:  # pragma: no cover - long-running mode
         w.start()
+
+
+def stream_into_joinview(
+    stream: DataFrame,
+    view,
+    side: str,
+    checkpoint_dir: str,
+    *,
+    sign_col: str | None = None,
+    available_now: bool = True,
+) -> None:
+    """Fold a CDC stream into one side of a
+    :class:`~dbm_nca_ph_etl_spark.sinks.joinview.MaterializedJoin` —
+    the streaming leg of incremental join maintenance: each
+    micro-batch becomes one delta refresh (±1 weights via
+    ``sign_col``), so the materialized join stays fresh at
+    delta×touched-buckets cost while the stream runs.
+
+    Two streams (one per side) may feed the same view, each with its
+    OWN checkpoint: batch ids are epoch·2 (left) / epoch·2+1 (right),
+    so the two writers' partition namespaces never collide and each
+    side's replay guard (own-batch-excluding reads + batch-keyed
+    overwrite) holds independently. One writer per side — the same
+    single-writer-per-feed contract as stream_into_matview.
+    """
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    parity = 0 if side == "left" else 1
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        view.refresh(
+            int(epoch_id) * 2 + parity,
+            left_delta=batch_df if side == "left" else None,
+            right_delta=batch_df if side == "right" else None,
+            sign_col=sign_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - long-running mode
+        writer.start()

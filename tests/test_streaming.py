@@ -1369,3 +1369,72 @@ class TestStreamingDdMatview:
             .collect()[0][0]
         )
         assert est is not None and 1.0 <= est <= 10000.0
+
+
+class TestStreamingJoinview:
+    """CDC stream → MaterializedJoin: the streamed view equals the
+    one-shot join of final state, including a retraction batch."""
+
+    def test_two_sided_stream_with_cdc(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.joinview import MaterializedJoin
+        from dbm_nca_ph_etl_spark.streaming.agg_stream import stream_into_joinview
+
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=4)
+        lin, rin = str(tmp_path / "lin"), str(tmp_path / "rin")
+        os.makedirs(lin)
+        os.makedirs(rin)
+
+        def drop(where, rows, ddl):
+            spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(
+                where
+            )
+
+        # right side: plain inserts
+        drop(rin, [(1, "c1"), (2, "c2")], "k long, c string")
+        stream_into_joinview(
+            spark.readStream.schema("k long, c string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rin),
+            v,
+            "right",
+            str(tmp_path / "rckpt"),
+        )
+        # left side: insert batch then a CDC batch (update o2->o2x)
+        drop(lin, [(1, "o1", 1), (2, "o2", 1)], "k long, o string, w int")
+        drop(
+            lin,
+            [(2, "o2", -1), (2, "o2x", 1)],
+            "k long, o string, w int",
+        )
+        stream_into_joinview(
+            spark.readStream.schema("k long, o string, w int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(lin),
+            v,
+            "left",
+            str(tmp_path / "lckpt"),
+            sign_col="w",
+        )
+        got = sorted((r.k, r.o, r.c) for r in v.read_view().collect())
+        assert got == [(1, "o1", "c1"), (2, "o2x", "c2")]
+        # restart from the same checkpoints: replays are no-ops
+        stream_into_joinview(
+            spark.readStream.schema("k long, o string, w int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(lin),
+            v,
+            "left",
+            str(tmp_path / "lckpt"),
+            sign_col="w",
+        )
+        assert sorted((r.k, r.o, r.c) for r in v.read_view().collect()) == got
+
+    def test_side_guard(self, spark, tmp_path):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.sinks.joinview import MaterializedJoin
+        from dbm_nca_ph_etl_spark.streaming.agg_stream import stream_into_joinview
+
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"])
+        with pytest.raises(ValueError, match="side"):
+            stream_into_joinview(None, v, "middle", "x")
