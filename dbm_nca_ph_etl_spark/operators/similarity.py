@@ -1847,3 +1847,70 @@ def pca_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def eval_weight_tables(k: int) -> tuple[list[int], list[int]]:
+    """Rank-indexed integer weight tables for retrieval metrics:
+    ``1e6/rank`` (reciprocal rank) and ``1e6/log2(rank+1)`` (DCG),
+    both half-up micro-units. Computed ONCE driver-side and baked as
+    literals into plans and oracle SQL alike, so the scorecard never
+    evaluates a runtime log — the cross-engine bit-exactness trick
+    the catalog uses everywhere (a 1-ULP ln() disagreement at a .5
+    rounding boundary would otherwise flip a metric)."""
+    import math
+
+    rr = [int(1_000_000 / r + 0.5) for r in range(1, k + 1)]
+    dcg = [int(1_000_000 / math.log2(r + 1) + 0.5) for r in range(1, k + 1)]
+    return rr, dcg
+
+
+def topk_eval(appr: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
+    """Retrieval-quality scorecard of an approximate top-k against
+    the exact top-k (binary relevance = membership in the exact
+    set): per query, ``hits`` (recall@k numerator), ``mrr_e6``
+    (reciprocal rank of the first hit) and ``ndcg_e6`` (DCG over the
+    hit ranks / ideal DCG) — the eval a retrieval pipeline runs
+    before swapping an ANN leg into production, as an operator
+    instead of a notebook.
+
+    All-integer: metric weights come from :func:`eval_weight_tables`
+    literals and the nDCG normalization is a shifted integer
+    division, so the result is bit-identical on any engine and
+    partitioning. Inputs are the (query_id, neighbor_id, rank)
+    frames every ANN leg in this module emits; cost is one
+    candidate-set-sized join plus a per-query rollup — evaluation
+    never rescans the corpus."""
+    rr_w, dcg_w = eval_weight_tables(k)
+    idcg = sum(dcg_w)
+    hits = appr.select("query_id", "neighbor_id", "rank").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    per = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("hits"),
+        F.min("rank").alias("_fr"),
+        F.sum(F.element_at(F.lit(dcg_w), F.col("rank"))).cast("long").alias("_dcg"),
+    )
+    spine = exact.select("query_id").distinct()
+    return (
+        spine.join(per, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+            # explicit isNotNull guard: Spark's element_at(arr, NULL)
+            # resolves to the LAST element (null index folds to -1 in
+            # this version), not NULL — coalesce alone would hand
+            # no-hit queries the k-th reciprocal rank
+            F.when(
+                F.col("_fr").isNotNull(),
+                F.element_at(F.lit(rr_w), F.col("_fr")).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("mrr_e6"),
+            F.coalesce(
+                F.expr(
+                    f"CAST(2 * _dcg * 1000000 + {idcg} AS BIGINT) div CAST({2 * idcg} AS BIGINT)"
+                ),
+                F.lit(0).cast("long"),
+            ).alias("ndcg_e6"),
+        )
+    )

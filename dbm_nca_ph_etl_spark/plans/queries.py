@@ -11105,3 +11105,93 @@ def incremental_agg_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@register(
+    "retrieval_eval_int8",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    qt AS (
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_transform(
+                         v, x -> CAST(floor(
+                           x / (list_max(list_transform(v, y -> abs(y))) / 127.0)
+                           + 0.5) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM e
+    ),
+    qn AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+      FROM qt
+    ),
+    i8 AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.q, b.q)
+                   / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) AS cs
+      FROM qn a JOIN qn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ),
+    appr AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cs DESC, neighbor_id)::INT AS rank
+        FROM i8
+      ) WHERE rank <= 10
+    ),
+    ex AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cs
+      FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+        FROM ex
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT a.query_id, a.rank
+      FROM appr a JOIN exact x
+        ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    ),
+    per AS (
+      SELECT query_id, count(*)::BIGINT AS hits, min(rank) AS fr,
+             CAST(sum(([1000000, 630930, 500000, 430677, 386853, 356207,
+                        333333, 315465, 301030, 289065])[rank]) AS BIGINT) AS dcg
+      FROM hits GROUP BY query_id
+    )
+    SELECT s.query_id,
+           coalesce(p.hits, 0)::BIGINT AS hits,
+           coalesce(([1000000, 500000, 333333, 250000, 200000, 166667,
+                      142857, 125000, 111111, 100000])[p.fr], 0)::BIGINT AS mrr_e6,
+           coalesce((2 * p.dcg * 1000000 + 4543560) // (2 * 4543560),
+                    0)::BIGINT AS ndcg_e6
+    FROM (SELECT DISTINCT vec_id AS query_id FROM e WHERE vec_id < 10) s
+    LEFT JOIN per p ON s.query_id = p.query_id
+    """,
+    doc="Retrieval-quality eval harness (operators/similarity."
+    "topk_eval — the recall@k / MRR / nDCG scorecard a pipeline runs "
+    "before swapping an ANN leg into production, as an operator): "
+    "int8-quantized retrieval (the one approximate leg whose FULL "
+    "ranking is engine-reproducible — integer dot products, exact "
+    "doubles through one sqrt/divide/round) scored per query against "
+    "the exact cosine top-10. Metric weights are driver-baked "
+    "integer literals (1e6/rank, 1e6/log2(rank+1)) and nDCG is a "
+    "shifted integer division, so the scorecard hashes exactly — no "
+    "runtime log in either engine. Eval cost is one "
+    "candidate-set-sized join; the corpus is never rescanned.",
+    tags=("similarity", "llm", "quality"),
+)
+def retrieval_eval_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return S.topk_eval(
+        S.int8_topk(emb, q, k=10), S.cosine_topk(emb, q, k=10), k=10
+    )

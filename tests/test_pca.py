@@ -156,3 +156,37 @@ class TestPcaTopk:
         df, _ = aniso
         with pytest.raises(ValueError, match="n_cand"):
             pca_topk(df, df.limit(1), k=10, n_cand=5, dim=8, model=([0.0], [[1.0]], [1.0]))
+
+
+class TestTopkEval:
+    def test_hand_computed_metrics(self, spark):
+        from dbm_nca_ph_etl_spark.operators.similarity import (
+            eval_weight_tables,
+            topk_eval,
+        )
+
+        rr, dcg = eval_weight_tables(3)
+        idcg = sum(dcg)
+        exact = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+            "query_id long, neighbor_id long, rank int",
+        )
+        # q1: hits at appr ranks 1 and 3; q2: no hits at all
+        appr = spark.createDataFrame(
+            [(1, 10, 1), (1, 99, 2), (1, 12, 3), (2, 98, 1), (2, 97, 2), (2, 96, 3)],
+            "query_id long, neighbor_id long, rank int",
+        )
+        got = {r.query_id: (r.hits, r.mrr_e6, r.ndcg_e6) for r in topk_eval(appr, exact, k=3).collect()}
+        want_dcg = dcg[0] + dcg[2]
+        want_ndcg = (2 * want_dcg * 1_000_000 + idcg) // (2 * idcg)
+        assert got[1] == (2, rr[0], want_ndcg)
+        assert got[2] == (0, 0, 0)
+
+    def test_perfect_retrieval_is_unity(self, spark):
+        from dbm_nca_ph_etl_spark.operators.similarity import topk_eval
+
+        exact = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rank int"
+        )
+        got = topk_eval(exact, exact, k=2).collect()[0]
+        assert (got.hits, got.mrr_e6, got.ndcg_e6) == (2, 1_000_000, 1_000_000)
