@@ -213,6 +213,39 @@ SHOWCASE = {
         "exact full-dim re-rank. At 100 TB the projected corpus is the "
         "persisted index; the full vectors are fetched per-candidate."
     ),
+    "ann_pca_topk": (
+        "Trained-projection ANN: candidates score in the 16-dim eigenbasis "
+        "(p/dim of the scan FLOPs; the projected corpus is the persisted "
+        "index at 100 TB), a broadcast of the 10 queries against the "
+        "projected corpus — map-only, no corpus shuffle — then the exact "
+        "re-rank touches full vectors for n_cand rows per query only. "
+        "Training collected 2.1k exact-integer moment rows, so the model "
+        "(and this plan's literals) is bit-identical under any partitioning."
+    ),
+    "pareto_frontier_parts": (
+        "2-D skyline without a self-join: distinct value pairs (map-side "
+        "combined), per-partition local sort-filter skylines in parallel, "
+        "a survivor-only global pass (~O(log n) rows on one task — "
+        "metadata, not data), then a broadcast join back to the table. "
+        "The quadratic NOT EXISTS spec this replaces would be a cartesian "
+        "self-join; the plan has none."
+    ),
+    "hourly_interp_values": (
+        "Dense-grid linear interpolation: per-user grid explode (bounded "
+        "by each key's own span), ONE hash join against the hourly "
+        "aggregates, and two directional IGNORE NULLS window frames that "
+        "share a single (user, hour) sort — Spark evaluates both frames "
+        "in one window stage, so resampling costs one shuffle. All "
+        "arithmetic decimal(38,0) with a shifted integer div: exact at "
+        "magnitudes that overflow int64, bit-stable on any cluster size."
+    ),
+    "excerpt_containment_pairs": (
+        "Directional containment join: the contained side explodes only "
+        "its rarest-first PREFIX tokens (miss budget bounded by |A|), the "
+        "index side its full sets; the posting join's cost tracks "
+        "rare-token co-occurrence, never corpus^2. Exact verify runs on "
+        "the carried sorted arrays — candidates never rejoin the corpus."
+    ),
 }
 
 
