@@ -368,3 +368,60 @@ def time_grid_interpolate(
         interp.cast("long").alias("interp"),
         F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("observed"),
     )
+
+
+def match_sequence(
+    events: DataFrame,
+    steps: Sequence[Column],
+    gap: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Greedy earliest-completion SEQUENCE match per key — the
+    MATCH_RECOGNIZE shape (A then B then C, each within ``gap`` time
+    units of the previous stage) as relational algebra, no per-key
+    UDF scan. ``steps`` are boolean predicate Columns over the event
+    row; output is one row per key that completes every step:
+    (key, t1, …, tk) with the matched stage timestamps.
+
+    Semantics (pinned, SQL-replayable): t₁ = the key's earliest
+    step-1 event; tᵢ₊₁ = the earliest step-(i+1) event with
+    tᵢ < t ≤ tᵢ + gap. Greedy-earliest is the standard funnel
+    convention; it is NOT a backtracking NFA — a key where waiting
+    for a later t₁ would have satisfied the gaps does not match
+    (that variant needs a per-key sequential scan; this one needs k
+    broadcast joins).
+
+    Scale shape (the event_funnel discipline): the event fact is
+    scanned once per stage with the predicate pushed down, and only
+    KEY-LEVEL FRONTIERS (one row per surviving key) move between
+    stages — broadcast, with the time bounds as non-equi residuals;
+    no window over the whole stream, no per-key state.
+    """
+    if len(steps) < 2:
+        raise ValueError("match_sequence needs at least 2 steps")
+    if gap <= 0:
+        raise ValueError(f"gap must be positive, got {gap}")
+    frontier = None
+    ts = []
+    for i, pred in enumerate(steps):
+        s = events.where(pred)
+        if frontier is not None:
+            prev_t = f"_t{i - 1}"
+            s = s.join(
+                F.broadcast(frontier),
+                (F.col(key_col) == F.col("_pk"))
+                & (F.col(ts_col) > F.col(prev_t))
+                & (F.col(ts_col) <= F.col(prev_t) + F.lit(int(gap))),
+            ).drop("_pk")
+        cur = s.groupBy(key_col).agg(
+            F.min(ts_col).alias(f"_t{i}"),
+            *[F.first(t).alias(t) for t in ts],
+        )
+        ts.append(f"_t{i}")
+        frontier = cur.select(
+            F.col(key_col).alias("_pk"), *[F.col(t) for t in ts]
+        )
+    return cur.select(
+        key_col, *[F.col(f"_t{i}").alias(f"t{i + 1}") for i in range(len(steps))]
+    )

@@ -11195,3 +11195,55 @@ def retrieval_eval_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_eval(
         S.int8_topk(emb, q, k=10), S.cosine_topk(emb, q, k=10), k=10
     )
+
+
+@register(
+    "sequence_match_events",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+    s1 AS (
+      SELECT user_id, min(t) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, s1.t1, min(e.t) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+        AND e.t > s1.t1 AND e.t <= s1.t1 + 86400000000
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id, s1.t1
+    ),
+    s3 AS (
+      SELECT e.user_id, s2.t1, s2.t2, min(e.t) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+        AND e.t > s2.t2 AND e.t <= s2.t2 + 86400000000
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id, s2.t1, s2.t2
+    )
+    SELECT user_id, t1, t2, t3 FROM s3
+    """,
+    doc="Gap-bounded sequence-pattern match (operators/windows."
+    "match_sequence — the MATCH_RECOGNIZE shape as relational "
+    "algebra): view → click → purchase where each stage lands within "
+    "24 h of the previous, greedy-earliest per user, emitting the "
+    "matched STAGE TIMESTAMPS (event_funnel's counts can't say when "
+    "or which events matched). Per stage, the event fact scans once "
+    "with the type predicate pushed down and only user-level "
+    "frontiers move (broadcast, time bounds as non-equi residuals) — "
+    "no window over the whole stream, no per-key UDF state. "
+    "Integer-µs arithmetic; exact hash vs the staged-min SQL replay.",
+    tags=("window", "events"),
+)
+def sequence_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    DAY_US = 86400000000
+    e = _t(spark, sf_dir, "events")
+    return W.match_sequence(
+        e,
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        gap=DAY_US,
+        key_col="user_id",
+        ts_col="ts_us",
+    )

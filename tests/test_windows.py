@@ -362,3 +362,64 @@ class TestTimeGridInterpolate:
     def test_single_observation_key(self, spark):
         got = self._run(spark, [("solo", 7, 42)])
         assert got == {("solo", 7): (42, 1)}
+
+
+class TestMatchSequence:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(rows, "user_id long, ts_us long, event_type string")
+
+    def _match(self, df, gap=100):
+        from dbm_nca_ph_etl_spark.operators.windows import match_sequence
+
+        return {
+            r.user_id: (r.t1, r.t2, r.t3)
+            for r in match_sequence(
+                df,
+                [
+                    F.col("event_type") == "a",
+                    F.col("event_type") == "b",
+                    F.col("event_type") == "c",
+                ],
+                gap=gap,
+            ).collect()
+        }
+
+    def test_basic_match_and_gap_violation(self, spark):
+        df = self._events(
+            spark,
+            [
+                (1, 10, "a"), (1, 50, "b"), (1, 120, "c"),      # all gaps <= 100
+                (2, 10, "a"), (2, 200, "b"), (2, 250, "c"),     # a->b gap 190 > 100
+                (3, 10, "a"), (3, 20, "b"),                      # no c
+            ],
+        )
+        got = self._match(df)
+        assert got == {1: (10, 50, 120)}
+
+    def test_greedy_earliest_pinned(self, spark):
+        # waiting for the later 'a' (t=60) would satisfy the gaps, but
+        # greedy t1=10 forces b in (10, 110] -> picks 100, then c must
+        # land in (100, 200] -> 150 matches. Document the exact picks.
+        df = self._events(
+            spark,
+            [
+                (1, 10, "a"), (1, 60, "a"), (1, 100, "b"), (1, 150, "c"),
+            ],
+        )
+        assert self._match(df) == {1: (10, 100, 150)}
+
+    def test_equal_timestamp_not_after(self, spark):
+        # stage i+1 must be STRICTLY after stage i
+        df = self._events(spark, [(1, 10, "a"), (1, 10, "b"), (1, 20, "c")])
+        assert self._match(df) == {}
+
+    def test_guards(self, spark):
+        import pytest
+
+        from dbm_nca_ph_etl_spark.operators.windows import match_sequence
+
+        df = self._events(spark, [(1, 10, "a")])
+        with pytest.raises(ValueError, match="at least 2"):
+            match_sequence(df, [F.lit(True)], gap=10)
+        with pytest.raises(ValueError, match="gap"):
+            match_sequence(df, [F.lit(True), F.lit(True)], gap=0)
