@@ -11247,3 +11247,46 @@ def sequence_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="user_id",
         ts_col="ts_us",
     )
+
+
+@register(
+    "ann_filtered_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE label % 4 = 1
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)::INT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Metadata-FILTERED vector search (the most common production "
+    "vector-store call: 'top-k within label/tenant/language'): the "
+    "label predicate composes into the corpus scan BEFORE scoring — "
+    "pushed to the parquet reader, so a selective filter shrinks the "
+    "candidate set at IO time (pre-filtering; the alternative, "
+    "post-filtering an unfiltered ANN, silently under-fills k when "
+    "the filter is selective). Exact leg here (hash-verified full "
+    "ranking); at scale the same composition applies to the "
+    "LSH/IVF/PQ legs by filtering candidates before re-rank with a "
+    "widened probe. Scale guard inherited from cosine_topk.",
+    tags=("similarity", "llm"),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    corpus = emb.where(F.col("label") % 4 == 1)
+    return S.cosine_topk(corpus, q, k=10)
