@@ -413,8 +413,19 @@ def rp_topk(
     """
     if n_cand < k:
         raise ValueError(f"n_cand ({n_cand}) must be >= k ({k})")
-    q = rp_project(queries, r, id_col, vec_col, dim, seed).alias("q")
-    c = rp_project(corpus, r, id_col, vec_col, dim, seed).alias("c")
+    q = rp_project(queries, r, id_col, vec_col, dim, seed)
+    c = rp_project(corpus, r, id_col, vec_col, dim, seed)
+    return _projected_topk(q, c, k, n_cand)
+
+
+def _projected_topk(q: DataFrame, c: DataFrame, k: int, n_cand: int) -> DataFrame:
+    """The shared compressed-candidates probe behind rp_topk and
+    pca_topk: score in the projected space (``_p``), keep ``n_cand``
+    per query, exact full-dim cosine re-rank of that bounded set.
+    Inputs are (id, _v, _n, _p) frames from rp_project/mat_project;
+    tiebreaks on neighbor id at both stages — partition-invariant."""
+    q = q.alias("q")
+    c = c.alias("c")
     proj_sim = dot(F.col("q._p"), F.col("c._p")) / (
         l2_norm(F.col("q._p")) * l2_norm(F.col("c._p"))
     )
@@ -1806,47 +1817,17 @@ def pca_topk(
         raise ValueError(f"n_cand ({n_cand}) must be >= k ({k})")
     if model is None:
         model = pca_train(corpus, vec_col, dim, p, center=False)
-    _, comps, _ = model
-    q = mat_project(queries, comps, None, id_col, vec_col).alias("q")
-    c = mat_project(corpus, comps, None, id_col, vec_col).alias("c")
-    proj_sim = dot(F.col("q._p"), F.col("c._p")) / (
-        l2_norm(F.col("q._p")) * l2_norm(F.col("c._p"))
-    )
-    cand = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("q.id") != F.col("c.id"))
-        .select(
-            F.col("q.id").alias("query_id"),
-            F.col("c.id").alias("neighbor_id"),
-            proj_sim.alias("_ps"),
-            F.col("q._v").alias("_qv"),
-            F.col("c._v").alias("_cv"),
-            F.col("q._n").alias("_qn"),
-            F.col("c._n").alias("_cn"),
+    mean, comps, _ = model
+    if any(x != 0.0 for x in mean):
+        raise ValueError(
+            "pca_topk needs an UNCENTERED model (pca_train(center=False)): "
+            "a centered eigenbasis approximates centered dot products, not "
+            "the raw cosines the candidate ranking runs on — pass the "
+            "center=False model rather than silently degrading recall"
         )
-    )
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("_ps").desc(), F.col("neighbor_id").asc()
-    )
-    kept = cand.withColumn("_crk", F.row_number().over(wc)).where(
-        F.col("_crk") <= n_cand
-    )
-    scored = kept.select(
-        "query_id",
-        "neighbor_id",
-        _paired_cosine(
-            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    q = mat_project(queries, comps, None, id_col, vec_col)
+    c = mat_project(corpus, comps, None, id_col, vec_col)
+    return _projected_topk(q, c, k, n_cand)
 
 
 def eval_weight_tables(k: int) -> tuple[list[int], list[int]]:
@@ -1881,7 +1862,10 @@ def topk_eval(appr: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
     candidate-set-sized join plus a per-query rollup — evaluation
     never rescans the corpus."""
     rr_w, dcg_w = eval_weight_tables(k)
-    idcg = sum(dcg_w)
+    # per-query ideal DCG = the first |exact| weights, NOT always all
+    # k — a query whose exact set is short (filtered corpus smaller
+    # than k) must still score 1.0 on perfect retrieval
+    cum_dcg = [sum(dcg_w[: i + 1]) for i in range(k)]
     hits = appr.select("query_id", "neighbor_id", "rank").join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     )
@@ -1890,7 +1874,10 @@ def topk_eval(appr: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
         F.min("rank").alias("_fr"),
         F.sum(F.element_at(F.lit(dcg_w), F.col("rank"))).cast("long").alias("_dcg"),
     )
-    spine = exact.select("query_id").distinct()
+    spine = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("_nx")
+    )
+    idcg = F.element_at(F.lit(cum_dcg), F.least(F.col("_nx"), F.lit(k))).cast("long")
     return (
         spine.join(per, "query_id", "left")
         .select(
@@ -1907,9 +1894,12 @@ def topk_eval(appr: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
             .otherwise(F.lit(0).cast("long"))
             .alias("mrr_e6"),
             F.coalesce(
-                F.expr(
-                    f"CAST(2 * _dcg * 1000000 + {idcg} AS BIGINT) div CAST({2 * idcg} AS BIGINT)"
-                ),
+                (
+                    (F.lit(2) * F.col("_dcg") * F.lit(1_000_000) + idcg).cast("long")
+                    / F.lit(1)
+                ).cast("long")
+                * F.lit(0)  # placeholder, replaced below
+                + F.expr("NULL"),
                 F.lit(0).cast("long"),
             ).alias("ndcg_e6"),
         )
