@@ -1878,6 +1878,11 @@ def topk_eval(appr: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("_nx")
     )
     idcg = F.element_at(F.lit(cum_dcg), F.least(F.col("_nx"), F.lit(k))).cast("long")
+    # shifted half-up integer division: ndcg_e6 = (2*dcg*1e6 + idcg) // (2*idcg).
+    # Computed as (num - num % den) / den so the double division is of an exact
+    # multiple (both < 2^53) and therefore bit-exact on any engine/partitioning.
+    _num = F.lit(2) * F.col("_dcg") * F.lit(1_000_000) + idcg
+    _den = F.lit(2) * idcg
     return (
         spine.join(per, "query_id", "left")
         .select(
@@ -1894,12 +1899,7 @@ def topk_eval(appr: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
             .otherwise(F.lit(0).cast("long"))
             .alias("mrr_e6"),
             F.coalesce(
-                (
-                    (F.lit(2) * F.col("_dcg") * F.lit(1_000_000) + idcg).cast("long")
-                    / F.lit(1)
-                ).cast("long")
-                * F.lit(0)  # placeholder, replaced below
-                + F.expr("NULL"),
+                ((_num - _num % _den) / _den).cast("long"),
                 F.lit(0).cast("long"),
             ).alias("ndcg_e6"),
         )
