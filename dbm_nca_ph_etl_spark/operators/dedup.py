@@ -823,6 +823,21 @@ def _canonical_token_arrays(
     )
 
 
+def _ppm_prefix_len(n, t_ppm: int):
+    """Prefix length ``n - ceil(t_ppm*n/1e6) + 1`` in PURE integer
+    arithmetic, so the candidate-generation bound is consistent with
+    the integer ppm verify predicates (``inter*1e6 >= t_ppm*size``).
+    A float ``ceil(t*n)`` can exceed the ppm-consistent bound by one
+    (e.g. t=0.07, n=100: float gives 8, t_ppm=70000 needs 7), making
+    the prefix one element short — a silent false negative on
+    boundary pairs. The ceil is computed as an exact shifted floor
+    ((x - x mod 1e6)/1e6 with x = t_ppm*n + 999999): the division is
+    of an exact multiple, so the double quotient is bit-exact."""
+    x = F.lit(t_ppm) * n.cast("long") + F.lit(999_999)
+    m = ((x - x % F.lit(1_000_000)) / F.lit(1_000_000)).cast("int")
+    return n - m + 1
+
+
 def prefix_filter_jaccard_join(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -863,7 +878,7 @@ def prefix_filter_jaccard_join(
     t_ppm = int(threshold * 1_000_000)
     ranked = _canonical_token_arrays(docs, text_col, id_col, shingle_n)
     n = F.size("ts")
-    prefix_len = n - F.ceil(F.lit(threshold) * n.cast("double")).cast("int") + 1
+    prefix_len = _ppm_prefix_len(n, t_ppm)
     pref = ranked.select(
         "doc_id", "ts", F.slice("ts", 1, prefix_len).alias("prefix")
     )
@@ -947,7 +962,7 @@ def containment_join(
         F.size("ts") >= min_size
     )
     n = F.size("ts")
-    prefix_len = n - F.ceil(F.lit(threshold) * n.cast("double")).cast("int") + 1
+    prefix_len = _ppm_prefix_len(n, t_ppm)
     probe = ranked.select(
         F.col("doc_id").alias("doc_a"),
         F.col("ts").alias("_ta"),

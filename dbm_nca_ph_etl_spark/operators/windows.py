@@ -15,6 +15,7 @@ these collect to the driver.
 
 from __future__ import annotations
 
+import decimal as _decimal
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -345,21 +346,36 @@ def time_grid_interpolate(
     t0 = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(before)
     v1 = F.first(v, ignorenulls=True).over(after)
     t1 = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(after)
-    # round-half-up(N/D) = (2N + D) div (2D) for N ≥ 0, D > 0 — the
-    # shift C keeps N positive for negative-valued series so integer
-    # div (truncation) IS floor on both engines (Spark `div`, DuckDB
-    # `//`); it cancels exactly because C·D div D is exact:
-    # N = u0·(D−dt) + u1·dt with u = v + C, both addends ≥ 0
-    C = F.lit(1 << 41).cast("decimal(38,0)")
+    # round-half-up(N/D) = floor((2N + D) / (2D)) for N ≥ 0, D > 0 —
+    # the shift C keeps N positive for negative-valued series so
+    # floor division behaves identically on both engines; it cancels
+    # exactly because C·D/D is exact: N = u0·(D−dt) + u1·dt with
+    # u = v + C, both addends ≥ 0. C = 2^63 covers the ENTIRE int64
+    # value domain (long min + C ≥ 0 — a 2^41 shift silently broke
+    # floor for values < −2^41), which is why the floor must be the
+    # all-decimal exact-multiple form (num − num%den)/den rather than
+    # Spark's `div`: IntegralDivide returns LONG, and the shifted
+    # quotient C + interp overflows it for any C ≥ 2^62. The decimal
+    # division is of an exact multiple, so the quotient is bit-exact;
+    # decimal(38,0) still leaves dur ≤ ~2.7e18 µs (~87k years) of
+    # headroom before the 2·(v+C)·dur product overflows.
+    C = F.lit(_decimal.Decimal(1 << 63)).cast("decimal(38,0)")
     dt, dur = t - t0, t1 - t0
     num = F.lit(2) * ((v0 + C) * (dur - dt) + (v1 + C) * dt) + dur
     half_up = (
         j.withColumn("_num", num)
         # null (not 0) when the tick is itself observed: dur = 0
-        # there, and div-by-null is null while div-by-zero would
+        # there, and division by null is null while div-by-zero would
         # throw under ANSI — the observed branch never reads _q
         .withColumn("_den", F.when(dur > 0, F.lit(2) * dur))
-        .withColumn("_q", F.expr("_num div _den") - (1 << 41))
+        .withColumn(
+            "_q",
+            (
+                (F.col("_num") - F.col("_num") % F.col("_den"))
+                / F.col("_den")
+                - C
+            ).cast("long"),
+        )
     )
     interp = F.when(v.isNotNull(), v.cast("long")).otherwise(F.col("_q"))
     return half_up.select(

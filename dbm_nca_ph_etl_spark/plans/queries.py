@@ -10767,10 +10767,10 @@ def dd_matview_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, hour_us,
       CASE WHEN v_e6 IS NOT NULL THEN v_e6
            ELSE CAST(
-             (2 * ((v0 + 2199023255552)::HUGEINT * (t1 - hour_us)::HUGEINT
-                   + (v1 + 2199023255552)::HUGEINT * (hour_us - t0)::HUGEINT)
+             (2 * ((v0 + 9223372036854775808)::HUGEINT * (t1 - hour_us)::HUGEINT
+                   + (v1 + 9223372036854775808)::HUGEINT * (hour_us - t0)::HUGEINT)
               + (t1 - t0)::HUGEINT)
-             // (2 * (t1 - t0))::HUGEINT - 2199023255552 AS BIGINT)
+             // (2 * (t1 - t0))::HUGEINT - 9223372036854775808 AS BIGINT)
       END AS interp,
       CASE WHEN v_e6 IS NOT NULL THEN 1 ELSE 0 END AS observed
     FROM w

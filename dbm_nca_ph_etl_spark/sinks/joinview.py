@@ -17,15 +17,28 @@ bucket ids) — a day's delta joins against a day's worth of touched
 buckets, not a 100 TB scan. The view itself is batch-partitioned
 append-only.
 
-Exactly-once over at-least-once delivery WITHOUT a commit log: every
-write in a refresh is a DYNAMIC PARTITION OVERWRITE keyed by the
-batch id (``_b=<id>`` — the epoch-overwrite pattern
-``streaming/dedup_stream.py`` proves), and every base read EXCLUDES
-the refreshing batch's own partition (``_b != id``). A replayed or
-half-crashed refresh therefore recomputes the identical delta from
-the identical pre-state and overwrites the same three partitions
-byte-for-byte — idempotent regardless of which subset of the three
-writes survived the crash.
+Exactly-once commit protocol (object-store-safe, two small pieces on
+top of the batch-partitioned layout):
+
+- **Commit markers.** Every refresh writes its data under partition
+  ``_b=<id>`` and then PUTs ``_commits/b<id>.json`` as the LAST step
+  — the single commit point. Readers and delta joins only ever see
+  COMMITTED partitions, so a crashed half-written refresh is
+  invisible until its replay completes and commits. A replayed
+  already-committed batch is skipped outright (no recompute, no
+  dependence on the other side's state at replay time).
+- **Writer lease.** Refreshes serialize on the table's
+  ``sinks/txlog.WriterLease`` with a fencing check before the marker
+  PUT. This is what makes TWO INDEPENDENT WRITERS (one CDC stream
+  per side — ``streaming/agg_stream.stream_into_joinview``) exactly-
+  once: each joined pair (L_a, R_b) is counted by exactly one batch —
+  whichever side committed LATER saw the other side's partition as
+  committed and owns the pair; the earlier side could not have seen
+  the later one. Serialization removes the race where both (or
+  neither) see each other, and markers remove the replay race where
+  a crashed left batch is recomputed AFTER a right batch already
+  joined its half-written data (the double-count that an
+  own-batch-exclusion scheme cannot prevent).
 
 Updates and deletes are SIGNED deltas (differential-dataflow / CDF
 multiset algebra): a delta row carries weight +1 (insert) or −1
@@ -37,6 +50,22 @@ view rows whose weights sum to exactly the net join delta:
 (groupBy → Σw > 0 → restore multiplicity), which is view-sized
 register math. Same algebra as matview's retractable sums, extended
 to join multiplicities.
+
+Compaction is a crash-safe SWAP, not an in-place fold: the netted
+history is written to a FRESH partition id (negative ids are
+reserved for compaction outputs, so a rerun after a crash never
+re-derives from its own half-written output — the in-place variant
+would double-count sources on rerun), and one atomic PUT of
+``_commits/_horizon.json`` simultaneously publishes the output and
+retires every source. Readers see the old state or the new state,
+never a mix; leftover source directories are garbage-collected
+after the swap and a crashed compaction rolls forward from its
+intent record.
+
+All sidecar/marker/listing IO goes through the ``sources/lakefs``
+seam, so the layout runs unchanged on object stores
+(``atomic_rename=False``): every commit decision is a single-object
+PUT or a conditional PUT, never a rename.
 
 Reference parity: the reference has no join materialization at all
 (its repository joins are per-request lookups, supabase_repository.py
@@ -52,8 +81,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbm_nca_ph_etl_spark.sinks.keyed import KB_COL, key_bucket
+from dbm_nca_ph_etl_spark.sinks.txlog import CommitFenced, WriterLease
+from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS, get_fs
+from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 
 _META = "_joinview_meta.json"
+_COMMITS = "_commits"
+_HORIZON = "_horizon.json"
+_INTENT = "_intent.json"
 B_COL = "_b"
 S_COL = "_s"
 
@@ -83,9 +118,14 @@ def _overwrite_batch(df: DataFrame, path: str, parts: list[str]) -> None:
 
 class MaterializedJoin:
     """An incrementally-maintained equi-join view: ``refresh`` folds
-    per-batch inserts for either or both sides; ``read_view`` scans
-    the materialized join rows. Non-key column names of the two
-    sides must be disjoint (validated on first refresh)."""
+    per-batch signed deltas for either or both sides; ``read_view``
+    scans the committed materialized join rows. Non-key column names
+    of the two sides must be disjoint (validated on first refresh).
+
+    Batch ids must be non-negative and, across ALL writers of one
+    view, unique per batch of data (the dual-stream helper derives
+    them as epoch·2 / epoch·2+1). Negative ids are reserved for
+    compaction outputs."""
 
     def __init__(
         self,
@@ -93,17 +133,24 @@ class MaterializedJoin:
         path: str,
         key: list[str],
         num_buckets: int = 16,
+        fs: LakeFS | None = None,
+        lease_ttl_s: float = 120.0,
+        lease_timeout_s: float = 60.0,
     ):
         self.spark = spark
         self.path = path
         self.key = list(key)
-        self.left_path = os.path.join(path, "left")
-        self.right_path = os.path.join(path, "right")
-        self.view_path = os.path.join(path, "view")
-        meta_path = os.path.join(path, _META)
-        if os.path.exists(meta_path):
-            with open(meta_path, encoding="utf-8") as fh:
-                meta = json.load(fh)
+        self.fs = fs
+        self.lease_ttl_s = float(lease_ttl_s)
+        self.lease_timeout_s = float(lease_timeout_s)
+        self.left_path = _pjoin(path, "left")
+        self.right_path = _pjoin(path, "right")
+        self.view_path = _pjoin(path, "view")
+        self._commits_dir = _pjoin(path, _COMMITS)
+        f = self._fs()
+        meta_path = _pjoin(path, _META)
+        if f.exists(meta_path):
+            meta = json.loads(f.read_bytes(meta_path).decode("utf-8"))
             if meta["key"] != self.key or (
                 num_buckets is not None and meta["num_buckets"] != num_buckets
             ):
@@ -114,34 +161,108 @@ class MaterializedJoin:
                     "keys to the wrong buckets — match the layout"
                 )
             self.num_buckets = int(meta["num_buckets"])
+            self._adopt_legacy()
         else:
             self.num_buckets = int(num_buckets)
-            os.makedirs(path, exist_ok=True)
-            with open(meta_path, "w", encoding="utf-8") as fh:
-                json.dump({"key": self.key, "num_buckets": self.num_buckets}, fh)
+            f.mkdirs(path)
+            f.mkdirs(self._commits_dir)
+            f.put_if_absent(
+                _pjoin(self._commits_dir, "_adopted.json"), b"{}"
+            )
+            f.write_bytes(
+                meta_path,
+                json.dumps(
+                    {"key": self.key, "num_buckets": self.num_buckets}
+                ).encode("utf-8"),
+            )
 
-    # -- internals ----------------------------------------------------
+    # -- filesystem / commit-state internals ---------------------------
 
-    def _bucketed(self, df: DataFrame, batch_id: int) -> DataFrame:
-        return df.withColumn(KB_COL, key_bucket(self.key, self.num_buckets)).withColumn(
-            B_COL, F.lit(int(batch_id))
+    def _fs(self) -> LakeFS:
+        return get_fs(self.path, self.fs)
+
+    def _marker(self, batch_id: int) -> str:
+        return _pjoin(self._commits_dir, f"b{int(batch_id)}.json")
+
+    def _horizon(self) -> dict:
+        f = self._fs()
+        p = _pjoin(self._commits_dir, _HORIZON)
+        if not f.exists(p):
+            return {"hz": -1, "output": None}
+        return json.loads(f.read_bytes(p).decode("utf-8"))
+
+    def _marker_ids(self) -> set[int]:
+        f = self._fs()
+        out = set()
+        for p in f.ls(self._commits_dir, suffixes=[".json"]):
+            n = os.path.basename(p)
+            if n.startswith("b") and n[1:-5].lstrip("-").isdigit():
+                out.add(int(n[1:-5]))
+        return out
+
+    def _committed_ids(self) -> list[int]:
+        """Batch ids visible to readers and delta joins: marker-bearing
+        positive ids above the compaction horizon, plus the horizon's
+        output partition. Bounded driver state (≤ live batches — the
+        same budget as the bucket-id lists)."""
+        hz = self._horizon()
+        ids = sorted(b for b in self._marker_ids() if b > int(hz["hz"]))
+        if hz.get("output") is not None:
+            ids.append(int(hz["output"]))
+        return ids
+
+    def _applied(self, batch_id: int) -> bool:
+        """Replay gate: a batch is applied when its marker exists or
+        it predates the compaction horizon (its content lives in the
+        horizon's output partition)."""
+        hz = self._horizon()
+        return batch_id <= int(hz["hz"]) or self._fs().exists(
+            self._marker(batch_id)
         )
 
-    def _read_base(self, path: str, exclude_batch: int) -> DataFrame:
-        # a bucket dir can exist with no batch partitions left after
-        # full-retraction compaction — schema-less, same as absent
-        kbs = [
-            d
-            for d in (os.listdir(path) if os.path.exists(path) else [])
-            if d.startswith(f"{KB_COL}=")
-        ]
-        if not any(
-            b.startswith(f"{B_COL}=")
-            for kb in kbs
-            for b in os.listdir(os.path.join(path, kb))
-        ):
+    def _batch_ids_on_disk(self, path: str) -> set[int]:
+        """Partition ids present under ``path`` (committed or not) —
+        one or two listing calls, never a data read."""
+        f = self._fs()
+        out: set[int] = set()
+        for d in f.ls_dirs(path):
+            name = os.path.basename(d.rstrip("/"))
+            if name.startswith(f"{B_COL}="):
+                out.add(int(name.split("=", 1)[1]))
+            elif name.startswith(f"{KB_COL}="):
+                for d2 in f.ls_dirs(d):
+                    n2 = os.path.basename(d2.rstrip("/"))
+                    if n2.startswith(f"{B_COL}="):
+                        out.add(int(n2.split("=", 1)[1]))
+        return out
+
+    def _adopt_legacy(self) -> None:
+        """One-time upgrade for tables written before the commit
+        protocol: every partition already on disk was published by a
+        completed (pre-marker) refresh, so adopt each id with a
+        marker PUT. Idempotent and race-safe (put_if_absent)."""
+        f = self._fs()
+        sentinel = _pjoin(self._commits_dir, "_adopted.json")
+        if f.exists(sentinel):
+            return
+        f.mkdirs(self._commits_dir)
+        ids: set[int] = set()
+        for p in (self.view_path, self.left_path, self.right_path):
+            ids |= self._batch_ids_on_disk(p)
+        for b in ids:
+            f.put_if_absent(self._marker(b), b"{}")
+        f.put_if_absent(sentinel, b"{}")
+
+    # -- dataflow internals ---------------------------------------------
+
+    def _read_base(self, path: str, committed: list[int]) -> DataFrame:
+        """The committed pre-state of one side: partition-filtered to
+        the committed batch ids, so half-written crashed refreshes
+        and retired compaction sources are never joined."""
+        live = sorted(self._batch_ids_on_disk(path) & set(committed))
+        if not live:
             return None
-        return self.spark.read.parquet(path).where(F.col(B_COL) != int(exclude_batch))
+        return self.spark.read.parquet(path).where(F.col(B_COL).isin(live))
 
     def _pruned(self, base: DataFrame, delta: DataFrame) -> DataFrame:
         """Partition-prune ``base`` to the buckets containing
@@ -156,6 +277,11 @@ class MaterializedJoin:
             .collect()
         ]
         return base.where(F.col(KB_COL).isin(buckets))
+
+    def _bucketed(self, df: DataFrame, batch_id: int) -> DataFrame:
+        return df.withColumn(KB_COL, key_bucket(self.key, self.num_buckets)).withColumn(
+            B_COL, F.lit(int(batch_id))
+        )
 
     @staticmethod
     def _payload(df: DataFrame, key: list[str]) -> list[str]:
@@ -178,9 +304,18 @@ class MaterializedJoin:
     ) -> None:
         """Fold one batch of signed deltas (all +1 inserts when
         ``sign_col`` is None; ±1 weights otherwise — a retraction
-        must restate the retracted row exactly). Replay-idempotent:
-        see module doc (batch-keyed dynamic overwrites +
-        own-batch-excluding reads)."""
+        must restate the retracted row exactly). Exactly-once under
+        at-least-once redelivery AND under concurrent per-side
+        writers: see module doc (lease-serialized, marker-committed,
+        committed-only reads)."""
+        bid = int(batch_id)
+        if bid < 0:
+            raise ValueError(
+                f"batch_id must be >= 0 (negative ids are reserved for "
+                f"compaction outputs), got {bid}"
+            )
+        if self._applied(bid):
+            return  # redelivered batch — already committed, a no-op
         dl = None if left_delta is None else self._signed(left_delta, sign_col)
         dr = None if right_delta is None else self._signed(right_delta, sign_col)
         if dl is not None and dr is not None:
@@ -189,127 +324,187 @@ class MaterializedJoin:
                 raise ValueError(
                     f"non-key columns must be disjoint across sides, got {sorted(clash)}"
                 )
-        l_pre = self._read_base(self.left_path, batch_id)
-        r_pre = self._read_base(self.right_path, batch_id)
+        lease = WriterLease(self.path, ttl_s=self.lease_ttl_s, fs=self.fs)
+        lease.acquire(timeout_s=self.lease_timeout_s)
+        try:
+            if self._applied(bid):  # re-check now that we're serialized
+                return
+            committed = self._committed_ids()
+            l_pre = self._read_base(self.left_path, committed)
+            r_pre = self._read_base(self.right_path, committed)
 
-        def piece(left: DataFrame, right: DataFrame) -> DataFrame:
-            # weights multiply through the join — the linearity that
-            # lets deltas join the raw signed history un-netted
-            l = left.withColumnRenamed(S_COL, "_sl")
-            r = right.withColumnRenamed(S_COL, "_sr")
-            return (
-                l.join(r, self.key)
-                .withColumn(S_COL, F.col("_sl") * F.col("_sr"))
-                .drop("_sl", "_sr")
-            )
+            def piece(left: DataFrame, right: DataFrame) -> DataFrame:
+                # weights multiply through the join — the linearity
+                # that lets deltas join the raw signed history un-netted
+                l = left.withColumnRenamed(S_COL, "_sl")
+                r = right.withColumnRenamed(S_COL, "_sr")
+                return (
+                    l.join(r, self.key)
+                    .withColumn(S_COL, F.col("_sl") * F.col("_sr"))
+                    .drop("_sl", "_sr")
+                )
 
-        pieces = []
-        if dl is not None and r_pre is not None:
-            pieces.append(piece(dl, self._pruned(r_pre, dl).drop(KB_COL, B_COL)))
-        if dr is not None and l_pre is not None:
-            pieces.append(piece(self._pruned(l_pre, dr).drop(KB_COL, B_COL), dr))
-        if dl is not None and dr is not None:
-            pieces.append(piece(dl, dr))
-        view_delta = None
-        for p in pieces:
-            view_delta = p if view_delta is None else view_delta.unionByName(
-                p, allowMissingColumns=False
+            pieces = []
+            if dl is not None and r_pre is not None:
+                pieces.append(piece(dl, self._pruned(r_pre, dl).drop(KB_COL, B_COL)))
+            if dr is not None and l_pre is not None:
+                pieces.append(piece(self._pruned(l_pre, dr).drop(KB_COL, B_COL), dr))
+            if dl is not None and dr is not None:
+                pieces.append(piece(dl, dr))
+            view_delta = None
+            for p in pieces:
+                view_delta = p if view_delta is None else view_delta.unionByName(
+                    p, allowMissingColumns=False
+                )
+            if view_delta is not None:
+                _overwrite_batch(
+                    view_delta.withColumn(B_COL, F.lit(bid)),
+                    self.view_path,
+                    [B_COL],
+                )
+            # (a batch whose deltas join nothing writes no view
+            # partition — nothing to commit there, the marker alone
+            # records the batch as applied)
+            if dl is not None:
+                _overwrite_batch(
+                    self._bucketed(dl, bid), self.left_path, [KB_COL, B_COL]
+                )
+            if dr is not None:
+                _overwrite_batch(
+                    self._bucketed(dr, bid), self.right_path, [KB_COL, B_COL]
+                )
+            if not lease.is_current():
+                raise CommitFenced(
+                    f"lease on {self.path} lost mid-refresh of batch {bid}; "
+                    "the batch is uncommitted (invisible) and must be replayed"
+                )
+            self._fs().put_if_absent(
+                self._marker(bid), json.dumps({"batch": bid}).encode("utf-8")
             )
-        if view_delta is not None:
-            _overwrite_batch(
-                view_delta.withColumn(B_COL, F.lit(int(batch_id))),
-                self.view_path,
-                [B_COL],
-            )
-        # (a batch whose deltas join nothing writes no view partition —
-        # a replay recomputes the same empty delta and is a no-op)
-        if dl is not None:
-            _overwrite_batch(
-                self._bucketed(dl, batch_id), self.left_path, [KB_COL, B_COL]
-            )
-        if dr is not None:
-            _overwrite_batch(
-                self._bucketed(dr, batch_id), self.right_path, [KB_COL, B_COL]
-            )
+        finally:
+            lease.release()
 
     def compact(self, up_to_batch: int) -> None:
-        """Fold every partition with ``_b ≤ up_to_batch`` into one
-        netted partition at ``_b = up_to_batch`` (view and both
-        bases) and drop the older directories — the small-file /
-        unbounded-partition maintenance a batch-per-refresh layout
-        otherwise accumulates. Netting the signed history changes no
-        net content, so reads before and after are identical.
+        """Fold every committed partition with ``_b ≤ up_to_batch``
+        (and any previous compaction output) into ONE netted partition
+        at a fresh reserved id, for the view and both bases — the
+        small-file / unbounded-partition maintenance a batch-per-
+        refresh layout otherwise accumulates. Netting the signed
+        history changes no net content, so reads before and after are
+        identical — and because the swap is a single horizon PUT,
+        reads DURING are identical too (old state or new state, never
+        doubled).
 
         Contract: call only for batches the UPSTREAM checkpoint has
-        committed (a replay of a compacted-away batch would re-apply
-        it — the same horizon rule as any log-compaction scheme).
-        The swap is crash-safe in the dedup_stream sense: the netted
-        partition is dynamic-overwritten FIRST at ``up_to_batch``
-        (idempotent), and stale older directories are removed after —
-        a crash between the two leaves extra partitions whose rows
-        are now double-counted ONLY until the rerun completes, which
-        is why compact itself must also be replayed to completion
-        after a crash (rerunning is safe: the netted write re-derives
-        from whatever partitions remain)."""
-        import shutil
-
-        hz = int(up_to_batch)
-
-        def _stale_dirs(path: str, kept: set[str]) -> list[str]:
-            """Every _b ≤ hz partition directory not just rewritten —
-            including a pre-existing _b=hz one whose content netted to
-            zero (dynamic overwrite replaces only partitions PRESENT
-            in the new data, so 'netted away' must be deleted, not
-            assumed overwritten)."""
-            out = []
-            for root, dirs, _ in os.walk(path):
-                for d in dirs:
-                    if not d.startswith(f"{B_COL}="):
-                        continue
-                    full = os.path.join(root, d)
-                    rel = os.path.relpath(full, path)
-                    if int(d.split("=")[1]) <= hz and rel not in kept:
-                        out.append(full)
-            return out
-
-        for path, parts in (
-            (self.view_path, [B_COL]),
-            (self.left_path, [KB_COL, B_COL]),
-            (self.right_path, [KB_COL, B_COL]),
-        ):
-            if not os.path.exists(path):
-                continue
-            df = self.spark.read.parquet(path).where(F.col(B_COL) <= hz)
-            payload = [c for c in df.columns if c not in (S_COL, B_COL)]
-            netted = (
-                df.groupBy(*payload)
-                .agg(F.sum(S_COL).cast("int").alias(S_COL))
-                .where(F.col(S_COL) != 0)
-                .withColumn(B_COL, F.lit(hz))
-                # the overwrite below reads-then-replaces this path:
-                # cut lineage first (the sinks/keyed discipline)
-                .localCheckpoint(eager=True)
+        committed (a replay of a compacted-away batch is skipped via
+        the horizon, but a brand-new batch id at-or-below the horizon
+        would be silently skipped too — the same horizon rule as any
+        log-compaction scheme). Crash-safe roll-forward: the intent
+        record pins the output id and source set, so a rerun (the
+        next ``compact`` call) finishes the identical swap."""
+        lease = WriterLease(self.path, ttl_s=self.lease_ttl_s, fs=self.fs)
+        lease.acquire(timeout_s=self.lease_timeout_s)
+        try:
+            self._finish_compact()  # roll forward a crashed swap first
+            hz = int(up_to_batch)
+            cur = self._horizon()
+            if hz <= int(cur["hz"]):
+                return  # already compacted past this horizon
+            committed = self._committed_ids()
+            sources = sorted(b for b in committed if b <= hz)  # negatives too
+            if not sources:
+                return
+            target = min(self._all_negative_ids() | {0}) - 1
+            intent = {"hz": hz, "target": target, "sources": sources}
+            self._fs().write_bytes(
+                _pjoin(self._commits_dir, _INTENT),
+                json.dumps(intent).encode("utf-8"),
             )
-            if KB_COL in parts:
-                kept = {
-                    f"{KB_COL}={r[KB_COL]}/{B_COL}={hz}"
-                    for r in netted.select(KB_COL).distinct().collect()
-                }
-            else:
-                kept = {f"{B_COL}={hz}"} if not netted.isEmpty() else set()
-            if kept:
-                _overwrite_batch(netted, path, parts)
-            for full in _stale_dirs(path, kept):
-                shutil.rmtree(full)
+            self._run_compact(intent)
+        finally:
+            lease.release()
+
+    def _all_negative_ids(self) -> set[int]:
+        out: set[int] = set()
+        for p in (self.view_path, self.left_path, self.right_path):
+            out |= {b for b in self._batch_ids_on_disk(p) if b < 0}
+        return out
+
+    def _finish_compact(self) -> None:
+        f = self._fs()
+        ip = _pjoin(self._commits_dir, _INTENT)
+        if not f.exists(ip):
+            return
+        self._run_compact(json.loads(f.read_bytes(ip).decode("utf-8")))
+
+    def _run_compact(self, intent: dict) -> None:
+        f = self._fs()
+        hz, target = int(intent["hz"]), int(intent["target"])
+        sources = [int(b) for b in intent["sources"]]
+        swapped = self._horizon() == {"hz": hz, "output": target}
+        if not swapped:
+            # phase 1: net the pinned sources into the fresh output
+            # partition. The output id is NOT a source, so a rerun
+            # after a crash re-derives from the identical still-live
+            # inputs — never from its own half-written output.
+            for path, parts in (
+                (self.view_path, [B_COL]),
+                (self.left_path, [KB_COL, B_COL]),
+                (self.right_path, [KB_COL, B_COL]),
+            ):
+                live = sorted(self._batch_ids_on_disk(path) & set(sources))
+                if not live:
+                    continue
+                df = self.spark.read.parquet(path).where(F.col(B_COL).isin(live))
+                payload = [c for c in df.columns if c not in (S_COL, B_COL)]
+                netted = (
+                    df.groupBy(*payload)
+                    .agg(F.sum(S_COL).cast("int").alias(S_COL))
+                    .where(F.col(S_COL) != 0)
+                    .withColumn(B_COL, F.lit(target))
+                    .localCheckpoint(eager=True)
+                )
+                if not netted.isEmpty():
+                    _overwrite_batch(netted, path, parts)
+            # phase 2: ONE atomic PUT publishes the output and retires
+            # every source — the reader-visible commit point
+            f.write_bytes(
+                _pjoin(self._commits_dir, _HORIZON),
+                json.dumps({"hz": hz, "output": target}).encode("utf-8"),
+            )
+        # phase 3: garbage-collect retired partitions and markers
+        # (idempotent; a crash here is finished by the next call)
+        for path in (self.view_path, self.left_path, self.right_path):
+            for d in f.ls_dirs(path):
+                name = os.path.basename(d.rstrip("/"))
+                if name.startswith(f"{B_COL}="):
+                    b = int(name.split("=", 1)[1])
+                    if (0 <= b <= hz) or (b < 0 and b != target):
+                        f.delete_dir(d)
+                elif name.startswith(f"{KB_COL}="):
+                    for d2 in f.ls_dirs(d):
+                        n2 = os.path.basename(d2.rstrip("/"))
+                        if not n2.startswith(f"{B_COL}="):
+                            continue
+                        b = int(n2.split("=", 1)[1])
+                        if (0 <= b <= hz) or (b < 0 and b != target):
+                            f.delete_dir(d2)
+        for b in self._marker_ids():
+            if b <= hz:
+                f.delete_file(self._marker(b))
+        f.delete_file(_pjoin(self._commits_dir, _INTENT))
+
+    def _committed_read(self, path: str) -> DataFrame | None:
+        return self._read_base(path, self._committed_ids())
 
     def read_view(self) -> DataFrame:
-        if not os.path.exists(self.view_path) or not any(
-            d.startswith(f"{B_COL}=") for d in os.listdir(self.view_path)
-        ):
-            # schema unknowable before the first joined batch — and a
-            # fully-retracted-then-compacted view is the same state
+        df = self._committed_read(self.view_path)
+        if df is None:
+            # schema unknowable before the first committed joined
+            # batch — and a fully-retracted-then-compacted view is
+            # the same state
             raise ValueError(f"join view at {self.path} has no materialized rows yet")
-        return _net_multiset(self.spark.read.parquet(self.view_path).drop(B_COL))
+        return _net_multiset(df.drop(B_COL))
 
     def read_view_signed(self) -> DataFrame:
         """The raw signed view rows (``_s`` = ±1 weight) — the feed
@@ -318,16 +513,19 @@ class MaterializedJoin:
         partials of ``sinks/matview``, so an aggregate OVER the join
         stays fresh at view-delta cost with no netting step at all
         (netting is only needed when row identity matters)."""
-        if not os.path.exists(self.view_path):
+        df = self._committed_read(self.view_path)
+        if df is None:
             raise ValueError(f"join view at {self.path} has no materialized rows yet")
-        return self.spark.read.parquet(self.view_path).drop(B_COL)
+        return df.drop(B_COL)
+
+    def _read_side(self, path: str) -> DataFrame:
+        df = self._committed_read(path)
+        if df is None:
+            raise ValueError(f"join view at {self.path} has no committed rows for {path}")
+        return _net_multiset(df.drop(KB_COL, B_COL))
 
     def read_left(self) -> DataFrame:
-        return _net_multiset(
-            self.spark.read.parquet(self.left_path).drop(KB_COL, B_COL)
-        )
+        return self._read_side(self.left_path)
 
     def read_right(self) -> DataFrame:
-        return _net_multiset(
-            self.spark.read.parquet(self.right_path).drop(KB_COL, B_COL)
-        )
+        return self._read_side(self.right_path)

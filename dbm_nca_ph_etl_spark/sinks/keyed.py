@@ -50,13 +50,14 @@ rule above) before the overwrite starts.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbm_nca_ph_etl_spark.functions.scalars import hash48
 from dbm_nca_ph_etl_spark.sinks.partitioned import overwrite_partitions
+from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS, get_fs
+from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 
 KB_COL = "_kb"
 _META = "_keyed_meta.json"
@@ -74,13 +75,23 @@ def key_bucket(keys: list[str], num_buckets: int) -> Column:
     return F.pmod(hash48(joined), F.lit(num_buckets)).cast("int")
 
 
-def _read_meta(path: str) -> dict:
-    with open(os.path.join(path, _META), encoding="utf-8") as fh:
-        return json.load(fh)
+def _read_meta(path: str, fs: LakeFS | None = None) -> dict:
+    return json.loads(
+        get_fs(path, fs).read_bytes(_pjoin(path, _META)).decode("utf-8")
+    )
 
 
-def _check_meta(path: str, keys: list[str], num_buckets: int | None) -> int:
-    meta = _read_meta(path)
+def _write_meta(path: str, meta: dict, fs: LakeFS | None = None) -> None:
+    # single atomic publish (tmp+rename on POSIX, one PUT on stores)
+    get_fs(path, fs).write_bytes(
+        _pjoin(path, _META), json.dumps(meta).encode("utf-8")
+    )
+
+
+def _check_meta(
+    path: str, keys: list[str], num_buckets: int | None, fs: LakeFS | None = None
+) -> int:
+    meta = _read_meta(path, fs)
     if list(meta["keys"]) != list(keys) or (
         num_buckets is not None and meta["num_buckets"] != num_buckets
     ):
@@ -95,7 +106,11 @@ def _check_meta(path: str, keys: list[str], num_buckets: int | None) -> int:
 
 
 def write_keyed(
-    df: DataFrame, path: str, keys: list[str], num_buckets: int
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    num_buckets: int,
+    fs: LakeFS | None = None,
 ) -> None:
     """Create/replace the keyed base table: hive-partitioned on the
     bucket of ``keys``, one directory per non-empty bucket. The
@@ -112,8 +127,7 @@ def write_keyed(
         "num_buckets": int(num_buckets),
         "schema": _ddl(out),
     }
-    with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
-        json.dump(meta, fh)
+    _write_meta(path, meta, fs)
 
 
 def _ddl(df: DataFrame) -> str:
@@ -124,7 +138,9 @@ def _ddl(df: DataFrame) -> str:
     return ", ".join(parts + [f"{KB_COL} int"])
 
 
-def _read_base(spark: SparkSession, path: str) -> DataFrame:
+def _read_base(
+    spark: SparkSession, path: str, fs: LakeFS | None = None
+) -> DataFrame:
     """Scan the base table under the SIDECAR-tracked schema — the
     table-format move that makes schema evolution work on plain
     parquet: after an evolving merge only the touched buckets'
@@ -135,7 +151,7 @@ def _read_base(spark: SparkSession, path: str) -> DataFrame:
     meta has no schema. Avoids ``mergeSchema=true``, which reads
     EVERY footer — O(files) metadata IO at 100 TB."""
     try:
-        ddl = _read_meta(path).get("schema")
+        ddl = _read_meta(path, fs).get("schema")
     except (OSError, ValueError):
         ddl = None
     reader = spark.read
@@ -144,25 +160,31 @@ def _read_base(spark: SparkSession, path: str) -> DataFrame:
     return reader.parquet(path)
 
 
-def read_keyed(spark: SparkSession, path: str) -> DataFrame:
+def read_keyed(
+    spark: SparkSession, path: str, fs: LakeFS | None = None
+) -> DataFrame:
     """Scan the keyed table without the layout column. Filters on the
     key columns do NOT prune (the bucket id is derived); point
     lookups should filter on ``key_bucket(...)`` too — see
     :func:`lookup_keyed`."""
-    return _read_base(spark, path).drop(KB_COL)
+    return _read_base(spark, path, fs).drop(KB_COL)
 
 
 def lookup_keyed(
-    spark: SparkSession, path: str, keys_df: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    fs: LakeFS | None = None,
 ) -> DataFrame:
     """Point/semi lookup that prunes to the probed keys' buckets
     before joining — the read-side payoff of the layout."""
-    n = _check_meta(path, keys, None)
+    n = _check_meta(path, keys, None, fs)
     probe = keys_df.select(*keys).dropDuplicates().withColumn(
         KB_COL, key_bucket(keys, n)
     )
     buckets = [r[KB_COL] for r in probe.select(KB_COL).distinct().collect()]
-    base = _read_base(spark, path).where(F.col(KB_COL).isin(buckets))
+    base = _read_base(spark, path, fs).where(F.col(KB_COL).isin(buckets))
     return base.join(
         F.broadcast(probe.select(*keys)), on=keys, how="left_semi"
     ).drop(KB_COL)
@@ -175,6 +197,7 @@ def upsert_keyed(
     keys: list[str],
     *,
     evolve_schema: bool = False,
+    fs: LakeFS | None = None,
 ) -> list[int]:
     """Merge ``df`` into the keyed table on ``keys`` — matching rows
     replaced, new rows inserted (same semantics as
@@ -202,18 +225,18 @@ def upsert_keyed(
 
     Returns the list of touched bucket ids (for tests/observability).
     """
-    if not os.path.exists(path):
+    if not get_fs(path, fs).exists(_pjoin(path, _META)):
         raise FileNotFoundError(
             f"no keyed table at {path}; create it with write_keyed first"
         )
-    n = _check_meta(path, keys, None)
+    n = _check_meta(path, keys, None, fs)
     incoming = df.dropDuplicates(keys).withColumn(KB_COL, key_bucket(keys, n))
     touched = sorted(
         r[KB_COL] for r in incoming.select(KB_COL).distinct().collect()
     )
     if not touched:
         return []
-    base = _read_base(spark, path).where(F.col(KB_COL).isin(touched))
+    base = _read_base(spark, path, fs).where(F.col(KB_COL).isin(touched))
     base_t = {f.name: f.dataType for f in base.schema.fields}
     in_t = {f.name: f.dataType for f in incoming.schema.fields}
     clash = [c for c in in_t if c in base_t and in_t[c] != base_t[c]]
@@ -241,21 +264,24 @@ def upsert_keyed(
     ).localCheckpoint(eager=True)
     overwrite_partitions(merged, path, [KB_COL])
     if drift:
-        meta = _read_meta(path)
+        meta = _read_meta(path, fs)
         meta["schema"] = _ddl(merged)
-        with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
-            json.dump(meta, fh)
+        _write_meta(path, meta, fs)
     return touched
 
 
 def delete_keyed(
-    spark: SparkSession, path: str, keys_df: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    fs: LakeFS | None = None,
 ) -> list[int]:
     """Delete rows whose key appears in ``keys_df`` — bucket-pruned
     twin of ``merge.delete_by_keys``. Returns touched bucket ids."""
-    if not os.path.exists(path):
+    if not get_fs(path, fs).exists(_pjoin(path, _META)):
         return []
-    n = _check_meta(path, keys, None)
+    n = _check_meta(path, keys, None, fs)
     doomed = keys_df.select(*keys).dropDuplicates().withColumn(
         KB_COL, key_bucket(keys, n)
     )
@@ -264,7 +290,7 @@ def delete_keyed(
     )
     if not touched:
         return []
-    base = _read_base(spark, path).where(F.col(KB_COL).isin(touched))
+    base = _read_base(spark, path, fs).where(F.col(KB_COL).isin(touched))
     kept = base.join(
         F.broadcast(doomed.select(*keys)), on=keys, how="left_anti"
     ).localCheckpoint(eager=True)
@@ -281,6 +307,7 @@ def scd2_apply_keyed(
     *,
     from_col: str = "valid_from",
     to_col: str = "valid_to",
+    fs: LakeFS | None = None,
 ) -> list[int]:
     """Persisted SCD Type-2 over the keyed layout: apply a change
     batch to the versioned dimension AT ``path``, rewriting only the
@@ -297,7 +324,7 @@ def scd2_apply_keyed(
     """
     from dbm_nca_ph_etl_spark.sinks.merge import scd2_apply
 
-    n = _check_meta(path, keys, None)
+    n = _check_meta(path, keys, None, fs)
     incoming = changes.dropDuplicates(keys).localCheckpoint(eager=True)
     touched = sorted(
         r[KB_COL]
@@ -309,7 +336,7 @@ def scd2_apply_keyed(
     if not touched:
         return []
     dim_sub = (
-        _read_base(spark, path)
+        _read_base(spark, path, fs)
         .where(F.col(KB_COL).isin(touched))
         .drop(KB_COL)
     )

@@ -235,7 +235,7 @@ def upsert_keyed_serialized(
     log = CommitLog(path, fs=fs)
     lease.acquire(timeout_s=timeout_s)
     try:
-        touched = upsert_keyed(spark, df, path, keys)
+        touched = upsert_keyed(spark, df, path, keys, fs=fs)
         if not lease.is_current():
             raise CommitFenced(
                 f"lease on {path} lost mid-merge (writer={writer}); "

@@ -138,10 +138,16 @@ def stream_into_joinview(
 
     Two streams (one per side) may feed the same view, each with its
     OWN checkpoint: batch ids are epoch·2 (left) / epoch·2+1 (right),
-    so the two writers' partition namespaces never collide and each
-    side's replay guard (own-batch-excluding reads + batch-keyed
-    overwrite) holds independently. One writer per side — the same
-    single-writer-per-feed contract as stream_into_matview.
+    so the two writers' batch-id namespaces never collide. Exactly-
+    once across BOTH writers is the view's own commit protocol
+    (sinks/joinview module doc): refreshes serialize on the table's
+    writer lease, delta joins read only marker-committed partitions,
+    and a replayed epoch whose marker exists is skipped outright —
+    so a left epoch that crashed mid-write can never be recomputed
+    against right batches that already joined its half-written data
+    (the double-count an own-batch-exclusion scheme cannot prevent).
+    One writer per side remains the contract (the checkpoint is what
+    makes each side's epoch ids unique and monotonic).
     """
     if side not in ("left", "right"):
         raise ValueError(f"side must be 'left' or 'right', got {side!r}")

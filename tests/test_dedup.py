@@ -673,6 +673,29 @@ class TestContainmentJoin:
         # symmetric Jaccard misses it entirely at any near-dup threshold
         assert prefix_filter_jaccard_join(df, threshold=0.5).count() == 0
 
+    def test_ppm_boundary_prefix_not_short(self, spark):
+        """t=0.07, n=100: float ceil(t*n) gives 8 (prefix 93) while the
+        ppm-consistent bound needs 7 (prefix 94). Rarest-first ordering
+        puts A's 93 unique (df=1) tokens FIRST, so the shared tokens sit
+        exactly in the disputed tail — the old float bound silently
+        dropped this qualifying boundary pair (ADVICE r5)."""
+        from dbm_nca_ph_etl_spark.operators.dedup import containment_join
+
+        a_text = " ".join([f"u{i}" for i in range(93)] + [f"s{i}" for i in range(7)])
+        b_text = " ".join([f"s{i}" for i in range(7)] + [f"v{i}" for i in range(10)])
+        df = spark.createDataFrame(
+            [(1, a_text), (2, b_text)], "doc_id long, text string"
+        )
+        got = {
+            (r.doc_a, r.doc_b): (r.size_a, r.inter)
+            for r in containment_join(
+                df, threshold=0.07, shingle_n=0, min_size=3
+            ).collect()
+        }
+        # C(A->B) = 7/100 = 0.07 >= t exactly; C(B->A) = 7/17 >= t too
+        assert got[(1, 2)] == (100, 7)
+        assert got[(2, 1)] == (17, 7)
+
     def test_min_size_drops_trivia(self, spark):
         from dbm_nca_ph_etl_spark.operators.dedup import containment_join
 

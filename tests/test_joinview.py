@@ -92,7 +92,7 @@ class TestMaterializedJoin:
         v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=8)
         v.refresh(1, right_delta=_custs(spark, [(i, f"c{i}") for i in range(64)]))
         delta = _orders(spark, [(3, "o3")])
-        pruned = v._pruned(v._read_base(v.right_path, 2), delta)
+        pruned = v._pruned(v._read_base(v.right_path, v._committed_ids()), delta)
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "_kb" in plan
         n_parts = pruned.select("_kb").distinct().count()
@@ -170,13 +170,14 @@ class TestCompact:
         v.compact(3)
         assert _view_rows(v) == before
         assert sorted((r.k, r.o) for r in v.read_left().collect()) == lbefore
-        # one batch partition left per surviving bucket / in the view
+        # one batch partition left per surviving bucket / in the view —
+        # the fresh reserved compaction-output id, never an in-place fold
         vdirs = [d for d in os.listdir(v.view_path) if d.startswith("_b=")]
-        assert vdirs == ["_b=3"]
+        assert vdirs == ["_b=-1"]
         for kb in os.listdir(v.left_path):
             if kb.startswith("_kb="):
                 bs = os.listdir(os.path.join(v.left_path, kb))
-                assert all(b == "_b=3" for b in bs if b.startswith("_b="))
+                assert all(b == "_b=-1" for b in bs if b.startswith("_b="))
 
     def test_compact_removes_fully_retracted_content(self, spark, tmp_path):
         import os
@@ -209,3 +210,163 @@ class TestCompact:
         # and refreshes keep working after compaction
         v.refresh(5, left_delta=_orders(spark, [(1, "o1b")]))
         assert _view_rows(v) == [(1, "o1b", "c1")]
+
+
+class _CrashFS:
+    """Disk-backed fake with OBJECT-STORE semantics plus fault
+    injection: raises once at an armed path substring, so tests can
+    cut a refresh/compact at an exact protocol step and replay it."""
+
+    atomic_rename = False
+
+    def __init__(self):
+        from dbm_nca_ph_etl_spark.sources.lakefs import PosixLakeFS
+
+        self._inner = PosixLakeFS()
+        self.puts: list[str] = []
+        self._crash_at: str | None = None
+
+    def arm(self, path_substr: str) -> None:
+        self._crash_at = path_substr
+
+    def _maybe_crash(self, path: str) -> None:
+        if self._crash_at is not None and self._crash_at in path:
+            self._crash_at = None
+            raise RuntimeError(f"injected crash at {path}")
+
+    def ls(self, path, suffixes=None):
+        return self._inner.ls(path, suffixes)
+
+    def is_dir(self, path):
+        return self._inner.is_dir(path)
+
+    def read_bytes(self, path):
+        return self._inner.read_bytes(path)
+
+    def write_bytes(self, path, data):
+        self._maybe_crash(path)
+        self.puts.append(path)
+        with open(path, "wb") as fh:  # single PUT, no tmp+rename
+            fh.write(data)
+
+    def put_if_absent(self, path, data):
+        self._maybe_crash(path)
+        self.puts.append(path)
+        return self._inner.put_if_absent(path, data)
+
+    def exists(self, path):
+        return self._inner.exists(path)
+
+    def size(self, path):
+        return self._inner.size(path)
+
+    def mkdirs(self, path):
+        self._inner.mkdirs(path)
+
+    def delete_dir(self, path):
+        self._inner.delete_dir(path)
+
+    def delete_file(self, path):
+        self._inner.delete_file(path)
+
+    def ls_dirs(self, path):
+        return self._inner.ls_dirs(path)
+
+
+class TestExactlyOnceCommitProtocol:
+    """The dual-writer crash interleaving that own-batch-exclusion
+    schemes double-count, and crash-safe compaction roll-forward —
+    all through the object-store fake (atomic_rename=False), proving
+    the layout never relies on rename atomicity."""
+
+    def test_crashed_refresh_is_invisible_and_replay_does_not_double_count(
+        self, spark, tmp_path
+    ):
+        fs = _CrashFS()
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=4, fs=fs)
+        # left epoch 0 writes its data partitions but crashes before
+        # the commit marker PUT
+        fs.arm("_commits/b0.json")
+        with pytest.raises(RuntimeError, match="injected crash"):
+            v.refresh(0, left_delta=_orders(spark, [(1, "o1")]))
+        # the half-written batch is invisible: a right batch that runs
+        # meanwhile must NOT join it ...
+        v.refresh(3, right_delta=_custs(spark, [(1, "c1")]))
+        with pytest.raises(ValueError, match="no materialized rows"):
+            v.read_view()
+        # ... so when left's checkpoint replays epoch 0, the pair is
+        # counted exactly once (by the replay, which now sees right's
+        # committed batch) — not once per writer
+        v.refresh(0, left_delta=_orders(spark, [(1, "o1")]))
+        assert _view_rows(v) == [(1, "o1", "c1")]
+
+    def test_committed_refresh_replay_is_skipped(self, spark, tmp_path):
+        fs = _CrashFS()
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=4, fs=fs)
+        v.refresh(0, left_delta=_orders(spark, [(1, "o1")]))
+        v.refresh(1, right_delta=_custs(spark, [(1, "c1")]))
+        n_puts = len(fs.puts)
+        # redelivery of a committed epoch: no reads, no writes, no
+        # dependence on the other side's CURRENT state
+        v.refresh(0, left_delta=_orders(spark, [(1, "o1")]))
+        assert len(fs.puts) == n_puts
+        assert _view_rows(v) == [(1, "o1", "c1")]
+
+    def test_compact_crash_before_swap_rolls_forward(self, spark, tmp_path):
+        fs = _CrashFS()
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=4, fs=fs)
+        v.refresh(1, left_delta=_orders(spark, [(1, "o1"), (2, "o2")]))
+        v.refresh(2, right_delta=_custs(spark, [(1, "c1"), (2, "c2")]))
+        before = _view_rows(v)
+        # crash AFTER the netted output partitions are written but
+        # BEFORE the horizon swap publishes them
+        fs.arm("_horizon.json")
+        with pytest.raises(RuntimeError, match="injected crash"):
+            v.compact(2)
+        # readers still see the old state, exactly once (the netted
+        # output is on disk but uncommitted)
+        assert _view_rows(v) == before
+        # the rerun rolls the pinned intent forward: same content,
+        # sources GC'd, one reserved-id output partition
+        v.compact(2)
+        assert _view_rows(v) == before
+        import os
+
+        vdirs = [d for d in os.listdir(v.view_path) if d.startswith("_b=")]
+        assert vdirs == ["_b=-1"]
+
+    def test_compact_crash_during_gc_finishes_on_rerun(self, spark, tmp_path):
+        fs = _CrashFS()
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=4, fs=fs)
+        v.refresh(1, left_delta=_orders(spark, [(1, "o1")]))
+        v.refresh(2, right_delta=_custs(spark, [(1, "c1")]))
+        before = _view_rows(v)
+        # the swap landed; crash while deleting retired markers
+        fs.arm("_commits/b1.json")
+
+        orig = fs.delete_file
+
+        def crashing_delete(path):
+            fs._maybe_crash(path)
+            orig(path)
+
+        fs.delete_file = crashing_delete
+        with pytest.raises(RuntimeError, match="injected crash"):
+            v.compact(2)
+        # post-swap state is already live and single-counted
+        assert _view_rows(v) == before
+        v.compact(2)  # finishes the GC; content unchanged
+        assert _view_rows(v) == before
+
+    def test_sidecar_io_flows_through_injected_fs(self, spark, tmp_path):
+        fs = _CrashFS()
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=4, fs=fs)
+        v.refresh(1, left_delta=_orders(spark, [(1, "o1")]))
+        v.refresh(2, right_delta=_custs(spark, [(1, "c1")]))
+        v.compact(2)
+        joined = "\n".join(fs.puts)
+        assert "_joinview_meta.json" in joined
+        assert "_commits/b1.json" in joined
+        assert "_commits/_intent.json" in joined
+        assert "_commits/_horizon.json" in joined
+        assert "_lease.json" in joined

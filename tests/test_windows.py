@@ -359,6 +359,17 @@ class TestTimeGridInterpolate:
         assert a[("a", 5)] == (60, 0) and a[("b", 6)] == (800, 0)
         assert len(a) == 11 + 4
 
+    def test_deep_negative_domain(self, spark):
+        """Values below -2^41 — the domain where the old positivity
+        shift under-shifted and truncation stopped being floor. The
+        2^63 shift covers the whole int64 value range (ADVICE r5)."""
+        lo = -(1 << 50)
+        got = self._run(spark, [("a", 0, lo), ("a", 2, lo + 2)])
+        assert got[("a", 1)] == (lo + 1, 0)
+        # -x.5 still rounds half-UP (toward +inf) this deep
+        got2 = self._run(spark, [("b", 0, lo), ("b", 2, lo + 1)])
+        assert got2[("b", 1)] == (lo + 1, 0)
+
     def test_single_observation_key(self, spark):
         got = self._run(spark, [("solo", 7, 42)])
         assert got == {("solo", 7): (42, 1)}
