@@ -308,20 +308,30 @@ def lsh_probe_new(
     nb = band_buckets(batch, text_col, id_col, num_hashes, bands, shingle_n)
     cand = nb.join(ob, ["band", "bucket"]).select(id_col, "_old").distinct()
     if verify_threshold is not None:
-        bt = batch.select(F.col(id_col), F.col(text_col).alias("_bt"))
+        # The batch side's shingle SET is projected before the
+        # broadcast exchange, so it is computed once per batch row and
+        # shipped as data; only the corpus text is shingled inside the
+        # join's residual condition (per key-matched pair). Passing
+        # both raw texts into ngram_jaccard instead re-shingles BOTH
+        # per pair per subexpression (4×) — measured 4-5× slower.
+        bt = batch.select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_n).alias("_bs"),
+        )
         ct = corpus.select(
             F.col(id_col).alias("_old"), F.col(text_col).alias("_ct")
         )
+        cs = word_shingles(F.col("_ct"), shingle_n)
+        inter = F.size(F.array_intersect(F.col("_bs"), cs)).cast("double")
+        union = F.size(F.array_union(F.col("_bs"), cs)).cast("double")
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
         # Broadcast the batch-derived candidate side into the corpus
         # text join: the corpus is the 100 TB relation and must stay
         # map-side; left to static size estimates Spark would happily
         # broadcast a small-SF corpus instead and shuffle at scale.
         cand = (
             ct.join(F.broadcast(cand.join(bt, id_col)), "_old")
-            .where(
-                ngram_jaccard(F.col("_bt"), F.col("_ct"), shingle_n)
-                >= F.lit(verify_threshold)
-            )
+            .where(jac >= F.lit(verify_threshold))
             .select(id_col, "_old")
         )
     hits = cand.groupBy(id_col).agg(F.min("_old").alias("matched_doc"))
@@ -377,7 +387,16 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
-    """Exact Jaccard similarity of the two texts' n-word shingle sets."""
+    """Exact Jaccard similarity of the two texts' n-word shingle sets.
+
+    Deliberately NOT let-bound across the intersect/union subtrees:
+    binding both sets through nested single-element-array lambdas
+    measured 6× SLOWER end-to-end in lsh_probe_new's verify join than
+    letting codegen re-evaluate the shingle expressions (the nested
+    HOF result must be materialized per row, defeating whole-stage
+    codegen of the surrounding condition). Callers who need the sets
+    reused across MANY comparisons should project them as columns
+    first (``word_shingles`` per side) rather than wrap this."""
     sa, sb = word_shingles(text_a, n), word_shingles(text_b, n)
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
     union = F.size(F.array_union(sa, sb)).cast("double")

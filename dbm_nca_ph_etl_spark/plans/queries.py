@@ -6152,21 +6152,26 @@ def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .where(F.col("doc_id") < 100000)  # keep batch id space disjoint at any SF
     )
-    perturbed = corpus.where(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat("text", F.lit(" zzduplicatemarker")).alias("text"),
-    )
-    fresh = corpus.where(F.col("doc_id") % 25 == 1).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(
-            F.lit("fresh unseen content block "),
-            F.col("doc_id").cast("string"),
-            F.lit(" entirely novel tokens stream"),
+    # one scan for both batch halves (a filter-union would read the
+    # text column twice); CASE picks the perturbed-dup vs fresh shape
+    batch = corpus.where(F.col("doc_id") % 25 < 2).select(
+        F.when(
+            F.col("doc_id") % 25 == 0, F.col("doc_id") + 100000
+        ).otherwise(F.col("doc_id") + 200000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat("text", F.lit(" zzduplicatemarker")),
+        ).otherwise(
+            F.concat(
+                F.lit("fresh unseen content block "),
+                F.col("doc_id").cast("string"),
+                F.lit(" entirely novel tokens stream"),
+            )
         ).alias("text"),
     )
     return D.lsh_probe_new(
         corpus,
-        perturbed.unionByName(fresh),
+        batch,
         index=_band_index(spark, sf_dir, corpus),
     )
 
