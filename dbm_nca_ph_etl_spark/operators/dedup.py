@@ -200,7 +200,9 @@ def build_band_index(
     ingest appends the batch's own rows (same seed ⇒ compatible
     buckets)."""
     import json
-    import os
+
+    from dbm_nca_ph_etl_spark.sources.lakefs import get_fs
+    from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 
     idx = band_buckets(corpus, text_col, id_col, num_hashes, bands, shingle_n)
     idx.write.mode("overwrite").partitionBy("band").parquet(path)
@@ -211,8 +213,9 @@ def build_band_index(
         "shingle_n": shingle_n,
         "layout": "band",
     }
-    with open(os.path.join(path, "_band_meta.json"), "w") as f:
-        json.dump(meta, f)
+    get_fs(path).write_bytes(
+        _pjoin(path, "_band_meta.json"), json.dumps(meta).encode("utf-8")
+    )
 
 
 def load_band_index(
@@ -234,10 +237,13 @@ def load_band_index(
     get a loud error instead of a silently-empty partition-pruned
     scan; ``None`` (default) accepts either."""
     import json
-    import os
 
-    with open(os.path.join(path, "_band_meta.json")) as f:
-        meta = json.load(f)
+    from dbm_nca_ph_etl_spark.sources.lakefs import get_fs
+    from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
+
+    meta = json.loads(
+        get_fs(path).read_bytes(_pjoin(path, "_band_meta.json")).decode("utf-8")
+    )
     want = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
     got = {k: meta.get(k) for k in want}
     if got != want:

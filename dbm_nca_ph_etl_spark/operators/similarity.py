@@ -690,7 +690,9 @@ def build_lsh_index(
     newly-signed rows (same seed ⇒ same planes ⇒ compatible keys).
     """
     import json
-    import os
+
+    from dbm_nca_ph_etl_spark.sources.lakefs import get_fs
+    from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 
     signed = _signed(corpus, id_col, vec_col, num_tables, num_planes, dim, seed)
     signed.write.mode("overwrite").parquet(path)
@@ -702,8 +704,9 @@ def build_lsh_index(
         "dim": dim,
         "seed": seed,
     }
-    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
-        json.dump(meta, f)
+    get_fs(path).write_bytes(
+        _pjoin(path, "_lsh_meta.json"), json.dumps(meta).encode("utf-8")
+    )
 
 
 def load_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
@@ -713,10 +716,13 @@ def load_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
     matching parameters (mismatched planes would silently bucket with
     the wrong geometry — always thread the stored meta through)."""
     import json
-    import os
 
-    with open(os.path.join(path, "_lsh_meta.json")) as f:
-        meta = json.load(f)
+    from dbm_nca_ph_etl_spark.sources.lakefs import get_fs
+    from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
+
+    meta = json.loads(
+        get_fs(path).read_bytes(_pjoin(path, "_lsh_meta.json")).decode("utf-8")
+    )
     return spark.read.parquet(path), meta
 
 

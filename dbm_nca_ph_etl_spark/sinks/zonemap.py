@@ -48,6 +48,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS, get_fs
+from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
+
 ZM_DIR = "_zonemaps"
 _ZM_META = "_zonemap_meta.json"
 
@@ -109,28 +112,49 @@ def harvest_zonemaps(
     )
 
 
-def _data_files(path: str) -> list[str]:
-    out = []
-    for root, dirs, names in os.walk(path):
-        dirs[:] = [d for d in dirs if d != ZM_DIR]
+def _data_files(path: str, fs: LakeFS | None = None) -> list[str]:
+    """Recursive data-file listing through the lakefs seam (skips the
+    sidecar dir and _-prefixed metadata files)."""
+    f = get_fs(path, fs)
+    out: list[str] = []
+    stack = [path]
+    while stack:
+        d = stack.pop()
         out += [
-            os.path.join(root, n)
-            for n in names
-            if n.endswith(".parquet") and not n.startswith("_")
+            p
+            for p in f.ls(d, suffixes=[".parquet"])
+            if not os.path.basename(p).startswith("_")
+        ]
+        stack += [
+            sub
+            for sub in f.ls_dirs(d)
+            if os.path.basename(sub.rstrip("/")) != ZM_DIR
         ]
     return sorted(out)
 
 
-def write_zonemaps(spark: SparkSession, path: str, columns: list[str]) -> None:
+def write_zonemaps(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    fs: LakeFS | None = None,
+) -> None:
     """Harvest and persist the stats sidecar for a parquet table dir."""
-    zm = harvest_zonemaps(spark, _data_files(path), columns)
-    zm.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, ZM_DIR))
-    with open(os.path.join(path, _ZM_META), "w", encoding="utf-8") as fh:
-        json.dump({"columns": list(columns)}, fh)
+    zm = harvest_zonemaps(spark, _data_files(path, fs), columns)
+    zm.coalesce(1).write.mode("overwrite").parquet(_pjoin(path, ZM_DIR))
+    get_fs(path, fs).write_bytes(
+        _pjoin(path, _ZM_META),
+        json.dumps({"columns": list(columns)}).encode("utf-8"),
+    )
 
 
 def pruned_read(
-    spark: SparkSession, path: str, column: str, lo, hi
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    fs: LakeFS | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Read only the files whose ``column`` zone intersects
     ``[lo, hi]``; returns (rows, files_read, files_total). The range
@@ -138,13 +162,14 @@ def pruned_read(
     conservative, correctness never depends on it. Fails loudly if
     the sidecar does not track ``column`` (stats drift — same
     contract as the keyed/_band_meta sidecars)."""
-    with open(os.path.join(path, _ZM_META), encoding="utf-8") as fh:
-        meta = json.load(fh)
+    meta = json.loads(
+        get_fs(path, fs).read_bytes(_pjoin(path, _ZM_META)).decode("utf-8")
+    )
     if column not in meta["columns"]:
         raise ValueError(
             f"zonemap sidecar at {path} tracks {meta['columns']}, not {column!r}"
         )
-    zm = spark.read.parquet(os.path.join(path, ZM_DIR)).where(
+    zm = spark.read.parquet(_pjoin(path, ZM_DIR)).where(
         F.col("col") == column
     )
     keep = zm.where(

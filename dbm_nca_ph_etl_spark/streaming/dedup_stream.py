@@ -48,6 +48,9 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dbm_nca_ph_etl_spark.sources.lakefs import get_fs
+from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
+
 from dbm_nca_ph_etl_spark.operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
@@ -90,7 +93,8 @@ def stream_probe_dedup(
     """Run the dedup-at-ingest stream. ``index_path`` /
     ``corpus_path`` / ``verdicts_path`` are epoch-partitioned
     parquet tables this function owns; they may start empty."""
-    meta_path = os.path.join(index_path, "_band_meta.json")
+    meta_path = _pjoin(index_path, "_band_meta.json")
+    fs = get_fs(index_path)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -106,7 +110,9 @@ def stream_probe_dedup(
         # falling through to the "first epoch" branch would silently
         # treat the whole corpus as empty and then corrupt the dir
         # with conflicting epoch= partitions — fail fast instead.
-        entries = os.listdir(index_path) if os.path.exists(index_path) else []
+        entries = [
+            os.path.basename(d.rstrip("/")) for d in fs.ls_dirs(index_path)
+        ]
         if any(d.startswith("band=") for d in entries):
             raise ValueError(
                 f"{index_path} is a band=-partitioned build_band_index "
@@ -140,19 +146,19 @@ def stream_probe_dedup(
             )
         else:
             # first epoch: empty corpus, everything is novel
-            os.makedirs(index_path, exist_ok=True)
-            if not os.path.exists(meta_path):
-                with open(meta_path, "w", encoding="utf-8") as fh:
-                    json.dump(
-                        {
-                            "id_col": "doc_id",
-                            "num_hashes": num_hashes,
-                            "bands": bands,
-                            "shingle_n": shingle_n,
-                            "layout": "epoch",
-                        },
-                        fh,
-                    )
+            fs.mkdirs(index_path)
+            fs.put_if_absent(
+                meta_path,
+                json.dumps(
+                    {
+                        "id_col": "doc_id",
+                        "num_hashes": num_hashes,
+                        "bands": bands,
+                        "shingle_n": shingle_n,
+                        "layout": "epoch",
+                    }
+                ).encode("utf-8"),
+            )
             verdicts = batch.select(
                 "doc_id",
                 F.lit(None).cast("long").alias("matched_doc"),
