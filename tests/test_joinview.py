@@ -370,3 +370,42 @@ class TestExactlyOnceCommitProtocol:
         assert "_commits/_intent.json" in joined
         assert "_commits/_horizon.json" in joined
         assert "_lease.json" in joined
+
+    def test_fenced_refresh_stays_uncommitted(self, spark, tmp_path):
+        """A refresh that loses its lease mid-merge must raise
+        CommitFenced BEFORE the marker PUT — the batch stays
+        invisible and a replay converges."""
+        from dbm_nca_ph_etl_spark.sinks.txlog import CommitFenced
+
+        class _StolenLeaseFS(_CrashFS):
+            """Simulates lease expiry + steal: the holder's fencing
+            re-read finds someone else's lease."""
+
+            def __init__(self):
+                super().__init__()
+                self.steal_next = False
+
+            def read_bytes(self, path):
+                if self.steal_next and path.endswith("_lease.json"):
+                    self.steal_next = False
+                    self._inner.write_bytes(
+                        path,
+                        # foreign holder (fences us) but already
+                        # expired (the replay can re-acquire)
+                        b'{"holder": "thief", "generation": 99,'
+                        b' "ts": 0.0, "ttl_s": 0.001}',
+                    )
+                return self._inner.read_bytes(path)
+
+        fs = _StolenLeaseFS()
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=4, fs=fs)
+        v.refresh(1, right_delta=_custs(spark, [(1, "c1")]))
+        fs.steal_next = True
+        with pytest.raises(CommitFenced):
+            v.refresh(2, left_delta=_orders(spark, [(1, "o1")]))
+        # the fenced batch is invisible to readers and delta joins
+        with pytest.raises(ValueError, match="no materialized rows"):
+            v.read_view()
+        # replay (lease back in legitimate hands) commits exactly once
+        v.refresh(2, left_delta=_orders(spark, [(1, "o1")]))
+        assert _view_rows(v) == [(1, "o1", "c1")]
