@@ -41,11 +41,22 @@ def run_nca_pipeline(
     *,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    max_concurrency: int | None = None,
 ) -> None:
     """Stream raw-rows parquet drops from ``inbox_dir`` into the
     three-table store. Returns after the inbox drains when
     ``available_now`` (the reference's teardown semantics); otherwise
-    runs until ``query.stop()`` (T5 trigger-disable)."""
+    runs until ``query.stop()`` (T5 trigger-disable).
+
+    ``max_concurrency`` is the T3 surface (reference: Lambda
+    ``MaximumConcurrency: 40`` per event source,
+    initialize_aws.py:82-102): it caps how many tasks process one
+    micro-batch concurrently, by coalescing the batch to at most
+    that many partitions before the cleaner runs — at most N
+    "workers" per delivery, the same backpressure contract the
+    reference enforces against its downstream database. Cluster-wide
+    caps (spark.cores.max / dynamic-allocation maxExecutors) remain
+    the deployment-level half; this is the per-feed half."""
     reader = spark.readStream.schema(RAW_ROWS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -54,6 +65,10 @@ def run_nca_pipeline(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if max_concurrency is not None:
+            # coalesce, not repartition: narrows without a shuffle, and
+            # can only REDUCE parallelism (a cap, never a fan-out)
+            batch_df = batch_df.coalesce(int(max_concurrency))
         try:
             records, allocations = clean_raw_rows(batch_df)
             store.load_batch(records, allocations)

@@ -93,6 +93,37 @@ class TestNcaPipeline:
         )
         assert allocs == [("N1", 100.0), ("N2", 1500.5), ("N3", 7.25)]
 
+    def test_concurrency_cap_bounds_batch_tasks(self, spark, tmp_path):
+        """T3 surface: max_concurrency caps the per-micro-batch task
+        parallelism (the reference's MaximumConcurrency:40 per event
+        source), observed via the store's written partition counts."""
+        inbox = str(tmp_path / "inbox")
+        ckpt = str(tmp_path / "ckpt")
+        store = NCAStore(spark, str(tmp_path / "lake"))
+        os.makedirs(inbox)
+        # a many-partition drop: without the cap the cleaner's input
+        # stage would run one task per file split
+        raw_rows(
+            spark, "id_2024", [(f"N{i}", f"{i}.00") for i in range(12)]
+        ).repartition(12).write.mode("append").parquet(inbox)
+
+        seen = []
+        import dbm_nca_ph_etl_spark.streaming.nca_stream as ns
+
+        orig = ns.clean_raw_rows
+
+        def spy(batch_df):
+            seen.append(batch_df.rdd.getNumPartitions())
+            return orig(batch_df)
+
+        ns.clean_raw_rows = spy
+        try:
+            run_nca_pipeline(spark, inbox, store, ckpt, max_concurrency=2)
+        finally:
+            ns.clean_raw_rows = orig
+        assert seen and all(n <= 2 for n in seen)
+        assert store.read("record").count() == 12
+
 
 class TestStreamingWindows:
     def test_tumbling_on_stream(self, spark, tmp_path, sf_dir):
