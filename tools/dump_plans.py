@@ -249,6 +249,53 @@ SHOWCASE = {
 }
 
 
+DESIGN_NOTES = """## Exactly-once join-view maintenance: the commit protocol (r6 design note)
+
+Not a physical plan but the OTHER half of design-for-scale: what happens when
+the cluster dies mid-write. `sinks/joinview.MaterializedJoin` maintains an
+equi-join view from per-batch signed deltas with work proportional to the
+delta (`ÎR â S_pre` bucket-pruned to ÎR's key buckets). r5 published batches
+by dynamic partition overwrite alone, with an own-batch-exclusion read as the
+replay guard. That guard has an unfixable hole under TWO independent writers
+(one CDC stream per side): if the left writer crashes after its partitions
+land but before its checkpoint commits, the right stream meanwhile joins
+those visible rows, and the left replay â excluding only its own batch â
+recomputes against the right batch too: the (L, R) pairs are counted twice,
+permanently.
+
+The r6 protocol closes it with three object-store-safe pieces (every commit
+decision is one PUT or one conditional PUT; no renames):
+
+1. **Marker commit.** A refresh writes its `_b=<id>` partitions, then PUTs
+   `_commits/b<id>.json` as the LAST step. Readers and delta joins filter to
+   marker-bearing partitions, so a half-written refresh is invisible â to
+   queries AND to the other side's delta joins. A replayed committed batch is
+   skipped outright (no recompute, no dependence on current state).
+2. **Lease serialization.** Refreshes hold the table's `txlog.WriterLease`
+   with a fencing check before the marker PUT. With refreshes serialized,
+   each joined pair is owned by exactly one batch: whichever side committed
+   later saw the other's partition as committed; the earlier side could not
+   have. (Without serialization, two concurrent refreshes can each miss the
+   other â an undercount no marker scheme fixes.)
+3. **Horizon-swap compaction.** Folding the batch history into one netted
+   partition must not overwrite a source in place: a rerun after a crash
+   between the netted write and source deletion would re-derive from
+   sources + its own output and double every weight. Compaction therefore
+   nets into a FRESH reserved id (negative, outside the epoch id space),
+   pinned with an intent record, and publishes with ONE PUT of
+   `_commits/_horizon.json` that simultaneously makes the output committed
+   and every source dead. Readers see the old state or the new state, never
+   a mix; GC of retired directories is idempotent roll-forward.
+
+Crash-injection tests (`tests/test_joinview.py::TestExactlyOnceCommitProtocol`)
+pin each window: crashed refresh invisible + replay counts once, committed
+replay skipped with zero IO, compaction crash before/after the swap, lease
+fencing. The dual-stream helper (`streaming/agg_stream.stream_into_joinview`)
+inherits all of it â epochÂ·2/epochÂ·2+1 ids keep the two writers' batch ids
+disjoint, and the checkpoint replays into marker skips.
+"""
+
+
 def main() -> None:
     spark = get_spark(app_name="dump_plans")
     spark.sparkContext.setLogLevel("ERROR")
@@ -279,6 +326,8 @@ def main() -> None:
         out.append(plan.rstrip())
         out.append("```")
         out.append("")
+    out.append(DESIGN_NOTES.rstrip())
+    out.append("")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     scaling = os.path.join(root, "SCALING.md")
     if os.path.exists(scaling):
