@@ -1,0 +1,156 @@
+"""Crash-point sweeps for the other mutable-lake commit protocols:
+the serialized keyed merge (txlog lease + commit log over
+bucket-pruned upserts) and the marker-committed matview, both on the
+object-store fake (atomic_rename=False). Same discipline as
+tests/test_joinview_crash_sweep.py: crash at every mutating
+filesystem call, replay the step, require the final state to equal
+the never-crashed run.
+
+The keyed merge's guarantee is WEAKER by design than the joinview's
+(data writes are in-place, so a half-crashed merge is visible — but
+replaying the same batch converges because upserts are idempotent
+per key); the sweep verifies exactly that convergence, not
+invisibility.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dbm_nca_ph_etl_spark.sinks.keyed import read_keyed, write_keyed
+from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg, Measure
+from dbm_nca_ph_etl_spark.sinks.txlog import upsert_keyed_serialized
+from dbm_nca_ph_etl_spark.sources.lakefs import PosixLakeFS
+
+
+class _CountingCrashFS:
+    atomic_rename = False
+
+    def __init__(self):
+        self._inner = PosixLakeFS()
+        self.mutations = 0
+        self.crash_at: int | None = None
+
+    def _tick(self):
+        self.mutations += 1
+        if self.crash_at is not None and self.mutations == self.crash_at:
+            self.crash_at = None
+            raise RuntimeError(f"injected crash at mutation {self.mutations}")
+
+    def write_bytes(self, path, data):
+        self._tick()
+        with open(path, "wb") as fh:
+            fh.write(data)
+
+    def put_if_absent(self, path, data):
+        self._tick()
+        return self._inner.put_if_absent(path, data)
+
+    def delete_file(self, path):
+        self._tick()
+        self._inner.delete_file(path)
+
+    def delete_dir(self, path):
+        self._tick()
+        self._inner.delete_dir(path)
+
+    def ls(self, path, suffixes=None):
+        return self._inner.ls(path, suffixes)
+
+    def is_dir(self, path):
+        return self._inner.is_dir(path)
+
+    def read_bytes(self, path):
+        return self._inner.read_bytes(path)
+
+    def exists(self, path):
+        return self._inner.exists(path)
+
+    def size(self, path):
+        return self._inner.size(path)
+
+    def mkdirs(self, path):
+        self._inner.mkdirs(path)
+
+    def ls_dirs(self, path):
+        return self._inner.ls_dirs(path)
+
+
+def _retry(fn):
+    try:
+        return fn()
+    except RuntimeError as e:
+        if "injected crash" not in str(e):
+            raise
+        return fn()
+
+
+class TestKeyedSerializedSweep:
+    def _scenario(self, spark, root: str, fs) -> list[tuple]:
+        df0 = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        )
+        _retry(lambda: write_keyed(df0, root, ["id"], 4, fs=fs))
+        b1 = spark.createDataFrame([(3, "v3x"), (9, "v9")], "id long, v string")
+        b2 = spark.createDataFrame([(9, "v9x"), (0, "v0x")], "id long, v string")
+        for i, b in enumerate((b1, b2)):
+            _retry(
+                lambda b=b, i=i: upsert_keyed_serialized(
+                    spark, b, root, ["id"],
+                    writer="sweep", lease_ttl_s=0.3, timeout_s=20.0, fs=fs,
+                    extra={"epoch": i},
+                )
+            )
+        return sorted(
+            tuple(r) for r in read_keyed(spark, root, fs=fs).collect()
+        )
+
+    @pytest.mark.slow
+    def test_crash_at_every_mutation_converges(self, spark, tmp_path):
+        ref_fs = _CountingCrashFS()
+        want = self._scenario(spark, str(tmp_path / "ref"), ref_fs)
+        assert (0, "v0x") in want and (9, "v9x") in want and len(want) == 9
+        n_ops = ref_fs.mutations
+        assert n_ops > 3
+        for crash_at in range(1, n_ops + 1):
+            fs = _CountingCrashFS()
+            fs.crash_at = crash_at
+            got = self._scenario(spark, str(tmp_path / f"c{crash_at}"), fs)
+            assert got == want, f"crash at {crash_at}/{n_ops}: {got} != {want}"
+
+
+class TestMatviewSweep:
+    def _scenario(self, spark, root: str, fs) -> list[tuple]:
+        m = Measure("sum_x", "x", "sum")
+        view = _retry(lambda: MaterializedAgg(spark, root, ["k"], [m], fs=fs))
+        batches = [
+            ("b0", [("a", 1), ("b", 2)], False),
+            ("b1", [("a", 10)], False),
+            ("b1", [("a", 10)], False),  # redelivery: must be a no-op
+            ("b2", [("b", 2)], True),    # retraction
+        ]
+        for bid, rows, retract in batches:
+            _retry(
+                lambda bid=bid, rows=rows, retract=retract: view.refresh(
+                    spark.createDataFrame(rows, "k string, x long"),
+                    bid,
+                    retract=retract,
+                )
+            )
+        out = view.read_partials().select("k", F.col("sum_x").cast("long"))
+        return sorted(tuple(r) for r in out.collect())
+
+    @pytest.mark.slow
+    def test_crash_at_every_mutation_converges(self, spark, tmp_path):
+        ref_fs = _CountingCrashFS()
+        want = self._scenario(spark, str(tmp_path / "ref"), ref_fs)
+        assert want == [("a", 11), ("b", 0)]
+        n_ops = ref_fs.mutations
+        assert n_ops > 2
+        for crash_at in range(1, n_ops + 1):
+            fs = _CountingCrashFS()
+            fs.crash_at = crash_at
+            got = self._scenario(spark, str(tmp_path / f"c{crash_at}"), fs)
+            assert got == want, f"crash at {crash_at}/{n_ops}: {got} != {want}"
