@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run(name: str, cmd: list[str]) -> tuple[str, bool, float, str]:
     t0 = time.time()
     p = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=7200
     )
     tail = (p.stdout or "").strip().splitlines()[-1:] or [""]
     return name, p.returncode == 0, time.time() - t0, tail[0]
