@@ -11,9 +11,13 @@ Each query is executed to completion (collect of the result) so the
 measured time covers scan→shuffle→agg, not plan construction. Every
 query runs once untimed (one-time whole-stage-codegen / Janino
 compilation and parquet footer reads, which amortize to zero on any
-real workload), then five timed runs; the MINIMUM is reported —
-the standard steady-state estimator, robust to co-tenant noise on a
-shared box.
+real workload), then five timed runs. ``queries`` reports the
+MINIMUM (the standard steady-state estimator, robust to co-tenant
+noise on a shared box) and ``value`` stays sum-of-min for contract
+compatibility; ``spread`` reports per-query ``{min, median}`` so
+round-over-round deltas are adjudicable against host swing (r5→r6
+totals moved 1.48× on untouched code — quote deltas on min, use
+median as the noise bound).
 """
 
 from __future__ import annotations
@@ -43,18 +47,24 @@ def main() -> None:
     bench_queries = {n: q for n, q in QUERIES.items() if "bench" in q.tags}
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, q in bench_queries.items():
         q.fn(spark, sf_dir).collect()  # warmup: codegen compile + parquet footers
-        best = float("inf")
+        runs: list[float] = []
         # min-of-5: this box's throughput swings ~2x run-to-run (shared
         # host); the minimum is the least-contended estimate of the
-        # query's actual cost
+        # query's actual cost. The median bounds the noise.
         for _ in range(5):
             t0 = time.perf_counter()
             rows = q.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             del rows
-        timings[name] = round(best, 3)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        spread[name] = {
+            "min": round(runs[0], 3),
+            "median": round(runs[len(runs) // 2], 3),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -64,6 +74,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf_num,
             }
         )

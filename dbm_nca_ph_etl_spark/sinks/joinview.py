@@ -65,7 +65,15 @@ intent record.
 All sidecar/marker/listing IO goes through the ``sources/lakefs``
 seam, so the layout runs unchanged on object stores
 (``atomic_rename=False``): every commit decision is a single-object
-PUT or a conditional PUT, never a rename.
+PUT or a conditional PUT, never a rename. CAVEAT: the conditional
+PUTs (lease + marker CAS) are only as atomic as the adapter's
+``put_if_absent`` — POSIX's ``O_EXCL`` is a true CAS
+(``atomic_cas=True``), but the shipped ``ArrowLakeFS`` is
+check-then-write (pyarrow.fs surfaces no ``If-None-Match``), so on
+it the DUAL-WRITER exactly-once guarantee is best-effort and needs
+an external CAS or a conditional-PUT adapter; the single-writer
+crash-replay guarantees (markers, horizon swap, roll-forward) hold
+on any adapter because they never race.
 
 Reference parity: the reference has no join materialization at all
 (its repository joins are per-request lookups, supabase_repository.py
@@ -329,6 +337,22 @@ class MaterializedJoin:
         try:
             if self._applied(bid):  # re-check now that we're serialized
                 return
+            pending = self._pending_intent()
+            if pending is not None and bid <= int(pending["hz"]):
+                # a NEW batch id at-or-below a crashed compaction's
+                # pinned horizon: roll-forward would net only the
+                # pinned sources and read_view would skip this batch
+                # forever (ids ≤ horizon are presumed compacted). The
+                # caller broke the "compact only checkpointed batches"
+                # contract — fail loudly instead of losing the batch.
+                # (A REPLAY of a pinned source is fine: its marker
+                # still exists until post-swap GC, so _applied()
+                # returned above.)
+                raise ValueError(
+                    f"batch {bid} is at-or-below the pending compaction "
+                    f"horizon {pending['hz']} of {self.path}; batch ids "
+                    "must stay above every horizon passed to compact()"
+                )
             committed = self._committed_ids()
             l_pre = self._read_base(self.left_path, committed)
             r_pre = self._read_base(self.right_path, committed)
@@ -405,7 +429,7 @@ class MaterializedJoin:
         lease = WriterLease(self.path, ttl_s=self.lease_ttl_s, fs=self.fs)
         lease.acquire(timeout_s=self.lease_timeout_s)
         try:
-            self._finish_compact()  # roll forward a crashed swap first
+            self._finish_compact(lease)  # roll forward a crashed swap first
             hz = int(up_to_batch)
             cur = self._horizon()
             if hz <= int(cur["hz"]):
@@ -420,7 +444,7 @@ class MaterializedJoin:
                 _pjoin(self._commits_dir, _INTENT),
                 json.dumps(intent).encode("utf-8"),
             )
-            self._run_compact(intent)
+            self._run_compact(intent, lease)
         finally:
             lease.release()
 
@@ -430,14 +454,39 @@ class MaterializedJoin:
             out |= {b for b in self._batch_ids_on_disk(p) if b < 0}
         return out
 
-    def _finish_compact(self) -> None:
+    def _pending_intent(self) -> dict | None:
         f = self._fs()
         ip = _pjoin(self._commits_dir, _INTENT)
         if not f.exists(ip):
-            return
-        self._run_compact(json.loads(f.read_bytes(ip).decode("utf-8")))
+            return None
+        return json.loads(f.read_bytes(ip).decode("utf-8"))
 
-    def _run_compact(self, intent: dict) -> None:
+    def _finish_compact(self, lease: WriterLease) -> None:
+        intent = self._pending_intent()
+        if intent is None:
+            return
+        self._run_compact(intent, lease)
+
+    def _fence_compact(self, intent: dict, lease: WriterLease) -> None:
+        """Fencing gate before each irreversible compaction step
+        (the horizon PUT and the GC phase). Leases are liveness-only:
+        a compactor stalled past the TTL whose lease was stolen by a
+        LATER compact must not re-PUT its stale horizon (pointing at
+        a GC'd target) or GC the new holder's output — so require
+        both our lease generation AND our pinned intent to still be
+        the ones on disk."""
+        if not lease.is_current():
+            raise CommitFenced(
+                f"lease on {self.path} lost mid-compaction (intent "
+                f"hz={intent['hz']}); the swap/GC must not proceed"
+            )
+        if self._pending_intent() != intent:
+            raise CommitFenced(
+                f"compaction intent on {self.path} superseded (pinned "
+                f"hz={intent['hz']}); a newer compaction owns the table"
+            )
+
+    def _run_compact(self, intent: dict, lease: WriterLease) -> None:
         f = self._fs()
         hz, target = int(intent["hz"]), int(intent["target"])
         sources = [int(b) for b in intent["sources"]]
@@ -467,30 +516,42 @@ class MaterializedJoin:
                 if not netted.isEmpty():
                     _overwrite_batch(netted, path, parts)
             # phase 2: ONE atomic PUT publishes the output and retires
-            # every source — the reader-visible commit point
+            # every source — the reader-visible commit point. Fence
+            # first: phase 1 runs full Spark jobs, easily longer than
+            # a lease TTL.
+            self._fence_compact(intent, lease)
             f.write_bytes(
                 _pjoin(self._commits_dir, _HORIZON),
                 json.dumps({"hz": hz, "output": target}).encode("utf-8"),
             )
-        # phase 3: garbage-collect retired partitions and markers
-        # (idempotent; a crash here is finished by the next call)
+        # phase 3: garbage-collect retired partitions and markers —
+        # ONLY the pinned sources (plus superseded compaction outputs,
+        # which are always safe: exactly one negative id is ever live).
+        # Never "everything ≤ hz": a batch committed against contract
+        # while this intent was pending must survive for the refresh
+        # guard to have rejected it / an operator to recover it.
+        # (Idempotent; a crash here is finished by the next call.)
+        self._fence_compact(intent, lease)
+        src_set = set(sources)
+
+        def _retired(b: int) -> bool:
+            return b in src_set or (b < 0 and b != target)
+
         for path in (self.view_path, self.left_path, self.right_path):
             for d in f.ls_dirs(path):
                 name = os.path.basename(d.rstrip("/"))
                 if name.startswith(f"{B_COL}="):
-                    b = int(name.split("=", 1)[1])
-                    if (0 <= b <= hz) or (b < 0 and b != target):
+                    if _retired(int(name.split("=", 1)[1])):
                         f.delete_dir(d)
                 elif name.startswith(f"{KB_COL}="):
                     for d2 in f.ls_dirs(d):
                         n2 = os.path.basename(d2.rstrip("/"))
                         if not n2.startswith(f"{B_COL}="):
                             continue
-                        b = int(n2.split("=", 1)[1])
-                        if (0 <= b <= hz) or (b < 0 and b != target):
+                        if _retired(int(n2.split("=", 1)[1])):
                             f.delete_dir(d2)
         for b in self._marker_ids():
-            if b <= hz:
+            if b in src_set:
                 f.delete_file(self._marker(b))
         f.delete_file(_pjoin(self._commits_dir, _INTENT))
 

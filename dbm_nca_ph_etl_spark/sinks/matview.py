@@ -55,6 +55,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbm_nca_ph_etl_spark.sinks.txlog import CommitFenced, WriterLease
 from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS, get_fs
 from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 
@@ -516,7 +517,21 @@ class MaterializedAgg:
     versions): a batch redelivered *after* its version was pruned
     would be re-applied. Size ``keep`` to the feed's redelivery
     horizon (a queue's max redelivery window is typically minutes;
-    two refresh cycles is already generous — raise it if not)."""
+    two refresh cycles is already generous — raise it if not).
+
+    Refreshes serialize on the table's ``sinks/txlog.WriterLease``
+    with a fencing check before the commit point (the rename / the
+    ``_COMMITTED`` marker PUT), so two concurrent refreshers cannot
+    both read the same ``_versions()`` and commit two same-numbered
+    versions whose folds silently shadow each other — the same
+    multi-writer discipline as ``upsert_keyed_serialized`` and the
+    join-view sink. A fenced refresher raises :class:`CommitFenced`
+    with nothing committed; the caller's replay converges. Reference
+    semantic: the at-least-once upsert discipline of
+    ``supabase_repository.py:45-53`` (T6). NOTE: on an adapter
+    without a true CAS (``LakeFS.atomic_cas`` False, e.g. the
+    pyarrow object-store leg), the lease is best-effort — see
+    ``sources/lakefs.LakeFS.put_if_absent``."""
 
     def __init__(
         self,
@@ -525,12 +540,16 @@ class MaterializedAgg:
         keys: Sequence[str],
         measures: Sequence[Measure],
         fs: LakeFS | None = None,
+        lease_ttl_s: float = 120.0,
+        lease_timeout_s: float = 60.0,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.measures = list(measures)
         self.fs = fs
+        self.lease_ttl_s = float(lease_ttl_s)
+        self.lease_timeout_s = float(lease_timeout_s)
         get_fs(path, fs).mkdirs(path)
 
     # -- version bookkeeping ------------------------------------------------
@@ -571,31 +590,59 @@ class MaterializedAgg:
     def refresh(self, batch: DataFrame, batch_id: str, retract: bool = False) -> bool:
         """Fold one batch into the view. Returns False (no-op) when
         ``batch_id`` was already applied — replay-idempotent because
-        the rename below commits data + batch id atomically."""
+        the rename/marker below commits data + batch id atomically.
+        Lease-serialized and fenced (class docstring): raises
+        :class:`CommitFenced`, committing nothing, when the lease is
+        lost mid-fold."""
         if batch_id in self.applied_batches():
-            return False
-        p = partial_agg(batch, self.keys, self.measures)
-        if retract:
-            p = negate_partial(p, self.measures)
-        cur = self._current()
-        if cur is not None:
-            base = self.spark.read.parquet(cur)
-            p = merge_partials([base, p], self.keys, self.measures)
-        vs = self._versions()
-        next_n = vs[-1][0] + 1 if vs else 0
-        f = get_fs(self.path, self.fs)
-        if f.atomic_rename:
-            tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}")
-            p.write.mode("overwrite").parquet(tmp)
-            os.rename(tmp, os.path.join(self.path, f"v{next_n:06d}_b{batch_id}"))
-        else:
-            # object store: write the final-named dir, then the
-            # single-PUT marker IS the data+batch_id commit
-            final = _pjoin(self.path, f"v{next_n:06d}_b{batch_id}")
-            p.write.mode("overwrite").parquet(final)
-            f.write_bytes(_pjoin(final, "_COMMITTED"), b"")
-        self._prune(keep=2)
-        return True
+            return False  # cheap uncontended pre-check
+        lease = WriterLease(self.path, ttl_s=self.lease_ttl_s, fs=self.fs)
+        lease.acquire(timeout_s=self.lease_timeout_s)
+        try:
+            if batch_id in self.applied_batches():  # re-check serialized
+                return False
+            p = partial_agg(batch, self.keys, self.measures)
+            if retract:
+                p = negate_partial(p, self.measures)
+            cur = self._current()
+            if cur is not None:
+                base = self.spark.read.parquet(cur)
+                p = merge_partials([base, p], self.keys, self.measures)
+            vs = self._versions()
+            next_n = vs[-1][0] + 1 if vs else 0
+            f = get_fs(self.path, self.fs)
+
+            def _fence() -> None:
+                # the fold above runs Spark jobs, easily longer than a
+                # lease TTL: a stolen lease means our base snapshot may
+                # already be shadowed — committing would fork history
+                if not lease.is_current():
+                    raise CommitFenced(
+                        f"lease on {self.path} lost mid-refresh of batch "
+                        f"{batch_id}; nothing committed, replay converges"
+                    )
+
+            if f.atomic_rename:
+                tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}")
+                p.write.mode("overwrite").parquet(tmp)
+                try:
+                    _fence()
+                except CommitFenced:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise
+                os.rename(tmp, os.path.join(self.path, f"v{next_n:06d}_b{batch_id}"))
+            else:
+                # object store: write the final-named dir, then the
+                # single-PUT marker IS the data+batch_id commit (an
+                # unmarked dir is an invisible orphan)
+                final = _pjoin(self.path, f"v{next_n:06d}_b{batch_id}")
+                p.write.mode("overwrite").parquet(final)
+                _fence()
+                f.write_bytes(_pjoin(final, "_COMMITTED"), b"")
+            self._prune(keep=2)
+            return True
+        finally:
+            lease.release()
 
     def _prune(self, keep: int) -> None:
         f = get_fs(self.path, self.fs)

@@ -114,8 +114,11 @@ def harvest_zonemaps(
 
 def _data_files(path: str, fs: LakeFS | None = None) -> list[str]:
     """Recursive data-file listing through the lakefs seam (skips the
-    sidecar dir and _-prefixed metadata files)."""
+    sidecar dir and _-prefixed metadata files). A missing/typo'd table
+    path fails loudly instead of harvesting zero footers."""
     f = get_fs(path, fs)
+    if not f.exists(path):
+        raise FileNotFoundError(f"no table at {path}")
     out: list[str] = []
     stack = [path]
     while stack:

@@ -47,7 +47,18 @@ class LakeFS:
     #: store's single-object PUT is the atomicity unit (S3/GCS).
     atomic_rename = True
 
+    #: True when ``put_if_absent`` is a genuine compare-and-swap
+    #: (POSIX ``O_EXCL``; a conditional-PUT object-store adapter).
+    #: False means check-then-write best-effort — multi-writer
+    #: commit protocols built on the CAS (sinks/txlog leases and
+    #: commit logs) are NOT safe against true concurrency on such
+    #: an adapter; single-writer replay/crash safety still holds.
+    atomic_cas = False
+
     def ls(self, path: str, suffixes: Sequence[str] | None = None) -> list[str]:
+        """Files under ``path`` (suffix-filtered, sorted). A single
+        FILE path lists itself (subject to the suffix filter); a
+        nonexistent path lists as ``[]`` — never a phantom entry."""
         raise NotImplementedError
 
     def is_dir(self, path: str) -> bool:
@@ -108,9 +119,15 @@ class PosixLakeFS(LakeFS):
     """Bare local paths — stdlib only, no pyarrow import cost. The
     default for everything without a URI scheme (local mode, NFS)."""
 
+    atomic_cas = True  # O_CREAT|O_EXCL below
+
     def ls(self, path, suffixes=None):
         if not os.path.isdir(path):
-            return [path]
+            if os.path.isfile(path) and (
+                suffixes is None or path.lower().endswith(tuple(suffixes))
+            ):
+                return [path]
+            return []  # absent (or filtered-out single file): no phantoms
         out = [
             os.path.join(path, f)
             for f in os.listdir(path)
@@ -191,7 +208,11 @@ class ArrowLakeFS(LakeFS):
 
         fsys, p = self._resolve(path)
         info = fsys.get_file_info(p)
+        if info.type == pafs.FileType.NotFound:
+            return []
         if info.type != pafs.FileType.Directory:
+            if suffixes is not None and not p.lower().endswith(tuple(suffixes)):
+                return []
             return [path]
         sel = pafs.FileSelector(p, recursive=False)
         # Rebuild child URIs RELATIVE to the input URI, not by

@@ -89,25 +89,42 @@ def stream_into_keyed(
     both. Exactly-once per epoch = the same T6 layering as
     stream_into_matview — the checkpoint re-delivers, and a replayed
     epoch is skipped when its log entry exists (crash between merge
-    and log append re-merges idempotently, then logs once)."""
+    and log append re-merges idempotently, then logs once).
+
+    ONE STREAM PER WRITER NAME is the contract (the joinview twin's
+    one-writer-per-side rule, stated here for the keyed table): the
+    replay gate keys on ``(writer, epoch)``, and epoch ids are only
+    unique *within* one checkpoint. Two streams pointed at the same
+    table must use distinct ``writer`` names (any number of them is
+    safe — the lease serializes the merges); two streams SHARING a
+    name would silently drop each other's epochs on id collisions.
+    Guarded: each log entry records its checkpoint, and a
+    ``(writer, epoch)`` hit from a different checkpoint raises
+    instead of skipping."""
     from dbm_nca_ph_etl_spark.sinks.txlog import CommitLog, upsert_keyed_serialized
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         log = CommitLog(path)
-        if any(
-            e.get("writer") == writer and e.get("epoch") == epoch_id
-            for e in log.entries()
-        ):
-            return  # re-delivered epoch already applied + logged
+        for e in log.entries():
+            if e.get("writer") == writer and e.get("epoch") == epoch_id:
+                # entries predating the ckpt field can only be ours
+                if e.get("ckpt", checkpoint_dir) != checkpoint_dir:
+                    raise RuntimeError(
+                        f"writer name {writer!r} on {path} is shared by "
+                        f"another stream (checkpoint {e['ckpt']!r}): epoch "
+                        f"ids collide across checkpoints — give each "
+                        "stream a distinct writer name"
+                    )
+                return  # re-delivered epoch already applied + logged
         upsert_keyed_serialized(
             batch_df.sparkSession,
             batch_df,
             path,
             list(keys),
             writer=writer,
-            extra={"epoch": epoch_id},
+            extra={"epoch": epoch_id, "ckpt": checkpoint_dir},
         )
 
     w = stream.writeStream.foreachBatch(fold).option(

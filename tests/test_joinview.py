@@ -409,3 +409,93 @@ class TestExactlyOnceCommitProtocol:
         # replay (lease back in legitimate hands) commits exactly once
         v.refresh(2, left_delta=_orders(spark, [(1, "o1")]))
         assert _view_rows(v) == [(1, "o1", "c1")]
+
+
+class TestCompactFencing:
+    """The compaction half of the fencing story (ADVICE r6): a
+    compactor stalled past its lease TTL must not, on resume, re-PUT
+    a stale horizon pointing at a GC'd target or GC a newer
+    compaction's output — and roll-forward GC must only touch the
+    intent's pinned sources."""
+
+    def test_stale_compactor_cannot_destroy_newer_compaction(self, spark, tmp_path):
+        import json
+        import time
+
+        from dbm_nca_ph_etl_spark.sinks.txlog import CommitFenced, WriterLease
+        from dbm_nca_ph_etl_spark.sources.lakefs import join as pjoin
+
+        fs = _CrashFS()
+        root = str(tmp_path / "v")
+        v = MaterializedJoin(spark, root, ["k"], num_buckets=4, fs=fs)
+        v.refresh(0, left_delta=_orders(spark, [(1, "o1")]))
+        v.refresh(1, right_delta=_custs(spark, [(1, "c1")]))
+        # compactor A pins its intent under a short-TTL lease, then
+        # stalls mid-phase-1 (phase 1 runs full Spark jobs — easily
+        # longer than any TTL). We hold A's state here.
+        lease_a = WriterLease(root, ttl_s=0.05, fs=fs)
+        lease_a.acquire()
+        intent_a = {
+            "hz": 1,
+            "target": -1,
+            "sources": [b for b in v._committed_ids() if b <= 1],
+        }
+        fs.write_bytes(
+            pjoin(v._commits_dir, "_intent.json"),
+            json.dumps(intent_a).encode("utf-8"),
+        )
+        time.sleep(0.1)  # A's lease expires
+        # a later writer steals the lease, adds batches, and a LATER
+        # compaction rolls A's intent forward then compacts past it
+        v.refresh(2, left_delta=_orders(spark, [(2, "o2")]))
+        v.refresh(3, right_delta=_custs(spark, [(2, "c2")]))
+        v.compact(3)
+        want = _view_rows(v)
+        assert want == [(1, "o1", "c1"), (2, "o2", "c2")]
+        # A resumes: both its horizon PUT and its GC must be fenced —
+        # un-fenced, A would re-publish {hz:1, output:-1} (whose
+        # output was GC'd) and then GC the newer output partition
+        with pytest.raises(CommitFenced):
+            v._run_compact(intent_a, lease_a)
+        assert _view_rows(v) == want
+
+    def test_refresh_rejects_new_batch_below_pending_horizon(self, spark, tmp_path):
+        fs = _CrashFS()
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=4, fs=fs)
+        v.refresh(0, left_delta=_orders(spark, [(1, "o1")]))
+        v.refresh(1, right_delta=_custs(spark, [(1, "c1")]))
+        fs.arm("_horizon.json")
+        with pytest.raises(RuntimeError, match="injected crash"):
+            v.compact(5)  # intent pinned at hz=5, crash before swap
+        # a NEW batch id at-or-below the pinned horizon would be
+        # invisible forever after roll-forward — fail loudly instead
+        with pytest.raises(ValueError, match="pending compaction"):
+            v.refresh(3, left_delta=_orders(spark, [(2, "o2")]))
+        # a REPLAY of a pinned source is still the usual silent no-op
+        v.refresh(0, left_delta=_orders(spark, [(1, "o1")]))
+        # roll forward, then ids above the horizon flow normally
+        v.compact(5)
+        v.refresh(6, left_delta=_orders(spark, [(1, "o1b")]))
+        assert _view_rows(v) == [(1, "o1", "c1"), (1, "o1b", "c1")]
+
+    def test_gc_spares_non_source_partitions(self, spark, tmp_path):
+        """Defense-in-depth behind the refresh guard: even if a batch
+        is forged below a pinned horizon (a broken upstream bypassing
+        the API), roll-forward GC deletes ONLY the pinned sources —
+        the rogue partition and marker stay recoverable on disk."""
+        import os
+
+        fs = _CrashFS()
+        v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"], num_buckets=4, fs=fs)
+        v.refresh(0, left_delta=_orders(spark, [(1, "o1")]))
+        v.refresh(1, right_delta=_custs(spark, [(1, "c1")]))
+        fs.arm("_horizon.json")
+        with pytest.raises(RuntimeError, match="injected crash"):
+            v.compact(5)  # intent pinned: sources [0, 1], hz 5
+        rogue_dir = os.path.join(v.view_path, "_b=3")
+        fs.mkdirs(rogue_dir)
+        fs.put_if_absent(v._marker(3), b"{}")
+        v.compact(5)  # roll-forward completes
+        assert fs.exists(rogue_dir), "non-source partition must survive GC"
+        assert fs.exists(v._marker(3)), "non-source marker must survive GC"
+        assert _view_rows(v) == [(1, "o1", "c1")]

@@ -41,6 +41,21 @@ class TestPosix:
         f.write_text("x")
         assert PosixLakeFS().ls(str(f)) == [str(f)]
 
+    def test_ls_missing_path_is_empty_not_phantom(self, tmp_path):
+        # a typo'd table dir must list as [], never as a phantom
+        # single entry that a downstream spark.read would choke on
+        assert PosixLakeFS().ls(str(tmp_path / "nope")) == []
+        assert ArrowLakeFS().ls(f"file://{tmp_path}/nope") == []
+
+    def test_ls_single_file_respects_suffix_filter(self, tmp_path):
+        f = tmp_path / "one.html"
+        f.write_text("x")
+        assert PosixLakeFS().ls(str(f), suffixes=(".pdf",)) == []
+        assert PosixLakeFS().ls(str(f), suffixes=(".html",)) == [str(f)]
+        uri = f"file://{tmp_path}/one.html"
+        assert ArrowLakeFS().ls(uri, suffixes=(".pdf",)) == []
+        assert ArrowLakeFS().ls(uri, suffixes=(".html",)) == [uri]
+
 
 class TestArrowUri:
     def test_roundtrip_over_file_uri(self, tmp_path):

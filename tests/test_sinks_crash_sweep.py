@@ -124,7 +124,15 @@ class TestKeyedSerializedSweep:
 class TestMatviewSweep:
     def _scenario(self, spark, root: str, fs) -> list[tuple]:
         m = Measure("sum_x", "x", "sum")
-        view = _retry(lambda: MaterializedAgg(spark, root, ["k"], [m], fs=fs))
+        # short lease TTL: a holder that "died" mid-step must expire
+        # quickly so the replay can steal (production sizes this to
+        # the refresh duration) — same knob as the joinview sweep
+        view = _retry(
+            lambda: MaterializedAgg(
+                spark, root, ["k"], [m], fs=fs,
+                lease_ttl_s=0.3, lease_timeout_s=20.0,
+            )
+        )
         batches = [
             ("b0", [("a", 1), ("b", 2)], False),
             ("b1", [("a", 10)], False),

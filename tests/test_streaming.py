@@ -1348,6 +1348,52 @@ class TestStreamIntoKeyed:
         assert CommitLog(path).version() == 1  # no duplicate entry
         assert {r.k: r.v for r in read_keyed(spark, path).collect()}[1] == "new"
 
+    def test_shared_writer_name_across_checkpoints_fails_loudly(
+        self, spark, tmp_path
+    ):
+        """One stream per writer name is the contract: epoch ids are
+        only unique within one checkpoint, so a second stream reusing
+        the name would collide on (writer, epoch) and silently drop
+        its epochs. The guard raises instead."""
+        import os
+
+        from dbm_nca_ph_etl_spark.sinks.keyed import read_keyed, write_keyed
+
+        src_a = str(tmp_path / "src_a")
+        src_b = str(tmp_path / "src_b")
+        os.makedirs(src_a)
+        os.makedirs(src_b)
+        path = str(tmp_path / "tbl")
+        write_keyed(
+            spark.createDataFrame([(1, "v1")], "k long, v string"),
+            path,
+            ["k"],
+            num_buckets=2,
+        )
+        for src, row in ((src_a, (1, "a")), (src_b, (2, "b"))):
+            spark.createDataFrame([row], "k long, v string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        self._run(spark, src_a, path, str(tmp_path / "ckpt_a"))
+        # second stream, DIFFERENT checkpoint, same writer name:
+        # its epoch 0 collides with stream A's logged epoch 0
+        import pytest
+
+        with pytest.raises(Exception, match="distinct writer name"):
+            self._run(spark, src_b, path, str(tmp_path / "ckpt_b"))
+        # nothing from stream B leaked into the table
+        got = {r.k: r.v for r in read_keyed(spark, path).collect()}
+        assert got == {1: "a"}
+        # with its own name, the same stream flows normally
+        from dbm_nca_ph_etl_spark.streaming.agg_stream import stream_into_keyed
+
+        stream = spark.readStream.schema("k long, v string").parquet(src_b)
+        stream_into_keyed(
+            stream, path, ["k"], str(tmp_path / "ckpt_b2"), writer="ingest2"
+        )
+        got = {r.k: r.v for r in read_keyed(spark, path).collect()}
+        assert got == {1: "a", 2: "b"}
+
 
 class TestStreamingDdMatview:
     """kind='dd' composes through stream_into_matview unchanged: the

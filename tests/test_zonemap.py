@@ -96,3 +96,9 @@ class TestZoneMaps:
         spark, path = clustered
         with pytest.raises(ValueError, match="tracks"):
             pruned_read(spark, path, "k", 0, 10)
+
+    def test_missing_table_fails_loudly(self, tmp_path):
+        # a typo'd path must not silently harvest zero footers (or
+        # hand a phantom non-parquet path to spark.read)
+        with pytest.raises(FileNotFoundError, match="no table"):
+            _data_files(str(tmp_path / "typo"))
