@@ -276,8 +276,22 @@ def segment_dedup(
     Documents whose every segment is dropped (or with no tokens)
     survive with empty ``clean_text`` so the output stays 1:1 with the
     corpus — downstream length filters decide their fate.
+
+    Parallelism guard: compressed text parquet expands 10-50× in
+    memory, so ``maxPartitionBytes``-sized splits are CPU-FAT — a
+    corpus that is only 1-2 input splits serializes the tokenize+
+    segment HOF onto 1-2 cores while 30 idle (measured: the sf1
+    scaling corpus is one 5.9 MB file → 2 splits → 16.9 s; spread to
+    32 partitions → 2.9 s, and the sf0.1→sf1 growth exponent drops
+    from 0.96 to ~0.5). The repartition fires ONLY when input splits
+    underuse ``defaultParallelism`` — at real corpus scale splits are
+    plentiful and no shuffle is added.
     """
     from dbm_nca_ph_etl_spark.functions.scalars import let
+
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
 
     def _segments(toks: Column) -> Column:
         # toks is a lambda variable (let-bound): tokenization runs
@@ -390,6 +404,62 @@ def segment_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
+    )
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    blocklist: list[str],
+    threshold_ppm: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-term blocklist filtering — the content-safety /
+    domain-exclusion gate every crawl-curation pipeline runs before
+    anything else touches the text (C4's badwords pass, RefinedWeb's
+    URL/term filters). Per document: token count, blocklisted-token
+    hits (multiplicity counted), integer parts-per-million hit rate,
+    and the drop decision at ``threshold_ppm``.
+
+    Shape: ONE map-only projection — the blocklist ships as a literal
+    array (``array_contains`` per token), the token array is let-bound
+    so tokenization runs once per row, and ``hit_ppm`` is exact
+    integer division (``div``), so no float ratio can drift between
+    engines. No shuffle, no UDF, whole-stage codegen. At a 100k-term
+    production blocklist, swap the literal array for a broadcast join
+    on exploded tokens (the heavy_hitter_tokens shape) or a bloom
+    filter — the output contract is unchanged.
+    """
+    from dbm_nca_ph_etl_spark.functions.scalars import let
+
+    terms = sorted(set(blocklist))
+    bl = F.array(*[F.lit(t) for t in terms])
+
+    def stats(toks: Column) -> Column:
+        n = F.size(toks)
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
+        return F.struct(
+            n.alias("n_tokens"),
+            hits.alias("n_hits"),
+            F.when(n > 0, hits.cast("bigint") * F.lit(1_000_000)).alias(
+                "_scaled"
+            ),
+        )
+
+    s = let(tokens(F.col(text_col)), stats)
+    return docs.select(F.col(id_col), s.alias("_s")).select(
+        id_col,
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.n_hits").alias("n_hits"),
+        F.coalesce(
+            F.expr("_s._scaled div _s.n_tokens"), F.lit(0).cast("bigint")
+        ).alias("hit_ppm"),
+        (
+            F.coalesce(
+                F.expr("_s._scaled div _s.n_tokens"), F.lit(0).cast("bigint")
+            )
+            >= threshold_ppm
+        ).alias("flagged"),
     )
 
 

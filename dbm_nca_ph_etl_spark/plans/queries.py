@@ -11289,3 +11289,284 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 10)
     corpus = emb.where(F.col("label") % 4 == 1)
     return S.cosine_topk(corpus, q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 curation additions: content-safety gate, privacy audit,
+# corpus novelty, nearest-event fusion, per-domain capping. Each lands
+# with its exact-SQL oracle in the same commit (catalog discipline).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "blocklist_token_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id, len(t)::INT AS n_tokens,
+             len(list_filter(
+               t, x -> list_contains(['crash', 'error', 'null', 'slow'], x)
+             ))::INT AS n_hits
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, n_hits,
+           CASE WHEN n_tokens > 0
+                THEN (n_hits::BIGINT * 1000000) // n_tokens
+                ELSE 0 END AS hit_ppm,
+           (CASE WHEN n_tokens > 0
+                 THEN (n_hits::BIGINT * 1000000) // n_tokens
+                 ELSE 0 END) >= 10000 AS flagged
+    FROM h
+    """,
+    doc="Multi-term blocklist content gate "
+    "(operators/text_analysis.blocklist_hits) — the C4-badwords / "
+    "term-exclusion pass a crawl pipeline runs first: per-doc token "
+    "count, blocklisted-token hits, exact integer-ppm hit rate and "
+    "the drop decision. ONE map-only codegen projection: blocklist "
+    "as a literal array, token array let-bound (tokenize once per "
+    "row), hit_ppm by integer `div` so no float ratio can drift. At "
+    "a 100k-term production blocklist swap the literal for a "
+    "broadcast join on exploded tokens or a bloom filter.",
+    tags=("llm", "text"),
+)
+def blocklist_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.blocklist_hits(
+        _t(spark, sf_dir, "documents"),
+        ["crash", "error", "null", "slow"],
+        threshold_ppm=10_000,
+    )
+
+
+@register(
+    "kanonymity_audit",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS INT) AS acctbal_band,
+             count(*)::BIGINT AS group_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT count(*)::BIGINT AS n_groups,
+           sum(CASE WHEN group_size < 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_risky_groups,
+           sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)::BIGINT
+             AS n_risky_rows,
+           min(group_size)::BIGINT AS k_anonymity
+    FROM g
+    """,
+    doc="k-anonymity privacy audit over the quasi-identifier tuple "
+    "(nation, market segment, $1000 account-balance band): group "
+    "sizes under the QI projection, the count of groups/rows below "
+    "k=5 (re-identifiable under linkage), and the dataset's actual "
+    "k (min group size). The pre-release check for any dataset "
+    "carrying demographic columns. ONE map-side-combined groupBy on "
+    "the QI key + a one-row fold — no row data leaves the "
+    "aggregation, which is the point of an audit that may itself "
+    "not exfiltrate rows. Scales as group-count, not row-count.",
+    tags=("quality",),
+)
+def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("acctbal_band"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    risky = F.col("group_size") < 5
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(risky.cast("int")).cast("bigint").alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.min("group_size").cast("bigint").alias("k_anonymity"),
+    )
+
+
+@register(
+    "ngram_novelty_curve",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES.format(t='text')}) AS shingle
+      FROM documents
+    ),
+    firsts AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             count(*)::INT AS n_shingles,
+             sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::INT
+               AS n_novel
+      FROM sh s JOIN firsts f USING (shingle)
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           (n_novel::BIGINT * 1000000) // n_shingles AS novelty_ppm
+    FROM per_doc
+    """,
+    doc="Corpus novelty curve: per document (in doc_id ingest order), "
+    "the fraction of its distinct 3-gram shingles never seen in any "
+    "earlier document — the diminishing-returns signal that tells a "
+    "crawl pipeline when a source is exhausted (novelty_ppm decays "
+    "toward boilerplate-only) and which documents actually add "
+    "content. Posting-shaped like dup_ngram_doc_stats: shingle HOF "
+    "projection → min(doc_id) per shingle (map-side combined) → "
+    "join-back → per-doc integer fold; novelty_ppm is exact integer "
+    "division. Never all-pairs; the firsts table is the persistable "
+    "corpus artifact at 100 TB (new batches probe it incrementally, "
+    "the dedup-index discipline).",
+    tags=("llm", "text", "dedup"),
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("int")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr("cast(n_novel as bigint) * 1000000 div n_shingles").alias(
+            "novelty_ppm"
+        ),
+    )
+
+
+@register(
+    "nearest_event_join",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type IN ('error', 'click')
+    ),
+    w AS (
+      SELECT *,
+        last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+        first_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts,
+        first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id
+      FROM ev
+    )
+    SELECT event_id, user_id,
+      CASE
+        WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+        WHEN next_ts IS NULL THEN prev_id
+        WHEN prev_ts IS NULL THEN next_id
+        WHEN ts_us - prev_ts <= next_ts - ts_us THEN prev_id
+        ELSE next_id END AS click_event_id,
+      CASE
+        WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+        WHEN next_ts IS NULL THEN ts_us - prev_ts
+        WHEN prev_ts IS NULL THEN next_ts - ts_us
+        WHEN ts_us - prev_ts <= next_ts - ts_us THEN ts_us - prev_ts
+        ELSE next_ts - ts_us END AS gap_us
+    FROM w WHERE event_type = 'error'
+    """,
+    doc="Nearest-event join (sensor-fusion / attribution variant of "
+    "as-of): each error event pairs with the NEAREST click of the "
+    "same user by absolute time distance, looking BOTH directions — "
+    "ties break toward the earlier click, errors with no click keep "
+    "NULLs (left semantics). Where asof_join_events is "
+    "backward-only, this is the bidirectional nearest. ONE keyed "
+    "sort-window over the unioned stream (two frame-bounded "
+    "last/first IGNORE NULLS passes) — no range join, no "
+    "self-join, no per-row search: the same single-shuffle shape as "
+    "the asof operator, exactly mirrored by the SQL window spec so "
+    "the tie rule is hash-checkable.",
+    tags=("join", "events"),
+)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("error", "click"))
+        .select("event_id", "user_id", "event_type", "ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    j = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.last(click_ts, ignorenulls=True).over(before).alias("prev_ts"),
+        F.last(click_id, ignorenulls=True).over(before).alias("prev_id"),
+        F.first(click_ts, ignorenulls=True).over(after).alias("next_ts"),
+        F.first(click_id, ignorenulls=True).over(after).alias("next_id"),
+    ).where(F.col("event_type") == "error")
+    prev_gap = F.col("ts_us") - F.col("prev_ts")
+    next_gap = F.col("next_ts") - F.col("ts_us")
+    pick_prev = F.col("next_ts").isNull() | (
+        F.col("prev_ts").isNotNull() & (prev_gap <= next_gap)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(pick_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("click_event_id"),
+        F.when(pick_prev, prev_gap).otherwise(next_gap).alias("gap_us"),
+    )
+
+
+@register(
+    "domain_cap_sample",
+    """
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                        doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 15
+    """,
+    doc="Per-domain document capping — the anti-domination sampler "
+    "every crawl mix needs (one mega-site must not become 40% of the "
+    "corpus): keep at most 15 documents per source, chosen by "
+    "deterministic md5 order (functions/scalars.hash64 — replayable "
+    "in any engine, unlike a seeded RNG) with doc_id as total-order "
+    "tiebreak. ONE hash-partitioned window (rank + filter), no "
+    "collect, no skew: the md5 sort key is uniform within each "
+    "domain regardless of doc_id clustering. At 100 TB this is the "
+    "same shape at any cap; a skewed mega-domain is the AQE "
+    "skew-split case.",
+    tags=("llm", "sampling"),
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.functions.scalars import hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 15)
+    )

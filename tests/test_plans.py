@@ -641,3 +641,108 @@ def test_bpe_train_differential_vs_pure_python(spark):
             .collect()
         ]
         assert got == py_bpe(vocab, 5), f"seed {seed} diverged: {got}"
+
+
+class TestRound7Curation:
+    """blocklist gate / k-anonymity / novelty / nearest-event /
+    domain capping — the round-7 catalog additions, pinned on
+    hand-sized inputs where every number is checkable by eye."""
+
+    def test_blocklist_hits_ppm_and_flag(self, spark):
+        from dbm_nca_ph_etl_spark.operators.text_analysis import blocklist_hits
+
+        docs = spark.createDataFrame(
+            [
+                (1, "bad BAD word good"),   # 2/4 hits (case-folded)
+                (2, "all clean here"),      # 0/3
+                (3, ""),                    # empty: 0 tokens, ppm 0
+                (4, "bad"),                 # 1/1 = 1e6 ppm
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_hits, r.hit_ppm, r.flagged)
+            for r in blocklist_hits(docs, ["bad"], threshold_ppm=500_000).collect()
+        }
+        assert got[1] == (4, 2, 500_000, True)
+        assert got[2] == (3, 0, 0, False)
+        assert got[3] == (0, 0, 0, False)
+        assert got[4] == (1, 1, 1_000_000, True)
+
+    def test_blocklist_is_map_only(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.operators.text_analysis import blocklist_hits
+        from dbm_nca_ph_etl_spark.sources.catalog import load_table
+
+        plan = blocklist_hits(
+            load_table(spark, sf_dir, "documents"), ["slow"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # no shuffle: one projection
+
+    def test_nearest_event_tie_breaks_to_earlier_click(self, spark, tmp_path):
+        import os
+
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        # error at t=100 with clicks at 90 and 110: |gap| ties at 10
+        # -> the EARLIER click (id 1) wins; user 2 has no click.
+        rows = [
+            (1, 90, 1, "click"), (2, 100, 1, "error"), (3, 110, 1, "click"),
+            (4, 50, 2, "error"),
+        ]
+        df = spark.createDataFrame(
+            [(eid, s, u, et, 1.0, "{}") for eid, s, u, et in rows],
+            "event_id long, s long, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id",
+            "timestampadd(SECOND, s, TIMESTAMP_NTZ '2024-01-01 00:00:00') as ts",
+            "user_id", "event_type", "value", "props",
+        )
+        sf = str(tmp_path)
+        df.write.parquet(os.path.join(sf, "events.parquet"))
+        got = {
+            r.event_id: (r.click_event_id, r.gap_us)
+            for r in QUERIES["nearest_event_join"].fn(spark, sf).collect()
+        }
+        assert got[2] == (1, 10_000_000)  # tie -> earlier click
+        assert got[4] == (None, None)     # no click for user 2
+
+    def test_novelty_first_doc_is_all_novel(self, spark, tmp_path, sf_dir):
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        rows = QUERIES["ngram_novelty_curve"].fn(spark, sf_dir).collect()
+        by_id = {r.doc_id: r for r in rows}
+        first = by_id[min(by_id)]
+        # the lowest doc_id sees an empty corpus before it: everything
+        # it contains is novel by definition
+        assert first.n_novel == first.n_shingles
+        assert first.novelty_ppm == 1_000_000
+        assert all(0 <= r.novelty_ppm <= 1_000_000 for r in rows)
+
+    def test_domain_cap_sample_caps_and_is_deterministic(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        a = QUERIES["domain_cap_sample"].fn(spark, sf_dir)
+        counts = {r.source: r.n for r in
+                  a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert counts and all(n <= 15 for n in counts.values())
+        got1 = sorted((r.doc_id, r.source, r.rk) for r in a.collect())
+        got2 = sorted(
+            (r.doc_id, r.source, r.rk)
+            for r in QUERIES["domain_cap_sample"].fn(spark, sf_dir).collect()
+        )
+        assert got1 == got2
+
+    def test_kanonymity_consistency(self, spark, sf_dir):
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        r = QUERIES["kanonymity_audit"].fn(spark, sf_dir).collect()[0]
+        assert r.n_risky_groups <= r.n_groups
+        assert r.n_risky_rows < 5 * max(r.n_risky_groups, 1) or (
+            r.n_risky_groups == 0 and r.n_risky_rows == 0
+        )
+        assert r.k_anonymity >= 1
+        if r.n_risky_groups == 0:
+            assert r.k_anonymity >= 5
