@@ -1019,3 +1019,72 @@ def containment_join(
         )
         .where(F.col("inter") * F.lit(1_000_000) >= F.lit(t_ppm) * F.col("size_a"))
     )
+
+
+def levenshtein_blocked_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 4,
+    band: int = 4,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Edit-distance similarity self-join with length-band blocking —
+    the fuzzy-string near-dup pass (typo'd titles, OCR'd names,
+    product variants) that set-similarity joins miss because a
+    1-char edit inside a token changes the whole shingle.
+
+    Blocking: Levenshtein(a, b) ≥ |len(a) − len(b)|, so a pair within
+    ``max_dist`` can only differ by at most ``max_dist`` in length.
+    With ``band ≥ max_dist``, strings bucketed by ``len div band``
+    can only pair inside the same band or adjacent bands — each left
+    row probes exactly 2 buckets (its own + the next), a standard
+    equi-join after a 2-element explode, never a cross join. Within
+    a block the exact DP distance runs JVM-side (``F.levenshtein``
+    with the threshold argument, which early-exits the DP at
+    ``max_dist + 1``). Dedup to distinct strings FIRST — dominance
+    only depends on the value, and the distinct shrinks the join
+    quadratically for catalogs full of repeated names.
+
+    Output: (text_a, text_b, dist), text_a < text_b, 1 ≤ dist ≤
+    ``max_dist``. Scale: cost = Σ over blocks of |block|·|adjacent|;
+    block sizes are length-histogram-bounded. For pathological
+    same-length corpora, compose with a first-char or q-gram-count
+    second blocking key.
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    if band < max_dist:
+        raise ValueError(
+            f"band ({band}) must be >= max_dist ({max_dist}) for the "
+            "adjacent-band probe to be complete"
+        )
+    vals = df.select(F.col(text_col).alias("_s")).where(
+        F.col("_s").isNotNull()
+    ).distinct()
+    blk = F.floor(F.length("_s") / F.lit(band)).cast("long")
+    # Probe side explodes to (own band, next band); index side sits in
+    # its own band. A same-band pair meets twice (both orientations) —
+    # keep the l < r one; a cross-band pair meets exactly ONCE, with
+    # the shorter string as probe — keep it regardless of string
+    # order and canonicalize via least/greatest, because filtering
+    # cross-band meets on l < r would silently drop every pair whose
+    # lexical order opposes its length order.
+    left = vals.select(
+        F.col("_s").alias("_l"),
+        blk.alias("_oblk"),
+        F.explode(F.array(blk, blk + 1)).alias("_blk"),
+    )
+    right = vals.select(F.col("_s").alias("_r"), blk.alias("_blk"))
+    keep = (F.col("_l") != F.col("_r")) & (
+        (F.col("_oblk") != F.col("_blk")) | (F.col("_l") < F.col("_r"))
+    )
+    pair_a = F.least(F.col("_l"), F.col("_r"))
+    pair_b = F.greatest(F.col("_l"), F.col("_r"))
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"), max_dist)
+    return (
+        left.join(right, "_blk")
+        .where(keep)
+        .select(pair_a.alias("text_a"), pair_b.alias("text_b"))
+        .select("text_a", "text_b", dist.alias("dist"))
+        .where((F.col("dist") >= 1) & (F.col("dist") <= F.lit(max_dist)))
+    )

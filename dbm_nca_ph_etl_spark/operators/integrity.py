@@ -1,0 +1,73 @@
+"""Table-content fingerprinting (replication / migration audit).
+
+The lake sinks (``sinks/keyed.py``, ``sinks/joinview.py``) move data
+between snapshots, engines and stores; the operator here answers the
+question every migration ends with: *is the copy bit-identical to
+the source?* — without ever shipping rows. Each side computes a
+bucketed Merkle-style digest table; equal digest tables ⇒ equal
+content (up to md5 collision), and a mismatch localizes to the
+differing bucket(s), which is what makes repair incremental instead
+of full-recopy. The same shape backs the reference's at-least-once
+upsert discipline (T6, supabase_repository.py:45-53): replaying a
+load must leave the digest table unchanged.
+
+Cross-engine determinism is the whole game, so the canonicalization
+is explicit and engine-neutral:
+
+- every column is cast to a canonical STRING form by the CALLER
+  (integers as decimal strings, money as bigint cents, timestamps as
+  epoch seconds) — float/date formatting is the classic source of
+  false mismatches between engines and is banned from the row image;
+- row image = ``concat_ws('|', cols)`` → md5 (lowercase hex in both
+  Spark and DuckDB);
+- bucket = a deterministic function of the PRIMARY KEY (pmod of the
+  key, never of the row hash — so a value-only corruption stays in
+  its expected bucket and is localized);
+- bucket digest = md5 of the row digests concatenated in SORTED
+  order — sort-before-fold makes the digest independent of scan,
+  shuffle and partition order on any engine.
+
+Scale: the sorted fold holds one bucket's digest strings in one
+task; buckets are key-hash-balanced, so memory per task is
+|table| · 32 bytes / num_buckets — pick ``num_buckets`` so that is
+megabytes (65536 buckets for a 10¹⁰-row table). The digest table
+itself is num_buckets rows — metadata-sized, broadcast-joinable for
+the diff. For incremental verification after an upsert, re-digest
+only the touched buckets (the keyed sink already knows them).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def table_digest(
+    df: DataFrame,
+    canon_cols: Sequence[Column],
+    bucket_key: Column,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Bucketed Merkle-style content digest of a table.
+
+    ``canon_cols`` — already-canonicalized STRING columns (see module
+    doc; the caller owns number/time formatting). ``bucket_key`` — an
+    integer expression over the primary key. Output: one row per
+    non-empty bucket, ``(bucket, n_rows, digest)``; equal outputs on
+    two tables ⇔ identical multisets of row images per bucket.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    row_img = F.concat_ws("|", *canon_cols)
+    rows = df.select(
+        F.pmod(bucket_key.cast("long"), F.lit(num_buckets)).alias("bucket"),
+        F.md5(row_img).alias("_rd"),
+    )
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("_rd")), "")
+        ).alias("digest"),
+    )

@@ -441,3 +441,179 @@ def match_sequence(
     return cur.select(
         key_col, *[F.col(f"_t{i}").alias(f"t{i + 1}") for i in range(len(steps))]
     )
+
+
+def cusum_scan(
+    df: DataFrame,
+    value_col: str,
+    target: int,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    out_col: str = "cusum",
+) -> DataFrame:
+    """One-sided CUSUM drift statistic per key, as two window scans.
+
+    The textbook recursive form S₀=0, Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − k))
+    looks inherently sequential, but it has a closed prefix form:
+    with Qᵢ = Σ_{t≤i}(xₜ − k),  Sᵢ = Qᵢ − min(0, min_{j≤i} Qⱼ).
+    Both the prefix sum and the running min are associative scans, so
+    the whole statistic is TWO stacked window frames over one
+    per-key ordered pass — no per-key Python loop, no UDF, stays in
+    whole-stage codegen. The lower-side CUSUM is the same statistic
+    over the negated deviations.
+
+    ``value_col`` and ``target`` should be integers (e.g. cents) —
+    then every Qᵢ/Sᵢ is integer-exact and oracle-replayable. Keys
+    are expected to be plentiful (user × metric), so the single
+    shuffle is well balanced; at 100 TB an ocean of small ordered
+    groups is exactly the shape Spark's window operator wants.
+    Monitoring semantics: Page's CUSUM (Page 1954), the standard
+    sequential change-point detector.
+    """
+    w = _window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dev = F.col(value_col).cast("long") - F.lit(int(target))
+    q = F.sum(dev).over(w)
+    run_min = F.min(q).over(
+        _window(partition_by, order_by).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return df.withColumn(
+        out_col, (q - F.least(F.lit(0).cast("long"), run_min)).cast("long")
+    )
+
+
+def interval_union_length(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    partition_by: Sequence[str],
+) -> DataFrame:
+    """Total length of the UNION of (possibly overlapping) intervals
+    per key — the sweep-line classic as one window pass + one agg.
+
+    Sorted by (start, end), the right frontier of everything already
+    swept is the running max of ``end`` over strictly-preceding rows;
+    a row's new coverage is max(0, end − max(start, frontier)).
+    Summing per key gives exact union length with no interval
+    flattening, no self-join, no explode of unit steps. Inputs are
+    integer positions (epoch seconds) → integer-exact output.
+
+    Scale: one hash shuffle on the key; per-key ordered scan. The
+    degenerate one-giant-key case is the same skew story as any
+    keyed window (salt by coarse time bucket and merge frontiers).
+    """
+    order = [start_col, end_col]
+    w_prev = _window(partition_by, order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = F.max(F.col(end_col).cast("long")).over(w_prev)
+    covered = F.greatest(
+        F.lit(0).cast("long"),
+        F.col(end_col).cast("long")
+        - F.greatest(
+            F.col(start_col).cast("long"),
+            F.coalesce(frontier, F.col(start_col).cast("long")),
+        ),
+    )
+    return (
+        df.withColumn("_new_cover", covered)
+        .groupBy(*partition_by)
+        .agg(
+            F.sum("_new_cover").cast("long").alias("covered"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average per key: each observation holds until
+    the next one (step/zero-order-hold semantics); the last
+    observation has no successor and carries no weight.
+
+    Emits the EXACT integer numerator/denominator (Σ value·duration,
+    Σ duration) plus the integer-division mean — no float ratio can
+    drift between engines. The mean uses true int64 ``div`` (NOT the
+    (num − num%den)/den double form used where magnitudes are small:
+    cents·µs numerators exceed 2^53, where double division is off by
+    ±1). ``ts_col`` in integer units (epoch µs), ``value_col``
+    integer (cents). One lead() window + one agg = single shuffle;
+    the standard irregular-time-series downsample (TWAP) every
+    metrics/pricing pipeline needs.
+    """
+    order = list(order_by) if order_by else [ts_col]
+    w = _window(partition_by, order)
+    dur = F.lead(F.col(ts_col).cast("long")).over(w) - F.col(ts_col).cast("long")
+    return (
+        df.withColumn("_dur", dur)
+        .where(F.col("_dur").isNotNull())
+        .groupBy(*partition_by)
+        .agg(
+            F.sum(F.col(value_col).cast("long") * F.col("_dur"))
+            .cast("long")
+            .alias("twa_num"),
+            F.sum("_dur").cast("long").alias("twa_den"),
+        )
+        .withColumn(
+            "twa_value",
+            F.when(
+                F.col("twa_den") > 0,
+                F.expr("twa_num div twa_den"),
+            ).otherwise(F.lit(None).cast("long")),
+        )
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket: Column,
+    partition_by: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """OHLC resampling: per (key, time-bucket) the opening value
+    (first by (ts, tiebreak)), high, low, close (last), row count and
+    sum — the canonical irregular→bar downsample.
+
+    first_value/last_value over the full per-bar frame, then one
+    group-by: all rows of a bar agree on open/close so the agg takes
+    min() of an already-constant column (deterministic regardless of
+    agg input order). One shuffle; bars are numerous and bounded so
+    the window partition balance is the good kind. The explicit
+    ``tiebreak`` makes equal-timestamp bars deterministic — the same
+    convention as ordered_collect (SURVEY §4 custom #2).
+    """
+    order = [ts_col, *tiebreak]
+    keys = [*partition_by]
+    wfull = (
+        Window.partitionBy(*keys, "_bar")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    with_bar = df.withColumn("_bar", bucket)
+    v = F.col(value_col)
+    opened = F.first(v).over(wfull)
+    closed = F.last(v).over(wfull)
+    return (
+        with_bar.withColumn("_open", opened)
+        .withColumn("_close", closed)
+        .groupBy(*keys, "_bar")
+        .agg(
+            F.min("_open").alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.min("_close").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(v.cast("long")).cast("long").alias("volume"),
+        )
+        .withColumnRenamed("_bar", "bar")
+    )

@@ -31,6 +31,7 @@ from dbm_nca_ph_etl_spark.operators import asof as A
 from dbm_nca_ph_etl_spark.operators import dedup as D
 from dbm_nca_ph_etl_spark.operators import similarity as S
 from dbm_nca_ph_etl_spark.operators import text_analysis as T
+from dbm_nca_ph_etl_spark.operators import integrity as IG
 from dbm_nca_ph_etl_spark.operators import windows as W
 from dbm_nca_ph_etl_spark.sources.catalog import load_table
 
@@ -11569,4 +11570,570 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions #2: sequential statistics (CUSUM drift, interval
+# union, TWAP, OHLC), content integrity (Merkle digest), and fuzzy
+# string near-dup (blocked Levenshtein). Each lands with its
+# exact-SQL oracle in the same commit (catalog discipline).
+# ---------------------------------------------------------------------------
+
+# Engine-neutral canonicalizations shared by the event queries below:
+# money doubles → integer cents via the same double expression tree
+# (floor(v*100 + 0.5)) on both engines; timestamps → exact integer
+# epoch-µs (Spark unix_micros ≡ DuckDB epoch_us). All downstream
+# arithmetic is then integer-exact — no float boundary can flip a
+# comparison or hash differently across engines.
+_SQL_CENTS = "CAST(floor({v} * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "cusum_drift_events",
+    f"""
+    WITH base AS (
+      SELECT event_type, user_id, event_id,
+             epoch_us(ts) AS ts_us,
+             {_SQL_CENTS.format(v='value')} AS v_cents
+      FROM events
+    ),
+    q AS (
+      SELECT event_type, user_id, ts_us, event_id,
+             sum(v_cents - 5000) OVER w AS q
+      FROM base
+      WINDOW w AS (PARTITION BY event_type, user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT event_type, user_id,
+             q - least(0, min(q) OVER w) AS cusum
+      FROM q
+      WINDOW w AS (PARTITION BY event_type, user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    peaks AS (
+      SELECT event_type, user_id, max(cusum) AS peak
+      FROM s GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_keys,
+           sum(CASE WHEN peak >= 30000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_drifted,
+           max(peak)::BIGINT AS max_peak
+    FROM peaks GROUP BY event_type
+    """,
+    doc="Per-(metric, entity) CUSUM change-point detection (Page "
+    "1954) over the event stream: has any user's spend on a metric "
+    "drifted above the 50.00 target? The recursive statistic "
+    "S_i = max(0, S_{i-1} + (x_i − k)) is rewritten into its closed "
+    "prefix form S_i = Q_i − min(0, min_{j≤i} Q_j) — two stacked "
+    "associative window scans (operators/windows.cusum_scan), so "
+    "the 'inherently sequential' monitor runs as ONE keyed shuffle "
+    "in whole-stage codegen, integer-exact in cents. Keys are "
+    "user × metric (plentiful, small) — the balanced-window shape "
+    "that survives 100 TB; the report is group-count-sized.",
+    tags=("window", "events", "bench"),
+)
+def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_cents"),
+    )
+    scanned = W.cusum_scan(
+        base, "v_cents", 5000, ["event_type", "user_id"], ["ts_us", "event_id"]
+    )
+    peaks = scanned.groupBy("event_type", "user_id").agg(
+        F.max("cusum").alias("peak")
+    )
+    return peaks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum((F.col("peak") >= 30000).cast("int")).cast("long").alias("n_drifted"),
+        F.max("peak").cast("long").alias("max_peak"),
+    )
+
+
+@register(
+    "interval_union_coverage",
+    f"""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts)
+               + {_SQL_CENTS.format(v='value')} * 100000000 AS e
+      FROM events
+    ),
+    sw AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS frontier
+      FROM iv
+    )
+    SELECT user_id,
+           sum(greatest(0, e - greatest(s, coalesce(frontier, s))))::BIGINT
+             AS covered,
+           count(*)::BIGINT AS n_intervals
+    FROM sw GROUP BY user_id
+    """,
+    doc="Union length of overlapping per-user activity intervals "
+    "(each event holds value-proportional µs) — the sweep-line "
+    "classic as one window pass (operators/windows."
+    "interval_union_length): sorted by start, the right frontier is "
+    "a running max of end over strictly-preceding rows; new "
+    "coverage = max(0, end − max(start, frontier)). No interval "
+    "flattening, no unit-step explode, no self-join — the shapes "
+    "that die at scale. Integer-exact in epoch-µs. One hash shuffle "
+    "on user_id; output is key-count-sized (utilization billing, "
+    "uptime SLAs, sensor-coverage audits).",
+    tags=("window", "events", "bench"),
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    iv = ev.select(
+        "user_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + cents * F.lit(100000000)).alias("e"),
+    )
+    return W.interval_union_length(iv, "s", "e", ["user_id"])
+
+
+@register(
+    "ohlc_bars_events",
+    f"""
+    WITH base AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) AS ts_us,
+             epoch_us(ts) // 3600000000 AS bar,
+             {_SQL_CENTS.format(v='value')} AS v
+      FROM events
+    ),
+    wv AS (
+      SELECT event_type, bar, v,
+             first_value(v) OVER w AS o,
+             last_value(v) OVER w AS c
+      FROM base
+      WINDOW w AS (PARTITION BY event_type, bar
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bar,
+           min(o)::BIGINT AS open_v, max(v)::BIGINT AS high_v,
+           min(v)::BIGINT AS low_v, min(c)::BIGINT AS close_v,
+           count(*)::BIGINT AS n_obs, sum(v)::BIGINT AS volume
+    FROM wv GROUP BY event_type, bar
+    """,
+    doc="OHLC bar resampling of the irregular event stream into "
+    "hourly bars per metric (operators/windows.ohlc_bars): open = "
+    "first value by (ts, event_id), close = last, high/low/volume "
+    "as plain aggregates — the canonical tick→candle downsample. "
+    "first/last over the full per-bar frame then a group-by whose "
+    "open/close inputs are already per-bar constants, so agg input "
+    "order can't perturb the result; (ts, event_id) ordering makes "
+    "equal-timestamp ticks deterministic. One shuffle; bars are "
+    "numerous and bounded, the balanced-window shape at 100 TB.",
+    tags=("window", "events", "bench"),
+)
+def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    bars = W.ohlc_bars(
+        base,
+        "ts_us",
+        "v",
+        F.expr("ts_us div 3600000000"),
+        ["event_type"],
+        tiebreak=["event_id"],
+    )
+    return bars.select(
+        "event_type",
+        F.col("bar").cast("long").alias("bar"),
+        F.col("open").cast("long").alias("open_v"),
+        F.col("high").cast("long").alias("high_v"),
+        F.col("low").cast("long").alias("low_v"),
+        F.col("close").cast("long").alias("close_v"),
+        "n_obs",
+        "volume",
+    )
+
+
+@register(
+    "mad_outlier_events",
+    f"""
+    WITH base AS (
+      SELECT event_type, {_SQL_CENTS.format(v='value')} AS v FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS med
+      FROM base GROUP BY event_type
+    ),
+    dev AS (
+      SELECT b.event_type, abs(b.v - m.med) AS d, m.med
+      FROM base b JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, min(med) AS med, quantile_cont(d, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(m.med, 6) AS med_cents,
+           round(m.mad, 6) AS mad_cents,
+           sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers,
+           round(max(d.d), 6) AS max_dev
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+    doc="Robust outlier detection via median absolute deviation per "
+    "metric — the resistant alternative to the z-score screen "
+    "(order_value_zscore), immune to the outliers it hunts. Values "
+    "are integer cents, so the exact interpolated median is a "
+    "half-integer, |v − med| a half-integer, the MAD a "
+    "quarter-integer — every double below 2^52 is EXACT and the "
+    "3·MAD comparison can't straddle an ulp between engines. Two "
+    "grouped exact percentiles + two broadcast joins of the "
+    "5-row stats frame back to the fact; at 100 TB swap the exact "
+    "median for approx_percentile and keep the identical plan "
+    "shape (this is the oracle-checkable ground truth).",
+    tags=("window", "events", "quality"),
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    med = base.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("med")
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med")).alias("d"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"), F.percentile("d", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.select("event_type", "d")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum((F.col("d") > 3 * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("d"), 6).alias("max_dev"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med_cents"),
+            F.round("mad", 6).alias("mad_cents"),
+            "n_outliers",
+            "max_dev",
+        )
+    )
+
+
+@register(
+    "time_weighted_avg_events",
+    f"""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             {_SQL_CENTS.format(v='value')} AS v
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, v,
+             lead(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) - ts_us AS dur
+      FROM base
+    )
+    SELECT user_id,
+           sum(v * dur)::BIGINT AS twa_num,
+           sum(dur)::BIGINT AS twa_den,
+           CASE WHEN sum(dur) > 0
+                THEN (sum(v * dur) // sum(dur))::BIGINT
+                ELSE NULL END AS twa_value
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average value per user over the irregular "
+    "event stream (zero-order hold: each observation holds until "
+    "the next; the last carries no weight) — the TWAP every "
+    "metrics/billing pipeline needs, via operators/windows."
+    "time_weighted_avg. Emits the EXACT integer numerator (Σ "
+    "cents·µs) and denominator (Σ µs) plus the true-int64 "
+    "`div` mean (Spark div ≡ DuckDB // — numerators here exceed "
+    "2^53, where any double-division form is off by ±1), so no "
+    "float ratio can drift between engines. One lead() window + "
+    "one agg = a single shuffle on the key.",
+    tags=("window", "events", "bench"),
+)
+def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return W.time_weighted_avg(
+        base, "ts_us", "v", ["user_id"], order_by=["ts_us", "event_id"]
+    )
+
+
+@register(
+    "merkle_orders_digest",
+    """
+    WITH r AS (
+      SELECT o_orderkey % 64 AS bucket,
+             md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS VARCHAR),
+                 CAST(epoch_us(o_orderdate) AS VARCHAR),
+                 o_orderpriority)) AS rd
+      FROM orders
+    )
+    SELECT bucket, count(*)::BIGINT AS n_rows,
+           md5(string_agg(rd, '' ORDER BY rd)) AS digest
+    FROM r GROUP BY bucket
+    """,
+    doc="Bucketed Merkle-style content fingerprint of the orders "
+    "table (operators/integrity.table_digest) — the "
+    "migration/replication verifier: two engines each digest their "
+    "copy, equal 64-row digest tables ⇒ identical content, a "
+    "mismatch localizes repair to the differing buckets. Row images "
+    "use engine-neutral canonical strings (int64s as decimal, money "
+    "as bigint cents, timestamps as epoch-µs — float/date "
+    "formatting is banned); bucket digests fold row-md5s in SORTED "
+    "order so scan/shuffle/partition order can't perturb them — "
+    "this very query hash-matching DuckDB is the operator "
+    "verifying itself. Memory per task = |bucket|·32 B; raise "
+    "num_buckets with table size (65536 at 10¹⁰ rows).",
+    tags=("relational", "sink", "bench"),
+)
+def merkle_orders_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    canon = [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        ).cast("string"),
+        F.col("o_orderpriority"),
+    ]
+    return IG.table_digest(o, canon, F.col("o_orderkey"), num_buckets=64)
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    WITH v AS (
+      SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL
+    )
+    SELECT a.s AS text_a, b.s AS text_b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+    FROM v a JOIN v b
+      ON a.s < b.s
+     AND abs(length(a.s) - length(b.s)) <= 4
+    WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 4
+    """,
+    doc="Fuzzy string near-dup pairs over part names: edit distance "
+    "≤ 4 via the length-band-blocked Levenshtein self-join "
+    "(operators/dedup.levenshtein_blocked_pairs) — the typo/OCR/"
+    "variant detector set-similarity joins miss because a 1-char "
+    "edit inside a token changes the whole shingle. Blocking is "
+    "lossless: lev ≥ |len diff|, so ≤4-distance pairs live in the "
+    "same or adjacent len-div-4 band, and each string probes "
+    "exactly 2 buckets (an equi-join after a 2-element explode, "
+    "never a cross join); the DP itself runs JVM-side with the "
+    "threshold argument early-exiting at 5. Distinct-first shrinks "
+    "the join quadratically for catalogs of repeated names. The "
+    "oracle's length predicate admits a superset of the bands' "
+    "candidates; the distance filter equalizes both (band-missed "
+    "pairs have len diff ≥ 5 ⇒ dist ≥ 5).",
+    tags=("dedup", "text", "bench"),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    pairs = D.levenshtein_blocked_pairs(p, "p_name", max_dist=4, band=4)
+    return pairs.select("text_a", "text_b", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
+    "gini_revenue_concentration",
+    """
+    WITH per_c AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i FROM per_c
+    )
+    SELECT count(*)::BIGINT AS n_customers,
+           sum(r)::BIGINT AS total_cents,
+           (2 * sum(i * r) - (count(*) + 1) * sum(r))::BIGINT AS gini_num,
+           (count(*) * sum(r))::BIGINT AS gini_den,
+           floor(1000000.0
+                 * ((2 * sum(i * r) - (count(*) + 1) * sum(r))::DOUBLE
+                    / (count(*) * sum(r))::DOUBLE))::BIGINT AS gini_ppm
+    FROM ranked
+    """,
+    doc="Gini coefficient of per-customer revenue — the "
+    "concentration/inequality audit run before mixture design or "
+    "quota sampling (a corpus where 1% of sources carry 90% of "
+    "tokens needs capping; same statistic, same plan). Uses the "
+    "sorted-rank identity G = (2·Σi·rᵢ − (n+1)·Σrᵢ)/(n·Σrᵢ) with "
+    "EXACT int64 numerator/denominator; ranks over the (revenue, "
+    "custkey) total order come from operators/windows.prefix_sum — "
+    "the two-phase distributed scan — because customers are "
+    "DATA-sized (a naive global row_number window is one task at "
+    "100 TB; contrast ks_drift_purchase_click, whose grid is "
+    "domain-bounded and may window directly). Equal-revenue ties "
+    "permute ranks only within equal r, leaving Σi·rᵢ invariant, so "
+    "the statistic is deterministic. gini_ppm converts the exact "
+    "rational by the SAME double cast tree on both engines.",
+    tags=("relational", "quality", "bench"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_c = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("r")
+    )
+    ranked = W.prefix_sum(
+        per_c.withColumn("_one", F.lit(1).cast("long")),
+        "_one",
+        ["r", "o_custkey"],
+        out_col="_rank0",
+    ).withColumn("i", F.col("_rank0") + 1)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("r").cast("long").alias("total_cents"),
+        F.sum(F.col("i") * F.col("r")).cast("long").alias("_sir"),
+    )
+    num = 2 * F.col("_sir") - (F.col("n_customers") + 1) * F.col("total_cents")
+    den = F.col("n_customers") * F.col("total_cents")
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        num.cast("long").alias("gini_num"),
+        den.cast("long").alias("gini_den"),
+        F.floor(
+            F.lit(1000000.0) * (num.cast("double") / den.cast("double"))
+        ).cast("long").alias("gini_ppm"),
+    )
+
+
+@register(
+    "ks_drift_purchase_click",
+    f"""
+    WITH pooled AS (
+      SELECT v, sum(isa)::BIGINT AS ca, sum(isb)::BIGINT AS cb
+      FROM (
+        SELECT {_SQL_CENTS.format(v='value')} AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isa,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isb
+        FROM events WHERE event_type IN ('purchase', 'click')
+      ) GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER wc AS cuma, sum(cb) OVER wc AS cumb,
+             sum(ca) OVER wa AS n1, sum(cb) OVER wa AS n2
+      FROM pooled
+      WINDOW wc AS (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wa AS (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+    ),
+    stat AS (
+      SELECT v, n1, n2, abs(cuma * n2 - cumb * n1) AS dn,
+             max(abs(cuma * n2 - cumb * n1)) OVER () AS mx
+      FROM cum
+    )
+    SELECT min(n1)::BIGINT AS n1, min(n2)::BIGINT AS n2,
+           max(dn)::BIGINT AS d_num,
+           (min(n1) * min(n2))::BIGINT AS d_den,
+           (max(dn) * 1000000 // (min(n1) * min(n2)))::BIGINT AS d_ppm,
+           min(CASE WHEN dn = mx THEN v END)::BIGINT AS d_at_v
+    FROM stat
+    """,
+    doc="Two-sample Kolmogorov–Smirnov drift test between the "
+    "purchase and click value distributions — the standard "
+    "did-the-distribution-shift gate between corpus slices or "
+    "ingest windows. D = max|F₁−F₂| is kept as the EXACT integer "
+    "rational |cumA·n₂ − cumB·n₁| / (n₁·n₂) — no float CDF "
+    "subtraction can drift, and the argmax value (tie → smallest) "
+    "is integer-exact too. The cumulative windows run over the "
+    "DISTINCT-value grid after aggregation, which is "
+    "domain-bounded (≤ 49 002 distinct cents here), so the "
+    "single-partition window is metadata-sized at any corpus "
+    "scale — the same post-agg discipline as "
+    "monthly_revenue_growth; a genuinely unbounded domain would "
+    "swap in prefix_sum like gini_revenue_concentration. d_ppm "
+    "stays int64-exact while n₁·n₂ ≤ 9.2e12.",
+    tags=("window", "events", "quality"),
+)
+def ks_drift_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pooled = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            cents.alias("v"),
+            (F.col("event_type") == "purchase").cast("long").alias("isa"),
+            (F.col("event_type") == "click").cast("long").alias("isb"),
+        )
+        .groupBy("v")
+        .agg(F.sum("isa").alias("ca"), F.sum("isb").alias("cb"))
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wa = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = pooled.select(
+        "v",
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum("cb").over(wc).alias("cumb"),
+        F.sum("ca").over(wa).alias("n1"),
+        F.sum("cb").over(wa).alias("n2"),
+    )
+    dn = F.abs(F.col("cuma") * F.col("n2") - F.col("cumb") * F.col("n1"))
+    stat = cum.select("v", "n1", "n2", dn.alias("dn")).withColumn(
+        "mx", F.max("dn").over(wa)
+    )
+    return stat.agg(
+        F.min("n1").cast("long").alias("n1"),
+        F.min("n2").cast("long").alias("n2"),
+        F.max("dn").cast("long").alias("d_num"),
+        (F.min("n1") * F.min("n2")).cast("long").alias("d_den"),
+        F.expr("(max(dn) * 1000000) div (min(n1) * min(n2))")
+        .cast("long")
+        .alias("d_ppm"),
+        F.min(F.when(F.col("dn") == F.col("mx"), F.col("v")))
+        .cast("long")
+        .alias("d_at_v"),
     )

@@ -746,3 +746,226 @@ class TestRound7Curation:
         assert r.k_anonymity >= 1
         if r.n_risky_groups == 0:
             assert r.k_anonymity >= 5
+
+
+class TestRound7Sequential:
+    """CUSUM / interval union / TWAP / OHLC / Merkle digest /
+    blocked-Levenshtein — round-7 batch #2, pinned on hand-sized
+    inputs where every number is checkable by eye."""
+
+    def test_cusum_closed_form_matches_recursion(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import cusum_scan
+
+        # target 10: devs [0, 0, -10, +20] -> S = [0, 0, 0, 20]
+        df = spark.createDataFrame(
+            [(1, 1, 10), (1, 2, 10), (1, 3, 0), (1, 4, 30)],
+            "k long, t long, v long",
+        )
+        got = [
+            r.cusum
+            for r in cusum_scan(df, "v", 10, ["k"], ["t"]).orderBy("t").collect()
+        ]
+        assert got == [0, 0, 0, 20]
+        # brute recursion on a pseudorandom series
+        vals = [(i * 37 + 11) % 23 for i in range(50)]
+        df2 = spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate(vals)], "k long, t long, v long"
+        )
+        s, expect = 0, []
+        for v in vals:
+            s = max(0, s + (v - 12))
+            expect.append(s)
+        got2 = [
+            r.cusum
+            for r in cusum_scan(df2, "v", 12, ["k"], ["t"]).orderBy("t").collect()
+        ]
+        assert got2 == expect
+
+    def test_interval_union_overlap_and_gap(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import interval_union_length
+
+        # (0,10)+(5,15) merge to 15; (20,30) adds 10; (22,25) nested adds 0
+        df = spark.createDataFrame(
+            [(1, 0, 10), (1, 5, 15), (1, 20, 30), (1, 22, 25)],
+            "k long, s long, e long",
+        )
+        row = interval_union_length(df, "s", "e", ["k"]).collect()[0]
+        assert (row.covered, row.n_intervals) == (25, 4)
+
+    def test_time_weighted_avg_zero_order_hold(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import time_weighted_avg
+
+        # durs [10, 30], last obs weightless: (100*10 + 10*30) div 40 = 32
+        df = spark.createDataFrame(
+            [(1, 0, 100), (1, 10, 10), (1, 40, 999)], "k long, t long, v long"
+        )
+        row = time_weighted_avg(df, "t", "v", ["k"]).collect()[0]
+        assert (row.twa_num, row.twa_den, row.twa_value) == (1300, 40, 32)
+
+    def test_ohlc_tie_breaks_on_id(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbm_nca_ph_etl_spark.operators.windows import ohlc_bars
+
+        df = spark.createDataFrame(
+            [(0, 1, 5), (0, 2, 9), (1, 3, 1)], "t long, id long, v long"
+        )
+        row = ohlc_bars(
+            df, "t", "v", F.lit(0), [], tiebreak=["id"]
+        ).collect()[0]
+        assert (row.open, row.high, row.low, row.close) == (5, 9, 1, 1)
+        assert (row.n_obs, row.volume) == (3, 15)
+
+    def test_table_digest_partition_invariant_and_exact(self, spark):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from dbm_nca_ph_etl_spark.operators.integrity import table_digest
+
+        rows = [(i, f"v{i % 3}") for i in range(20)]
+        expect_buckets = {}
+        for k, v in rows:
+            rd = hashlib.md5(f"{k}|{v}".encode()).hexdigest()
+            expect_buckets.setdefault(k % 4, []).append(rd)
+        expect = {
+            b: (len(rds), hashlib.md5("".join(sorted(rds)).encode()).hexdigest())
+            for b, rds in expect_buckets.items()
+        }
+        for nparts in (1, 7):
+            df = spark.createDataFrame(rows, "k long, v string").repartition(
+                nparts
+            )
+            got = {
+                r.bucket: (r.n_rows, r.digest)
+                for r in table_digest(
+                    df,
+                    [F.col("k").cast("string"), F.col("v")],
+                    F.col("k"),
+                    num_buckets=4,
+                ).collect()
+            }
+            assert got == expect, f"nparts={nparts}"
+
+    def test_levenshtein_blocking_keeps_lexical_opposite_cross_band(self, spark):
+        from dbm_nca_ph_etl_spark.operators.dedup import (
+            levenshtein_blocked_pairs,
+        )
+
+        # 'old rod' (len 7, band 1) vs 'cold rod' (len 8, band 2):
+        # cross-band AND lexically opposite to the length order — the
+        # pair a probe-up-only + a<b filter would silently drop.
+        df = spark.createDataFrame(
+            [("old rod",), ("cold rod",), ("cold rat",), ("zzzzzzzzzzzzzzzz",)],
+            "s string",
+        )
+        got = {
+            (r.text_a, r.text_b): r.dist
+            for r in levenshtein_blocked_pairs(df, "s", max_dist=4).collect()
+        }
+        assert got[("cold rod", "old rod")] == 1
+        assert got[("cold rat", "cold rod")] == 2
+        assert got[("cold rat", "old rod")] == 3
+        # len-16 string is > 4 edits from everything: absent entirely
+        assert all("zzzz" not in a and "zzzz" not in b for a, b in got)
+        assert len(got) == 3
+
+    def test_levenshtein_duplicate_strings_collapse(self, spark):
+        from dbm_nca_ph_etl_spark.operators.dedup import (
+            levenshtein_blocked_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [("abc",), ("abc",), ("abd",)], "s string"
+        )
+        rows = levenshtein_blocked_pairs(df, "s", max_dist=2).collect()
+        assert [(r.text_a, r.text_b, r.dist) for r in rows] == [
+            ("abc", "abd", 1)
+        ]
+
+
+class TestRound7Stats:
+    """Gini concentration + KS drift — closed-form edge cases."""
+
+    def _write_orders(self, spark, path, rows):
+        import os
+
+        spark.createDataFrame(
+            [
+                (ok, ck, "O", price, "2024-01-01 00:00:00", "1-URGENT")
+                for ok, ck, price in rows
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, d string, o_orderpriority string",
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "CAST(d AS TIMESTAMP_NTZ) AS o_orderdate", "o_orderpriority",
+        ).write.parquet(os.path.join(path, "orders.parquet"))
+
+    def test_gini_uniform_is_zero(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        self._write_orders(
+            spark, str(tmp_path), [(i, i, 10.0) for i in range(1, 9)]
+        )
+        row = QUERIES["gini_revenue_concentration"].fn(
+            spark, str(tmp_path)
+        ).collect()[0]
+        assert (row.gini_num, row.gini_ppm) == (0, 0)
+        assert (row.n_customers, row.total_cents) == (8, 8000)
+
+    def test_gini_total_concentration(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        # one customer holds all revenue: G = (n-1)/n = 3/4
+        self._write_orders(
+            spark, str(tmp_path),
+            [(1, 1, 0.0), (2, 2, 0.0), (3, 3, 0.0), (4, 4, 100.0)],
+        )
+        row = QUERIES["gini_revenue_concentration"].fn(
+            spark, str(tmp_path)
+        ).collect()[0]
+        assert row.gini_num * 4 == row.gini_den * 3
+        assert row.gini_ppm == 750_000
+
+    def _write_events(self, spark, path, rows):
+        import os
+
+        spark.createDataFrame(
+            [
+                (i, i, 1, et, v, "{}")
+                for i, (et, v) in enumerate(rows, start=1)
+            ],
+            "event_id long, s long, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id",
+            "timestampadd(SECOND, s, TIMESTAMP_NTZ '2024-01-01') as ts",
+            "user_id", "event_type", "value", "props",
+        ).write.parquet(os.path.join(path, "events.parquet"))
+
+    def test_ks_identical_distributions_d_zero(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        rows = [("purchase", v) for v in (1.0, 2.0, 3.0)] + [
+            ("click", v) for v in (1.0, 2.0, 3.0)
+        ]
+        self._write_events(spark, str(tmp_path), rows)
+        row = QUERIES["ks_drift_purchase_click"].fn(
+            spark, str(tmp_path)
+        ).collect()[0]
+        assert (row.n1, row.n2, row.d_num, row.d_ppm) == (3, 3, 0, 0)
+
+    def test_ks_disjoint_distributions_d_one(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        rows = [("purchase", v) for v in (1.0, 2.0)] + [
+            ("click", v) for v in (5.0, 6.0, 7.0)
+        ]
+        self._write_events(spark, str(tmp_path), rows)
+        row = QUERIES["ks_drift_purchase_click"].fn(
+            spark, str(tmp_path)
+        ).collect()[0]
+        # full separation: D = 1 at the last purchase value (200 cents)
+        assert row.d_num == row.d_den == 6
+        assert (row.d_ppm, row.d_at_v) == (1_000_000, 200)
