@@ -24,8 +24,16 @@ filesystem seam (``sources/lakefs``), which picks the commit
 protocol the store can actually honor:
 
 - POSIX-like (``atomic_rename=True``, the default for bare paths):
-  write to a fresh ``.tmp`` directory, then swap via rename — one
-  atomic visibility flip, zero read window.
+  write to a fresh ``.tmp`` directory, then swap via two renames
+  (``path → .old``, ``.tmp → path``). Each rename is atomic, but the
+  PAIR is not: a crash between them strands the table in ``.old-*``
+  — every resolution point rolls that back (``_recover_swap``; the
+  commit point is the second rename, so roll-BACK is the correct
+  direction), and the next successful rewrite GCs stray ``.tmp-*``/
+  ``.old-*``. The layout is single-writer and briefly READER-opaque
+  between the renames; multi-reader deployments should pre-create
+  ``_CURRENT`` to opt into the pointer layout below, whose flip is
+  reader-atomic.
 - object stores (``atomic_rename=False`` — S3/GCS semantics, or any
   injected adapter reporting it): rename doesn't exist, and a
   copy+delete "rename" would ADD a torn window. Instead each rewrite
@@ -34,10 +42,12 @@ protocol the store can actually honor:
   ``_CURRENT`` pointer file — the single-object-PUT commit the
   store does guarantee (the same manifest-commit idea as
   ``sources/queue_sink``'s write-ahead manifest). Readers resolve
-  ``_CURRENT`` first; the superseded version is GC'd after the
-  flip. A crash before the PUT leaves the old version live and the
-  orphan version invisible — at-least-once replay then converges
-  (T6).
+  ``_CURRENT`` first; superseded versions are GC'd with a ONE-FLIP
+  grace window (keep current + pre-flip — matview's keep=2
+  discipline), so an in-flight reader that resolved the pre-flip
+  pointer never has files deleted under its scan. A crash before
+  the PUT leaves the old version live and the orphan version
+  invisible — at-least-once replay then converges (T6).
 
 On a real deployment these functions map 1:1 onto Delta/Iceberg
 ``MERGE INTO`` / ``DELETE`` and inherit real ACID; the engine's call
@@ -68,19 +78,54 @@ from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 CURRENT_MARKER = "_CURRENT"
 
 
+def _recover_swap(path: str, f: LakeFS) -> None:
+    """Roll BACK a half-crashed POSIX rename swap.
+
+    ``_rewrite``'s POSIX path commits at ``rename(tmp → path)``; a
+    crash after ``rename(path → old)`` but before that commit leaves
+    the table directory missing with the pre-swap contents stranded
+    in ``<path>.old-*``. The swap never committed, so correct
+    recovery is roll-back: restore the newest ``.old-*`` as the
+    table. Runs at every resolution point (cheap: only when ``path``
+    is absent) — the same read-time roll-forward discipline as
+    joinview's ``_finish_compact``, in the opposite direction
+    because here the rename IS the commit point.
+    """
+    if not f.atomic_rename or os.path.exists(path):
+        return
+    parent, base = os.path.split(os.path.abspath(path))
+    olds = sorted(
+        (
+            os.path.join(parent, n)
+            for n in os.listdir(parent)
+            if n.startswith(f"{base}.old-")
+        )
+        if os.path.isdir(parent)
+        else [],
+        key=os.path.getmtime,
+    )
+    if olds:
+        os.rename(olds[-1], path)
+
+
 def _exists(path: str, fs: LakeFS | None = None) -> bool:
     f = get_fs(path, fs)
-    return f.exists(_pjoin(path, CURRENT_MARKER)) or f.exists(path)
+    if f.exists(_pjoin(path, CURRENT_MARKER)):
+        return True
+    _recover_swap(path, f)
+    return f.exists(path)
 
 
 def _data_dir(path: str, fs: LakeFS | None = None) -> str:
     """Resolve the directory Spark should scan: the ``_CURRENT``
     version dir when the table uses the pointer layout, else the
-    path itself (POSIX rename layout)."""
+    path itself (POSIX rename layout, rolling back a half-crashed
+    swap first — see ``_recover_swap``)."""
     f = get_fs(path, fs)
     cur = _pjoin(path, CURRENT_MARKER)
     if f.exists(cur):
         return _pjoin(path, f.read_bytes(cur).decode("utf-8").strip())
+    _recover_swap(path, f)
     return path
 
 
@@ -97,7 +142,14 @@ def _rewrite(df: DataFrame, path: str, fs: LakeFS | None = None) -> None:
     stores)."""
     f = get_fs(path, fs)
     if f.atomic_rename and not f.exists(_pjoin(path, CURRENT_MARKER)):
-        # POSIX fast path — atomic directory rename swap
+        # POSIX fast path — rename swap. The second rename is the
+        # commit point; a crash between the two strands the table in
+        # `.old-*`, which every resolution point rolls back via
+        # _recover_swap. NOTE this layout is single-writer AND
+        # briefly reader-opaque (path absent between the renames) —
+        # multi-reader deployments should pre-create _CURRENT to opt
+        # into the pointer layout, whose flip is reader-atomic.
+        _recover_swap(path, f)
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         old = f"{path}.old-{uuid.uuid4().hex[:8]}"
@@ -106,6 +158,17 @@ def _rewrite(df: DataFrame, path: str, fs: LakeFS | None = None) -> None:
         os.rename(tmp, path)
         if os.path.exists(old):
             shutil.rmtree(old)
+        # GC strays from crashed earlier swaps: a `.tmp-*` never
+        # renamed in (pre-commit garbage) or a `.old-*` not yet
+        # rmtree'd (post-commit garbage). Safe under the layout's
+        # single-writer contract; never touches `path` itself.
+        parent, base = os.path.split(os.path.abspath(path))
+        for n in os.listdir(parent):
+            full = os.path.join(parent, n)
+            if full != tmp and (
+                n.startswith(f"{base}.tmp-") or n.startswith(f"{base}.old-")
+            ):
+                shutil.rmtree(full, ignore_errors=True)
         return
     # version-pointer commit: new dir, single-PUT pointer flip, GC.
     # Also taken on POSIX once a table is pointer-laid-out (mixing
@@ -115,8 +178,17 @@ def _rewrite(df: DataFrame, path: str, fs: LakeFS | None = None) -> None:
     version = f"_v-{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(_pjoin(path, version))
     f.write_bytes(cur, version.encode("utf-8"))  # the atomic commit
-    if old:
-        f.delete_dir(_pjoin(path, old))  # post-flip GC
+    # Post-flip GC with a one-flip grace window (the matview keep=2
+    # discipline): keep the version we just published AND the one the
+    # pointer named before the flip — an in-flight reader that
+    # resolved the pre-flip pointer must not have its files deleted
+    # under its scan. Everything older (the grace version of the
+    # PREVIOUS flip) goes.
+    keep = {version} | ({old} if old else set())
+    for d in f.ls_dirs(path):
+        name = os.path.basename(d.rstrip("/"))
+        if name.startswith("_v-") and name not in keep:
+            f.delete_dir(_pjoin(path, name))
 
 
 def append_parquet(df: DataFrame, path: str, fs: LakeFS | None = None) -> None:

@@ -122,18 +122,31 @@ class TestObjectStoreLayout:
         assert rows(read_table(spark, p, fs), "k", "v") == [
             ("a", 1), ("b", 20), ("c", 3),
         ]
-        # layout: pointer file + exactly ONE live version dir (old GC'd)
+        # layout: pointer file + current AND pre-flip version (a
+        # one-flip grace window so in-flight readers that resolved
+        # the old pointer keep their files — matview's keep=2)
         entries = os.listdir(p)
         assert "_CURRENT" in entries
-        versions = [d for d in entries if d.startswith("_v-")]
-        assert len(versions) == 1
-        # both commits went through the seam's single-PUT publish
-        assert [x for x in fs.puts if x.endswith("_CURRENT")], fs.puts
-        assert len([x for x in fs.puts if x.endswith("_CURRENT")]) == 2
+        versions = {d for d in entries if d.startswith("_v-")}
+        assert len(versions) == 2
+        # a third flip GCs the oldest: still 2, first version gone
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([Row(k="d", v=4)]),
+            p,
+            ["k"],
+            fs,
+        )
+        survivors = {d for d in os.listdir(p) if d.startswith("_v-")}
+        assert len(survivors) == 2
+        assert len(survivors & versions) == 1  # grace version rotated
+        # all commits went through the seam's single-PUT publish
+        assert len([x for x in fs.puts if x.endswith("_CURRENT")]) == 3
         # plain read of the table path would see no data files at top
         # level — readers must resolve the pointer (read_table)
         with open(os.path.join(p, "_CURRENT"), encoding="utf-8") as fh:
-            assert fh.read().strip() == versions[0]
+            current = fh.read().strip()
+        assert current in survivors and current not in versions
 
     def test_replay_idempotent_object_store(self, spark, tmp_path):
         from dbm_nca_ph_etl_spark.sinks.merge import read_table
@@ -1171,3 +1184,64 @@ class TestMatviewConcurrentRefresh:
         assert mv.refresh(b2, "b2")
         got = {r.k: (r.n, r.s) for r in mv.read_partials().collect()}
         assert got == {"a": (2, 11)}
+
+
+class TestPosixSwapCrash:
+    """_rewrite's POSIX double-rename: a crash between
+    rename(path→old) and rename(tmp→path) strands the table in
+    `.old-*`. Every resolution point must roll it back (the swap
+    never committed), and successful rewrites must GC strays."""
+
+    def _crash_mid_swap(self, spark, path, df_new):
+        """Simulate the crash window: build tmp, rename path away,
+        then 'die' before the commit rename."""
+        import os
+        import uuid
+
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        df_new.write.mode("overwrite").parquet(tmp)
+        os.rename(path, f"{path}.old-{uuid.uuid4().hex[:8]}")
+        # crash: tmp never renamed in
+
+    def test_read_rolls_back_half_crashed_swap(self, spark, tmp_path):
+        import os
+
+        from dbm_nca_ph_etl_spark.sinks.merge import read_table
+
+        p = str(tmp_path / "t")
+        upsert_parquet(
+            spark, spark.createDataFrame([Row(k="a", v=1)]), p, ["k"]
+        )
+        self._crash_mid_swap(
+            spark, p, spark.createDataFrame([Row(k="a", v=99)])
+        )
+        assert not os.path.exists(p)  # the torn state
+        # read-time recovery: pre-swap contents restored (roll-BACK —
+        # the commit rename never happened, so v=99 must NOT appear)
+        assert rows(read_table(spark, p), "k", "v") == [("a", 1)]
+        assert os.path.exists(p)
+
+    def test_next_rewrite_recovers_then_gcs_strays(self, spark, tmp_path):
+        import os
+
+        from dbm_nca_ph_etl_spark.sinks.merge import read_table
+
+        p = str(tmp_path / "t")
+        upsert_parquet(
+            spark, spark.createDataFrame([Row(k="a", v=1)]), p, ["k"]
+        )
+        self._crash_mid_swap(
+            spark, p, spark.createDataFrame([Row(k="a", v=99)])
+        )
+        # writer retry path: upsert merges against the ROLLED-BACK
+        # base (v=1), not the uncommitted tmp
+        upsert_parquet(
+            spark, spark.createDataFrame([Row(k="b", v=2)]), p, ["k"]
+        )
+        assert rows(read_table(spark, p), "k", "v") == [("a", 1), ("b", 2)]
+        parent = os.path.dirname(p)
+        strays = [
+            n for n in os.listdir(parent)
+            if ".tmp-" in n or ".old-" in n
+        ]
+        assert strays == []  # crashed-swap garbage GC'd
