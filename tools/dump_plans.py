@@ -246,6 +246,25 @@ SHOWCASE = {
         "rare-token co-occurrence, never corpus^2. Exact verify runs on "
         "the carried sorted arrays — candidates never rejoin the corpus."
     ),
+    "cusum_drift_events": (
+        "Page's CUSUM looks inherently sequential (S_i depends on "
+        "S_{i-1} through a max), but the closed prefix form turns it "
+        "into two STACKED window frames over one (metric, user) sort — "
+        "the plan shows a single Exchange on the key feeding two Window "
+        "nodes (running sum, then running min of it) with NO re-sort or "
+        "re-shuffle between them. Per-key state never exists; at "
+        "100 TB the ocean of small ordered groups is exactly the shape "
+        "the window operator load-balances."
+    ),
+    "gini_revenue_concentration": (
+        "Global ranks without a global window: prefix_sum's two-phase "
+        "scan plans as a per-block window keyed on literal-baked block "
+        "ids plus a broadcast of the n-row offset table — the plan has "
+        "NO single-partition Exchange over data rows (the killer in "
+        "every naive row_number() OVER (ORDER BY ...) at scale); the "
+        "only single-task frame is the block-count-sized offset fold. "
+        "The statistic itself folds in one agg over exact int64s."
+    ),
 }
 
 
