@@ -12137,3 +12137,200 @@ def ks_drift_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d_at_v"),
     )
+
+
+@register(
+    "l_diversity_audit",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*)::BIGINT AS group_size,
+             count(DISTINCT CAST(floor(c_acctbal / 1000) AS INT))::BIGINT
+               AS l_div
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT count(*)::BIGINT AS n_groups,
+           min(l_div)::BIGINT AS l_diversity,
+           sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END)::BIGINT
+             AS n_risky_groups,
+           sum(CASE WHEN l_div < 3 THEN group_size ELSE 0 END)::BIGINT
+             AS n_risky_rows
+    FROM g
+    """,
+    doc="l-diversity privacy audit — k-anonymity's necessary "
+    "companion (kanonymity_audit): a large group is still "
+    "re-identifying if everyone in it SHARES the sensitive value, "
+    "so the gate is the minimum count of DISTINCT sensitive values "
+    "($1000 balance band) within each quasi-identifier group "
+    "(nation × market segment). One grouped distinct-count (map-side "
+    "partials on (QI, sensitive) pairs) + a one-row fold; like the "
+    "k-audit, only group-level counts leave the aggregation. Scales "
+    "as (QI × sensitive)-domain, not rows.",
+    tags=("quality",),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("int")
+        ).cast("long").alias("l_div"),
+    )
+    risky = F.col("l_div") < 3
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l_div").cast("long").alias("l_diversity"),
+        F.sum(risky.cast("int")).cast("long").alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("group_size")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+    )
+
+
+@register(
+    "duplicate_payment_flags",
+    f"""
+    WITH o AS (
+      SELECT event_id, user_id,
+             {_SQL_CENTS.format(v='value')} // 100 AS dollars,
+             epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, dollars, ts_us,
+             lag(ts_us) OVER (PARTITION BY user_id, dollars
+                              ORDER BY ts_us, event_id) AS prev
+      FROM o
+    )
+    SELECT event_id, user_id, dollars::BIGINT AS dollars,
+           (ts_us - prev)::BIGINT AS gap_us
+    FROM w WHERE prev IS NOT NULL AND ts_us - prev <= 86400000000
+    """,
+    doc="Duplicate-charge detection: events by the same user for the "
+    "same dollar amount within 24 h — the double-submit/replayed-"
+    "payment screen every billing pipeline runs (and, identically "
+    "shaped, near-duplicate ingestion detection keyed on any exact "
+    "attribute). ONE window keyed on (user, amount): lag() gives the "
+    "previous same-amount charge, the 24 h predicate flags the pair "
+    "— no self-join, no range join, integer-exact µs gaps. Keys are "
+    "user × amount (plentiful, tiny groups): the balanced-window "
+    "shape at 100 TB; output is flagged-pairs-sized.",
+    tags=("window", "events", "quality", "bench"),
+)
+def duplicate_payment_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "cast(floor(value * 100 + 0.5) as bigint) div 100"
+        ).alias("dollars"),
+        "ts_us",
+    )
+    w = Window.partitionBy("user_id", "dollars").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    return (
+        o.withColumn("prev", prev)
+        .where(
+            F.col("prev").isNotNull()
+            & (F.col("ts_us") - F.col("prev") <= F.lit(86400000000))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("dollars").cast("long").alias("dollars"),
+            (F.col("ts_us") - F.col("prev")).cast("long").alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "mann_whitney_u_events",
+    f"""
+    WITH pooled AS (
+      SELECT v, sum(isa)::BIGINT AS ca, sum(isb)::BIGINT AS cb
+      FROM (
+        SELECT {_SQL_CENTS.format(v='value')} AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isa,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isb
+        FROM events WHERE event_type IN ('purchase', 'click')
+      ) GROUP BY v
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             coalesce(sum(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             sum(ca) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS n1,
+             sum(cb) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS n2
+      FROM pooled
+    )
+    SELECT min(n1)::BIGINT AS n1, min(n2)::BIGINT AS n2,
+           (sum(ca * (2 * below + ca + cb + 1))
+            - min(n1) * (min(n1) + 1))::BIGINT AS u1_x2,
+           (2 * min(n1) * min(n2)
+            - (sum(ca * (2 * below + ca + cb + 1))
+               - min(n1) * (min(n1) + 1)))::BIGINT AS u2_x2,
+           ((sum(ca * (2 * below + ca + cb + 1))
+             - min(n1) * (min(n1) + 1)) * 1000000
+            // (2 * min(n1) * min(n2)))::BIGINT AS cles_ppm
+    FROM cum
+    """,
+    doc="Mann–Whitney U rank test between the purchase and click "
+    "value distributions — the nonparametric location companion to "
+    "ks_drift_purchase_click (KS detects any shape change; U asks "
+    "'is one systematically larger?'). Tie handling is the textbook "
+    "midrank, kept EXACT by doubling: for a tied value with t "
+    "members, 2·midrank = 2·below + t + 1 is an integer, so "
+    "U₁×2 = Σ cₐ·(2·below + cₐ + c_b + 1) − n₁(n₁+1) is integer-"
+    "exact, U₁×2 + U₂×2 ≡ 2n₁n₂ by construction, and the "
+    "common-language effect size P(A>B)+½P(A=B) is an integer-div "
+    "ppm. Same domain-bounded distinct-value grid as KS: windows "
+    "run post-aggregation over ≤49 002 rows at any corpus scale.",
+    tags=("window", "events", "quality"),
+)
+def mann_whitney_u_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pooled = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            cents.alias("v"),
+            (F.col("event_type") == "purchase").cast("long").alias("isa"),
+            (F.col("event_type") == "click").cast("long").alias("isb"),
+        )
+        .groupBy("v")
+        .agg(F.sum("isa").alias("ca"), F.sum("isb").alias("cb"))
+    )
+    wprev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = pooled.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(wprev), F.lit(0)
+        ).alias("below"),
+        F.sum("ca").over(wall).alias("n1"),
+        F.sum("cb").over(wall).alias("n2"),
+    )
+    r1x2 = F.sum(
+        F.col("ca") * (2 * F.col("below") + F.col("ca") + F.col("cb") + 1)
+    )
+    n1 = F.min("n1")
+    n2 = F.min("n2")
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    return cum.agg(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        u1x2.cast("long").alias("u1_x2"),
+        (2 * n1 * n2 - u1x2).cast("long").alias("u2_x2"),
+        F.expr(
+            "(sum(ca * (2 * below + ca + cb + 1)) - min(n1) * (min(n1) + 1))"
+            " * 1000000 div (2 * min(n1) * min(n2))"
+        ).cast("long").alias("cles_ppm"),
+    )

@@ -969,3 +969,88 @@ class TestRound7Stats:
         # full separation: D = 1 at the last purchase value (200 cents)
         assert row.d_num == row.d_den == 6
         assert (row.d_ppm, row.d_at_v) == (1_000_000, 200)
+
+
+class TestRound7Batch4:
+    """l-diversity / duplicate payments / Mann-Whitney U —
+    closed-form edge cases."""
+
+    def test_l_diversity_uniform_sensitive_is_one(self, spark, tmp_path):
+        import os
+
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        # group (0, 'A'): everyone shares one balance band -> l=1;
+        # group (0, 'B'): three distinct bands -> l=3
+        rows = [(0, "A", 100.0), (0, "A", 200.0), (0, "A", 300.0),
+                (0, "B", 100.0), (0, "B", 1100.0), (0, "B", 2100.0)]
+        spark.createDataFrame(
+            rows, "c_nationkey long, c_mktsegment string, c_acctbal double"
+        ).write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
+        row = QUERIES["l_diversity_audit"].fn(spark, str(tmp_path)).collect()[0]
+        assert (row.n_groups, row.l_diversity) == (2, 1)
+        assert (row.n_risky_groups, row.n_risky_rows) == (1, 3)
+
+    def _write_events(self, spark, path, rows):
+        import os
+
+        spark.createDataFrame(
+            [(i, s, u, et, v, "{}") for i, (s, u, et, v) in enumerate(rows, 1)],
+            "event_id long, s long, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id",
+            "timestampadd(SECOND, s, TIMESTAMP_NTZ '2024-01-01') as ts",
+            "user_id", "event_type", "value", "props",
+        ).write.parquet(os.path.join(path, "events.parquet"))
+
+    def test_duplicate_payment_windows(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        day = 86400
+        rows = [
+            (0, 1, "purchase", 9.99),          # first charge
+            (3600, 1, "purchase", 9.99),        # dup 1h later -> flagged
+            (3600 + day + 1, 1, "purchase", 9.99),  # >24h after prev -> clean
+            (0, 2, "purchase", 9.99),           # other user -> clean
+            (60, 1, "purchase", 10.50),         # other amount -> clean
+        ]
+        self._write_events(spark, str(tmp_path), rows)
+        got = {
+            r.event_id: r.gap_us
+            for r in QUERIES["duplicate_payment_flags"].fn(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert got == {2: 3600 * 1_000_000}
+
+    def test_mann_whitney_identities(self, spark, tmp_path, sf_dir):
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        # disjoint: every purchase above every click -> U1 = n1*n2
+        rows = [(i, 1, "purchase", 100.0 + i) for i in range(3)] + [
+            (10 + i, 1, "click", 1.0 + i) for i in range(4)
+        ]
+        self._write_events(
+            spark, str(tmp_path), [(s, u, et, v) for s, u, et, v in rows]
+        )
+        r = QUERIES["mann_whitney_u_events"].fn(spark, str(tmp_path)).collect()[0]
+        assert (r.n1, r.n2) == (3, 4)
+        assert r.u1_x2 == 2 * 3 * 4 and r.u2_x2 == 0
+        assert r.cles_ppm == 1_000_000
+        # real data: the x2 identity holds
+        r = QUERIES["mann_whitney_u_events"].fn(spark, sf_dir).collect()[0]
+        assert r.u1_x2 + r.u2_x2 == 2 * r.n1 * r.n2
+        assert 0 <= r.cles_ppm <= 1_000_000
+
+    def test_mann_whitney_all_tied_is_half(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.plans.queries import QUERIES
+
+        # every value identical: U1 = n1*n2/2 exactly (midranks)
+        rows = [(0, 1, "purchase", 5.0), (1, 1, "purchase", 5.0),
+                (2, 1, "click", 5.0), (3, 1, "click", 5.0)]
+        self._write_events(spark, str(tmp_path), rows)
+        r = QUERIES["mann_whitney_u_events"].fn(spark, str(tmp_path)).collect()[0]
+        # U1 = U2 = n1*n2/2, so doubled both equal n1*n2 = 4
+        assert r.u1_x2 == r.u2_x2 == 4
+        assert r.cles_ppm == 500_000

@@ -162,3 +162,91 @@ class TestMatviewSweep:
             fs.crash_at = crash_at
             got = self._scenario(spark, str(tmp_path / f"c{crash_at}"), fs)
             assert got == want, f"crash at {crash_at}/{n_ops}: {got} != {want}"
+
+
+class TestPosixRewriteCrashSweep:
+    """Crash-point sweep for merge._rewrite's POSIX double-rename
+    swap: crash at EVERY os-level mutation (the two renames, the
+    old-dir rmtree, stray GC), then require that read-time recovery
+    plus one replay of the same batch equals the never-crashed run.
+    Commit point = the second rename: crashes before it must roll
+    back to the pre-batch state, crashes after it must already show
+    the new state."""
+
+    def _upsert(self, spark, p, rows):
+        from pyspark.sql import Row
+
+        from dbm_nca_ph_etl_spark.sinks.merge import upsert_parquet
+
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([Row(k=k, v=v) for k, v in rows]),
+            p,
+            ["k"],
+        )
+
+    def test_crash_at_every_mutation_then_replay_converges(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os as _os
+        import shutil as _shutil
+
+        from dbm_nca_ph_etl_spark.sinks.merge import read_table
+
+        def rows(df):
+            return sorted((r.k, r.v) for r in df.collect())
+
+        # never-crashed reference
+        ref = str(tmp_path / "ref")
+        self._upsert(spark, ref, [("a", 1), ("b", 2)])
+        self._upsert(spark, ref, [("b", 20), ("c", 3)])
+        expected = rows(read_table(spark, ref))
+
+        real_rename, real_rmtree = _os.rename, _shutil.rmtree
+        state = {"count": 0, "crash_at": None}
+
+        def counting_rename(src, dst):
+            state["count"] += 1
+            if state["count"] == state["crash_at"]:
+                state["crash_at"] = None
+                raise RuntimeError("injected crash (rename)")
+            return real_rename(src, dst)
+
+        def counting_rmtree(path, **kw):
+            state["count"] += 1
+            if state["count"] == state["crash_at"]:
+                state["crash_at"] = None
+                raise RuntimeError("injected crash (rmtree)")
+            return real_rmtree(path, **kw)
+
+        monkeypatch.setattr("os.rename", counting_rename)
+        monkeypatch.setattr("shutil.rmtree", counting_rmtree)
+
+        # measure the mutation count of a clean second upsert
+        probe = str(tmp_path / "probe")
+        self._upsert(spark, probe, [("a", 1), ("b", 2)])
+        state["count"] = 0
+        self._upsert(spark, probe, [("b", 20), ("c", 3)])
+        n_mutations = state["count"]
+        assert n_mutations >= 3  # two renames + at least one rmtree
+
+        for k in range(1, n_mutations + 1):
+            p = str(tmp_path / f"t{k}")
+            self._upsert(spark, p, [("a", 1), ("b", 2)])
+            state["count"], state["crash_at"] = 0, k
+            try:
+                self._upsert(spark, p, [("b", 20), ("c", 3)])
+                crashed = False
+            except RuntimeError:
+                crashed = True
+            state["crash_at"] = None
+            # read-time recovery must yield a CONSISTENT state: the
+            # full pre-batch or full post-batch contents, never torn
+            seen = rows(read_table(spark, p))
+            assert seen in (
+                [("a", 1), ("b", 2)],
+                expected,
+            ), f"crash at {k} (crashed={crashed}): torn state {seen}"
+            # replaying the batch converges to the reference
+            self._upsert(spark, p, [("b", 20), ("c", 3)])
+            assert rows(read_table(spark, p)) == expected, f"crash at {k}"
