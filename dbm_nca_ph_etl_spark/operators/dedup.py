@@ -1026,7 +1026,6 @@ def levenshtein_blocked_pairs(
     text_col: str,
     max_dist: int = 4,
     band: int = 4,
-    id_col: str | None = None,
 ) -> DataFrame:
     """Edit-distance similarity self-join with length-band blocking —
     the fuzzy-string near-dup pass (typo'd titles, OCR'd names,

@@ -18,8 +18,15 @@ is explicit and engine-neutral:
   (integers as decimal strings, money as bigint cents, timestamps as
   epoch seconds) — float/date formatting is the classic source of
   false mismatches between engines and is banned from the row image;
-- row image = ``concat_ws('|', cols)`` → md5 (lowercase hex in both
-  Spark and DuckDB);
+- each field is LENGTH-PREFIXED into the row image
+  (``len:value|``, NULL → the sentinel ``N|``) — a plain
+  ``concat_ws`` would both skip NULLs and let a separator character
+  inside a value shift field boundaries, so distinct rows like
+  ``('a|b','c')`` / ``('a','b|c')`` or ``('a',NULL,'b')`` /
+  ``('a','b',NULL)`` would collide to one digest and a corrupted
+  copy could verify as identical; the length prefix makes the
+  encoding prefix-free, so no value content can forge a boundary;
+- row image → md5 (lowercase hex in both Spark and DuckDB);
 - bucket = a deterministic function of the PRIMARY KEY (pmod of the
   key, never of the row hash — so a value-only corruption stays in
   its expected bucket and is localized);
@@ -53,14 +60,24 @@ def table_digest(
     """Bucketed Merkle-style content digest of a table.
 
     ``canon_cols`` — already-canonicalized STRING columns (see module
-    doc; the caller owns number/time formatting). ``bucket_key`` — an
-    integer expression over the primary key. Output: one row per
-    non-empty bucket, ``(bucket, n_rows, digest)``; equal outputs on
-    two tables ⇔ identical multisets of row images per bucket.
+    doc; the caller owns number/time formatting — NULLs and arbitrary
+    characters are safe, the length-prefixed field encoding is
+    injection-proof). ``bucket_key`` — an integer expression over the
+    primary key. Output: one row per non-empty bucket,
+    ``(bucket, n_rows, digest)``; equal outputs on two tables ⇔
+    identical multisets of row tuples per bucket. SQL twin of the
+    field encoding: ``CASE WHEN c IS NULL THEN 'N|' ELSE
+    length(c) || ':' || c || '|' END`` concatenated across fields.
     """
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
-    row_img = F.concat_ws("|", *canon_cols)
+    fields = [
+        F.when(c.isNull(), F.lit("N|")).otherwise(
+            F.concat(F.length(c).cast("string"), F.lit(":"), c, F.lit("|"))
+        )
+        for c in canon_cols
+    ]
+    row_img = F.concat(*fields)
     rows = df.select(
         F.pmod(bucket_key.cast("long"), F.lit(num_buckets)).alias("bucket"),
         F.md5(row_img).alias("_rd"),

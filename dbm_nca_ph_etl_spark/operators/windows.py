@@ -475,11 +475,7 @@ def cusum_scan(
     )
     dev = F.col(value_col).cast("long") - F.lit(int(target))
     q = F.sum(dev).over(w)
-    run_min = F.min(q).over(
-        _window(partition_by, order_by).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-    )
+    run_min = F.min(q).over(w)
     return df.withColumn(
         out_col, (q - F.least(F.lit(0).cast("long"), run_min)).cast("long")
     )

@@ -1566,14 +1566,19 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = exact.withColumn("_e", F.lit(1)).join(
         lsh_sampled.withColumn("_l", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
+    # coalesce(sum, 0): over an empty/all-null frame sum() is NULL,
+    # which would turn n_exact_pairs and recall_ok into NULLs on the
+    # empty-exact-set edge; the audit's contract is 0 and true there
+    # (nothing to recall), matching the old count-based shape.
+    n_exact = F.coalesce(F.sum("_e"), F.lit(0))
     return j.agg(
-        F.sum("_e").cast("bigint").alias("n_exact_pairs"),
+        n_exact.cast("bigint").alias("n_exact_pairs"),
         (
             F.count(F.when(F.col("_l").isNotNull() & F.col("_e").isNull(), 1)) == 0
         ).alias("precision_ok"),
         (
             F.count(F.when(F.col("_l").isNotNull() & F.col("_e").isNotNull(), 1)) * 5
-            >= F.sum("_e")
+            >= n_exact
         ).alias("recall_ok"),
     )
 
@@ -11589,6 +11594,13 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CENTS = "CAST(floor({v} * 100 + 0.5) AS BIGINT)"
 
 
+def _cents(col):
+    """Spark twin of ``_SQL_CENTS`` — the two expression trees MUST
+    stay identical (same double math, same cast) or the cross-engine
+    hash-match breaks for exactly the queries that drift."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
 @register(
     "cusum_drift_events",
     f"""
@@ -11644,7 +11656,7 @@ def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts_us",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_cents"),
+        _cents(F.col("value")).alias("v_cents"),
     )
     scanned = W.cusum_scan(
         base, "v_cents", 5000, ["event_type", "user_id"], ["ts_us", "event_id"]
@@ -11696,7 +11708,7 @@ def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cents = _cents(F.col("value"))
     iv = ev.select(
         "user_id",
         F.col("ts_us").alias("s"),
@@ -11748,7 +11760,7 @@ def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         "ts_us",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        _cents(F.col("value")).alias("v"),
     )
     bars = W.ohlc_bars(
         base,
@@ -11814,7 +11826,7 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     base = ev.select(
         "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        _cents(F.col("value")).alias("v"),
     )
     med = base.groupBy("event_type").agg(
         F.percentile("v", F.lit(0.5)).alias("med")
@@ -11886,7 +11898,7 @@ def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts_us",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        _cents(F.col("value")).alias("v"),
     )
     return W.time_weighted_avg(
         base, "ts_us", "v", ["user_id"], order_by=["ts_us", "event_id"]
@@ -11896,17 +11908,24 @@ def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "merkle_orders_digest",
     """
-    WITH r AS (
+    WITH c AS (
       SELECT o_orderkey % 64 AS bucket,
-             md5(concat_ws('|',
-                 CAST(o_orderkey AS VARCHAR),
-                 CAST(o_custkey AS VARCHAR),
-                 o_orderstatus,
-                 CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                      AS VARCHAR),
-                 CAST(epoch_us(o_orderdate) AS VARCHAR),
-                 o_orderpriority)) AS rd
+             [CAST(o_orderkey AS VARCHAR),
+              CAST(o_custkey AS VARCHAR),
+              o_orderstatus,
+              CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS VARCHAR),
+              CAST(epoch_us(o_orderdate) AS VARCHAR),
+              o_orderpriority] AS fs
       FROM orders
+    ),
+    r AS (
+      SELECT bucket,
+             md5(list_aggregate(list_transform(fs, x ->
+               CASE WHEN x IS NULL THEN 'N|'
+                    ELSE length(x)::VARCHAR || ':' || x || '|' END),
+               'string_agg', '')) AS rd
+      FROM c
     )
     SELECT bucket, count(*)::BIGINT AS n_rows,
            md5(string_agg(rd, '' ORDER BY rd)) AS digest
@@ -11919,7 +11938,10 @@ def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mismatch localizes repair to the differing buckets. Row images "
     "use engine-neutral canonical strings (int64s as decimal, money "
     "as bigint cents, timestamps as epoch-µs — float/date "
-    "formatting is banned); bucket digests fold row-md5s in SORTED "
+    "formatting is banned) in a LENGTH-PREFIXED prefix-free field "
+    "encoding (len:value|, NULL→N|) so separator characters inside "
+    "values or shifted NULLs cannot forge a colliding row image; "
+    "bucket digests fold row-md5s in SORTED "
     "order so scan/shuffle/partition order can't perturb them — "
     "this very query hash-matching DuckDB is the operator "
     "verifying itself. Memory per task = |bucket|·32 B; raise "
@@ -11932,9 +11954,7 @@ def merkle_orders_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string"),
         F.col("o_custkey").cast("string"),
         F.col("o_orderstatus"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .cast("string"),
+        _cents(F.col("o_totalprice")).cast("string"),
         F.expr(
             "timestampdiff(MICROSECOND, "
             "TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
@@ -12019,7 +12039,7 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     per_c = o.groupBy("o_custkey").agg(
         F.sum(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            _cents(F.col("o_totalprice"))
         ).alias("r")
     )
     ranked = W.prefix_sum(
@@ -12099,7 +12119,7 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ks_drift_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cents = _cents(F.col("value"))
     pooled = (
         ev.where(F.col("event_type").isin("purchase", "click"))
         .select(
@@ -12293,7 +12313,7 @@ def duplicate_payment_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mann_whitney_u_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cents = _cents(F.col("value"))
     pooled = (
         ev.where(F.col("event_type").isin("purchase", "click"))
         .select(

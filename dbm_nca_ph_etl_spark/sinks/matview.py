@@ -637,7 +637,18 @@ class MaterializedAgg:
                 # unmarked dir is an invisible orphan)
                 final = _pjoin(self.path, f"v{next_n:06d}_b{batch_id}")
                 p.write.mode("overwrite").parquet(final)
-                _fence()
+                try:
+                    _fence()
+                except CommitFenced:
+                    # delete the fully-written uncommitted dir (the
+                    # POSIX branch rmtree's its tmp the same way):
+                    # replay computes a NEW version number under the
+                    # thief's history, so this dirname is never
+                    # reused and would otherwise leak a full
+                    # snapshot per fencing — _prune's orphan GC
+                    # backstops a crash inside this very cleanup
+                    f.delete_dir(final)
+                    raise
                 f.write_bytes(_pjoin(final, "_COMMITTED"), b"")
             self._prune(keep=2)
             return True
@@ -646,8 +657,27 @@ class MaterializedAgg:
 
     def _prune(self, keep: int) -> None:
         f = get_fs(self.path, self.fs)
-        for _, _, d in self._versions()[:-keep]:
+        vs = self._versions()
+        for _, _, d in vs[:-keep]:
             f.delete_dir(d) if not f.atomic_rename else shutil.rmtree(d)
+        if not f.atomic_rename and vs:
+            # orphan GC: unmarked dirs (fenced/crashed refreshers that
+            # died before their cleanup) whose version number is BELOW
+            # the latest committed one can never be completed — a live
+            # refresher under the lease always writes at >= latest+1 —
+            # so they are dead snapshots, safe to delete. An unmarked
+            # dir AT/ABOVE the latest version may be a refresher
+            # mid-commit and is left alone.
+            latest = vs[-1][0]
+            for d in f.ls_dirs(self.path):
+                name = os.path.basename(d.rstrip("/"))
+                m = _VERSION_RE.match(name)
+                if (
+                    m
+                    and int(m.group(1)) < latest
+                    and not f.exists(_pjoin(self.path, name, "_COMMITTED"))
+                ):
+                    f.delete_dir(_pjoin(self.path, name))
 
     # -- read ---------------------------------------------------------------
     def read_partials(self, version: int | None = None) -> DataFrame:

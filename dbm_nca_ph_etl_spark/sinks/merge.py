@@ -26,14 +26,18 @@ protocol the store can actually honor:
 - POSIX-like (``atomic_rename=True``, the default for bare paths):
   write to a fresh ``.tmp`` directory, then swap via two renames
   (``path → .old``, ``.tmp → path``). Each rename is atomic, but the
-  PAIR is not: a crash between them strands the table in ``.old-*``
-  — every resolution point rolls that back (``_recover_swap``; the
-  commit point is the second rename, so roll-BACK is the correct
-  direction), and the next successful rewrite GCs stray ``.tmp-*``/
-  ``.old-*``. The layout is single-writer and briefly READER-opaque
-  between the renames; multi-reader deployments should pre-create
-  ``_CURRENT`` to opt into the pointer layout below, whose flip is
-  reader-atomic.
+  PAIR is not: a crash between them strands the table in ``.old-*``.
+  ALL resolution resolves to the stranded pre-swap dir without
+  mutating anything (``_stranded_old`` — the commit point is the
+  second rename, so the pre-swap contents ARE the committed state);
+  the next ``_rewrite`` recovers by WRITING THROUGH (its plan reads
+  the stranded dir, its commit rename lands on the absent table
+  path — an eager roll-back rename would instead invalidate the
+  caller's lazy plan mid-merge) and then GCs stray
+  ``.tmp-*``/``.old-*``. The layout is
+  single-writer and briefly READER-opaque between the renames;
+  multi-reader deployments should pre-create ``_CURRENT`` to opt
+  into the pointer layout below, whose flip is reader-atomic.
 - object stores (``atomic_rename=False`` — S3/GCS semantics, or any
   injected adapter reporting it): rename doesn't exist, and a
   copy+delete "rename" would ADD a torn window. Instead each rewrite
@@ -78,21 +82,24 @@ from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 CURRENT_MARKER = "_CURRENT"
 
 
-def _recover_swap(path: str, f: LakeFS) -> None:
-    """Roll BACK a half-crashed POSIX rename swap.
+def _stranded_old(path: str, f: LakeFS) -> str | None:
+    """Non-mutating detector for a half-crashed POSIX rename swap.
 
     ``_rewrite``'s POSIX path commits at ``rename(tmp → path)``; a
     crash after ``rename(path → old)`` but before that commit leaves
     the table directory missing with the pre-swap contents stranded
-    in ``<path>.old-*``. The swap never committed, so correct
-    recovery is roll-back: restore the newest ``.old-*`` as the
-    table. Runs at every resolution point (cheap: only when ``path``
-    is absent) — the same read-time roll-forward discipline as
-    joinview's ``_finish_compact``, in the opposite direction
-    because here the rename IS the commit point.
+    in ``<path>.old-*``. Returns the newest such stranded dir (the
+    committed state — the swap never happened), or None. ALL
+    resolution goes through this WITHOUT renaming anything: a
+    roll-back rename from a read path would race a live writer
+    sitting between its two renames (rolling its swap back under it,
+    so its commit rename lands on a non-empty dir), and one from
+    ``_rewrite`` would invalidate the caller's still-lazy merge plan
+    that scans the stranded dir. Recovery is write-through instead —
+    see the POSIX branch of ``_rewrite``.
     """
     if not f.atomic_rename or os.path.exists(path):
-        return
+        return None
     parent, base = os.path.split(os.path.abspath(path))
     olds = sorted(
         (
@@ -104,29 +111,28 @@ def _recover_swap(path: str, f: LakeFS) -> None:
         else [],
         key=os.path.getmtime,
     )
-    if olds:
-        os.rename(olds[-1], path)
+    return olds[-1] if olds else None
 
 
 def _exists(path: str, fs: LakeFS | None = None) -> bool:
     f = get_fs(path, fs)
     if f.exists(_pjoin(path, CURRENT_MARKER)):
         return True
-    _recover_swap(path, f)
-    return f.exists(path)
+    return f.exists(path) or _stranded_old(path, f) is not None
 
 
 def _data_dir(path: str, fs: LakeFS | None = None) -> str:
     """Resolve the directory Spark should scan: the ``_CURRENT``
     version dir when the table uses the pointer layout, else the
-    path itself (POSIX rename layout, rolling back a half-crashed
-    swap first — see ``_recover_swap``)."""
+    path itself (POSIX rename layout; a half-crashed swap resolves
+    to the stranded pre-swap dir WITHOUT mutating — see
+    ``_stranded_old``)."""
     f = get_fs(path, fs)
     cur = _pjoin(path, CURRENT_MARKER)
     if f.exists(cur):
         return _pjoin(path, f.read_bytes(cur).decode("utf-8").strip())
-    _recover_swap(path, f)
-    return path
+    stranded = _stranded_old(path, f)
+    return stranded if stranded is not None else path
 
 
 def read_table(spark: SparkSession, path: str, fs: LakeFS | None = None) -> DataFrame:
@@ -144,12 +150,17 @@ def _rewrite(df: DataFrame, path: str, fs: LakeFS | None = None) -> None:
     if f.atomic_rename and not f.exists(_pjoin(path, CURRENT_MARKER)):
         # POSIX fast path — rename swap. The second rename is the
         # commit point; a crash between the two strands the table in
-        # `.old-*`, which every resolution point rolls back via
-        # _recover_swap. NOTE this layout is single-writer AND
-        # briefly reader-opaque (path absent between the renames) —
-        # multi-reader deployments should pre-create _CURRENT to opt
-        # into the pointer layout, whose flip is reader-atomic.
-        _recover_swap(path, f)
+        # `.old-*`. No explicit roll-back rename happens ANYWHERE: a
+        # rename here would invalidate the caller's still-lazy plan
+        # that reads the stranded dir via _data_dir (read-under-
+        # write), so recovery is write-through instead — `df` below
+        # materializes FROM the stranded dir into tmp, the commit
+        # rename lands on the absent `path` directly, and the stray
+        # GC at the end removes the stranded dir. NOTE this layout is
+        # single-writer AND briefly reader-opaque (path absent
+        # between the renames) — multi-reader deployments should
+        # pre-create _CURRENT to opt into the pointer layout, whose
+        # flip is reader-atomic.
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         old = f"{path}.old-{uuid.uuid4().hex[:8]}"

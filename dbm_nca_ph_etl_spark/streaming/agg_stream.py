@@ -32,6 +32,24 @@ from pyspark.sql import DataFrame, SparkSession
 from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg, Measure
 
 
+def _norm_ckpt(p: str) -> str:
+    """Canonical checkpoint identity: strip a file: scheme, make
+    absolute, drop trailing slashes. Two spellings of one local
+    checkpoint must compare equal (see stream_into_keyed's guard);
+    non-file URIs (s3://, hdfs://) pass through scheme-intact with
+    only the trailing-slash strip."""
+    import os
+
+    s = p.strip()
+    if s.startswith("file://"):
+        s = s[len("file://"):]
+    elif s.startswith("file:"):
+        s = s[len("file:"):]
+    if "://" in s:
+        return s.rstrip("/")
+    return os.path.abspath(s).rstrip("/")
+
+
 def stream_into_matview(
     stream: DataFrame,
     view: MaterializedAgg,
@@ -100,8 +118,14 @@ def stream_into_keyed(
     name would silently drop each other's epochs on id collisions.
     Guarded: each log entry records its checkpoint, and a
     ``(writer, epoch)`` hit from a different checkpoint raises
-    instead of skipping."""
+    instead of skipping. Checkpoint identity compares NORMALIZED
+    paths (scheme stripped, absolute, no trailing slash) — raw string
+    compare would false-positive when the same checkpoint is respelled
+    across restarts ('./ckpt' vs '/data/ckpt' vs 'file:/data/ckpt/')
+    and permanently wedge a legitimate single stream."""
     from dbm_nca_ph_etl_spark.sinks.txlog import CommitLog, upsert_keyed_serialized
+
+    ckpt_norm = _norm_ckpt(checkpoint_dir)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -110,7 +134,7 @@ def stream_into_keyed(
         for e in log.entries():
             if e.get("writer") == writer and e.get("epoch") == epoch_id:
                 # entries predating the ckpt field can only be ours
-                if e.get("ckpt", checkpoint_dir) != checkpoint_dir:
+                if _norm_ckpt(e.get("ckpt", checkpoint_dir)) != ckpt_norm:
                     raise RuntimeError(
                         f"writer name {writer!r} on {path} is shared by "
                         f"another stream (checkpoint {e['ckpt']!r}): epoch "

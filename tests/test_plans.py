@@ -826,7 +826,8 @@ class TestRound7Sequential:
         rows = [(i, f"v{i % 3}") for i in range(20)]
         expect_buckets = {}
         for k, v in rows:
-            rd = hashlib.md5(f"{k}|{v}".encode()).hexdigest()
+            img = f"{len(str(k))}:{k}|{len(v)}:{v}|"  # length-prefixed
+            rd = hashlib.md5(img.encode()).hexdigest()
             expect_buckets.setdefault(k % 4, []).append(rd)
         expect = {
             b: (len(rds), hashlib.md5("".join(sorted(rds)).encode()).hexdigest())
@@ -846,6 +847,27 @@ class TestRound7Sequential:
                 ).collect()
             }
             assert got == expect, f"nparts={nparts}"
+
+    def test_table_digest_rejects_null_and_separator_forgeries(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbm_nca_ph_etl_spark.operators.integrity import table_digest
+
+        def digest(rows):
+            df = spark.createDataFrame(rows, "k long, a string, b string")
+            out = table_digest(
+                df, [F.col("a"), F.col("b")], F.col("k"), num_buckets=1
+            ).collect()
+            return out[0].digest
+
+        # NULL shifted across columns must change the digest
+        # (concat_ws would have collided both to 'a|b')
+        assert digest([(1, "a", None)]) != digest([(1, None, "a")])
+        # separator injection must change the digest
+        # (concat_ws: 'a|b'+'c' vs 'a'+'b|c' both -> 'a|b|c')
+        assert digest([(1, "a|b", "c")]) != digest([(1, "a", "b|c")])
+        # a value that mimics the field encoding cannot forge a match
+        assert digest([(1, "1:a|", "x")]) != digest([(1, "a", "x")])
 
     def test_levenshtein_blocking_keeps_lexical_opposite_cross_band(self, spark):
         from dbm_nca_ph_etl_spark.operators.dedup import (

@@ -1216,10 +1216,14 @@ class TestPosixSwapCrash:
             spark, p, spark.createDataFrame([Row(k="a", v=99)])
         )
         assert not os.path.exists(p)  # the torn state
-        # read-time recovery: pre-swap contents restored (roll-BACK —
-        # the commit rename never happened, so v=99 must NOT appear)
+        # read-time recovery: pre-swap contents readable (the commit
+        # rename never happened, so v=99 must NOT appear) WITHOUT
+        # mutating the layout — a reader that renamed would race a
+        # live writer between its two renames
         assert rows(read_table(spark, p), "k", "v") == [("a", 1)]
-        assert os.path.exists(p)
+        assert not os.path.exists(p)  # reads never mutate
+        parent = os.path.dirname(p)
+        assert [n for n in os.listdir(parent) if ".old-" in n]
 
     def test_next_rewrite_recovers_then_gcs_strays(self, spark, tmp_path):
         import os

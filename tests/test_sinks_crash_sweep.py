@@ -250,3 +250,83 @@ class TestPosixRewriteCrashSweep:
             # replaying the batch converges to the reference
             self._upsert(spark, p, [("b", 20), ("c", 3)])
             assert rows(read_table(spark, p)) == expected, f"crash at {k}"
+
+
+class TestMatviewFencedOrphan:
+    """A fenced object-store refresh must not leak its fully-written
+    uncommitted version dir (review finding r7): the fence path
+    deletes it, and _prune's orphan GC backstops dirs left by a
+    refresher that crashed inside that cleanup."""
+
+    def _view(self, spark, path):
+        fs = _CountingCrashFS()
+        return (
+            MaterializedAgg(
+                spark,
+                path,
+                keys=["k"],
+                measures=[Measure("total", "v", "sum")],
+                fs=fs,
+            ),
+            fs,
+        )
+
+    def test_fenced_refresh_deletes_uncommitted_dir(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os
+
+        from dbm_nca_ph_etl_spark.sinks.txlog import CommitFenced, WriterLease
+
+        p = str(tmp_path / "mv")
+        view, _ = self._view(spark, p)
+        b = spark.createDataFrame([("a", 1)], "k string, v long")
+        assert view.refresh(b, "b1")
+        # steal the lease at fence time: is_current() -> False
+        monkeypatch.setattr(WriterLease, "is_current", lambda self: False)
+        with pytest.raises(CommitFenced):
+            view.refresh(spark.createDataFrame([("a", 5)], "k string, v long"), "b2")
+        monkeypatch.undo()
+        # the fenced holder's release() skipped the delete (it no
+        # longer saw itself current) — clear the stale lease like a
+        # TTL expiry would
+        os.remove(os.path.join(p, "_lease.json"))
+        dirs = [d for d in os.listdir(p) if d.startswith("v")]
+        # only the committed v000000 survives — no unmarked orphan
+        assert all(
+            os.path.exists(os.path.join(p, d, "_COMMITTED")) for d in dirs
+        ), dirs
+        # replay of the fenced batch converges
+        assert view.refresh(
+            spark.createDataFrame([("a", 5)], "k string, v long"), "b2"
+        )
+        got = {r.k: r.total for r in view.read_partials().collect()}
+        assert got == {"a": 6}
+
+    def test_prune_gcs_stale_unmarked_orphans(self, spark, tmp_path):
+        import os
+
+        p = str(tmp_path / "mv")
+        view, _ = self._view(spark, p)
+        b = spark.createDataFrame([("a", 1)], "k string, v long")
+        assert view.refresh(b, "b1")
+        assert view.refresh(
+            spark.createDataFrame([("a", 2)], "k string, v long"), "b2"
+        )
+        # simulate a refresher that died inside its fence cleanup:
+        # a full unmarked dir BELOW the latest committed version
+        orphan = os.path.join(p, "v000000_bdead")
+        os.makedirs(orphan, exist_ok=True)
+        with open(os.path.join(orphan, "part-0.parquet"), "wb") as fh:
+            fh.write(b"x")
+        # an unmarked dir AT/ABOVE the latest version may be a live
+        # refresher mid-commit: must be left alone
+        inflight = os.path.join(p, "v000099_blive")
+        os.makedirs(inflight, exist_ok=True)
+        assert view.refresh(
+            spark.createDataFrame([("a", 3)], "k string, v long"), "b3"
+        )
+        assert not os.path.exists(orphan), "stale orphan not GC'd"
+        assert os.path.exists(inflight), "in-flight dir wrongly GC'd"
+        got = {r.k: r.total for r in view.read_partials().collect()}
+        assert got == {"a": 6}

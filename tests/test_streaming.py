@@ -1515,3 +1515,71 @@ class TestStreamingJoinview:
         v = MaterializedJoin(spark, str(tmp_path / "v"), ["k"])
         with pytest.raises(ValueError, match="side"):
             stream_into_joinview(None, v, "middle", "x")
+
+
+class TestCkptIdentityNormalized:
+    """The stream_into_keyed shared-writer guard keys on checkpoint
+    IDENTITY, not spelling (review finding r7): the same checkpoint
+    respelled across restarts (trailing slash, relative path, file:
+    scheme) must resume — skipping replayed epochs — not raise."""
+
+    def test_norm_ckpt_spellings(self):
+        from dbm_nca_ph_etl_spark.streaming.agg_stream import _norm_ckpt
+
+        assert _norm_ckpt("/data/ckpt") == _norm_ckpt("/data/ckpt/")
+        assert _norm_ckpt("file:/data/ckpt") == _norm_ckpt("/data/ckpt")
+        assert _norm_ckpt("file:///data/ckpt/") == _norm_ckpt("/data/ckpt")
+        import os
+
+        assert _norm_ckpt(os.path.join(os.getcwd(), "x")) == _norm_ckpt("x")
+        # non-file URIs keep their scheme (never collapse s3 onto local)
+        assert _norm_ckpt("s3://b/ckpt/") == "s3://b/ckpt"
+        assert _norm_ckpt("s3://b/ckpt") != _norm_ckpt("/b/ckpt")
+
+    def test_replayed_epoch_with_respelled_ckpt_resumes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A crashed first run logged epoch 0 under the file:-scheme
+        checkpoint spelling; the operator restarts the stream with
+        the bare absolute spelling of the same checkpoint. The
+        replayed epoch must be SKIPPED as already-applied (same
+        stream identity) — a raw string compare would instead raise
+        'shared by another stream' on every restart and wedge the
+        stream. (Spark's own checkpoint lock blocks respelling after
+        stale tmp files, so the crashed run is simulated by
+        pre-seeding the commit log.)"""
+        from dbm_nca_ph_etl_spark.sinks.keyed import read_keyed, write_keyed
+        from dbm_nca_ph_etl_spark.sinks.txlog import CommitLog
+        from dbm_nca_ph_etl_spark.streaming.agg_stream import stream_into_keyed
+
+        src = str(tmp_path / "src")
+        path = str(tmp_path / "table")
+        write_keyed(
+            spark.createDataFrame([(0, "seed")], "k long, v string"),
+            path,
+            ["k"],
+            num_buckets=2,
+        )
+        spark.createDataFrame([(1, "a")], "k long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        # the crashed run: epoch 0 merged + logged (file:-scheme ckpt
+        # spelling), checkpoint never committed -> epoch 0 re-delivers
+        ckpt = str(tmp_path / "ckpt")
+        assert CommitLog(path).try_commit(
+            {
+                "writer": "ingest",
+                "epoch": 0,
+                "ckpt": "file:" + ckpt,
+                "buckets": [],
+            },
+            0,
+        )
+        stream = spark.readStream.schema("k long, v string").parquet(src)
+        stream_into_keyed(stream, path, ["k"], ckpt, writer="ingest")
+        # replayed epoch skipped (logged by the crashed run): the
+        # batch's row does NOT re-merge, and no 'shared by another
+        # stream' false positive fired
+        got = {r.k: r.v for r in read_keyed(spark, path).collect()}
+        assert got == {0: "seed"}
+        assert CommitLog(path).version() == 1  # no duplicate entry
