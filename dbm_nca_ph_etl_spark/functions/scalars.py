@@ -104,6 +104,25 @@ def hash_bucket(c: Column, seed: int) -> Column:
     return hash64(F.concat(c, F.lit(f"#{seed}")))
 
 
+def floor_div_sql(num_sql: str, den_sql: str) -> Column:
+    """Exact int64 FLOOR division — DuckDB's ``//`` for every operand
+    sign (``den > 0``), from SQL fragment strings.
+
+    Spark's ``div`` truncates toward zero while DuckDB's ``//``
+    floors, so they disagree on negative numerators (−150 div 100 =
+    −1 vs −150 // 100 = −2): a latent cross-engine oracle mismatch
+    the moment refunds/adjustments put negative values in a cents
+    column. ``(num − pmod(num, den)) div den`` is floor for den > 0
+    (the numerator becomes an exact multiple of den, so truncation ==
+    floor), and stays in int64 end-to-end — no double round-trip,
+    exact above 2^53 where ``floor(num/den)`` on doubles is off ±1.
+    ``num_sql`` is inlined twice; pass a deterministic expression.
+    """
+    return F.expr(
+        f"((({num_sql}) - pmod(({num_sql}), ({den_sql}))) div ({den_sql}))"
+    )
+
+
 def let(value: Column, body) -> Column:
     """Bind ``value`` once and reference it many times in ``body``.
 

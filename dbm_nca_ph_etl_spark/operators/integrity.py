@@ -68,6 +68,13 @@ def table_digest(
     identical multisets of row tuples per bucket. SQL twin of the
     field encoding: ``CASE WHEN c IS NULL THEN 'N|' ELSE
     length(c) || ':' || c || '|' END`` concatenated across fields.
+
+    Bucketing is ``pmod`` (always non-negative). An ANSI-SQL twin
+    must therefore use ``((key % n) + n) % n`` — NOT plain ``%``,
+    whose sign follows the dividend in DuckDB/Postgres, so a
+    negative ``bucket_key`` would land the same row in different
+    buckets per engine and a clean replica would report spurious
+    bucket mismatches.
     """
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")

@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dbm_nca_ph_etl_spark.functions.scalars import floor_div_sql
+
 
 def _window(partition_by: Sequence[str], order_by: Sequence[str]) -> Window:
     return Window.partitionBy(*partition_by).orderBy(*order_by)
@@ -536,14 +538,17 @@ def time_weighted_avg(
     observation has no successor and carries no weight.
 
     Emits the EXACT integer numerator/denominator (Σ value·duration,
-    Σ duration) plus the integer-division mean — no float ratio can
-    drift between engines. The mean uses true int64 ``div`` (NOT the
-    (num − num%den)/den double form used where magnitudes are small:
-    cents·µs numerators exceed 2^53, where double division is off by
-    ±1). ``ts_col`` in integer units (epoch µs), ``value_col``
-    integer (cents). One lead() window + one agg = single shuffle;
-    the standard irregular-time-series downsample (TWAP) every
-    metrics/pricing pipeline needs.
+    Σ duration) plus the integer FLOOR mean — no float ratio can
+    drift between engines. The mean uses the sign-safe pmod floor
+    form (``functions.scalars.floor_div_sql``): int64 end-to-end
+    (cents·µs numerators exceed 2^53, where double division is off
+    by ±1) AND identical across engines for NEGATIVE numerators —
+    refund/adjustment cents — where bare Spark ``div`` (truncates)
+    and DuckDB ``//`` (floors from 1.1) would disagree. ``ts_col``
+    in integer units (epoch µs), ``value_col`` integer (cents). One
+    lead() window + one agg = single shuffle; the standard
+    irregular-time-series downsample (TWAP) every metrics/pricing
+    pipeline needs.
     """
     order = list(order_by) if order_by else [ts_col]
     w = _window(partition_by, order)
@@ -562,7 +567,7 @@ def time_weighted_avg(
             "twa_value",
             F.when(
                 F.col("twa_den") > 0,
-                F.expr("twa_num div twa_den"),
+                floor_div_sql("twa_num", "twa_den"),
             ).otherwise(F.lit(None).cast("long")),
         )
     )

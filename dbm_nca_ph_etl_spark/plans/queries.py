@@ -26,7 +26,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbm_nca_ph_etl_spark.functions.scalars import coerce_double
+from dbm_nca_ph_etl_spark.functions.scalars import coerce_double, floor_div_sql
 from dbm_nca_ph_etl_spark.operators import asof as A
 from dbm_nca_ph_etl_spark.operators import dedup as D
 from dbm_nca_ph_etl_spark.operators import similarity as S
@@ -11593,6 +11593,18 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # comparison or hash differently across engines.
 _SQL_CENTS = "CAST(floor({v} * 100 + 0.5) AS BIGINT)"
 
+# Sign-safe integer FLOOR division, identical on both engines for ALL
+# operand signs (den > 0): subtracting pmod makes the numerator an
+# exact multiple of den, so truncating and flooring division agree —
+# which makes the form invariant to the engines' native semantics
+# (Spark `div` truncates; DuckDB `//` truncates on ints in 1.0 but
+# floors from 1.1). Stays int64 end-to-end: exact above 2^53, where
+# any double-division form is off by ±1. The Spark twin is
+# ``functions.scalars.floor_div_sql``. Used wherever the numerator's
+# sign is not provably non-negative (e.g. a cents value column the
+# moment refunds/adjustments enter the domain).
+_SQL_FLOOR_DIV = "((({n}) - ((({n}) % ({d}) + ({d})) % ({d}))) // ({d}))"
+
 
 def _cents(col):
     """Spark twin of ``_SQL_CENTS`` — the two expression trees MUST
@@ -11875,7 +11887,8 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(v * dur)::BIGINT AS twa_num,
            sum(dur)::BIGINT AS twa_den,
            CASE WHEN sum(dur) > 0
-                THEN (sum(v * dur) // sum(dur))::BIGINT
+                THEN ({_SQL_FLOOR_DIV.format(n='sum(v * dur)',
+                                             d='sum(dur)')})::BIGINT
                 ELSE NULL END AS twa_value
     FROM d WHERE dur IS NOT NULL
     GROUP BY user_id
@@ -11885,11 +11898,13 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the next; the last carries no weight) — the TWAP every "
     "metrics/billing pipeline needs, via operators/windows."
     "time_weighted_avg. Emits the EXACT integer numerator (Σ "
-    "cents·µs) and denominator (Σ µs) plus the true-int64 "
-    "`div` mean (Spark div ≡ DuckDB // — numerators here exceed "
-    "2^53, where any double-division form is off by ±1), so no "
-    "float ratio can drift between engines. One lead() window + "
-    "one agg = a single shuffle on the key.",
+    "cents·µs) and denominator (Σ µs) plus the true-int64 floor "
+    "mean via the sign-safe pmod form (_SQL_FLOOR_DIV / "
+    "floor_div_sql — identical on both engines for NEGATIVE "
+    "numerators too, e.g. refund cents, unlike bare div-vs-//; "
+    "numerators here exceed 2^53, where any double-division form "
+    "is off by ±1), so no ratio can drift between engines. One "
+    "lead() window + one agg = a single shuffle on the key.",
     tags=("window", "events", "bench"),
 )
 def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11909,7 +11924,7 @@ def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merkle_orders_digest",
     """
     WITH c AS (
-      SELECT o_orderkey % 64 AS bucket,
+      SELECT ((o_orderkey % 64) + 64) % 64 AS bucket,
              [CAST(o_orderkey AS VARCHAR),
               CAST(o_custkey AS VARCHAR),
               o_orderstatus,
@@ -11944,7 +11959,10 @@ def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket digests fold row-md5s in SORTED "
     "order so scan/shuffle/partition order can't perturb them — "
     "this very query hash-matching DuckDB is the operator "
-    "verifying itself. Memory per task = |bucket|·32 B; raise "
+    "verifying itself. The oracle buckets via ((k % n) + n) % n — "
+    "DuckDB's plain % follows the dividend's sign, so only the "
+    "pmod-equivalent form matches Spark for negative keys too. "
+    "Memory per task = |bucket|·32 B; raise "
     "num_buckets with table size (65536 at 10¹⁰ rows).",
     tags=("relational", "sink", "bench"),
 )
@@ -12012,8 +12030,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*)::BIGINT AS n_customers,
            sum(r)::BIGINT AS total_cents,
-           (2 * sum(i * r) - (count(*) + 1) * sum(r))::BIGINT AS gini_num,
-           (count(*) * sum(r))::BIGINT AS gini_den,
+           CAST(CAST(2 * sum(i * r) - (count(*) + 1) * sum(r)
+                     AS DECIMAL(38,0)) AS VARCHAR) AS gini_num,
+           CAST(CAST(count(*) * sum(r) AS DECIMAL(38,0))
+                AS VARCHAR) AS gini_den,
            floor(1000000.0
                  * ((2 * sum(i * r) - (count(*) + 1) * sum(r))::DOUBLE
                     / (count(*) * sum(r))::DOUBLE))::BIGINT AS gini_ppm
@@ -12024,15 +12044,21 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quota sampling (a corpus where 1% of sources carry 90% of "
     "tokens needs capping; same statistic, same plan). Uses the "
     "sorted-rank identity G = (2·Σi·rᵢ − (n+1)·Σrᵢ)/(n·Σrᵢ) with "
-    "EXACT int64 numerator/denominator; ranks over the (revenue, "
-    "custkey) total order come from operators/windows.prefix_sum — "
-    "the two-phase distributed scan — because customers are "
-    "DATA-sized (a naive global row_number window is one task at "
-    "100 TB; contrast ks_drift_purchase_click, whose grid is "
-    "domain-bounded and may window directly). Equal-revenue ties "
-    "permute ranks only within equal r, leaving Σi·rᵢ invariant, so "
-    "the statistic is deterministic. gini_ppm converts the exact "
-    "rational by the SAME double cast tree on both engines.",
+    "EXACT ≥int64 arithmetic: Σi·rᵢ reaches ~1e18–1e19 at 1.5e7 "
+    "customers — ABOVE int64 where non-ANSI Spark wraps silently "
+    "while DuckDB promotes to HUGEINT — so Spark sums in "
+    "DECIMAL(38,0) and both engines emit num/den as exact decimal "
+    "STRINGS (DuckDB's pandas bridge degrades DECIMAL(38,0) to "
+    "float64, so the only lossless cross-engine carrier for >2^63 "
+    "integers is VARCHAR). Ranks over the (revenue, custkey) total "
+    "order come from operators/windows.prefix_sum — the two-phase "
+    "distributed scan — because customers are DATA-sized (a naive "
+    "global row_number window is one task at 100 TB; contrast "
+    "ks_drift_purchase_click, whose grid is domain-bounded and may "
+    "window directly). Equal-revenue ties permute ranks only within "
+    "equal r, leaving Σi·rᵢ invariant, so the statistic is "
+    "deterministic. gini_ppm converts the exact rational by the "
+    "SAME exact-integer→double cast tree on both engines.",
     tags=("relational", "quality", "bench"),
 )
 def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12048,18 +12074,28 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["r", "o_custkey"],
         out_col="_rank0",
     ).withColumn("i", F.col("_rank0") + 1)
+    # Σi·r in DECIMAL(38,0): longs would wrap silently near 1e19
+    # (non-ANSI Spark) exactly where DuckDB promotes to HUGEINT.
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("r").cast("long").alias("total_cents"),
-        F.sum(F.col("i") * F.col("r")).cast("long").alias("_sir"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("r").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("_sir"),
     )
-    num = 2 * F.col("_sir") - (F.col("n_customers") + 1) * F.col("total_cents")
-    den = F.col("n_customers") * F.col("total_cents")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    num = (
+        F.lit(2).cast("decimal(19,0)") * F.col("_sir")
+        - dec(F.col("n_customers") + 1) * dec(F.col("total_cents"))
+    ).cast("decimal(38,0)")
+    den = (dec(F.col("n_customers")) * dec(F.col("total_cents"))).cast(
+        "decimal(38,0)"
+    )
     return agg.select(
         "n_customers",
         "total_cents",
-        num.cast("long").alias("gini_num"),
-        den.cast("long").alias("gini_den"),
+        num.cast("string").alias("gini_num"),
+        den.cast("string").alias("gini_den"),
         F.floor(
             F.lit(1000000.0) * (num.cast("double") / den.cast("double"))
         ).cast("long").alias("gini_ppm"),
@@ -12212,7 +12248,8 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH o AS (
       SELECT event_id, user_id,
-             {_SQL_CENTS.format(v='value')} // 100 AS dollars,
+             {_SQL_FLOOR_DIV.format(n=_SQL_CENTS.format(v='value'),
+                                    d='100')} AS dollars,
              epoch_us(ts) AS ts_us
       FROM events
     ),
@@ -12232,9 +12269,12 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shaped, near-duplicate ingestion detection keyed on any exact "
     "attribute). ONE window keyed on (user, amount): lag() gives the "
     "previous same-amount charge, the 24 h predicate flags the pair "
-    "— no self-join, no range join, integer-exact µs gaps. Keys are "
-    "user × amount (plentiful, tiny groups): the balanced-window "
-    "shape at 100 TB; output is flagged-pairs-sized.",
+    "— no self-join, no range join, integer-exact µs gaps. The "
+    "cents→dollars bucketing uses the sign-safe pmod floor form "
+    "(_SQL_FLOOR_DIV / floor_div_sql) so negative amounts (refunds) "
+    "bucket identically on both engines. Keys are user × amount "
+    "(plentiful, tiny groups): the balanced-window shape at 100 TB; "
+    "output is flagged-pairs-sized.",
     tags=("window", "events", "quality", "bench"),
 )
 def duplicate_payment_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12242,9 +12282,9 @@ def duplicate_payment_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = ev.select(
         "event_id",
         "user_id",
-        F.expr(
-            "cast(floor(value * 100 + 0.5) as bigint) div 100"
-        ).alias("dollars"),
+        floor_div_sql("cast(floor(value * 100 + 0.5) as bigint)", "100").alias(
+            "dollars"
+        ),
         "ts_us",
     )
     w = Window.partitionBy("user_id", "dollars").orderBy("ts_us", "event_id")

@@ -49,9 +49,15 @@ protocol the store can actually honor:
   ``_CURRENT`` first; superseded versions are GC'd with a ONE-FLIP
   grace window (keep current + pre-flip — matview's keep=2
   discipline), so an in-flight reader that resolved the pre-flip
-  pointer never has files deleted under its scan. A crash before
-  the PUT leaves the old version live and the orphan version
-  invisible — at-least-once replay then converges (T6).
+  pointer never has files deleted under its scan. GC is scoped to
+  versions the pointer history names (the ``_GRACE`` marker records
+  the pre-flip version; the next flip deletes exactly that) — a
+  ``_v-*`` dir NOT named by the chain is never swept, because it may
+  belong to a concurrent/zombie writer that has written data but not
+  yet PUT ``_CURRENT``, and deleting it would dangle that writer's
+  later flip. A crash before the PUT leaves the old version live and
+  the orphan version invisible (a bounded one-dir leak) —
+  at-least-once replay then converges (T6).
 
 On a real deployment these functions map 1:1 onto Delta/Iceberg
 ``MERGE INTO`` / ``DELETE`` and inherit real ACID; the engine's call
@@ -80,6 +86,14 @@ from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 
 #: pointer file naming the live version dir (object-store layout)
 CURRENT_MARKER = "_CURRENT"
+#: marker naming the PRE-flip version of the latest flip (the grace
+#: version an in-flight reader may still be scanning). GC deletes
+#: ONLY the version this named before the current flip — never any
+#: other ``_v-*`` dir, which may belong to a concurrent/zombie writer
+#: that has written data but not yet PUT ``_CURRENT`` (deleting it
+#: would dangle that writer's later flip under the module's
+#: at-least-once replay story, T6).
+GRACE_MARKER = "_GRACE"
 
 
 def _stranded_old(path: str, f: LakeFS) -> str | None:
@@ -190,16 +204,28 @@ def _rewrite(df: DataFrame, path: str, fs: LakeFS | None = None) -> None:
     df.write.mode("overwrite").parquet(_pjoin(path, version))
     f.write_bytes(cur, version.encode("utf-8"))  # the atomic commit
     # Post-flip GC with a one-flip grace window (the matview keep=2
-    # discipline): keep the version we just published AND the one the
-    # pointer named before the flip — an in-flight reader that
-    # resolved the pre-flip pointer must not have its files deleted
-    # under its scan. Everything older (the grace version of the
-    # PREVIOUS flip) goes.
-    keep = {version} | ({old} if old else set())
-    for d in f.ls_dirs(path):
-        name = os.path.basename(d.rstrip("/"))
-        if name.startswith("_v-") and name not in keep:
-            f.delete_dir(_pjoin(path, name))
+    # discipline), scoped to versions the POINTER HISTORY names:
+    # after this flip the reachable chain is {version (live), old
+    # (grace — an in-flight reader that resolved the pre-flip pointer
+    # must not have files deleted under its scan)}. The version
+    # retired TWO flips ago — recorded in ``_GRACE`` by the previous
+    # flip — is unreachable by any reader and is deleted. No other
+    # ``_v-*`` dir is EVER touched: an unnamed dir may belong to a
+    # concurrent/zombie writer that has written its version but not
+    # yet PUT ``_CURRENT``; sweeping it would dangle that writer's
+    # subsequent flip (all reads would fail), which is strictly worse
+    # than the bounded leak of one orphan dir per crashed writer.
+    # Delete-then-record ordering bounds the crash leak to one dir:
+    # a crash between the two steps leaks ``old`` (never again named
+    # by the chain) but never deletes anything still reachable.
+    grace = _pjoin(path, GRACE_MARKER)
+    prev_grace = (
+        f.read_bytes(grace).decode("utf-8").strip() if f.exists(grace) else None
+    )
+    if prev_grace and prev_grace not in {version, old}:
+        f.delete_dir(_pjoin(path, prev_grace))
+    if old:
+        f.write_bytes(grace, old.encode("utf-8"))
 
 
 def append_parquet(df: DataFrame, path: str, fs: LakeFS | None = None) -> None:

@@ -933,7 +933,8 @@ class TestRound7Stats:
         row = QUERIES["gini_revenue_concentration"].fn(
             spark, str(tmp_path)
         ).collect()[0]
-        assert (row.gini_num, row.gini_ppm) == (0, 0)
+        # num/den cross engines as exact decimal strings (>2^63-safe)
+        assert (int(row.gini_num), row.gini_ppm) == (0, 0)
         assert (row.n_customers, row.total_cents) == (8, 8000)
 
     def test_gini_total_concentration(self, spark, tmp_path):
@@ -947,7 +948,7 @@ class TestRound7Stats:
         row = QUERIES["gini_revenue_concentration"].fn(
             spark, str(tmp_path)
         ).collect()[0]
-        assert row.gini_num * 4 == row.gini_den * 3
+        assert int(row.gini_num) * 4 == int(row.gini_den) * 3
         assert row.gini_ppm == 750_000
 
     def _write_events(self, spark, path, rows):
@@ -1076,3 +1077,77 @@ class TestRound7Batch4:
         # U1 = U2 = n1*n2/2, so doubled both equal n1*n2 = 4
         assert r.u1_x2 == r.u2_x2 == 4
         assert r.cles_ppm == 500_000
+
+
+class TestSignSafeCrossEngineArithmetic:
+    """Round-8 ADVICE closures: integer division and bucketing forms
+    that stay engine-invariant for NEGATIVE operands (refunds,
+    adjustments, signed surrogate keys)."""
+
+    def test_floor_div_sql_floors_for_all_signs(self, spark):
+        from dbm_nca_ph_etl_spark.functions.scalars import floor_div_sql
+
+        df = spark.createDataFrame(
+            [(-150,), (-100,), (-1,), (0,), (1,), (150,),
+             (9223372036854775000,), (-9223372036854775000,)],
+            "n long",
+        )
+        got = {
+            r.n: r.fd
+            for r in df.select("n", floor_div_sql("n", "100").alias("fd")).collect()
+        }
+        # true floor (Python //) for every sign — NOT Spark div's
+        # truncation (-150 div 100 = -1) and exact above 2^53 where
+        # floor(n/100.0) on doubles is off by ±1
+        assert got == {n: n // 100 for n in got}
+
+    def test_twa_negative_values_floor_like_python(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import time_weighted_avg
+
+        # refund stream: Σv·dur = (-3)*10 + (-4)*30 = -150, Σdur = 40
+        # floor(-150/40) = -4 (truncation would say -3)
+        df = spark.createDataFrame(
+            [(1, 0, -3), (1, 10, -4), (1, 40, -5)], "k long, t long, v long"
+        )
+        r = time_weighted_avg(df, "t", "v", ["k"]).collect()[0]
+        assert (r.twa_num, r.twa_den) == (-150, 40)
+        assert r.twa_value == -150 // 40 == -4
+
+    def test_table_digest_negative_keys_match_sql_twin(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from dbm_nca_ph_etl_spark.operators.integrity import table_digest
+
+        rows = [(k, f"v{k}") for k in (-7, -1, 0, 1, 7, -64, 63)]
+        got = {
+            r.bucket: (r.n_rows, r.digest)
+            for r in table_digest(
+                spark.createDataFrame(rows, "k long, v string"),
+                [F.col("k").cast("string"), F.col("v")],
+                F.col("k"),
+                num_buckets=4,
+            ).collect()
+        }
+        assert all(0 <= b < 4 for b in got)  # pmod: never negative
+        # the documented SQL twin — ((k % n) + n) % n, NOT plain % —
+        # reproduces the same buckets and digests in DuckDB
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (k BIGINT, v VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        oracle = con.execute(
+            """
+            WITH c AS (
+              SELECT ((k % 4) + 4) % 4 AS bucket,
+                     md5(length(CAST(k AS VARCHAR))::VARCHAR || ':'
+                         || CAST(k AS VARCHAR) || '|'
+                         || length(v)::VARCHAR || ':' || v || '|') AS rd
+              FROM t
+            )
+            SELECT bucket, count(*) AS n,
+                   md5(list_aggregate(list_sort(list(rd)),
+                                      'string_agg', '')) AS d
+            FROM c GROUP BY bucket
+            """
+        ).fetchall()
+        assert got == {b: (n, d) for b, n, d in oracle}

@@ -158,6 +158,41 @@ class TestObjectStoreLayout:
         upsert_parquet(spark, df, p, ["k"], fs)
         assert rows(read_table(spark, p, fs), "k", "v") == [("a", 1)]
 
+    def test_gc_never_sweeps_unflipped_writer_dir(self, spark, tmp_path):
+        """GC is scoped to versions the pointer history names: a
+        ``_v-*`` dir written by a slow/zombie writer that has NOT yet
+        PUT ``_CURRENT`` must survive any number of concurrent flips —
+        sweeping it would dangle the zombie's later flip (all reads
+        fail). The old all-but-keep GC failed exactly this."""
+        import os
+
+        from dbm_nca_ph_etl_spark.sinks.merge import read_table
+
+        fs = _ObjectStoreFS()
+        p = str(tmp_path / "t")
+        upsert_parquet(spark, spark.createDataFrame([Row(k="a", v=1)]), p, ["k"], fs)
+        # zombie writer: version dir written, _CURRENT never PUT
+        zombie = "_v-zombie000000"
+        spark.createDataFrame([Row(k="z", v=99)]).write.parquet(
+            os.path.join(p, zombie)
+        )
+        for v in (2, 3, 4):  # three flips = full grace-window rotation
+            upsert_parquet(
+                spark, spark.createDataFrame([Row(k="a", v=v)]), p, ["k"], fs
+            )
+        assert zombie in os.listdir(p)  # orphan survives every GC
+        # the zombie now flips _CURRENT — the pointer must not dangle
+        with open(os.path.join(p, "_CURRENT"), "w", encoding="utf-8") as fh:
+            fh.write(zombie)
+        assert rows(read_table(spark, p, fs), "k", "v") == [("z", 99)]
+        # once flipped, the zombie IS pointer history: the next flip
+        # keeps it as the grace version, the flip after retires it.
+        upsert_parquet(spark, spark.createDataFrame([Row(k="a", v=5)]), p, ["k"], fs)
+        assert zombie in os.listdir(p)  # grace of the v5 flip
+        upsert_parquet(spark, spark.createDataFrame([Row(k="a", v=6)]), p, ["k"], fs)
+        assert zombie not in os.listdir(p)  # retired two flips later
+        assert rows(read_table(spark, p, fs), "k", "v") == [("a", 6), ("z", 99)]
+
     def test_matview_marker_commit_on_object_store(self, spark, tmp_path):
         import os
 
