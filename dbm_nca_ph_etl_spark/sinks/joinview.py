@@ -65,13 +65,14 @@ intent record.
 All sidecar/marker/listing IO goes through the ``sources/lakefs``
 seam, so the layout runs unchanged on object stores
 (``atomic_rename=False``): every commit decision is a single-object
-PUT or a conditional PUT, never a rename. CAVEAT: the conditional
-PUTs (lease + marker CAS) are only as atomic as the adapter's
-``put_if_absent`` — POSIX's ``O_EXCL`` is a true CAS
-(``atomic_cas=True``), but the shipped ``ArrowLakeFS`` is
-check-then-write (pyarrow.fs surfaces no ``If-None-Match``), so on
-it the DUAL-WRITER exactly-once guarantee is best-effort and needs
-an external CAS or a conditional-PUT adapter; the single-writer
+PUT or a conditional PUT, never a rename. The conditional PUTs
+(lease + marker CAS) are only as atomic as the adapter's
+``put_if_absent``: POSIX ``O_EXCL`` and the S3-dialect
+``sources/lakefs_http.HttpCasLakeFS`` (``If-None-Match: *``) are
+true CAS (``atomic_cas=True``) — on either, the DUAL-WRITER
+exactly-once guarantee is exact. ``ArrowLakeFS`` remains
+check-then-write (pyarrow.fs surfaces no conditional write), so on
+it specifically that guarantee is best-effort; the single-writer
 crash-replay guarantees (markers, horizon swap, roll-forward) hold
 on any adapter because they never race.
 

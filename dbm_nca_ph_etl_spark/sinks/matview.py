@@ -528,9 +528,10 @@ class MaterializedAgg:
     join-view sink. A fenced refresher raises :class:`CommitFenced`
     with nothing committed; the caller's replay converges. Reference
     semantic: the at-least-once upsert discipline of
-    ``supabase_repository.py:45-53`` (T6). NOTE: on an adapter
-    without a true CAS (``LakeFS.atomic_cas`` False, e.g. the
-    pyarrow object-store leg), the lease is best-effort — see
+    ``supabase_repository.py:45-53`` (T6). The lease is exact on
+    any ``atomic_cas=True`` adapter (POSIX ``O_EXCL``; the
+    conditional-PUT ``sources/lakefs_http.HttpCasLakeFS``); only on
+    a CAS-less adapter (``ArrowLakeFS``) is it best-effort — see
     ``sources/lakefs.LakeFS.put_if_absent``."""
 
     def __init__(

@@ -103,12 +103,13 @@ class LakeFS:
         The base implementation is check-then-write: atomic only
         when the store offers a conditional PUT. POSIX overrides
         with ``O_EXCL`` (truly atomic); S3/GCS both expose
-        ``If-None-Match: *`` conditional PUTs — a production
-        adapter must route through that (pyarrow.fs does not
-        surface it, so ArrowLakeFS inherits the best-effort
-        fallback and multi-writer tables on it need an external
-        CAS, the documented Delta-on-S3 position pre-conditional-
-        PUT)."""
+        ``If-None-Match: *`` conditional PUTs, and
+        ``lakefs_http.HttpCasLakeFS`` routes through exactly that
+        (a real CAS, ``atomic_cas=True``). pyarrow.fs does not
+        surface conditional writes, so ArrowLakeFS inherits this
+        best-effort fallback and multi-writer tables on it need an
+        external CAS or the HTTP adapter (the documented
+        Delta-on-S3 position pre-conditional-PUT)."""
         if self.exists(path):
             return False
         self.write_bytes(path, data)
