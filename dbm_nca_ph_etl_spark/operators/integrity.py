@@ -39,8 +39,16 @@ task; buckets are key-hash-balanced, so memory per task is
 |table| · 32 bytes / num_buckets — pick ``num_buckets`` so that is
 megabytes (65536 buckets for a 10¹⁰-row table). The digest table
 itself is num_buckets rows — metadata-sized, broadcast-joinable for
-the diff. For incremental verification after an upsert, re-digest
-only the touched buckets (the keyed sink already knows them).
+the diff.
+
+Incremental verification: for tables on the keyed layout
+(``sinks/keyed.py``) the digest bucket IS the layout bucket
+(``_kb``), so after a merge the digest refresh costs exactly what
+the merge cost — :func:`keyed_digest` partition-prunes the scan to
+the touched buckets (the ids ``upsert_keyed``/``delete_keyed``/
+``scd2_apply_keyed`` return), :func:`refresh_digest` splices the
+re-digested buckets into the stored digest table, and
+:func:`diff_digest` localizes any mismatch to its bucket(s).
 """
 
 from __future__ import annotations
@@ -78,20 +86,102 @@ def table_digest(
     """
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    rows = df.select(
+        F.pmod(bucket_key.cast("long"), F.lit(num_buckets)).alias("bucket"),
+        _row_digest(canon_cols).alias("_rd"),
+    )
+    return _fold_buckets(rows)
+
+
+def _row_digest(canon_cols: Sequence[Column]) -> Column:
+    """md5 of the length-prefixed, prefix-free row image (module doc)."""
     fields = [
         F.when(c.isNull(), F.lit("N|")).otherwise(
             F.concat(F.length(c).cast("string"), F.lit(":"), c, F.lit("|"))
         )
         for c in canon_cols
     ]
-    row_img = F.concat(*fields)
-    rows = df.select(
-        F.pmod(bucket_key.cast("long"), F.lit(num_buckets)).alias("bucket"),
-        F.md5(row_img).alias("_rd"),
-    )
+    return F.md5(F.concat(*fields))
+
+
+def _fold_buckets(rows: DataFrame) -> DataFrame:
+    """(bucket, _rd) rows → (bucket, n_rows, digest): order-free
+    sorted fold per bucket."""
     return rows.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.md5(
             F.array_join(F.array_sort(F.collect_list("_rd")), "")
         ).alias("digest"),
+    )
+
+
+def keyed_digest(
+    spark,
+    path: str,
+    canon_cols: Sequence[Column],
+    buckets: Sequence[int] | None = None,
+    fs=None,
+) -> DataFrame:
+    """Content digest of a keyed-layout table (``sinks/keyed.py``)
+    bucketed by the LAYOUT's own bucket column ``_kb`` — so the scan
+    is partition-PRUNED when ``buckets`` is given: re-digesting the
+    buckets an upsert touched reads exactly the directories the
+    upsert rewrote, nothing else. ``buckets=None`` digests the whole
+    table (the baseline / audit pass). Output schema matches
+    :func:`table_digest`: ``(bucket, n_rows, digest)``."""
+    from dbm_nca_ph_etl_spark.sinks.keyed import KB_COL, _read_base
+
+    base = _read_base(spark, path, fs)
+    if buckets is not None:
+        base = base.where(F.col(KB_COL).isin(list(buckets)))
+    rows = base.select(
+        F.col(KB_COL).cast("long").alias("bucket"),
+        _row_digest(canon_cols).alias("_rd"),
+    )
+    return _fold_buckets(rows)
+
+
+def refresh_digest(
+    stored: DataFrame, partial: DataFrame, touched: Sequence[int]
+) -> DataFrame:
+    """Splice a re-digested bucket subset into a stored digest table:
+    drop the ``touched`` buckets' old rows, union the fresh ones.
+    ``partial`` must cover exactly the ``touched`` buckets (a bucket
+    emptied by a delete simply has no row — same convention as
+    :func:`table_digest`, which only emits non-empty buckets). The
+    result equals a full re-digest of the post-merge table — pinned
+    by ``tests/test_integrity_incremental.py``."""
+    kept = stored.where(~F.col("bucket").isin(list(touched)))
+    return kept.unionByName(partial)
+
+
+def diff_digest(expected: DataFrame, actual: DataFrame) -> DataFrame:
+    """Buckets where two digest tables disagree — the localization
+    step of the audit. Full-outer on bucket id; a bucket present on
+    one side only (NULL row-count on the other) is also a mismatch.
+    Output: ``(bucket, n_rows_expected, n_rows_actual,
+    digest_expected, digest_actual)``, one row per differing bucket;
+    empty ⇔ identical content (up to md5 collision)."""
+    e = expected.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_expected"),
+        F.col("digest").alias("digest_expected"),
+    )
+    a = actual.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_actual"),
+        F.col("digest").alias("digest_actual"),
+    )
+    joined = e.join(a, on="bucket", how="full_outer")
+    return joined.where(
+        ~(
+            F.col("digest_expected").eqNullSafe(F.col("digest_actual"))
+            & F.col("n_rows_expected").eqNullSafe(F.col("n_rows_actual"))
+        )
+    ).select(
+        "bucket",
+        "n_rows_expected",
+        "n_rows_actual",
+        "digest_expected",
+        "digest_actual",
     )

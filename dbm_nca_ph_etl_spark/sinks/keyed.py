@@ -278,7 +278,14 @@ def delete_keyed(
     fs: LakeFS | None = None,
 ) -> list[int]:
     """Delete rows whose key appears in ``keys_df`` — bucket-pruned
-    twin of ``merge.delete_by_keys``. Returns touched bucket ids."""
+    twin of ``merge.delete_by_keys``. Returns touched bucket ids.
+
+    A bucket whose every row is deleted needs special handling:
+    dynamic partition overwrite only replaces partitions PRESENT in
+    the written data, so an emptied bucket would keep its old files
+    and the delete would silently not happen. Emptied bucket
+    directories are therefore removed explicitly (through the lakefs
+    seam); replay converges — the directory delete is idempotent."""
     if not get_fs(path, fs).exists(_pjoin(path, _META)):
         return []
     n = _check_meta(path, keys, None, fs)
@@ -294,7 +301,15 @@ def delete_keyed(
     kept = base.join(
         F.broadcast(doomed.select(*keys)), on=keys, how="left_anti"
     ).localCheckpoint(eager=True)
-    overwrite_partitions(kept, path, [KB_COL])
+    kept_buckets = {
+        r[KB_COL] for r in kept.select(KB_COL).distinct().collect()
+    }
+    if kept_buckets:
+        overwrite_partitions(kept, path, [KB_COL])
+    f = get_fs(path, fs)
+    for b in touched:
+        if b not in kept_buckets:
+            f.delete_dir(_pjoin(path, f"{KB_COL}={b}"))
     return touched
 
 
