@@ -211,6 +211,92 @@ def prefix_sum(
     )
 
 
+def grid_cumsums(
+    df: DataFrame,
+    order_col: str,
+    value_cols: Sequence[str],
+    *,
+    inclusive: bool = True,
+    total_cols: Sequence[str] | None = None,
+    max_window_rows: int = 1_000_000,
+    cum_prefix: str = "cum_",
+    tot_prefix: str = "tot_",
+) -> DataFrame:
+    """Cumulative sums (plus grand totals) over a DISTINCT-value
+    grid, with the single-partition-window escape hatch enforced in
+    CODE rather than prose.
+
+    The two-sample statistics (ks_drift, mann_whitney) aggregate the
+    data down to one row per distinct value and then need running
+    sums over that grid in value order. When the grid is
+    domain-bounded (cents of a capped price: ≤49k rows at ANY corpus
+    scale) a global window is metadata-sized and optimal. But the
+    same code called on an unbounded-domain column (microsecond
+    timestamps, free floats) would silently funnel billions of rows
+    through ONE window task. This helper is the guard: it counts the
+    grid (one job over the already-aggregated frame — the eager
+    action is the price of the guarantee, same trade as
+    :func:`prefix_sum`'s approxQuantile) and routes grids past
+    ``max_window_rows`` through the two-phase :func:`prefix_sum`
+    scan, with grand totals broadcast-joined back on a constant key
+    (a broadcast hash join on a 1-row frame, never a cartesian).
+
+    Output: the input columns plus ``cum_<v>`` for each value column
+    (INCLUSIVE of the current row by default; ``inclusive=False``
+    gives the strictly-preceding sum, 0 on the first row) and
+    ``tot_<c>`` grand totals for ``total_cols`` (default: the value
+    columns). Both branches are deterministic and bit-identical —
+    pinned by tests/test_windows.py.
+
+    ``order_col`` must be numeric and distinct per row (it is a grid)
+    — it feeds approxQuantile on the distributed path.
+    """
+    total_cols = list(value_cols if total_cols is None else total_cols)
+    n_grid = df.count()
+    if n_grid <= max_window_rows:
+        upper = Window.currentRow if inclusive else -1
+        wc = Window.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, upper
+        )
+        wa = Window.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        out = df
+        for v in value_cols:
+            out = out.withColumn(
+                cum_prefix + v,
+                F.coalesce(F.sum(v).over(wc), F.lit(0)).cast("long"),
+            )
+        for c in total_cols:
+            out = out.withColumn(
+                tot_prefix + c, F.sum(c).over(wa).cast("long")
+            )
+        return out
+    # unbounded-domain path: two-phase distributed prefix scan.
+    # Sample block boundaries ONCE and share them across columns —
+    # prefix_sum guarantees any sorted cuts are correct.
+    n_blk = df.sparkSession.sparkContext.defaultParallelism
+    cuts = df.stat.approxQuantile(
+        order_col, [i / n_blk for i in range(1, n_blk)], 0.001
+    )
+    out = df
+    for v in value_cols:
+        out = prefix_sum(out, v, [order_col], out_col=cum_prefix + v, cuts=cuts)
+        if inclusive:
+            out = out.withColumn(
+                cum_prefix + v,
+                (F.col(cum_prefix + v) + F.col(v)).cast("long"),
+            )
+    totals = df.agg(
+        *[F.sum(c).cast("long").alias(tot_prefix + c) for c in total_cols]
+    ).withColumn("_j", F.lit(1))
+    return (
+        out.withColumn("_j", F.lit(1))
+        .join(F.broadcast(totals), "_j")
+        .drop("_j")
+    )
+
+
 def leading_run_concat(arr: Column, sep: str = " ") -> Column:
     """W3 — join array items with ``sep``, stopping at the first
     null/empty item (keep only the *leading* run).

@@ -12143,13 +12143,14 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ingest windows. D = max|F₁−F₂| is kept as the EXACT integer "
     "rational |cumA·n₂ − cumB·n₁| / (n₁·n₂) — no float CDF "
     "subtraction can drift, and the argmax value (tie → smallest) "
-    "is integer-exact too. The cumulative windows run over the "
-    "DISTINCT-value grid after aggregation, which is "
-    "domain-bounded (≤ 49 002 distinct cents here), so the "
-    "single-partition window is metadata-sized at any corpus "
-    "scale — the same post-agg discipline as "
-    "monthly_revenue_growth; a genuinely unbounded domain would "
-    "swap in prefix_sum like gini_revenue_concentration. d_ppm "
+    "is integer-exact too. The cumulative sums run over the "
+    "DISTINCT-value grid after aggregation through "
+    "operators/windows.grid_cumsums, which ENFORCES the domain "
+    "bound in code: a grid within max_window_rows (≤ 49 002 "
+    "distinct cents here — metadata-sized at any corpus scale) "
+    "uses the direct global window, and a genuinely unbounded "
+    "domain is routed through the two-phase prefix_sum scan "
+    "automatically instead of funneling one window task. d_ppm "
     "stays int64-exact while n₁·n₂ ≤ 9.2e12.",
     tags=("window", "events", "quality"),
 )
@@ -12166,21 +12167,18 @@ def ks_drift_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.sum("isa").alias("ca"), F.sum("isb").alias("cb"))
     )
-    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wa = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = pooled.select(
+    cum = W.grid_cumsums(pooled, "v", ["ca", "cb"]).select(
         "v",
-        F.sum("ca").over(wc).alias("cuma"),
-        F.sum("cb").over(wc).alias("cumb"),
-        F.sum("ca").over(wa).alias("n1"),
-        F.sum("cb").over(wa).alias("n2"),
+        F.col("cum_ca").alias("cuma"),
+        F.col("cum_cb").alias("cumb"),
+        F.col("tot_ca").alias("n1"),
+        F.col("tot_cb").alias("n2"),
     )
     dn = F.abs(F.col("cuma") * F.col("n2") - F.col("cumb") * F.col("n1"))
-    stat = cum.select("v", "n1", "n2", dn.alias("dn")).withColumn(
-        "mx", F.max("dn").over(wa)
-    )
+    stat = cum.select("v", "n1", "n2", dn.alias("dn"))
+    # argmax with tie -> smallest v as a windowless struct-max:
+    # lexicographic max on (dn, -v) picks max dn then min v
+    best = F.max(F.struct(F.col("dn").alias("d"), (-F.col("v")).alias("nv")))
     return stat.agg(
         F.min("n1").cast("long").alias("n1"),
         F.min("n2").cast("long").alias("n2"),
@@ -12189,9 +12187,7 @@ def ks_drift_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(max(dn) * 1000000) div (min(n1) * min(n2))")
         .cast("long")
         .alias("d_ppm"),
-        F.min(F.when(F.col("dn") == F.col("mx"), F.col("v")))
-        .cast("long")
-        .alias("d_at_v"),
+        (-best.getField("nv")).cast("long").alias("d_at_v"),
     )
 
 
@@ -12347,8 +12343,10 @@ def duplicate_payment_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "U₁×2 = Σ cₐ·(2·below + cₐ + c_b + 1) − n₁(n₁+1) is integer-"
     "exact, U₁×2 + U₂×2 ≡ 2n₁n₂ by construction, and the "
     "common-language effect size P(A>B)+½P(A=B) is an integer-div "
-    "ppm. Same domain-bounded distinct-value grid as KS: windows "
-    "run post-aggregation over ≤49 002 rows at any corpus scale.",
+    "ppm. Same domain-bounded distinct-value grid as KS, through "
+    "the same operators/windows.grid_cumsums guard: ≤49 002 rows "
+    "here windows directly; an unbounded domain would be routed "
+    "through the two-phase prefix_sum scan automatically.",
     tags=("window", "events", "quality"),
 )
 def mann_whitney_u_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12364,19 +12362,16 @@ def mann_whitney_u_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.sum("isa").alias("ca"), F.sum("isb").alias("cb"))
     )
-    wprev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = pooled.select(
+    graded = pooled.withColumn("t", F.col("ca") + F.col("cb"))
+    cum = W.grid_cumsums(
+        graded, "v", ["t"], inclusive=False, total_cols=["ca", "cb"]
+    ).select(
         "v",
         "ca",
         "cb",
-        F.coalesce(
-            F.sum(F.col("ca") + F.col("cb")).over(wprev), F.lit(0)
-        ).alias("below"),
-        F.sum("ca").over(wall).alias("n1"),
-        F.sum("cb").over(wall).alias("n2"),
+        F.col("cum_t").alias("below"),
+        F.col("tot_ca").alias("n1"),
+        F.col("tot_cb").alias("n2"),
     )
     r1x2 = F.sum(
         F.col("ca") * (2 * F.col("below") + F.col("ca") + F.col("cb") + 1)

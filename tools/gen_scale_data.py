@@ -33,6 +33,15 @@ Everything is written through pyarrow with the SOURCE's arrow
 schema, so physical types round-trip exactly (including the events
 table's TIMESTAMP(NANOS) quirk the catalog loader special-cases).
 Deterministic: seed fixed, one RNG stream per table.
+
+Each scaled table is written as a DIRECTORY of ``N_FILES`` part
+files (default 32), not one parquet file: a single file gives Spark
+2-3 input splits, capping every scan/map stage at 2-3 of 32 cores
+and inflating the measured exponent of CPU-heavy map stages with a
+harness artifact (the r7 SCALING.md caveat — winnow 0.84,
+sessionize 0.70 were mostly THIS). 32 files = full local[32] scan
+parallelism, which is also the honest cluster shape: a 100 TB table
+is thousands of splits, never one.
 """
 
 from __future__ import annotations
@@ -46,6 +55,26 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SEED = 42
+N_FILES = 32
+
+
+def _write_sharded(out: pa.Table, dst: str, table: str, n_files: int = N_FILES) -> None:
+    """Write ``out`` as <dst>/<table>.parquet/part-000NN.parquet —
+    a directory both Spark and pyarrow read transparently, with
+    enough splits to use every core."""
+    d = os.path.join(dst, f"{table}.parquet")
+    os.makedirs(d, exist_ok=True)
+    n = out.num_rows
+    n_files = max(1, min(n_files, n))  # never emit empty shards
+    per = -(-n // n_files)  # ceil
+    for i in range(n_files):
+        lo = i * per
+        if lo >= n:
+            break
+        pq.write_table(
+            out.slice(lo, min(per, n - lo)),
+            os.path.join(d, f"part-{i:05d}.parquet"),
+        )
 
 REPLICATE_KEYS = {
     "customer": ["c_custkey"],
@@ -95,7 +124,7 @@ def replicate(src: str, dst: str, table: str, k_factor: int) -> int:
             cols.append(col)
         chunks.append(pa.table(dict(zip(t.schema.names, cols)), schema=t.schema))
     out = pa.concat_tables(chunks)
-    pq.write_table(out, os.path.join(dst, f"{table}.parquet"))
+    _write_sharded(out, dst, table)
     return out.num_rows
 
 
@@ -144,7 +173,7 @@ def gen_documents(src: str, dst: str, factor: int) -> int:
         },
         schema=t.schema,
     )
-    pq.write_table(tbl, os.path.join(dst, "documents.parquet"))
+    _write_sharded(tbl, dst, "documents")
     return n_new
 
 
@@ -176,7 +205,7 @@ def gen_embeddings(src: str, dst: str, factor: int) -> int:
         },
         schema=t.schema,
     )
-    pq.write_table(tbl, os.path.join(dst, "embeddings.parquet"))
+    _write_sharded(tbl, dst, "embeddings")
     return n_new
 
 
