@@ -180,12 +180,15 @@ class PdfplumberParser:
     header phrase of TABLE_COLUMNS on page 0 via ``extract_words()``,
     use their exact x0s (+ page.width-1) as explicit vertical lines
     with a text horizontal strategy (:func:`detect_vert_lines`),
-    re-detected per FILE via :class:`LayoutCache`. Unavailable in
-    this container (no pdfplumber) — constructing it raises
+    re-detected per FILE via :class:`LayoutCache`. The dependency is
+    the packaged ``[pdf]`` extra (``pip install .[pdf]`` —
+    pyproject.toml); without it, constructing raises
     NotImplementedError so callers fail fast and the sniffing parser
     falls back to the dependency-free ``minipdf`` (golden-tested
-    against this parser's geometry on the reference fixture); the
-    settings dict it would pass is the module-level tested
+    against this parser's geometry on the reference fixture). With
+    the extra installed, ``tests/test_minipdf.py`` runs this real
+    branch against the same golden table; the settings dict it
+    passes is the module-level tested
     :func:`pdfplumber_table_settings`.
     """
 
