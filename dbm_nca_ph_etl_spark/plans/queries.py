@@ -12389,3 +12389,381 @@ def mann_whitney_u_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div (2 * min(n1) * min(n2))"
         ).cast("long").alias("cles_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase r8 — product-analytics kernel: cohorts, funnels, attribution,
+# windowed point-joins, grid-exact percentiles
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "cohort_retention_events",
+    """
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+    g AS (
+      SELECT cohort_day, day - cohort_day AS offset_days,
+             count(DISTINCT d.user_id)::BIGINT AS n_active
+      FROM d JOIN f USING (user_id) GROUP BY 1, 2
+    )
+    SELECT cohort_day::BIGINT AS cohort_day, offset_days::BIGINT AS offset_days,
+           n_active,
+           (max(CASE WHEN offset_days = 0 THEN n_active END)
+              OVER (PARTITION BY cohort_day))::BIGINT AS cohort_size,
+           (n_active * 1000000
+              // max(CASE WHEN offset_days = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_day))::BIGINT AS retention_ppm
+    FROM g
+    """,
+    doc="Cohort retention matrix — the standard corpus/product "
+    "growth audit: users grouped by first-activity day, distinct "
+    "actives counted at each day offset, retention as an exact "
+    "integer ppm of cohort size. Day ids are epoch-microsecond "
+    "integer division (TZ-independent, exact; operands non-negative "
+    "so Spark div ≡ DuckDB //). Plan: one user-keyed agg for the "
+    "cohort day, a user-keyed shuffle join back (both sides "
+    "co-partition on user_id), one (cohort, offset) agg with "
+    "Spark's two-phase distinct. The cohort_size backfill window "
+    "runs POST-AGG over the cohort×offset grid — bounded by "
+    "days-in-corpus², metadata-sized at any row scale (the "
+    "grid_cumsums discipline). Every user is active on their cohort "
+    "day, so offset 0 is always present and cohort_size never null.",
+    tags=("relational", "events", "bench"),
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_us div {_US_PER_DAY}").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    grid = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days")
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_day")
+    size = F.max(
+        F.when(F.col("offset_days") == 0, F.col("n_active"))
+    ).over(w)
+    return grid.select(
+        F.col("cohort_day").cast("long").alias("cohort_day"),
+        F.col("offset_days").cast("long").alias("offset_days"),
+        "n_active",
+        size.cast("long").alias("cohort_size"),
+        (F.col("n_active") * 1000000).cast("long").alias("_num"),
+    ).select(
+        "cohort_day",
+        "offset_days",
+        "n_active",
+        "cohort_size",
+        F.expr("_num div cohort_size").cast("long").alias("retention_ppm"),
+    )
+
+
+@register(
+    "funnel_conversion_events",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    u AS (SELECT DISTINCT user_id FROM e),
+    v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(ts_us) AS t_click
+          FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts_us > t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(ts_us) AS t_purchase
+          FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY e.user_id)
+    SELECT count(*)::BIGINT AS n_users,
+           count(t_view)::BIGINT AS n_view,
+           count(t_click)::BIGINT AS n_click_after_view,
+           count(t_purchase)::BIGINT AS n_purchase_after_click,
+           (count(t_view) * 1000000 // count(*))::BIGINT AS view_ppm,
+           (count(t_click) * 1000000 // count(*))::BIGINT AS click_ppm,
+           (count(t_purchase) * 1000000 // count(*))::BIGINT AS purchase_ppm
+    FROM u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+    doc="Ordered conversion funnel view → click → purchase: a user "
+    "advances a step only with an event STRICTLY AFTER their "
+    "previous step's first completion (the textbook funnel "
+    "semantics; an early purchase before any view does not count). "
+    "Plan: three user-keyed min-aggregations chained by inner joins "
+    "(each stage's frame shrinks monotonically), then left joins "
+    "off the distinct-user spine folded to ONE row of step counts "
+    "and exact ppm conversion rates. Every shuffle is user-keyed — "
+    "co-partitioned end to end, no window, no skew pivot (a user's "
+    "events bound each min). Counts are non-negative so Spark div "
+    "≡ DuckDB // in the ppm columns.",
+    tags=("relational", "events"),
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    u = e.select("user_id").distinct()
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    spine = (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+    )
+    n = F.count(F.lit(1))
+    return spine.agg(
+        n.cast("long").alias("n_users"),
+        F.count("t_view").cast("long").alias("n_view"),
+        F.count("t_click").cast("long").alias("n_click_after_view"),
+        F.count("t_purchase").cast("long").alias("n_purchase_after_click"),
+        F.expr("(count(t_view) * 1000000) div count(1)")
+        .cast("long")
+        .alias("view_ppm"),
+        F.expr("(count(t_click) * 1000000) div count(1)")
+        .cast("long")
+        .alias("click_ppm"),
+        F.expr("(count(t_purchase) * 1000000) div count(1)")
+        .cast("long")
+        .alias("purchase_ppm"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    f"""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+             {_SQL_CENTS.format(v='value')} AS cents,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10
+             END AS camp
+      FROM events
+    ),
+    lt AS (
+      SELECT event_type, cents,
+             last_value(camp IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS campaign
+      FROM t
+    )
+    SELECT campaign::INT AS campaign,
+           count(*)::BIGINT AS n_purchases,
+           sum(cents)::BIGINT AS attributed_cents
+    FROM lt WHERE event_type = 'purchase'
+    GROUP BY campaign
+    """,
+    doc="Last-touch revenue attribution: each purchase's cents are "
+    "credited to the campaign (props.k mod 10) of the SAME user's "
+    "most recent click/view at-or-before the purchase; purchases "
+    "with no prior touch fall in the NULL campaign bucket. One "
+    "running last(ignorenulls) window partitioned by user — the "
+    "scale unit is a single user's event stream, never a global "
+    "order — with (ts_us, event_id) as the deterministic total "
+    "order (DuckDB twin: last_value(x IGNORE NULLS)). Then a "
+    "campaign-keyed agg over the ~10-row campaign domain. The "
+    "multi-touch/windowed variant is purchase_window_click_join.",
+    tags=("window", "events", "bench"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    camp = (
+        F.get_json_object("props", "$.k").try_cast("int") % 10
+    )
+    t = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        _cents(F.col("value")).alias("cents"),
+        F.when(F.col("event_type").isin("click", "view"), camp).alias("camp"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lt = t.select(
+        "event_type",
+        "cents",
+        F.last("camp", ignorenulls=True).over(w).alias("campaign"),
+    )
+    return (
+        lt.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("campaign").cast("int").alias("campaign"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("attributed_cents"),
+        )
+    )
+
+
+@register(
+    "purchase_window_click_join",
+    f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t,
+             {_SQL_CENTS.format(v='value')} AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS ct FROM events
+      WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.event_id, p.cents, count(c.ct)::BIGINT AS n_clicks
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.ct < p.t AND c.ct >= p.t - 3600000000
+      GROUP BY p.event_id, p.cents
+    )
+    SELECT n_clicks, count(*)::BIGINT AS n_purchases,
+           sum(cents)::BIGINT AS sum_cents
+    FROM j GROUP BY n_clicks
+    """,
+    doc="Point-in-window join: for every purchase, count the same "
+    "user's clicks in the preceding hour, folded to a histogram "
+    "(how many purchases had 0, 1, 2... supporting clicks — the "
+    "multi-touch companion to attribution_last_touch). The oracle "
+    "states it as a range join (DuckDB's IEJoin eats it); the Spark "
+    "plan uses the BUCKETED form every range join at scale reduces "
+    "to: an hour-long window spans at most 2 hour buckets, so each "
+    "purchase explodes to its 2 candidate (user, hour) keys and the "
+    "join is pure equi-join on (user_id, hour_bucket) — shuffle-"
+    "hashable, prunable, no range-predicate nested loop anywhere. "
+    "A click matches exactly one candidate bucket of a given "
+    "purchase (its own), so no dedup step is needed; unmatched "
+    "purchases rejoin with count 0 via the left spine.",
+    tags=("relational", "events", "bench"),
+)
+def purchase_window_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("t"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us").alias("ct"),
+        F.expr(f"ts_us div {_US_PER_HOUR}").alias("hb"),
+    )
+    cand = pur.withColumn(
+        "hb",
+        F.explode(
+            F.array(
+                F.expr(f"t div {_US_PER_HOUR} - 1"),
+                F.expr(f"t div {_US_PER_HOUR}"),
+            )
+        ),
+    )
+    hits = (
+        cand.join(clk, ["user_id", "hb"])
+        .where(
+            (F.col("ct") < F.col("t"))
+            & (F.col("ct") >= F.col("t") - _US_PER_HOUR)
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"))
+    )
+    per_purchase = pur.join(hits, "event_id", "left").select(
+        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
+        "cents",
+    )
+    return per_purchase.groupBy("n_clicks").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+@register(
+    "value_percentiles_by_type",
+    f"""
+    WITH g AS (
+      SELECT event_type, {_SQL_CENTS.format(v='value')} AS v,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, v, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM g
+    )
+    SELECT event_type, min(tot)::BIGINT AS n,
+           min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN v END)::BIGINT
+             AS p50_cents,
+           min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN v END)::BIGINT
+             AS p90_cents,
+           min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN v END)::BIGINT
+             AS p99_cents
+    FROM c GROUP BY event_type
+    """,
+    doc="Exact discrete percentiles (p50/p90/p99, nearest-rank "
+    "ceil(p·n) — the percentile_disc definition) of the cents value "
+    "per event type. NOT a per-type sort of the data: the rows "
+    "aggregate to the (type, distinct-cents) GRID first, and the "
+    "rank pick is a cumulative count over that grid — the "
+    "partitioned window's partition is a type's value grid "
+    "(domain-bounded, ≤49 002 rows regardless of corpus size), the "
+    "same discipline grid_cumsums enforces for the two-sample "
+    "stats. All rank arithmetic is integer-exact ((tot·p+99) div "
+    "100 = ceil with non-negative operands, identical on both "
+    "engines); ties and duplicate values are handled by "
+    "construction since the grid is distinct.",
+    tags=("window", "events", "quality"),
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.groupBy("event_type", _cents(F.col("value")).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "v",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wa).alias("tot"),
+    )
+
+    def pick(p: int) -> Column:
+        rank = F.expr(f"(tot * {p} + 99) div 100")
+        return F.min(F.when(F.col("cum") >= rank, F.col("v"))).cast("long")
+
+    return c.groupBy("event_type").agg(
+        F.min("tot").cast("long").alias("n"),
+        pick(50).alias("p50_cents"),
+        pick(90).alias("p90_cents"),
+        pick(99).alias("p99_cents"),
+    )
