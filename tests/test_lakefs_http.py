@@ -466,3 +466,52 @@ class TestSigV4:
         )
         with pytest.raises(OSError):
             fs.write_bytes("/s/y.json", b"payload")
+
+
+class TestMatviewRaceOnHttpCas:
+    """The matview two-writer refresh race on a store whose lease CAS
+    is genuinely atomic (server-arbitrated If-None-Match) — the
+    marker-commit protocol's exactly-once claim exercised on real
+    conditional-PUT semantics rather than POSIX O_EXCL."""
+
+    def _mk(self, spark, path, fs):
+        from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg, Measure
+
+        return MaterializedAgg(
+            spark,
+            path,
+            keys=["k"],
+            measures=[Measure("n", "v", "count"), Measure("s", "v", "sum")],
+            fs=fs,
+        )
+
+    def test_two_refreshers_no_shadowed_version(self, spark, tmp_path, fs):
+        path = str(tmp_path / "mv")
+        batches = {f"b{i}": [("a", i), ("b", 2 * i)] for i in range(6)}
+        errs: list[Exception] = []
+        applied: list[str] = []
+
+        def worker(ids):
+            mv = self._mk(spark, path, fs)  # own lease identity
+            for bid in ids:
+                df = spark.createDataFrame(batches[bid], "k string, v long")
+                try:
+                    if mv.refresh(df, bid):
+                        applied.append(bid)
+                except Exception as e:  # noqa: BLE001 — surfaced below
+                    errs.append(e)
+
+        ts = [
+            threading.Thread(target=worker, args=(["b0", "b1", "b2"],)),
+            threading.Thread(target=worker, args=(["b3", "b4", "b5"],)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        assert sorted(applied) == [f"b{i}" for i in range(6)]
+        mv = self._mk(spark, path, fs)
+        got = {r.k: (r.n, r.s) for r in mv.read_partials().collect()}
+        assert got == {"a": (6, 15), "b": (6, 30)}
+        assert [n for n, _, _ in mv._versions()] == [4, 5]
