@@ -12767,3 +12767,219 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(90).alias("p90_cents"),
         pick(99).alias("p99_cents"),
     )
+
+
+@register(
+    "rolling_dau_7d",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT t.day::BIGINT AS day,
+           count(DISTINCT CASE WHEN d.day = t.day THEN d.user_id END)::BIGINT
+             AS dau,
+           count(DISTINCT d.user_id)::BIGINT AS dau7,
+           (count(DISTINCT CASE WHEN d.day = t.day THEN d.user_id END)
+              * 1000000 // count(DISTINCT d.user_id))::BIGINT
+             AS stickiness_ppm
+    FROM days t JOIN d ON d.day BETWEEN t.day - 6 AND t.day
+    GROUP BY t.day
+    """,
+    doc="Rolling 7-day distinct active users per day, with same-day "
+    "DAU and the DAU/WAU stickiness ratio as an exact ppm. The "
+    "oracle states the range join directly; the Spark plan uses the "
+    "scale form of every sliding-distinct: dedup to the (user, day) "
+    "grid first (one exact-distinct shuffle — the only pass over "
+    "row-scale data), then EXPLODE each grid cell to the ≤7 target "
+    "days it contributes to and run one (day)-keyed distinct-count. "
+    "Work is 7×|user-day grid| — bounded by users × days, never by "
+    "raw events — and no window ever orders the full stream. "
+    "Target days outside the observed corpus window are clipped by "
+    "the semi join against the day grid, matching the oracle's "
+    "days-grid driving side.",
+    tags=("relational", "events", "bench"),
+)
+def rolling_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_us div {_US_PER_DAY}").alias("day")
+    )
+    ud = ev.distinct()  # (user, day) grid — the only row-scale pass
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.col("day").alias("src_day"),
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("day"),
+    ).join(days, "day", "left_semi")
+    return (
+        contrib.groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("src_day") == F.col("day"), F.col("user_id"))
+            ).cast("long").alias("dau"),
+            F.countDistinct("user_id").cast("long").alias("dau7"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "dau",
+            "dau7",
+            F.expr("(dau * 1000000) div dau7").cast("long").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "ship_latency_sla",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // 86400000000 AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    g AS (
+      SELECT o_orderpriority, days, count(*)::BIGINT AS n
+      FROM lat GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT o_orderpriority, days, n,
+             sum(n) OVER (PARTITION BY o_orderpriority ORDER BY days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY o_orderpriority) AS tot
+      FROM g
+    )
+    SELECT o_orderpriority, min(tot)::BIGINT AS n_lineitems,
+           min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN days END)::BIGINT
+             AS p50_days,
+           min(CASE WHEN cum >= (tot * 95 + 99) // 100 THEN days END)::BIGINT
+             AS p95_days,
+           min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN days END)::BIGINT
+             AS p99_days,
+           sum(CASE WHEN days > 90 THEN n ELSE 0 END)::BIGINT AS n_breach,
+           (sum(CASE WHEN days > 90 THEN n ELSE 0 END) * 1000000
+              // min(tot))::BIGINT AS breach_ppm
+    FROM c GROUP BY o_orderpriority
+    """,
+    doc="Order-to-ship latency SLA audit per order priority: exact "
+    "nearest-rank p50/p95/p99 of shipping latency in whole days, "
+    "plus the >90-day breach count and exact ppm rate. The "
+    "fact-fact lineitem⋈orders join shuffles both sides on "
+    "orderkey (co-partitioned; at lake scale the keyed layout makes "
+    "it co-located). Latency lands on a DAY grid — domain-bounded "
+    "(order horizon ≈ years → thousands of distinct day values) — "
+    "so the per-priority percentile windows run over a "
+    "metadata-sized grid, same discipline as "
+    "value_percentiles_by_type, never sorting row-scale data. Day "
+    "arithmetic is integer epoch-µs division (non-negative: ships "
+    "follow orders).",
+    tags=("relational", "quality", "bench"),
+)
+def ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.expr(
+            "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " l_shipdate) - timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate))"
+            f" div {_US_PER_DAY}"
+        ).alias("days"),
+    )
+    g = lat.groupBy("o_orderpriority", "days").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy("o_orderpriority")
+    c = g.select(
+        "o_orderpriority",
+        "days",
+        "n",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wa).alias("tot"),
+    )
+
+    def pick(p: int) -> Column:
+        rank = F.expr(f"(tot * {p} + 99) div 100")
+        return F.min(F.when(F.col("cum") >= rank, F.col("days"))).cast("long")
+
+    breach = F.sum(F.when(F.col("days") > 90, F.col("n")).otherwise(0))
+    return c.groupBy("o_orderpriority").agg(
+        F.min("tot").cast("long").alias("n_lineitems"),
+        pick(50).alias("p50_days"),
+        pick(95).alias("p95_days"),
+        pick(99).alias("p99_days"),
+        breach.cast("long").alias("n_breach"),
+        F.expr(
+            "(sum(CASE WHEN days > 90 THEN n ELSE 0 END) * 1000000)"
+            " div min(tot)"
+        ).cast("long").alias("breach_ppm"),
+    )
+
+
+@register(
+    "copurchase_part_pairs",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             count(*)::BIGINT AS n_orders
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 20
+    """,
+    doc="Market-basket co-occurrence: the 20 part pairs most often "
+    "bought in the same order (support counts; the frequent-itemset "
+    "k=2 kernel behind recommendations and basket analysis). The "
+    "pair generation is a SELF-join on orderkey — NOT a cartesian "
+    "risk: pairs per order are C(items,2) with order size bounded "
+    "by the schema (TPC-H ≤7 lineitems, real baskets similarly "
+    "capped), so pair count is a constant factor of lineitem count "
+    "at any corpus scale. Dedup to (order, part) first so quantity "
+    "splits don't double-count a pair; `<` canonicalizes pair "
+    "order. Top-20 is a total-ordered limit over the aggregated "
+    "pair-count frame with full (n DESC, p1, p2) tie-break — "
+    "deterministic, and Spark executes it as TakeOrderedAndProject "
+    "(per-partition top-k + driver merge), never a global sort.",
+    tags=("relational", "bench"),
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), F.col("p1"), F.col("p2")
+    ).limit(20)

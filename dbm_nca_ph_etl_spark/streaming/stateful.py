@@ -236,3 +236,75 @@ def streaming_simhash_dedup(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_last_touch(
+    stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    campaign_col: str = "campaign",
+    value_col: str = "cents",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Attribution at ingest — the streaming twin of the batch
+    ``attribution_last_touch`` catalog query: each conversion is
+    emitted once, credited to the campaign of the SAME user's latest
+    touch seen so far (at-or-before the conversion in (ts, id)
+    order). State per user is one (campaign, ts, id) triple —
+    O(users), hash-partitioned by user across the cluster.
+
+    Ordering contract: rows are sorted by (ts, id) WITHIN each
+    micro-batch; ACROSS batches the feed must be per-user in order
+    (the keyed-by-user partitioned-log layout). A touch that arrives
+    after its conversion's batch cannot retroactively re-attribute —
+    the emitted row is immutable, the same at-least-once-emission
+    discipline as every append-mode stateful op here. Conversions
+    with no prior touch emit a NULL campaign, matching the batch
+    query's NULL bucket.
+
+    The caller extracts ``campaign_col``/``value_col`` upstream
+    (codegen expressions, e.g. get_json_object on the message body)
+    so the stateful kernel only routes typed columns.
+    """
+    out_schema = (
+        f"{user_col} long, {id_col} long, {ts_col} long, "
+        f"{value_col} long, {campaign_col} int"
+    )
+
+    def attribute(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        camp = None
+        if state.exists:
+            (camp,) = state.get
+        chunks = [p for p in pdfs if len(p)]
+        out: list[tuple] = []
+        if chunks:
+            rows = pd.concat(chunks).sort_values([ts_col, id_col])
+            for r in rows.itertuples(index=False):
+                rd = r._asdict()
+                if rd[type_col] in touch_types:
+                    c = rd[campaign_col]
+                    camp = None if pd.isna(c) else int(c)
+                elif rd[type_col] == conversion_type:
+                    out.append(
+                        (key[0], rd[id_col], rd[ts_col], rd[value_col], camp)
+                    )
+        state.update((camp,))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[user_col, id_col, ts_col, value_col, campaign_col],
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        attribute,
+        outputStructType=out_schema,
+        stateStructType=f"{campaign_col} int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

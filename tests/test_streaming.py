@@ -1583,3 +1583,64 @@ class TestCkptIdentityNormalized:
         got = {r.k: r.v for r in read_keyed(spark, path).collect()}
         assert got == {0: "seed"}
         assert CommitLog(path).version() == 1  # no duplicate entry
+
+
+class TestStreamingLastTouch:
+    """Streaming last-touch attribution: cross-batch state carries the
+    latest touch; emissions match the batch window formula
+    (attribution_last_touch's F.last-ignorenulls semantics)."""
+
+    SCHEMA = (
+        "user_id long, event_id long, ts_us long, event_type string, "
+        "campaign int, cents long"
+    )
+
+    def _feed(self, spark, src, rows):
+        spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def test_cross_batch_attribution(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.streaming.stateful import streaming_last_touch
+
+        src = str(tmp_path / "ev_src")
+        # batch 1: u1 touches camp 3 then converts; u2 converts with
+        # NO prior touch; u1 touches camp 5 late in the batch
+        self._feed(spark, src, [
+            (1, 10, 100, "click", 3, None),
+            (1, 11, 200, "purchase", None, 700),
+            (2, 12, 150, "purchase", None, 900),
+            (1, 13, 300, "view", 5, None),
+        ])
+        # batch 2: u1 converts again -> credited to camp 5 carried in
+        # STATE from batch 1; u2 touches then converts at equal ts
+        # (id tie-break: touch id < purchase id so it counts)
+        self._feed(spark, src, [
+            (1, 20, 400, "purchase", None, 1100),
+            (2, 21, 500, "click", 7, None),
+            (2, 22, 500, "purchase", None, 1300),
+        ])
+        stream = (
+            spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_last_touch(stream)
+            .writeStream.format("memory")
+            .queryName("lt_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.event_id: (r.user_id, r.cents, r.campaign)
+            for r in spark.sql("SELECT * FROM lt_test").collect()
+        }
+        assert got == {
+            11: (1, 700, 3),     # in-batch touch before conversion
+            12: (2, 900, None),  # no prior touch -> NULL bucket
+            20: (1, 1100, 5),    # campaign carried across batches
+            22: (2, 1300, 7),    # same-ts touch wins via id order
+        }
