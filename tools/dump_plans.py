@@ -265,6 +265,28 @@ SHOWCASE = {
         "only single-task frame is the block-count-sized offset fold. "
         "The statistic itself folds in one agg over exact int64s."
     ),
+    "purchase_window_click_join": (
+        "A range join ('clicks in the hour before each purchase') "
+        "planned as pure equi-joins: the hour-wide window spans ≤2 "
+        "hour buckets, so purchases explode to 2 candidate (user, "
+        "bucket) keys and the plan shows a ShuffledHashJoin/SMJ on "
+        "(user_id, hb) with the time predicate as a post-join filter "
+        "— no BroadcastNestedLoopJoin, no range-condition nested "
+        "loop anywhere. The left spine re-join on event_id fills "
+        "zero-click purchases. This is the shape EVERY point-in-"
+        "window join at 100 TB reduces to; the oracle states the "
+        "same query as a literal range join for DuckDB's IEJoin."
+    ),
+    "rolling_dau_7d": (
+        "Sliding-window distinct without a sliding window: one exact "
+        "distinct to the (user, day) grid is the only pass over "
+        "row-scale data; each grid cell then explodes to its ≤7 "
+        "target days and a day-keyed distinct-count folds the "
+        "answer. The plan has no window operator at all — two "
+        "hash-aggregate pyramids and one left-semi day clip — so "
+        "there is nothing to skew: work is 7×|user-day grid| however "
+        "large the raw stream."
+    ),
 }
 
 
