@@ -50,6 +50,16 @@ QUERIES: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
     def deco(fn):
+        # fail LOUDLY on a name collision: a silent overwrite shadows
+        # a query (dead code the gate still reports green under the
+        # survivor's semantics) — exactly what happened to the r?
+        # double-registered event_funnel, caught in r8.
+        if name in QUERIES:
+            raise ValueError(
+                f"catalog query name {name!r} registered twice; "
+                "rename one — a silent overwrite shadows the first "
+                "implementation"
+            )
         QUERIES[name] = Query(name, fn, oracle, doc, tags)
         return fn
 
@@ -3214,63 +3224,6 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "event_funnel",
-    """
-    WITH v AS (
-      SELECT user_id, min(epoch_us(ts)) AS t FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ),
-    c AS (
-      SELECT e.user_id, min(epoch_us(e.ts)) AS t
-      FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t
-      WHERE e.event_type = 'click' GROUP BY e.user_id
-    ),
-    p AS (
-      SELECT e.user_id, min(epoch_us(e.ts)) AS t
-      FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t
-      WHERE e.event_type = 'purchase' GROUP BY e.user_id
-    )
-    SELECT (SELECT count(*) FROM v) AS n_view,
-           (SELECT count(*) FROM c) AS n_view_click,
-           (SELECT count(*) FROM p) AS n_full_funnel
-    """,
-    doc="Ordered conversion funnel (view → click-after-view → "
-    "purchase-after-click) — the standard product-analytics sequence "
-    "query. Each stage is a per-user min-timestamp agg semi-reduced "
-    "by a broadcast of the previous stage's (user, t) frontier: the "
-    "event fact is scanned per stage with the type filter pushed "
-    "down, and only user-level frontiers (tiny vs the fact) move. "
-    "The 'after' constraint is a non-equi residual on the broadcast "
-    "join, not a window over the whole stream.",
-    tags=("window", "events"),
-)
-def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-
-    def stage(etype, prev):
-        s = e.where(F.col("event_type") == etype)
-        if prev is not None:
-            s = s.join(
-                F.broadcast(prev),
-                (F.col("user_id") == F.col("_pu")) & (F.col("ts_us") > F.col("_pt")),
-            )
-        return s.groupBy("user_id").agg(F.min("ts_us").alias("t"))
-
-    def frontier(df):
-        return df.select(F.col("user_id").alias("_pu"), F.col("t").alias("_pt"))
-
-    v = stage("view", None)
-    c = stage("click", frontier(v))
-    p = stage("purchase", frontier(c))
-    # single-row frames: broadcast explicitly — relying on the
-    # auto-broadcast threshold leaves a CartesianProduct when stats
-    # are missing (caught by tests/test_plan_lint.py)
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
-        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
-    )
 
 
 @register(
@@ -12494,10 +12447,12 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN c USING (user_id)
     LEFT JOIN p USING (user_id)
     """,
-    doc="Ordered conversion funnel view → click → purchase: a user "
-    "advances a step only with an event STRICTLY AFTER their "
-    "previous step's first completion (the textbook funnel "
-    "semantics; an early purchase before any view does not count). "
+    doc="Conversion-RATE ledger for the ordered funnel view → click "
+    "→ purchase (companion to event_funnel, which reports the "
+    "per-step attainment rows; this one folds to one row of counts "
+    "plus exact ppm rates over the full user base). A user advances "
+    "a step only with an event STRICTLY AFTER their previous step's "
+    "first completion (the textbook funnel semantics). "
     "Plan: three user-keyed min-aggregations chained by inner joins "
     "(each stage's frame shrinks monotonically), then left joins "
     "off the distinct-user spine folded to ONE row of step counts "
@@ -12928,58 +12883,3 @@ def ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "copurchase_part_pairs",
-    """
-    WITH li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    pairs AS (
-      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
-             count(*)::BIGINT AS n_orders
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2
-    )
-    SELECT p1, p2, n_orders
-    FROM pairs
-    ORDER BY n_orders DESC, p1, p2
-    LIMIT 20
-    """,
-    doc="Market-basket co-occurrence: the 20 part pairs most often "
-    "bought in the same order (support counts; the frequent-itemset "
-    "k=2 kernel behind recommendations and basket analysis). The "
-    "pair generation is a SELF-join on orderkey — NOT a cartesian "
-    "risk: pairs per order are C(items,2) with order size bounded "
-    "by the schema (TPC-H ≤7 lineitems, real baskets similarly "
-    "capped), so pair count is a constant factor of lineitem count "
-    "at any corpus scale. Dedup to (order, part) first so quantity "
-    "splits don't double-count a pair; `<` canonicalizes pair "
-    "order. Top-20 is a total-ordered limit over the aggregated "
-    "pair-count frame with full (n DESC, p1, p2) tie-break — "
-    "deterministic, and Spark executes it as TakeOrderedAndProject "
-    "(per-partition top-k + driver merge), never a global sort.",
-    tags=("relational", "bench"),
-)
-def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-    )
-    return pairs.orderBy(
-        F.col("n_orders").desc(), F.col("p1"), F.col("p2")
-    ).limit(20)
