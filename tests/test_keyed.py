@@ -403,3 +403,71 @@ class TestKeyedOnObjectStore:
         assert "tag" in out.columns
         assert out.where(F.col("id") == 1).collect()[0].tag == "extra"
         assert out.where(F.col("id") == 2).collect()[0].tag is None
+
+
+class TestDeleteEmptiedBucket:
+    """delete_keyed on a bucket whose every key is deleted: dynamic
+    partition overwrite never touches a partition absent from the
+    written data, so the emptied directory must be removed explicitly
+    — and a crash between the overwrite and that removal must replay
+    to convergence (T6 at-least-once discipline)."""
+
+    def _mk(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "id long, name string"
+        )
+        write_keyed(base, path, ["id"], num_buckets=4)
+        return path
+
+    def test_bucket_emptied_by_delete_disappears(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path)
+        base = spark.read.parquet(path)
+        victim = base.select(KB_COL).first()[0]
+        doomed = base.where(F.col(KB_COL) == victim).select("id")
+        n_doomed = doomed.count()
+        touched = delete_keyed(spark, path, doomed, ["id"])
+        assert victim in touched
+        got = read_keyed(spark, path)
+        assert got.count() == 40 - n_doomed
+        # the directory itself is gone — no stale files behind the scan
+        import os
+        assert not os.path.exists(os.path.join(path, f"{KB_COL}={victim}"))
+
+    def test_crash_before_dir_removal_replays_to_convergence(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from dbm_nca_ph_etl_spark.sources import lakefs as LFS
+
+        path = self._mk(spark, tmp_path)
+        base = spark.read.parquet(path)
+        victim = base.select(KB_COL).first()[0]
+        doomed = (
+            base.where(F.col(KB_COL) == victim)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+
+        real = LFS.PosixLakeFS.delete_dir
+        calls = {"n": 0}
+
+        def crashing(self_, p):
+            calls["n"] += 1
+            raise RuntimeError("crash before emptied-dir removal")
+
+        monkeypatch.setattr(LFS.PosixLakeFS, "delete_dir", crashing)
+        with pytest.raises(RuntimeError, match="crash before"):
+            delete_keyed(spark, path, doomed, ["id"])
+        assert calls["n"] == 1
+        # crash window: the old files are still visible (documented
+        # at-least-once exposure), nothing is torn
+        assert read_keyed(spark, path).count() == 40
+
+        monkeypatch.setattr(LFS.PosixLakeFS, "delete_dir", real)
+        # replay converges: same batch, same outcome as a clean run
+        touched = delete_keyed(spark, path, doomed, ["id"])
+        assert victim in touched
+        import os
+        assert not os.path.exists(os.path.join(path, f"{KB_COL}={victim}"))
+        ids = {r.id for r in read_keyed(spark, path).collect()}
+        assert not ids & {r.id for r in doomed.collect()}
