@@ -250,8 +250,15 @@ def grid_cumsums(
 
     ``order_col`` must be numeric and distinct per row (it is a grid)
     — it feeds approxQuantile on the distributed path.
+
+    The input is materialized (``localCheckpoint``) before the
+    count: without it the guard's count job would run the upstream
+    aggregation once and the returned plan would recompute it on
+    collect — doubling the dominant scan+shuffle cost of every
+    caller. The checkpoint holds only the post-agg grid.
     """
     total_cols = list(value_cols if total_cols is None else total_cols)
+    df = df.localCheckpoint(eager=True)
     n_grid = df.count()
     if n_grid <= max_window_rows:
         upper = Window.currentRow if inclusive else -1
@@ -295,6 +302,50 @@ def grid_cumsums(
         .join(F.broadcast(totals), "_j")
         .drop("_j")
     )
+
+
+def grid_rank_picks(
+    grid: DataFrame,
+    order_col: str,
+    weight_col: str,
+    partition_by: Sequence[str] = (),
+):
+    """Shared scaffolding for exact nearest-rank statistics over a
+    (possibly partitioned) VALUE GRID: augments ``grid`` — one row
+    per (partition, distinct value) with a ``weight_col`` count —
+    with ``cum`` (running weight in ``order_col`` order) and ``tot``
+    (partition total), and returns a pick factory mapping an integer
+    percent to the nearest-rank value column
+    (``min value with cum ≥ ceil(p·tot/100)`` — the percentile_disc
+    definition, integer-exact for non-negative counts).
+
+    The window partition is a partition's value grid — domain-
+    bounded, metadata-sized at any corpus scale (the grid_cumsums
+    discipline; callers aggregate to the grid FIRST, this never
+    sorts row-scale data). Used by value_percentiles_by_type and
+    ship_latency_sla; their SQL twins spell the same cum/tot/pick
+    algebra inline.
+
+    Returns ``(augmented_df, pick)`` where ``pick(p)`` is an
+    AGGREGATE column — use inside a groupBy over ``partition_by``.
+    """
+    wc = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy(*partition_by)
+    out = grid.withColumn("cum", F.sum(weight_col).over(wc)).withColumn(
+        "tot", F.sum(weight_col).over(wa)
+    )
+
+    def pick(p: int) -> Column:
+        rank = F.expr(f"(tot * {int(p)} + 99) div 100")
+        return F.min(
+            F.when(F.col("cum") >= rank, F.col(order_col))
+        ).cast("long")
+
+    return out, pick
 
 
 def leading_run_concat(arr: Column, sep: str = " ") -> Column:

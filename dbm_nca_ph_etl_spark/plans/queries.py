@@ -12374,10 +12374,13 @@ _US_PER_HOUR = 3_600_000_000
                    OVER (PARTITION BY cohort_day))::BIGINT AS retention_ppm
     FROM g
     """,
-    doc="Cohort retention matrix — the standard corpus/product "
-    "growth audit: users grouped by first-activity day, distinct "
-    "actives counted at each day offset, retention as an exact "
-    "integer ppm of cohort size. Day ids are epoch-microsecond "
+    doc="Cohort retention matrix at EVENT grain — daily cohorts "
+    "over the event stream with exact ppm retention (the monthly "
+    "ORDER-grain matrix is cohort_retention; same discipline, "
+    "different fact, grain, and the ppm backfill this one adds): "
+    "users grouped by first-activity day, distinct actives counted "
+    "at each day offset, retention as an exact integer ppm of "
+    "cohort size. Day ids are epoch-microsecond "
     "integer division (TZ-independent, exact; operands non-negative "
     "so Spark div ≡ DuckDB //). Plan: one user-keyed agg for the "
     "cohort day, a user-keyed shuffle join back (both sides "
@@ -12699,23 +12702,7 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", _cents(F.col("value")).alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    wc = (
-        Window.partitionBy("event_type")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wa = Window.partitionBy("event_type")
-    c = g.select(
-        "event_type",
-        "v",
-        F.sum("n").over(wc).alias("cum"),
-        F.sum("n").over(wa).alias("tot"),
-    )
-
-    def pick(p: int) -> Column:
-        rank = F.expr(f"(tot * {p} + 99) div 100")
-        return F.min(F.when(F.col("cum") >= rank, F.col("v"))).cast("long")
-
+    c, pick = W.grid_rank_picks(g, "v", "n", partition_by=["event_type"])
     return c.groupBy("event_type").agg(
         F.min("tot").cast("long").alias("n"),
         pick(50).alias("p50_cents"),
@@ -12851,24 +12838,7 @@ def ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = lat.groupBy("o_orderpriority", "days").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    wc = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("days")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wa = Window.partitionBy("o_orderpriority")
-    c = g.select(
-        "o_orderpriority",
-        "days",
-        "n",
-        F.sum("n").over(wc).alias("cum"),
-        F.sum("n").over(wa).alias("tot"),
-    )
-
-    def pick(p: int) -> Column:
-        rank = F.expr(f"(tot * {p} + 99) div 100")
-        return F.min(F.when(F.col("cum") >= rank, F.col("days"))).cast("long")
-
+    c, pick = W.grid_rank_picks(g, "days", "n", partition_by=["o_orderpriority"])
     breach = F.sum(F.when(F.col("days") > 90, F.col("n")).otherwise(0))
     return c.groupBy("o_orderpriority").agg(
         F.min("tot").cast("long").alias("n_lineitems"),

@@ -80,7 +80,14 @@ class HttpCasLakeFS(LakeFS):
         if u.scheme not in ("http", "https"):
             raise ValueError(f"endpoint must be http(s)://..., got {endpoint!r}")
         self._scheme = u.scheme
-        self._host = u.netloc
+        # normalize away the scheme's default port: http.client omits
+        # it from the Host header it sends, so signing "host:443"
+        # would fail every SigV4 check with SignatureDoesNotMatch
+        netloc = u.netloc
+        default = ":443" if u.scheme == "https" else ":80"
+        if netloc.endswith(default):
+            netloc = netloc[: -len(default)]
+        self._host = netloc
         self._base = u.path.rstrip("/")  # "" or "/bucket"
         self._ak, self._sk, self._tok = access_key, secret_key, session_token
         self._region = region
@@ -186,7 +193,15 @@ class HttpCasLakeFS(LakeFS):
             for c in root.iter(f"{_NS}CommonPrefixes"):
                 prefixes.append(c.findtext(f"{_NS}Prefix"))
             if root.findtext(f"{_NS}IsTruncated") == "true":
-                token = root.findtext(f"{_NS}NextContinuationToken")
+                nxt = root.findtext(f"{_NS}NextContinuationToken")
+                if not nxt or nxt == token:
+                    # a truncated page without a fresh token would
+                    # refetch the same page forever — fail loudly
+                    raise OSError(
+                        f"LIST {prefix!r} truncated without a usable "
+                        "NextContinuationToken"
+                    )
+                token = nxt
                 continue
             return keys, prefixes
 
@@ -226,13 +241,24 @@ class HttpCasLakeFS(LakeFS):
             raise OSError(f"PUT {path!r} -> HTTP {status}")
 
     def exists(self, path):
+        """ONLY a 404 means absent. Mapping any non-200 (403, 500,
+        503...) to False would turn a transient store error into a
+        wrong commit/GC decision — e.g. matview GC deleting a
+        committed version whose ``_COMMITTED`` HEAD happened to 503,
+        or a keyed delete silently no-opping on a flaky meta HEAD."""
         status, _, _ = self._request("HEAD", self._key(path))
-        return status == 200
+        if status == 200:
+            return True
+        if status == 404:
+            return False
+        raise OSError(f"HEAD {path!r} -> HTTP {status}")
 
     def size(self, path):
         status, headers, _ = self._request("HEAD", self._key(path))
-        if status != 200:
+        if status == 404:
             raise FileNotFoundError(path)
+        if status != 200:
+            raise OSError(f"HEAD {path!r} -> HTTP {status}")
         hdr = {k.lower(): v for k, v in headers.items()}
         return int(hdr["content-length"])
 

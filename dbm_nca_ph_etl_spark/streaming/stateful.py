@@ -253,9 +253,14 @@ def streaming_last_touch(
     """Attribution at ingest — the streaming twin of the batch
     ``attribution_last_touch`` catalog query: each conversion is
     emitted once, credited to the campaign of the SAME user's latest
-    touch seen so far (at-or-before the conversion in (ts, id)
-    order). State per user is one (campaign, ts, id) triple —
-    O(users), hash-partitioned by user across the cluster.
+    campaign-bearing touch seen so far (at-or-before the conversion
+    in (ts, id) order; a touch whose campaign is NULL is skipped,
+    matching the batch twin's ``last(..., ignorenulls=True)``).
+    State per user is ONE campaign int — O(users), hash-partitioned
+    by user across the cluster. No touch timestamp is stored: the
+    in-order feed contract below is what makes the newest-wins
+    update correct, and an out-of-order touch in a later batch WILL
+    overwrite — there is no ts guard.
 
     Ordering contract: rows are sorted by (ts, id) WITHIN each
     micro-batch; ACROSS batches the feed must be per-user in order
@@ -289,7 +294,11 @@ def streaming_last_touch(
                 rd = r._asdict()
                 if rd[type_col] in touch_types:
                     c = rd[campaign_col]
-                    camp = None if pd.isna(c) else int(c)
+                    # a touch with a NULL campaign is SKIPPED, not a
+                    # reset — the batch twin's last(IGNORE NULLS)
+                    # retains the previous campaign past it
+                    if not pd.isna(c):
+                        camp = int(c)
                 elif rd[type_col] == conversion_type:
                     out.append(
                         (key[0], rd[id_col], rd[ts_col], rd[value_col], camp)

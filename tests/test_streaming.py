@@ -1612,10 +1612,13 @@ class TestStreamingLastTouch:
             (2, 12, 150, "purchase", None, 900),
             (1, 13, 300, "view", 5, None),
         ])
-        # batch 2: u1 converts again -> credited to camp 5 carried in
-        # STATE from batch 1; u2 touches then converts at equal ts
-        # (id tie-break: touch id < purchase id so it counts)
+        # batch 2: u1 hits a NULL-campaign touch (skipped, not a
+        # reset — batch twin is last IGNORE NULLS) then converts ->
+        # still credited to camp 5 carried in STATE from batch 1;
+        # u2 touches then converts at equal ts (id tie-break:
+        # touch id < purchase id so it counts)
         self._feed(spark, src, [
+            (1, 19, 350, "view", None, None),
             (1, 20, 400, "purchase", None, 1100),
             (2, 21, 500, "click", 7, None),
             (2, 22, 500, "purchase", None, 1300),
@@ -1641,6 +1644,6 @@ class TestStreamingLastTouch:
         assert got == {
             11: (1, 700, 3),     # in-batch touch before conversion
             12: (2, 900, None),  # no prior touch -> NULL bucket
-            20: (1, 1100, 5),    # campaign carried across batches
+            20: (1, 1100, 5),    # carried across batches; NULL touch skipped
             22: (2, 1300, 7),    # same-ts touch wins via id order
         }
