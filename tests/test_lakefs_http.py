@@ -515,3 +515,67 @@ class TestMatviewRaceOnHttpCas:
         got = {r.k: (r.n, r.s) for r in mv.read_partials().collect()}
         assert got == {"a": (6, 15), "b": (6, 30)}
         assert [n for n, _, _ in mv._versions()] == [4, 5]
+
+
+class TestAdapterErrorMapping:
+    """Only a 404 means absent; transient failures must raise, never
+    read as 'not there' (a wrong absent flips commit/GC decisions)."""
+
+    @pytest.fixture()
+    def flaky(self):
+        store = _Store()
+        base = _make_handler(store)
+        state = {"fail_next_head": 0, "truncate_lists": False}
+
+        class Flaky(base):
+            def do_HEAD(self):
+                if state["fail_next_head"]:
+                    state["fail_next_head"] -= 1
+                    self._reply(503)
+                    return
+                base.do_HEAD(self)
+
+            def _list(self, q):
+                if state["truncate_lists"]:
+                    xml = (
+                        '<?xml version="1.0"?><ListBucketResult '
+                        'xmlns="http://s3.amazonaws.com/doc/2006-03-01/">'
+                        "<IsTruncated>true</IsTruncated>"
+                        "<Contents><Key>t/x</Key></Contents>"
+                        "</ListBucketResult>"
+                    ).encode()
+                    self._reply(200, xml)
+                    return
+                base._list(self, q)
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        fs = HttpCasLakeFS(f"http://127.0.0.1:{srv.server_port}/{BUCKET}")
+        yield fs, state
+        srv.shutdown()
+
+    def test_head_5xx_raises_instead_of_absent(self, flaky):
+        fs, state = flaky
+        fs.write_bytes("/t/committed", b"x")
+        state["fail_next_head"] = 1
+        with pytest.raises(OSError, match="HTTP 503"):
+            fs.exists("/t/committed")
+        assert fs.exists("/t/committed") is True  # healthy again
+        state["fail_next_head"] = 1
+        with pytest.raises(OSError, match="HTTP 503"):
+            fs.size("/t/committed")
+
+    def test_truncated_list_without_token_raises(self, flaky):
+        fs, state = flaky
+        state["truncate_lists"] = True
+        with pytest.raises(OSError, match="NextContinuationToken"):
+            fs.ls("/t")
+
+    def test_default_port_stripped_from_host(self):
+        fs = HttpCasLakeFS("http://example.test:80/b")
+        assert fs._host == "example.test"
+        fs2 = HttpCasLakeFS("https://example.test:443/b")
+        assert fs2._host == "example.test"
+        fs3 = HttpCasLakeFS("http://example.test:9000/b")
+        assert fs3._host == "example.test:9000"  # non-default kept
