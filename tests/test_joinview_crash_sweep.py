@@ -147,3 +147,86 @@ def test_crash_at_every_mutation_converges(spark, tmp_path):
         assert got == want, (
             f"crash at mutation {crash_at}/{n_ops} diverged: {got} != {want}"
         )
+
+
+class _CrashHttpFS:
+    """Crash-injecting wrapper around the HTTP CAS adapter: raises
+    BEFORE issuing the n-th mutating HTTP call (the request never
+    reaches the store — a process death, not a torn write; torn
+    writes can't happen on single-PUT object semantics)."""
+
+    atomic_rename = False
+    atomic_cas = True
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.mutations = 0
+        self.crash_at: int | None = None
+
+    def _tick(self):
+        self.mutations += 1
+        if self.crash_at is not None and self.mutations == self.crash_at:
+            self.crash_at = None
+            raise RuntimeError(f"injected crash at mutation {self.mutations}")
+
+    def write_bytes(self, path, data):
+        self._tick()
+        self._inner.write_bytes(path, data)
+
+    def put_if_absent(self, path, data):
+        self._tick()
+        return self._inner.put_if_absent(path, data)
+
+    def delete_file(self, path):
+        self._tick()
+        self._inner.delete_file(path)
+
+    def delete_dir(self, path):
+        self._tick()
+        self._inner.delete_dir(path)
+
+    def __getattr__(self, name):  # read-only ops delegate untouched
+        return getattr(self._inner, name)
+
+
+@pytest.mark.slow
+def test_http_cas_strided_crash_sweep(spark, tmp_path):
+    """The joinview protocol on a store with REAL conditional-PUT
+    semantics (server-arbitrated If-None-Match over HTTP, disk-backed
+    so Spark and the seam see the same files). Full-density crashing
+    is covered by the Posix-semantics sweep above; here the reference
+    run plus a stride-5 sweep pins that the protocol's commit
+    decisions behave identically when the CAS is the store's."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    import test_lakefs_http as TLH
+    from dbm_nca_ph_etl_spark.sources.lakefs_http import HttpCasLakeFS
+
+    store = TLH._Store(root=str(tmp_path))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), TLH._make_handler(store))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = HttpCasLakeFS(
+            f"http://127.0.0.1:{srv.server_port}/{TLH.BUCKET}"
+        )
+        ref = _CrashHttpFS(base)
+        want = _scenario(spark, str(tmp_path / "ref"), ref)
+        assert want == [
+            (1, "o1", "c1"),
+            (1, "o1b", "c1"),
+            (2, "o2x", "c2"),
+        ]
+        n_ops = ref.mutations
+        assert n_ops > 5
+        for crash_at in range(1, n_ops + 1, 5):
+            fs = _CrashHttpFS(base)
+            fs.crash_at = crash_at
+            got = _scenario(spark, str(tmp_path / f"h{crash_at}"), fs)
+            assert got == want, (
+                f"http crash at mutation {crash_at}/{n_ops} diverged: "
+                f"{got} != {want}"
+            )
+    finally:
+        srv.shutdown()

@@ -28,14 +28,83 @@ BUCKET = "testbucket"
 
 
 class _Store:
-    """Server state: key -> bytes, one lock = the arbitration point."""
+    """Server state, one lock = the arbitration point. Two backends:
+    in-memory dict (default — sidecar-only protocols like txlog/
+    matview, where Spark never needs to see the store's objects) and
+    DISK-backed (``root=<dir>``: keys are absolute paths under root,
+    objects are real files — for protocols like joinview that list
+    Spark-written data directories through the seam)."""
 
-    def __init__(self):
+    def __init__(self, root: str | None = None):
         self.objects: dict[str, bytes] = {}
+        self.root = root.rstrip("/") if root else None
         self.lock = threading.Lock()
         # keys that should fail their FIRST conditional PUT with 409
         # (ConditionalRequestConflict) to exercise the retry path
         self.conflict_once: set[str] = set()
+
+    # storage backend (caller holds self.lock) -----------------------
+    def _fp(self, key: str) -> str:
+        import os
+
+        p = "/" + key
+        assert self.root and p.startswith(self.root + "/"), (key, self.root)
+        return p
+
+    def get(self, key):
+        if self.root is None:
+            return self.objects.get(key)
+        import os
+
+        p = self._fp(key)
+        if not os.path.isfile(p):
+            return None
+        with open(p, "rb") as fh:
+            return fh.read()
+
+    def put(self, key, data):
+        if self.root is None:
+            self.objects[key] = data
+            return
+        import os
+
+        p = self._fp(key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as fh:  # server-side single write
+            fh.write(data)
+
+    def has(self, key):
+        if self.root is None:
+            return key in self.objects
+        import os
+
+        return os.path.isfile(self._fp(key))
+
+    def pop(self, key):
+        if self.root is None:
+            return self.objects.pop(key, None) is not None
+        import os
+
+        p = self._fp(key)
+        if not os.path.isfile(p):
+            return False
+        os.remove(p)
+        return True
+
+    def keys_with_prefix(self, prefix):
+        if self.root is None:
+            return sorted(k for k in self.objects if k.startswith(prefix))
+        import os
+
+        p = "/" + prefix
+        start = p if os.path.isdir(p) else os.path.dirname(p)
+        out = []
+        for d, _, files in os.walk(start):
+            for f in files:
+                full = os.path.join(d, f)
+                if full.startswith(p):
+                    out.append(full.lstrip("/"))
+        return sorted(out)
 
 
 def _make_handler(store: _Store):
@@ -70,10 +139,10 @@ def _make_handler(store: _Store):
                     store.conflict_once.discard(key)
                     self._reply(409)
                     return
-                if cond and key in store.objects:
+                if cond and store.has(key):
                     self._reply(412)
                     return
-                store.objects[key] = data
+                store.put(key, data)
             self._reply(200)
 
         def do_GET(self):
@@ -83,7 +152,7 @@ def _make_handler(store: _Store):
                 return
             key = self._key()
             with store.lock:
-                body = store.objects.get(key)
+                body = store.get(key)
             if body is None:
                 self._reply(404)
             else:
@@ -92,7 +161,7 @@ def _make_handler(store: _Store):
         def do_HEAD(self):
             key = self._key()
             with store.lock:
-                body = store.objects.get(key)
+                body = store.get(key)
             if body is None:
                 self._reply(404)
             else:
@@ -104,14 +173,14 @@ def _make_handler(store: _Store):
         def do_DELETE(self):
             key = self._key()
             with store.lock:
-                existed = store.objects.pop(key, None) is not None
+                existed = store.pop(key)
             self._reply(204 if existed else 404)
 
         def _list(self, q):
             prefix = q.get("prefix", [""])[0]
             delim = q.get("delimiter", [None])[0]
             with store.lock:
-                keys = sorted(k for k in store.objects if k.startswith(prefix))
+                keys = store.keys_with_prefix(prefix)
             contents, prefixes = [], []
             seen = set()
             for k in keys:
