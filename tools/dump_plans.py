@@ -334,6 +334,46 @@ replay skipped with zero IO, compaction crash before/after the swap, lease
 fencing. The dual-stream helper (`streaming/agg_stream.stream_into_joinview`)
 inherits all of it â epochÂ·2/epochÂ·2+1 ids keep the two writers' batch ids
 disjoint, and the checkpoint replays into marker skips.
+
+## A true CAS under the commit protocols (r8 design note)
+
+Every multi-writer guarantee above bottoms out in one primitive:
+`LakeFS.put_if_absent` — the lease acquisition, the commit-log entry, the
+`_COMMITTED` marker. On POSIX it is `O_CREAT|O_EXCL` (kernel-arbitrated); on
+the pyarrow object-store leg it was check-then-write, demoting the dual-writer
+exactly-once claims to best-effort (the documented pre-conditional-PUT
+Delta-on-S3 position). r8 closes that: `sources/lakefs_http.HttpCasLakeFS`
+speaks the S3 REST dialect over stdlib HTTP with `If-None-Match: *` — the
+store itself arbitrates the race (200 won / 412 lost / 409 retry), SigV4 is
+implemented from the public signing spec in stdlib hmac, and `atomic_cas=True`
+tells the protocols the CAS is real. Error mapping is load-bearing: ONLY a 404
+means absent — a transient 503 on a `_COMMITTED` HEAD must raise, not read as
+"missing", or matview GC would delete a committed version on a network blip.
+
+The tests run the protocols on an in-process HTTP store whose conditional PUT
+is serialized server-side (semantics deliberately distinct from POSIX: no
+rename, no directories, list-by-prefix): the txlog lease/commit-log suite, the
+two-writer Spark keyed upsert, the matview concurrent-refresh race, and a
+strided joinview crash sweep on a disk-backed store mode (joinview lists
+Spark-written partition directories through the seam, so the store must see
+the same files Spark wrote). A verifying server re-derives SigV4 from the spec
+so signer drift fails loudly.
+
+## Incremental integrity on the keyed layout (r8 design note)
+
+`operators/integrity.table_digest` answers "is the replica identical?" without
+moving rows; r8 makes the answer INCREMENTAL where the table lives on the
+keyed layout: the digest bucket IS the layout bucket (`_kb`), so after a merge
+the refresh re-digests exactly the bucket directories the merge returned
+(partition-pruned scan — `keyed_digest(buckets=touched)`), `refresh_digest`
+splices them into the stored digest table, and `diff_digest` localizes any
+mismatch to its bucket. Verification cost tracks merge cost, not table size —
+the property that makes continuous replication auditing affordable at 100 TB.
+Writing the test exposed a real bug: dynamic partition overwrite never touches
+a partition absent from the written data, so deleting EVERY key in a bucket
+previously left the old files readable (silent failed delete); `delete_keyed`
+now removes emptied bucket directories explicitly through the seam, with a
+crash-replay test on the new window.
 """
 
 
