@@ -12853,3 +12853,140 @@ def ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "new_vs_returning_revenue",
+    f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             {_SQL_CENTS.format(v='value')} AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    f AS (SELECT user_id, min(day) AS first_day FROM p GROUP BY user_id)
+    SELECT p.day::BIGINT AS day,
+           sum(CASE WHEN p.day = f.first_day THEN cents ELSE 0 END)::BIGINT
+             AS new_cents,
+           sum(CASE WHEN p.day > f.first_day THEN cents ELSE 0 END)::BIGINT
+             AS returning_cents,
+           count(DISTINCT CASE WHEN p.day = f.first_day
+                               THEN p.user_id END)::BIGINT AS new_buyers,
+           count(DISTINCT CASE WHEN p.day > f.first_day
+                               THEN p.user_id END)::BIGINT AS returning_buyers
+    FROM p JOIN f USING (user_id)
+    GROUP BY p.day
+    """,
+    doc="Daily revenue split into NEW (the buyer's first-ever "
+    "purchase day) vs RETURNING — the acquisition-vs-retention "
+    "ledger next to cohort_retention_events (which tracks activity "
+    "decay, not revenue mix). One user-keyed min-agg for the first "
+    "purchase day, a co-partitioned join back, one day-keyed agg "
+    "with conditional exact-cents sums and two-phase distinct buyer "
+    "counts. Day ids are non-negative epoch-µs integer division "
+    "(Spark div ≡ DuckDB //).",
+    tags=("relational", "events"),
+)
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr(f"ts_us div {_US_PER_DAY}").alias("day"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    f = p.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = p.join(f, "user_id")
+    is_new = F.col("day") == F.col("first_day")
+    is_ret = F.col("day") > F.col("first_day")
+    return j.groupBy(F.col("day").cast("long").alias("day")).agg(
+        F.sum(F.when(is_new, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("new_cents"),
+        F.sum(F.when(is_ret, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("returning_cents"),
+        F.countDistinct(F.when(is_new, F.col("user_id")))
+        .cast("long")
+        .alias("new_buyers"),
+        F.countDistinct(F.when(is_ret, F.col("user_id")))
+        .cast("long")
+        .alias("returning_buyers"),
+    )
+
+
+@register(
+    "pareto_revenue_point",
+    """
+    WITH per_c AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r,
+             sum(r) OVER (ORDER BY r DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             row_number() OVER (ORDER BY r DESC, o_custkey) AS i,
+             sum(r) OVER () AS tot,
+             count(*) OVER () AS n
+      FROM per_c
+    )
+    SELECT min(n)::BIGINT AS n_customers,
+           min(tot)::BIGINT AS total_cents,
+           min(CASE WHEN cum * 100 >= tot * 80 THEN i END)::BIGINT
+             AS n_for_80pct,
+           (min(CASE WHEN cum * 100 >= tot * 80 THEN i END) * 1000000
+              // min(n))::BIGINT AS share_ppm
+    FROM ranked
+    """,
+    doc="The 80/20 point of revenue concentration: the smallest "
+    "count of top customers whose exact-cents revenue reaches 80% "
+    "of the total, and that count as a ppm share of all customers — "
+    "the actionable companion to gini_revenue_concentration (one "
+    "number: 'the top X% carry 80%'). Customers are DATA-sized, so "
+    "the descending cumulative revenue comes from "
+    "operators/windows.prefix_sum (the two-phase distributed scan — "
+    "ranked on (-r, custkey) so the same ascending kernel serves the "
+    "descending order; a naive global window is one task at scale; "
+    "the oracle may window directly, DuckDB's single node IS one "
+    "task). The threshold test cum·100 ≥ tot·80 is integer-exact; "
+    "int64 holds to ~9.2e16 total cents (≈ $9.2e14), documented "
+    "bound far above the corpus.",
+    tags=("relational", "quality", "bench"),
+)
+def pareto_revenue_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_c = o.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("r")
+    )
+    # descending revenue order via the ascending prefix_sum kernel:
+    # order by (-r, o_custkey); exclusive prefix + own r = inclusive
+    neg = per_c.withColumn("_nr", -F.col("r")).withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    with_cum = W.prefix_sum(neg, "r", ["_nr", "o_custkey"], out_col="_cum0")
+    with_rank = W.prefix_sum(
+        with_cum, "_one", ["_nr", "o_custkey"], out_col="_rank0"
+    )
+    ranked = with_rank.select(
+        (F.col("_cum0") + F.col("r")).alias("cum"),
+        (F.col("_rank0") + 1).alias("i"),
+    )
+    tots = per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("tot"),
+    )
+    j = ranked.withColumn("_j", F.lit(1)).join(
+        F.broadcast(tots.withColumn("_j", F.lit(1))), "_j"
+    )
+    hit = F.min(
+        F.when(F.col("cum") * 100 >= F.col("tot") * 80, F.col("i"))
+    )
+    return j.agg(
+        F.min("n").cast("long").alias("n_customers"),
+        F.min("tot").cast("long").alias("total_cents"),
+        hit.cast("long").alias("n_for_80pct"),
+        F.expr(
+            "(min(CASE WHEN cum * 100 >= tot * 80 THEN i END) * 1000000)"
+            " div min(n)"
+        ).cast("long").alias("share_ppm"),
+    )
