@@ -12962,10 +12962,18 @@ def pareto_revenue_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order by (-r, o_custkey); exclusive prefix + own r = inclusive
     neg = per_c.withColumn("_nr", -F.col("r")).withColumn(
         "_one", F.lit(1).cast("long")
+    ).localCheckpoint(eager=True)
+    # sample block boundaries ONCE and share them across both scans
+    # (prefix_sum's contract: any sorted cuts are correct)
+    n_blk = spark.sparkContext.defaultParallelism
+    cuts = neg.stat.approxQuantile(
+        "_nr", [i / n_blk for i in range(1, n_blk)], 0.001
     )
-    with_cum = W.prefix_sum(neg, "r", ["_nr", "o_custkey"], out_col="_cum0")
+    with_cum = W.prefix_sum(
+        neg, "r", ["_nr", "o_custkey"], out_col="_cum0", cuts=cuts
+    )
     with_rank = W.prefix_sum(
-        with_cum, "_one", ["_nr", "o_custkey"], out_col="_rank0"
+        with_cum, "_one", ["_nr", "o_custkey"], out_col="_rank0", cuts=cuts
     )
     ranked = with_rank.select(
         (F.col("_cum0") + F.col("r")).alias("cum"),
