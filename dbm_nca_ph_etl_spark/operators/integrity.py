@@ -53,10 +53,73 @@ re-digested buckets into the stored digest table, and
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Optional stamp column carrying the canonicalization fingerprint on
+#: a STORED digest table (see :func:`with_canon`). Never emitted by
+#: :func:`table_digest`/:func:`keyed_digest` themselves, so catalog
+#: queries' digest schemas are unchanged.
+CANON_COL = "_canon"
+
+
+def canon_fingerprint(canon_cols: Sequence[Column]) -> str:
+    """Deterministic fingerprint of the canonicalization recipe.
+
+    A stored digest is only comparable to a re-digest computed under
+    the SAME ``canon_cols`` — e.g. after an ``evolve_schema`` upsert
+    adds a column, a partial re-digest that now canonicalizes the new
+    column would make every UNTOUCHED bucket diff dirty (bucket-level
+    false mismatches with no row actually changed). The fingerprint
+    is the md5 of the Column expression strings, which PySpark renders
+    deterministically for a given expression tree."""
+    spec = "\x1f".join(str(c) for c in canon_cols)
+    return hashlib.md5(spec.encode("utf-8")).hexdigest()
+
+
+def with_canon(digest: DataFrame, canon_cols: Sequence[Column]) -> DataFrame:
+    """Stamp a digest table with its canonicalization fingerprint
+    (column ``_canon``) before persisting it. :func:`refresh_digest`
+    and :func:`diff_digest` then FAIL LOUDLY on recipe drift instead
+    of silently reporting every untouched bucket as corrupt —
+    mirroring the ``_keyed_meta`` fail-on-drift contract in
+    ``sinks/keyed.py``."""
+    return digest.withColumn(CANON_COL, F.lit(canon_fingerprint(canon_cols)))
+
+
+def _canon_of(df: DataFrame) -> str | None:
+    """The (single) fingerprint a stamped digest table carries, or
+    None when unstamped. Digest tables are metadata-sized (≤ one row
+    per bucket), so the collect here is O(num_buckets)."""
+    if CANON_COL not in df.columns:
+        return None
+    vals = [r[0] for r in df.select(CANON_COL).distinct().collect()]
+    if len(vals) > 1:
+        raise ValueError(
+            f"digest table carries {len(vals)} distinct {CANON_COL} "
+            f"fingerprints — it was built from mixed canonicalization "
+            f"recipes and cannot be trusted: {sorted(vals)}"
+        )
+    return vals[0] if vals else None
+
+
+def _check_canon(a: DataFrame, b: DataFrame, op: str) -> None:
+    """Raise when either side is stamped and the stamps disagree
+    (or only one side is stamped — recipe unknown ≠ recipe equal)."""
+    fa, fb = _canon_of(a), _canon_of(b)
+    if fa is None and fb is None:
+        return
+    if fa != fb:
+        raise ValueError(
+            f"{op}: canonicalization drift — digest recipes differ "
+            f"({fa!r} vs {fb!r}); recompute the stored baseline under "
+            f"the current canon_cols (e.g. after evolve_schema) instead "
+            f"of diffing across recipes, which would report every "
+            f"untouched bucket as a mismatch"
+        )
 
 
 def table_digest(
@@ -150,7 +213,14 @@ def refresh_digest(
     emptied by a delete simply has no row — same convention as
     :func:`table_digest`, which only emits non-empty buckets). The
     result equals a full re-digest of the post-merge table — pinned
-    by ``tests/test_integrity_incremental.py``."""
+    by ``tests/test_integrity_incremental.py``.
+
+    When either side carries a ``_canon`` stamp (:func:`with_canon`),
+    the stamps must agree — splicing a re-digest computed under a
+    DIFFERENT canonicalization (e.g. post-``evolve_schema``) into an
+    old baseline raises instead of silently planting rows that will
+    diff dirty against every future audit."""
+    _check_canon(stored, partial, "refresh_digest")
     kept = stored.where(~F.col("bucket").isin(list(touched)))
     return kept.unionByName(partial)
 
@@ -161,7 +231,10 @@ def diff_digest(expected: DataFrame, actual: DataFrame) -> DataFrame:
     one side only (NULL row-count on the other) is also a mismatch.
     Output: ``(bucket, n_rows_expected, n_rows_actual,
     digest_expected, digest_actual)``, one row per differing bucket;
-    empty ⇔ identical content (up to md5 collision)."""
+    empty ⇔ identical content (up to md5 collision). ``_canon``
+    stamps, when present, must agree (see :func:`with_canon`) — a
+    diff across canonicalization recipes would flag every bucket."""
+    _check_canon(expected, actual, "diff_digest")
     e = expected.select(
         "bucket",
         F.col("n_rows").alias("n_rows_expected"),

@@ -12463,7 +12463,7 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "co-partitioned end to end, no window, no skew pivot (a user's "
     "events bound each min). Counts are non-negative so Spark div "
     "≡ DuckDB // in the ppm columns.",
-    tags=("relational", "events"),
+    tags=("relational", "events", "bench"),
 )
 def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
@@ -12694,7 +12694,7 @@ def purchase_window_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 = ceil with non-negative operands, identical on both "
     "engines); ties and duplicate values are handled by "
     "construction since the grid is distinct.",
-    tags=("window", "events", "quality"),
+    tags=("window", "events", "quality", "bench"),
 )
 def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -12884,7 +12884,7 @@ def ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with conditional exact-cents sums and two-phase distinct buyer "
     "counts. Day ids are non-negative epoch-µs integer division "
     "(Spark div ≡ DuckDB //).",
-    tags=("relational", "events"),
+    tags=("relational", "events", "bench"),
 )
 def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")

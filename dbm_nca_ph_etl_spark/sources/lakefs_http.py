@@ -245,7 +245,16 @@ class HttpCasLakeFS(LakeFS):
         503...) to False would turn a transient store error into a
         wrong commit/GC decision — e.g. matview GC deleting a
         committed version whose ``_COMMITTED`` HEAD happened to 503,
-        or a keyed delete silently no-opping on a flaky meta HEAD."""
+        or a keyed delete silently no-opping on a flaky meta HEAD.
+
+        Permission requirement: real S3 answers a HEAD on a missing
+        key with 403 (not 404) when the credential lacks
+        ``s3:ListBucket`` on the bucket — under such a credential
+        every absence probe here (keyed ``_META`` checks, lease
+        probes) raises instead of returning False. That is the safe
+        direction (absence is never fabricated), but it makes the
+        adapter unusable for probing: grant ``s3:ListBucket``
+        alongside the object permissions."""
         status, _, _ = self._request("HEAD", self._key(path))
         if status == 200:
             return True
@@ -286,23 +295,68 @@ class HttpCasLakeFS(LakeFS):
         (ConditionalRequestConflict) → another conditional write is
         in flight on the same key — back off and retry, after which
         the outcome is again a clean win/lose (the retry discipline
-        S3's conditional-write documentation prescribes)."""
+        S3's conditional-write documentation prescribes).
+
+        Dropped-response ambiguity: a transport error can arrive
+        AFTER the store applied the conditional PUT, so a blind retry
+        would see 412 and report a loss even though our payload won.
+        Transport errors are therefore retried INSIDE this call, and
+        a 412 that follows one is disambiguated by comparing the
+        object's ETag against ``md5(data)`` (the non-multipart S3
+        ETag) — match → our earlier PUT landed, report the win. If
+        another writer raced us with byte-identical content the
+        reclassification is still harmless: who "won" is
+        unobservable when the committed bytes are ours either way.
+        A 412 with NO preceding transport error in this call is an
+        unambiguous loss and costs no extra round trip. Callers that
+        still see a transport exception propagate (all retries dead)
+        cannot assume loss OR win — they must re-probe.
+        """
         key = self._key(path)
         delay = 0.01
+        ambiguous = False  # a transport error may have committed us
+        last_exc: Exception | None = None
         for _ in range(self._cas_retries):
-            status, _, _ = self._request(
-                "PUT", key, data=data, extra_headers={"If-None-Match": "*"}
-            )
+            try:
+                status, _, _ = self._request(
+                    "PUT", key, data=data, extra_headers={"If-None-Match": "*"}
+                )
+            except (OSError, http.client.HTTPException) as exc:
+                ambiguous, last_exc = True, exc
+                time.sleep(delay)
+                delay = min(delay * 2, 0.5)
+                continue
             if status in (200, 201):
                 return True
             if status == 412:
+                if ambiguous and self._etag(key) == hashlib.md5(data).hexdigest():
+                    return True  # our own dropped-response PUT won
                 return False
             if status == 409:
                 time.sleep(delay)
                 delay = min(delay * 2, 0.5)
                 continue
             raise OSError(f"conditional PUT {path!r} -> HTTP {status}")
+        if last_exc is not None:
+            raise OSError(
+                f"conditional PUT {path!r}: transport failed "
+                f"{self._cas_retries} times; outcome UNKNOWN — re-probe "
+                f"before assuming loss"
+            ) from last_exc
         raise OSError(
             f"conditional PUT {path!r} still conflicting after "
             f"{self._cas_retries} retries"
         )
+
+    def _etag(self, key: str) -> str | None:
+        """Unquoted ETag of ``key``, or None when absent/unavailable —
+        only used to reclassify an ambiguous CAS 412 (see
+        ``put_if_absent``), where 'unknown' safely degrades to 'loss'."""
+        try:
+            status, headers, _ = self._request("HEAD", key)
+        except (OSError, http.client.HTTPException):
+            return None
+        if status != 200:
+            return None
+        hdr = {k.lower(): v for k, v in headers.items()}
+        return hdr.get("etag", "").strip('"') or None

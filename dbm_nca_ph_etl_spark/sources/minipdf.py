@@ -679,11 +679,11 @@ class MiniPdf:
 
 
 class MiniPdfParser:
-    """``TableParser`` over :class:`MiniPdf` — the dependency-free
-    twin of ``PdfplumberParser`` (same per-file adaptive layout via
-    ``detect_vert_lines`` + ``LayoutCache``), which makes the REAL
-    extraction path (S5/S6/S8/S9) testable in this container against
-    the reference's own fixture PDF."""
+    """``TableParser`` over :class:`MiniPdf` — THE engine's real PDF
+    parser (per-file adaptive layout via ``detect_vert_lines`` +
+    ``LayoutCache``, the reference's pdf_parser.py:79-96 strategy),
+    which makes the REAL extraction path (S5/S6/S8/S9) testable in
+    this container against the reference's own fixture PDF."""
 
     def __init__(self) -> None:
         from dbm_nca_ph_etl_spark.sources.pdf_source import LayoutCache

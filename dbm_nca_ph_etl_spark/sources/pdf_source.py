@@ -26,11 +26,11 @@ batches (BATCH_SIZE=10, constants.py:9).
 The parser itself is pluggable (the reference's ``ParserProvider``
 Protocol, src/core/interfaces/parser.py:7-27):
 
-- :class:`PdfplumberParser` — the real thing; requires ``pdfplumber``
-  + ``pypdf``, which this container does not ship, so it raises
-  ``NotImplementedError`` at construction when the imports fail. The
-  adaptive-vertical-line logic is described in its docstring and
-  implemented against the public pdfplumber API.
+- :class:`~dbm_nca_ph_etl_spark.sources.minipdf.MiniPdfParser` — the
+  real parser: a dependency-free stdlib PDF reader implementing the
+  reference's exact geometry (explicit vertical cuts from header-word
+  x0s + text-derived rows, :func:`pdfplumber_table_settings`),
+  golden-tested on the reference's own ``UPDATED_NCA.PDF`` fixture.
 - :class:`FakeTableParser` — deterministic parser of the engine's own
   trivial ``FAKEPDF`` byte format, used by tests to exercise ALL the
   Spark-side plumbing (schemas, page batching, Arrow batch shapes,
@@ -39,7 +39,6 @@ Protocol, src/core/interfaces/parser.py:7-27):
 
 from __future__ import annotations
 
-import io
 from typing import Iterable, Iterator, Protocol
 
 import pandas as pd
@@ -158,13 +157,12 @@ class LayoutCache:
 
 def pdfplumber_table_settings(vert_lines: list[float]) -> dict:
     """The exact ``extract_table`` settings the reference feeds
-    pdfplumber (pdf_parser.py:58-66) — hoisted to module level so the
-    ONLY thing the optional pdfplumber branch does untested is call
-    the public API with this tested dict. ``minipdf`` implements the
-    same semantics natively (explicit vertical cuts + text-derived
-    horizontal rows, golden-tested on the reference's own fixture),
-    so a drift here would also show up as a minipdf/pdfplumber
-    divergence on any real deployment that has both."""
+    pdfplumber (pdf_parser.py:58-66), kept as the EXTRACTION CONTRACT
+    this engine implements: ``minipdf`` realizes the same semantics
+    natively (explicit vertical cuts + text-derived horizontal rows,
+    ``snap_y_tolerance`` line grouping), golden-tested on the
+    reference's own fixture. Pinned by tests so the contract can't
+    silently drift from what the reference measured."""
     return {
         "vertical_strategy": "explicit",
         "explicit_vertical_lines": vert_lines,
@@ -172,56 +170,6 @@ def pdfplumber_table_settings(vert_lines: list[float]) -> dict:
         "intersection_tolerance": 1000,
         "snap_y_tolerance": 3,
     }
-
-
-class PdfplumberParser:
-    """Real PDF parsing via pdfplumber/pypdf (reference
-    pdf_parser.py:13-96). Adaptive column detection: locate each
-    header phrase of TABLE_COLUMNS on page 0 via ``extract_words()``,
-    use their exact x0s (+ page.width-1) as explicit vertical lines
-    with a text horizontal strategy (:func:`detect_vert_lines`),
-    re-detected per FILE via :class:`LayoutCache`. The dependency is
-    the packaged ``[pdf]`` extra (``pip install .[pdf]`` —
-    pyproject.toml); without it, constructing raises
-    NotImplementedError so callers fail fast and the sniffing parser
-    falls back to the dependency-free ``minipdf`` (golden-tested
-    against this parser's geometry on the reference fixture). With
-    the extra installed, ``tests/test_minipdf.py`` runs this real
-    branch against the same golden table; the settings dict it
-    passes is the module-level tested
-    :func:`pdfplumber_table_settings`.
-    """
-
-    def __init__(self) -> None:
-        try:
-            import pdfplumber  # noqa: F401
-            import pypdf  # noqa: F401
-        except ImportError as e:  # pragma: no cover - container lacks libs
-            raise NotImplementedError(
-                "PdfplumberParser needs the optional 'pdfplumber' and "
-                "'pypdf' packages; install them or use FakeTableParser."
-            ) from e
-        self._pdfplumber = __import__("pdfplumber")
-        self._pypdf = __import__("pypdf")
-        self._layout_cache = LayoutCache()
-
-    def page_count(self, content: bytes) -> int:  # pragma: no cover
-        return len(self._pypdf.PdfReader(io.BytesIO(content)).pages)
-
-    def metadata(self, content: bytes) -> tuple[str | None, str | None]:  # pragma: no cover
-        meta = self._pypdf.PdfReader(io.BytesIO(content)).metadata or {}
-        return meta.get("/CreationDate"), meta.get("/ModDate")
-
-    def extract_page(self, content, page_num):  # pragma: no cover
-        with self._pdfplumber.open(io.BytesIO(content)) as pdf:
-            page0 = pdf.pages[0]
-            vert_lines = self._layout_cache.get(
-                content,
-                lambda: detect_vert_lines(page0.extract_words(), page0.width),
-            )
-            page = pdf.pages[page_num - 1]
-            table = page.extract_table(pdfplumber_table_settings(vert_lines))
-            return table or []
 
 
 FAKE_MAGIC = b"FAKEPDF\n"
@@ -276,8 +224,8 @@ class FakeTableParser:
 
 class SniffingParser:
     """Per-blob dispatch: FAKEPDF blobs → :class:`FakeTableParser`,
-    real ``%PDF`` blobs → pdfplumber when installed, else the
-    dependency-free :class:`~dbm_nca_ph_etl_spark.sources.minipdf.MiniPdfParser`.
+    real ``%PDF`` blobs → the dependency-free
+    :class:`~dbm_nca_ph_etl_spark.sources.minipdf.MiniPdfParser`.
     Lets one ``extract_raw_cells`` pass handle a mixed lake and makes
     ``auto`` mode actually parse real PDFs in this container."""
 
@@ -289,12 +237,9 @@ class SniffingParser:
         if content.startswith(FAKE_MAGIC):
             return self._fake
         if self._real is None:
-            try:
-                self._real = PdfplumberParser()
-            except NotImplementedError:
-                from dbm_nca_ph_etl_spark.sources.minipdf import MiniPdfParser
+            from dbm_nca_ph_etl_spark.sources.minipdf import MiniPdfParser
 
-                self._real = MiniPdfParser()
+            self._real = MiniPdfParser()
         return self._real
 
     def page_count(self, content: bytes) -> int:
@@ -308,13 +253,10 @@ class SniffingParser:
 
 
 def get_parser(name: str = "auto") -> TableParser:
-    """'pdfplumber' | 'minipdf' | 'fake' | 'auto' (per-blob sniffing:
-    FAKEPDF → fake; real PDFs → pdfplumber if installed, else the
-    stdlib-only minipdf extractor)."""
+    """'minipdf' | 'fake' | 'auto' (per-blob sniffing: FAKEPDF →
+    fake; real PDFs → the stdlib-only minipdf extractor)."""
     if name == "fake":
         return FakeTableParser()
-    if name == "pdfplumber":
-        return PdfplumberParser()
     if name == "minipdf":
         from dbm_nca_ph_etl_spark.sources.minipdf import MiniPdfParser
 

@@ -256,20 +256,27 @@ def streaming_last_touch(
     campaign-bearing touch seen so far (at-or-before the conversion
     in (ts, id) order; a touch whose campaign is NULL is skipped,
     matching the batch twin's ``last(..., ignorenulls=True)``).
-    State per user is ONE campaign int — O(users), hash-partitioned
-    by user across the cluster. No touch timestamp is stored: the
-    in-order feed contract below is what makes the newest-wins
-    update correct, and an out-of-order touch in a later batch WILL
-    overwrite — there is no ts guard.
+    State per user is ``(campaign int, touch_ts long)`` — still
+    O(users), hash-partitioned by user across the cluster. The
+    stored touch timestamp is the out-of-order guard: a touch
+    arriving in a LATER micro-batch with an OLDER ts than the
+    state's cannot regress the attribution (newest-by-ts wins;
+    equal ts defers to the newer arrival, matching the batch twin's
+    ``last()`` over (ts, id) order within a batch).
 
     Ordering contract: rows are sorted by (ts, id) WITHIN each
-    micro-batch; ACROSS batches the feed must be per-user in order
-    (the keyed-by-user partitioned-log layout). A touch that arrives
-    after its conversion's batch cannot retroactively re-attribute —
-    the emitted row is immutable, the same at-least-once-emission
-    discipline as every append-mode stateful op here. Conversions
-    with no prior touch emit a NULL campaign, matching the batch
-    query's NULL bucket.
+    micro-batch; ACROSS batches state updates are ts-guarded, so a
+    late-arriving stale touch is dropped rather than mis-attributing
+    every subsequent conversion. What the guard canNOT do is
+    retroactive: a touch that arrives after its conversion's batch
+    does not re-attribute the already-emitted row (immutable
+    emission, the same at-least-once discipline as every append-mode
+    stateful op here), and a late CONVERSION is credited to the
+    newest state touch even if that touch's ts is after the
+    conversion's — single-(campaign, ts) state keeps no history to
+    answer at-or-before for the past. Conversions with no prior
+    touch emit a NULL campaign, matching the batch query's NULL
+    bucket.
 
     The caller extracts ``campaign_col``/``value_col`` upstream
     (codegen expressions, e.g. get_json_object on the message body)
@@ -283,9 +290,9 @@ def streaming_last_touch(
     def attribute(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        camp = None
+        camp, camp_ts = None, None
         if state.exists:
-            (camp,) = state.get
+            camp, camp_ts = state.get
         chunks = [p for p in pdfs if len(p)]
         out: list[tuple] = []
         if chunks:
@@ -296,14 +303,20 @@ def streaming_last_touch(
                     c = rd[campaign_col]
                     # a touch with a NULL campaign is SKIPPED, not a
                     # reset — the batch twin's last(IGNORE NULLS)
-                    # retains the previous campaign past it
-                    if not pd.isna(c):
+                    # retains the previous campaign past it; and a
+                    # touch OLDER than the state's is a stale
+                    # out-of-order arrival — dropping it is the
+                    # newest-by-ts guard (docstring)
+                    if not pd.isna(c) and (
+                        camp_ts is None or int(rd[ts_col]) >= camp_ts
+                    ):
                         camp = int(c)
+                        camp_ts = int(rd[ts_col])
                 elif rd[type_col] == conversion_type:
                     out.append(
                         (key[0], rd[id_col], rd[ts_col], rd[value_col], camp)
                     )
-        state.update((camp,))
+        state.update((camp, camp_ts))
         if out:
             yield pd.DataFrame(
                 out,
@@ -313,7 +326,7 @@ def streaming_last_touch(
     return stream.groupBy(user_col).applyInPandasWithState(
         attribute,
         outputStructType=out_schema,
-        stateStructType=f"{campaign_col} int",
+        stateStructType=f"{campaign_col} int, touch_ts long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

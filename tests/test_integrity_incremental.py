@@ -10,9 +10,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from dbm_nca_ph_etl_spark.operators.integrity import (
+    canon_fingerprint,
     diff_digest,
     keyed_digest,
     refresh_digest,
+    with_canon,
 )
 from dbm_nca_ph_etl_spark.sinks.keyed import (
     KB_COL,
@@ -124,3 +126,171 @@ class TestIncrementalDigest:
         bad = diff_digest(a, b).collect()
         assert [r.bucket for r in bad] == [1]
         assert bad[0].n_rows_actual is None
+
+
+# a DIFFERENT canonicalization of the same table — e.g. the recipe
+# after an evolve_schema upsert added a column
+CANON_WIDE = lambda: [  # noqa: E731
+    F.col("k").cast("string"),
+    F.col("v"),
+    F.lit(None).cast("string"),
+]
+
+
+class TestCanonDrift:
+    """Recipe drift between a stored digest and a re-digest must fail
+    loudly (with_canon stamp + refresh/diff check) — silently diffing
+    across canon_cols flags every untouched bucket as corrupt."""
+
+    def test_refresh_raises_on_recipe_drift(self, spark, table):
+        stored = with_canon(
+            keyed_digest(spark, table, CANON()), CANON()
+        ).localCheckpoint(eager=True)
+        touched = upsert_keyed(
+            spark,
+            spark.createDataFrame([(3, "x")], "k long, v string"),
+            table,
+            ["k"],
+        )
+        partial = with_canon(
+            keyed_digest(spark, table, CANON_WIDE(), buckets=touched), CANON_WIDE()
+        )
+        with pytest.raises(ValueError, match="canonicalization drift"):
+            refresh_digest(stored, partial, touched)
+
+    def test_diff_raises_on_recipe_drift(self, spark, table):
+        a = with_canon(keyed_digest(spark, table, CANON()), CANON())
+        b = with_canon(keyed_digest(spark, table, CANON_WIDE()), CANON_WIDE())
+        with pytest.raises(ValueError, match="canonicalization drift"):
+            diff_digest(a, b)
+
+    def test_unstamped_against_stamped_is_drift(self, spark, table):
+        # recipe UNKNOWN is not recipe EQUAL: one-sided stamps raise
+        stamped = with_canon(keyed_digest(spark, table, CANON()), CANON())
+        bare = keyed_digest(spark, table, CANON())
+        with pytest.raises(ValueError, match="canonicalization drift"):
+            diff_digest(stamped, bare)
+
+    def test_same_recipe_passes_and_splices(self, spark, table):
+        stored = with_canon(
+            keyed_digest(spark, table, CANON()), CANON()
+        ).localCheckpoint(eager=True)
+        touched = upsert_keyed(
+            spark,
+            spark.createDataFrame([(3, "x")], "k long, v string"),
+            table,
+            ["k"],
+        )
+        partial = with_canon(
+            keyed_digest(spark, table, CANON(), buckets=touched), CANON()
+        )
+        incremental = refresh_digest(stored, partial, touched)
+        full = with_canon(keyed_digest(spark, table, CANON()), CANON())
+        assert _rows(incremental) == _rows(full)
+        assert diff_digest(incremental, full).count() == 0
+
+    def test_mixed_stamps_within_one_table_raise(self, spark):
+        mixed = spark.createDataFrame(
+            [(0, 1, "d0", "fpA"), (1, 1, "d1", "fpB")],
+            "bucket long, n_rows long, digest string, _canon string",
+        )
+        clean = mixed.where(F.col("bucket") == 0)
+        with pytest.raises(ValueError, match="mixed canonicalization"):
+            diff_digest(mixed, clean)
+
+    def test_fingerprint_is_deterministic_and_recipe_sensitive(self):
+        assert canon_fingerprint(CANON()) == canon_fingerprint(CANON())
+        assert canon_fingerprint(CANON()) != canon_fingerprint(CANON_WIDE())
+
+
+SCD2_CANON = lambda: [  # noqa: E731
+    F.col("id").cast("string"),
+    F.col("bal").cast("string"),
+    F.col("valid_from").cast("string"),
+    F.col("valid_to").cast("string"),
+]
+
+
+class TestScd2IncrementalDigest:
+    """scd2_apply_keyed returns touched buckets (sinks/keyed.py) —
+    the incremental digest contract must hold for the versioned-
+    dimension path too: splice == full re-digest, mismatch localizes."""
+
+    def _dim(self, spark, tmp_path):
+        path = str(tmp_path / "dim")
+        cur = spark.createDataFrame(
+            [(i, i * 10, 100, None) for i in range(30)],
+            "id long, bal long, valid_from long, valid_to long",
+        )
+        write_keyed(cur, path, ["id"], num_buckets=N_BUCKETS)
+        return path
+
+    def test_scd2_incremental_equals_full(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.sinks.keyed import scd2_apply_keyed
+
+        path = self._dim(spark, tmp_path)
+        stored = keyed_digest(spark, path, SCD2_CANON()).localCheckpoint(
+            eager=True
+        )
+        changes = spark.createDataFrame(
+            [(7, 777), (19, 1919)], "id long, bal long"
+        )
+        touched = scd2_apply_keyed(spark, path, changes, ["id"], effective=200)
+        assert touched
+
+        partial = keyed_digest(spark, path, SCD2_CANON(), buckets=touched)
+        incremental = refresh_digest(stored, partial, touched)
+        full = keyed_digest(spark, path, SCD2_CANON())
+        assert _rows(incremental) == _rows(full)
+        # the close+new-version rewrite changed exactly the touched set
+        changed = {r.bucket for r in diff_digest(stored, full).collect()}
+        assert changed
+        assert changed <= set(touched)
+
+
+class TestStreamedEpochIncrementalDigest:
+    """stream_into_keyed logs each epoch's touched buckets in the
+    commit log (sinks/txlog) — after a streamed epoch the incremental
+    re-digest over the union of logged buckets must equal a full
+    re-digest, and the change must localize to those buckets."""
+
+    def test_streamed_epoch_incremental_equals_full(self, spark, tmp_path):
+        import os
+
+        from dbm_nca_ph_etl_spark.sinks.txlog import CommitLog
+        from dbm_nca_ph_etl_spark.streaming.agg_stream import stream_into_keyed
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        path = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "k long, v string"
+        )
+        write_keyed(base, path, ["k"], num_buckets=N_BUCKETS)
+        stored = keyed_digest(spark, path, CANON()).localCheckpoint(eager=True)
+
+        batch = spark.createDataFrame(
+            [(3, "STREAMED3"), (99, "v99")], "k long, v string"
+        )
+        batch.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("k long, v string").parquet(src)
+        stream_into_keyed(stream, path, ["k"], ckpt, writer="ingest")
+
+        touched = sorted(
+            {
+                b
+                for e in CommitLog(path).entries()
+                if e.get("op") == "upsert"
+                for b in e["buckets"]
+            }
+        )
+        assert touched
+
+        partial = keyed_digest(spark, path, CANON(), buckets=touched)
+        incremental = refresh_digest(stored, partial, touched)
+        full = keyed_digest(spark, path, CANON())
+        assert _rows(incremental) == _rows(full)
+        assert _rows(full) != _rows(stored)
+        changed = {r.bucket for r in diff_digest(stored, full).collect()}
+        assert changed <= set(touched)

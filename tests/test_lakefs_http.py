@@ -16,6 +16,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
+
+def _md5(data: bytes) -> str:
+    import hashlib
+
+    return hashlib.md5(data).hexdigest()
+
 from dbm_nca_ph_etl_spark.sinks.txlog import (
     CommitFenced,
     CommitLog,
@@ -42,6 +48,11 @@ class _Store:
         # keys that should fail their FIRST conditional PUT with 409
         # (ConditionalRequestConflict) to exercise the retry path
         self.conflict_once: set[str] = set()
+        # keys whose FIRST conditional PUT is APPLIED (or arbitrated)
+        # server-side but whose response is dropped (connection cut
+        # before the status line) — the dropped-response ambiguity
+        # put_if_absent must disambiguate via ETag
+        self.drop_response_once: set[str] = set()
 
     # storage backend (caller holds self.lock) -----------------------
     def _fp(self, key: str) -> str:
@@ -129,6 +140,12 @@ def _make_handler(store: _Store):
             if self.command != "HEAD":
                 self.wfile.write(body)
 
+        def _drop(self):
+            # dropped response: the server DID arbitrate/apply, the
+            # client never hears — it sees RemoteDisconnected
+            self.close_connection = True
+            self.connection.close()
+
         def do_PUT(self):
             key = self._key()
             n = int(self.headers.get("Content-Length", 0))
@@ -139,11 +156,26 @@ def _make_handler(store: _Store):
                     store.conflict_once.discard(key)
                     self._reply(409)
                     return
+                drop = cond and key in store.drop_response_once
+                if drop:
+                    store.drop_response_once.discard(key)
                 if cond and store.has(key):
+                    if drop:
+                        self._drop()
+                        return
                     self._reply(412)
                     return
                 store.put(key, data)
-            self._reply(200)
+                if drop:
+                    self._drop()
+                    return
+            self._reply(200, headers=[("ETag", f'"{_md5(data)}"')])
+
+        def finish(self):
+            try:
+                super().finish()
+            except (OSError, ValueError):
+                pass  # connection deliberately cut by _drop
 
         def do_GET(self):
             q = urllib.parse.parse_qs(urllib.parse.urlsplit(self.path).query)
@@ -165,9 +197,11 @@ def _make_handler(store: _Store):
             if body is None:
                 self._reply(404)
             else:
-                # real object length, no body (HEAD semantics)
+                # real object length, no body (HEAD semantics);
+                # non-multipart S3 ETag = quoted md5 of the content
                 self.send_response(200)
                 self.send_header("Content-Length", str(len(body)))
+                self.send_header("ETag", f'"{_md5(body)}"')
                 self.end_headers()
 
         def do_DELETE(self):
@@ -227,6 +261,7 @@ def fs(store_and_fs):
     store, fs = store_and_fs
     store.objects.clear()
     store.conflict_once.clear()
+    store.drop_response_once.clear()
     return fs
 
 
@@ -295,6 +330,40 @@ class TestAdapterBasics:
         assert fs.put_if_absent("/t/cas409", b"x") is True  # retried past 409
         assert fs.put_if_absent("/t/cas409", b"y") is False
         assert fs.read_bytes("/t/cas409") == b"x"
+
+    def test_dropped_response_self_win_reclassified(self, fs, store):
+        """The conditional PUT is APPLIED server-side but its response
+        is dropped; the internal retry sees 412 (the key now exists)
+        and must reclassify via ETag: the bytes are ours → win."""
+        store.drop_response_once.add("t/casdrop")
+        assert fs.put_if_absent("/t/casdrop", b"mine") is True
+        assert fs.read_bytes("/t/casdrop") == b"mine"
+        # and a later real loser still loses cleanly
+        assert fs.put_if_absent("/t/casdrop", b"other") is False
+
+    def test_dropped_response_on_true_loss_stays_loss(self, fs, store):
+        """The key already holds ANOTHER writer's bytes; our first
+        conditional PUT's 412 response is dropped. The retry's 412 is
+        ambiguous, the ETag differs from md5(our data) → loss."""
+        assert fs.put_if_absent("/t/caslost", b"theirs") is True
+        store.drop_response_once.add("t/caslost")
+        assert fs.put_if_absent("/t/caslost", b"mine") is False
+        assert fs.read_bytes("/t/caslost") == b"theirs"
+
+    def test_clean_412_never_heads(self, fs, store):
+        """An unambiguous loss (no transport error in the call) must
+        not spend a HEAD round trip on ETag reclassification — even
+        when the stored bytes happen to EQUAL ours (idempotent-looking
+        payloads must still report 'someone else created it')."""
+        assert fs.put_if_absent("/t/cassame", b"same") is True
+        orig = fs._etag
+        fs._etag = lambda key: (_ for _ in ()).throw(
+            AssertionError("ETag probe on a clean 412")
+        )
+        try:
+            assert fs.put_if_absent("/t/cassame", b"same") is False
+        finally:
+            fs._etag = orig
 
     def test_atomicity_flags(self, fs):
         assert fs.atomic_cas is True

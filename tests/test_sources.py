@@ -289,7 +289,7 @@ class TestListingDataSource:
 
 
 def _layout_sensitive_parser():
-    """Fake parser mimicking PdfplumberParser's per-file adaptive
+    """Fake parser mimicking MiniPdfParser's per-file adaptive
     layout: 'detected layout' = first cell of the file's page-1
     header row, memoized through the same LayoutCache, and every
     emitted cell is tagged with the layout that was applied — so a

@@ -1647,3 +1647,47 @@ class TestStreamingLastTouch:
             20: (1, 1100, 5),    # carried across batches; NULL touch skipped
             22: (2, 1300, 7),    # same-ts touch wins via id order
         }
+
+    def test_out_of_order_touch_cannot_regress_state(self, spark, tmp_path):
+        """The (campaign, ts) state guard: a touch arriving in a LATER
+        micro-batch with an OLDER ts than the state's is dropped —
+        without the guard it would silently overwrite the newer
+        campaign and misattribute every subsequent conversion."""
+        from dbm_nca_ph_etl_spark.streaming.stateful import streaming_last_touch
+
+        src = str(tmp_path / "ev_ooo_src")
+        # batch 1: u1 touches camp 9 at ts 500
+        self._feed(spark, src, [
+            (1, 10, 500, "click", 9, None),
+        ])
+        # batch 2: a STALE touch (ts 100 < state's 500) arrives late,
+        # then u1 converts — must still credit camp 9, not camp 2
+        self._feed(spark, src, [
+            (1, 11, 100, "click", 2, None),
+            (1, 12, 600, "purchase", None, 800),
+        ])
+        # batch 3: a genuinely newer touch (ts 700) then a conversion
+        # — the guard must not block legitimate forward updates
+        self._feed(spark, src, [
+            (1, 13, 700, "view", 4, None),
+            (1, 14, 900, "purchase", None, 1200),
+        ])
+        stream = (
+            spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_last_touch(stream)
+            .writeStream.format("memory")
+            .queryName("lt_ooo_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.event_id: r.campaign
+            for r in spark.sql("SELECT * FROM lt_ooo_test").collect()
+        }
+        assert got == {12: 9, 14: 4}

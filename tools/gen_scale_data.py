@@ -65,6 +65,11 @@ def _write_sharded(out: pa.Table, dst: str, table: str, n_files: int = N_FILES) 
     d = os.path.join(dst, f"{table}.parquet")
     os.makedirs(d, exist_ok=True)
     n = out.num_rows
+    if n == 0:
+        # an empty DIRECTORY is unreadable (no schema to infer); one
+        # schema-bearing empty file keeps the dataset loadable
+        pq.write_table(out, os.path.join(d, "part-00000.parquet"))
+        return
     n_files = max(1, min(n_files, n))  # never emit empty shards
     per = -(-n // n_files)  # ceil
     for i in range(n_files):
