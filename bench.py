@@ -48,19 +48,36 @@ def main() -> None:
 
     bench_queries = {n: q for n, q in QUERIES.items() if "bench" in q.tags}
 
+    # SPARK_GRAFT_SINK=noop executes each query fully distributed into
+    # Spark's no-op sink instead of collecting rows to the driver.
+    # The default stays `collect` (the driver contract). The noop mode
+    # exists for the SF-scaling audit: a query that RETURNS O(n) rows
+    # (ffill, sessionize) pays an O(n) serial driver deserialization
+    # under collect, which dominates wall time at sf1 and masquerades
+    # as a bad operator exponent — at 100 TB nobody collects a
+    # billion rows to one driver, they write to a sink, which is what
+    # noop measures (SCALING.md r9 decomposition).
+    sink = os.environ.get("SPARK_GRAFT_SINK", "collect")
+
+    def run_once(q) -> None:
+        df = q.fn(spark, sf_dir)
+        if sink == "noop":
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name, q in bench_queries.items():
-        q.fn(spark, sf_dir).collect()  # warmup: codegen compile + parquet footers
+        run_once(q)  # warmup: codegen compile + parquet footers
         runs: list[float] = []
         # min-of-5: this box's throughput swings ~2x run-to-run (shared
         # host); the minimum is the least-contended estimate of the
         # query's actual cost. The median bounds the noise.
         for _ in range(5):
             t0 = time.perf_counter()
-            rows = q.fn(spark, sf_dir).collect()
+            run_once(q)
             runs.append(time.perf_counter() - t0)
-            del rows
         runs.sort()
         timings[name] = round(runs[0], 3)
         spread[name] = {

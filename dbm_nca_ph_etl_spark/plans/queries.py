@@ -11999,8 +11999,12 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sorted-rank identity G = (2·Σi·rᵢ − (n+1)·Σrᵢ)/(n·Σrᵢ) with "
     "EXACT ≥int64 arithmetic: Σi·rᵢ reaches ~1e18–1e19 at 1.5e7 "
     "customers — ABOVE int64 where non-ANSI Spark wraps silently "
-    "while DuckDB promotes to HUGEINT — so Spark sums in "
-    "DECIMAL(38,0) and both engines emit num/den as exact decimal "
+    "while DuckDB promotes to HUGEINT — so Spark splits each "
+    "per-row product i·rᵢ (itself int64-safe) into 31-bit (hi,lo) "
+    "long partial sums and recombines ONCE in DECIMAL(38,0) on the "
+    "1-row aggregate, keeping the hot loop on codegen longs (the "
+    "all-DECIMAL sum cost ~27% — r8 bench); both engines emit "
+    "num/den as exact decimal "
     "STRINGS (DuckDB's pandas bridge degrades DECIMAL(38,0) to "
     "float64, so the only lossless cross-engine carrier for >2^63 "
     "integers is VARCHAR). Ranks over the (revenue, custkey) total "
@@ -12027,18 +12031,32 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["r", "o_custkey"],
         out_col="_rank0",
     ).withColumn("i", F.col("_rank0") + 1)
-    # Σi·r in DECIMAL(38,0): longs would wrap silently near 1e19
-    # (non-ANSI Spark) exactly where DuckDB promotes to HUGEINT.
+    # Σi·r needs >int64 (wraps near 1e19 in non-ANSI Spark exactly
+    # where DuckDB promotes to HUGEINT), but running the whole sum in
+    # DECIMAL costs ~27% on this query (r8 measurement): every row
+    # pays the Int128 codepath. Exact long-only alternative: each
+    # per-row product p = i·r itself fits int64 with wide margin
+    # (i ≤ n ~ 1.5e7 customers at 100 TB, r ~ 1e11 max-cents → p ≤
+    # ~1e18 < 2^63), so split p = p_hi·2^31 + p_lo per row in plain
+    # long arithmetic and only COMBINE the two partial sums in
+    # DECIMAL(38,0) on the single output row: Σp_hi ≤ n·(p/2^31) and
+    # Σp_lo ≤ n·2^31 both stay far under 2^63. Whole-stage codegen
+    # keeps every per-row expression on longs; the decimal cast tree
+    # runs once.
+    p = F.col("i") * F.col("r")
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("r").cast("long").alias("total_cents"),
-        F.sum(
-            F.col("i").cast("decimal(19,0)") * F.col("r").cast("decimal(19,0)")
-        ).cast("decimal(38,0)").alias("_sir"),
+        F.sum(F.shiftrightunsigned(p, 31)).cast("long").alias("_sir_hi"),
+        F.sum(p.bitwiseAND(F.lit((1 << 31) - 1))).cast("long").alias("_sir_lo"),
     )
     dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    sir = (
+        F.lit(1 << 31).cast("decimal(19,0)") * dec(F.col("_sir_hi"))
+        + dec(F.col("_sir_lo"))
+    ).cast("decimal(38,0)")
     num = (
-        F.lit(2).cast("decimal(19,0)") * F.col("_sir")
+        F.lit(2).cast("decimal(19,0)") * sir
         - dec(F.col("n_customers") + 1) * dec(F.col("total_cents"))
     ).cast("decimal(38,0)")
     den = (dec(F.col("n_customers")) * dec(F.col("total_cents"))).cast(
@@ -12997,4 +13015,515 @@ def pareto_revenue_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(min(CASE WHEN cum * 100 >= tot * 80 THEN i END) * 1000000)"
             " div min(n)"
         ).cast("long").alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase r9 — behavioral analytics pack (streaks, in-session funnel,
+# conversion latency, independence test, RFM, ratio quality bounds)
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_activity_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    i AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, count(*) AS len FROM i GROUP BY user_id, island
+    ),
+    m AS (SELECT user_id, max(len) AS streak_days FROM s GROUP BY user_id)
+    SELECT streak_days::BIGINT AS streak_days,
+           count(*)::BIGINT AS n_users
+    FROM m GROUP BY streak_days
+    """,
+    doc="Longest consecutive-active-day streak per user, as a "
+    "(streak length → user count) distribution — the classic "
+    "gaps-and-islands shape: distinct (user, day) grid, island id = "
+    "day − per-user day rank (constant within a run of consecutive "
+    "days), per-island length, per-user max. Scale: the only "
+    "row-scale pass is the exact-distinct shuffle down to the "
+    "(user, day) grid; every window after it partitions BY USER over "
+    "grid rows (≤ users × days), the same discipline as "
+    "rolling_dau_7d. No global window anywhere.",
+    tags=("window", "events", "bench"),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.expr(f"ts_us div {_US_PER_DAY}").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = ud.withColumn("island", F.col("day") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.max("len").alias("streak_days")
+    )
+    return per_user.groupBy("streak_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).select(F.col("streak_days").cast("long").alias("streak_days"), "n_users")
+
+
+@register(
+    "session_funnel_conversion",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, ts_us,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    v AS (
+      SELECT user_id, session_id,
+             min(CASE WHEN event_type = 'view' THEN ts_us END) AS tv
+      FROM s GROUP BY user_id, session_id
+    ),
+    c AS (
+      SELECT s.user_id, s.session_id,
+             min(CASE WHEN event_type = 'click' AND ts_us > tv
+                      THEN ts_us END) AS tc
+      FROM s JOIN v USING (user_id, session_id)
+      GROUP BY s.user_id, s.session_id
+    ),
+    p AS (
+      SELECT s.user_id, s.session_id,
+             min(CASE WHEN event_type = 'purchase' AND ts_us > tc
+                      THEN ts_us END) AS tp
+      FROM s JOIN c USING (user_id, session_id)
+      GROUP BY s.user_id, s.session_id
+    )
+    SELECT count(*)::BIGINT AS n_sessions,
+           count(tv)::BIGINT AS n_view,
+           count(tc)::BIGINT AS n_click_after_view,
+           count(tp)::BIGINT AS n_purchase_after_click,
+           (count(tp) * 1000000 // count(*))::BIGINT AS conv_ppm
+    FROM v JOIN c USING (user_id, session_id) JOIN p USING (user_id, session_id)
+    """,
+    doc="Ordered view→click→purchase funnel WITHIN a 30-minute "
+    "session (funnel_conversion_events is the per-user lifetime "
+    "funnel; this is the per-visit one). Sessionize (lag → boundary "
+    "flag → running sum, operators/windows.sessionize), then three "
+    "session-partitioned window passes chain the stage timestamps: "
+    "first view in session, first click strictly after it, first "
+    "purchase strictly after that — a NULL earlier stage nulls the "
+    "chain (SQL NULL comparison = Spark when() not firing, "
+    "semantics identical by construction). Scale: every window "
+    "partitions by (user, session) — Catalyst collapses the three "
+    "passes onto one sort — and the final count is a 1-row "
+    "aggregate. No global window.",
+    tags=("window", "events", "bench"),
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    s = W.sessionize(
+        e, "ts_us", partition_by=["user_id"], gap=1800 * 1_000_000,
+        order_by=["ts_us", "event_id"],
+    )
+    w = Window.partitionBy("user_id", "session_id")
+    s = s.withColumn(
+        "tv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+    )
+    s = s.withColumn(
+        "tc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("tv")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    s = s.withColumn(
+        "tp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("tc")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    per = s.groupBy("user_id", "session_id").agg(
+        F.min("tv").alias("tv"), F.min("tc").alias("tc"), F.min("tp").alias("tp")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count("tv").cast("long").alias("n_view"),
+        F.count("tc").cast("long").alias("n_click_after_view"),
+        F.count("tp").cast("long").alias("n_purchase_after_click"),
+        F.expr("(count(tp) * 1000000) div count(1)").cast("long").alias(
+            "conv_ppm"
+        ),
+    )
+
+
+@register(
+    "time_to_conversion_hist",
+    """
+    WITH per AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'
+                      THEN epoch_us(ts) END) AS tv,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS tp
+      FROM events GROUP BY user_id
+    )
+    SELECT ((tp - tv) // 86400000000)::BIGINT AS days_to_convert,
+           count(*)::BIGINT AS n_users
+    FROM per
+    WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp >= tv
+    GROUP BY days_to_convert
+    """,
+    doc="Latency from a user's FIRST view to their FIRST purchase, "
+    "as a whole-day histogram — the acquisition-lag curve next to "
+    "funnel_conversion_events (which counts stages, not time). One "
+    "user-keyed conditional-min aggregation (map-side partial "
+    "combine), then a day-grid count; users whose first purchase "
+    "precedes any view (purchase-led accounts) are excluded "
+    "explicitly. Integer epoch-µs floor division on both engines "
+    "(tp ≥ tv guaranteed by the filter, so // == div).",
+    tags=("relational", "events"),
+)
+def time_to_conversion_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts_us"))
+            ).alias("tv"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+            ).alias("tp"),
+        )
+    )
+    conv = per.where(
+        F.col("tv").isNotNull()
+        & F.col("tp").isNotNull()
+        & (F.col("tp") >= F.col("tv"))
+    )
+    return (
+        conv.select(
+            F.expr(f"(tp - tv) div {_US_PER_DAY}").alias("days_to_convert")
+        )
+        .groupBy("days_to_convert")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("days_to_convert").cast("long").alias("days_to_convert"),
+            "n_users",
+        )
+    )
+
+
+@register(
+    "chi2_dow_event_type",
+    """
+    WITH cell AS (
+      SELECT (epoch_us(ts) // 86400000000) % 7 AS dow, event_type,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT dow, event_type, n,
+             sum(n) OVER (PARTITION BY dow) AS r,
+             sum(n) OVER (PARTITION BY event_type) AS c,
+             sum(n) OVER () AS g
+      FROM cell
+    )
+    SELECT dow::BIGINT AS dow, event_type, n,
+           floor(r::DOUBLE * c::DOUBLE / g::DOUBLE * 1000000.0
+                 + 0.5)::BIGINT AS expected_micro,
+           floor((n::DOUBLE * g::DOUBLE - r::DOUBLE * c::DOUBLE)
+                 * (n::DOUBLE * g::DOUBLE - r::DOUBLE * c::DOUBLE)
+                 / (g::DOUBLE * r::DOUBLE * c::DOUBLE)
+                 * 1000000.0 + 0.5)::BIGINT AS chi2_micro
+    FROM tot
+    """,
+    doc="Chi-square independence audit of event_type against "
+    "day-of-week (epoch-day mod 7 — engine-invariant, no calendar "
+    "locale): per-cell observed count, expected count and χ² "
+    "contribution in exact micro-units. Joins the drift suite (KS, "
+    "Mann–Whitney, CUSUM) as the categorical-vs-categorical member. "
+    "Scale: one row-scale hash aggregation down to the ≤ 7×|types| "
+    "contingency grid; the marginal windows run over that "
+    "metadata-sized grid (the domain-bounded-grid exemption — "
+    "contrast gini, whose rank base is data-sized and must "
+    "prefix_sum). Per-cell arithmetic: identical exact-int→double "
+    "expression trees on both engines — χ² cell = (O·G − R·C)² / "
+    "(G·R·C), the E-free form that avoids an intermediate division.",
+    tags=("relational", "events", "quality"),
+)
+def chi2_dow_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr(f"pmod(ts_us div {_US_PER_DAY}, 7)").alias("dow"),
+            "event_type",
+        )
+        .groupBy("dow", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = (
+        cell.withColumn("r", F.sum("n").over(Window.partitionBy("dow")))
+        .withColumn("c", F.sum("n").over(Window.partitionBy("event_type")))
+        .withColumn(
+            "g",
+            F.sum("n").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    d = lambda name: F.col(name).cast("double")  # noqa: E731
+    diff = d("n") * d("g") - d("r") * d("c")
+    return tot.select(
+        F.col("dow").cast("long").alias("dow"),
+        "event_type",
+        "n",
+        F.floor(d("r") * d("c") / d("g") * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("expected_micro"),
+        F.floor(diff * diff / (d("g") * d("r") * d("c")) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("chi2_micro"),
+    )
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             max(epoch_us(o_orderdate) // 86400000000) AS r_day,
+             count(*)::BIGINT AS f,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    n_all AS (SELECT count(*)::BIGINT AS n FROM per),
+    rt AS (
+      SELECT min(CASE WHEN i >= (n + 3) // 4 THEN v END) AS t1,
+             min(CASE WHEN i >= (2 * n + 3) // 4 THEN v END) AS t2,
+             min(CASE WHEN i >= (3 * n + 3) // 4 THEN v END) AS t3
+      FROM (SELECT r_day AS v,
+                   row_number() OVER (ORDER BY r_day, o_custkey) AS i,
+                   (SELECT n FROM n_all) AS n
+            FROM per)
+    ),
+    ft AS (
+      SELECT min(CASE WHEN i >= (n + 3) // 4 THEN v END) AS t1,
+             min(CASE WHEN i >= (2 * n + 3) // 4 THEN v END) AS t2,
+             min(CASE WHEN i >= (3 * n + 3) // 4 THEN v END) AS t3
+      FROM (SELECT f AS v,
+                   row_number() OVER (ORDER BY f, o_custkey) AS i,
+                   (SELECT n FROM n_all) AS n
+            FROM per)
+    ),
+    mt AS (
+      SELECT min(CASE WHEN i >= (n + 3) // 4 THEN v END) AS t1,
+             min(CASE WHEN i >= (2 * n + 3) // 4 THEN v END) AS t2,
+             min(CASE WHEN i >= (3 * n + 3) // 4 THEN v END) AS t3
+      FROM (SELECT m AS v,
+                   row_number() OVER (ORDER BY m, o_custkey) AS i,
+                   (SELECT n FROM n_all) AS n
+            FROM per)
+    )
+    SELECT (1 + (r_day > rt.t1)::INT + (r_day > rt.t2)::INT
+              + (r_day > rt.t3)::INT)::BIGINT AS r_score,
+           (1 + (f > ft.t1)::INT + (f > ft.t2)::INT
+              + (f > ft.t3)::INT)::BIGINT AS f_score,
+           (1 + (m > mt.t1)::INT + (m > mt.t2)::INT
+              + (m > mt.t3)::INT)::BIGINT AS m_score,
+           count(*)::BIGINT AS n_customers,
+           sum(m)::BIGINT AS monetary_cents
+    FROM per, rt, ft, mt
+    GROUP BY r_score, f_score, m_score
+    """,
+    doc="RFM segmentation: per-customer Recency (last order epoch "
+    "day), Frequency (order count), Monetary (exact cents) scored "
+    "into quartiles 1–4 by nearest-rank thresholds (t_q = value at "
+    "rank ceil(q·n/4) in (value, custkey) order; score = 1 + number "
+    "of thresholds strictly exceeded, so TIES land in one segment — "
+    "rank-splitting ties by custkey would scatter equal customers "
+    "across segments). Scale: customers are data-sized, so the "
+    "three threshold ranks come from operators/windows.prefix_sum "
+    "(two-phase distributed scan, one per metric — the oracle "
+    "windows directly; single-node DuckDB IS one task) and collapse "
+    "to three 1-row threshold tuples broadcast back; the final "
+    "segment rollup is a ≤64-row aggregate. The three cross joins "
+    "are all 1-row broadcast scalars (the guarded scalar-subquery "
+    "pattern).",
+    tags=("relational", "bench"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+                f" div {_US_PER_DAY}"
+            ).alias("r_day_ev"),
+            _cents(F.col("o_totalprice")).alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("r_day_ev").alias("r_day"),
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.sum("cents").alias("m"),
+        )
+        .localCheckpoint(eager=True)  # 3 rank scans + final rollup reuse it
+    )
+
+    def thresholds(metric: str):
+        ranked = W.prefix_sum(
+            per.withColumn("_one", F.lit(1).cast("long")),
+            "_one",
+            [metric, "o_custkey"],
+            out_col="_r0",
+        ).withColumn("i", F.col("_r0") + 1)
+        n_val = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        j = ranked.withColumn("_j", F.lit(1)).join(
+            F.broadcast(n_val.withColumn("_j", F.lit(1))), "_j"
+        )
+        agg = j.agg(
+            F.min(
+                F.when(F.col("i") >= F.expr("(n + 3) div 4"), F.col(metric))
+            ).alias("t1"),
+            F.min(
+                F.when(F.col("i") >= F.expr("(2 * n + 3) div 4"), F.col(metric))
+            ).alias("t2"),
+            F.min(
+                F.when(F.col("i") >= F.expr("(3 * n + 3) div 4"), F.col(metric))
+            ).alias("t3"),
+        )
+        return agg
+
+    rt, ft, mt = thresholds("r_day"), thresholds("f"), thresholds("m")
+    j = (
+        per.withColumn("_j", F.lit(1))
+        .join(F.broadcast(rt.select(
+            F.col("t1").alias("rt1"), F.col("t2").alias("rt2"),
+            F.col("t3").alias("rt3")).withColumn("_j", F.lit(1))), "_j")
+        .join(F.broadcast(ft.select(
+            F.col("t1").alias("ft1"), F.col("t2").alias("ft2"),
+            F.col("t3").alias("ft3")).withColumn("_j", F.lit(1))), "_j")
+        .join(F.broadcast(mt.select(
+            F.col("t1").alias("mt1"), F.col("t2").alias("mt2"),
+            F.col("t3").alias("mt3")).withColumn("_j", F.lit(1))), "_j")
+    )
+    score = lambda v, t: (  # noqa: E731
+        F.lit(1)
+        + (F.col(v) > F.col(f"{t}1")).cast("int")
+        + (F.col(v) > F.col(f"{t}2")).cast("int")
+        + (F.col(v) > F.col(f"{t}3")).cast("int")
+    ).cast("long")
+    return (
+        j.select(
+            score("r_day", "rt").alias("r_score"),
+            score("f", "ft").alias("f_score"),
+            score("m", "mt").alias("m_score"),
+            "m",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("m").cast("long").alias("monetary_cents"),
+        )
+    )
+
+
+@register(
+    "brand_return_wilson",
+    """
+    WITH b AS (
+      SELECT p.p_brand,
+             count(*)::BIGINT AS n_items,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+               AS n_returned
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT p_brand, n_items, n_returned,
+           (n_returned * 1000000 // n_items)::BIGINT AS return_ppm,
+           floor(
+             ((n_returned::DOUBLE / n_items::DOUBLE
+               + 1.9208 / n_items::DOUBLE
+               - 1.96 * sqrt((n_returned::DOUBLE / n_items::DOUBLE
+                              * (1.0 - n_returned::DOUBLE / n_items::DOUBLE)
+                              + 0.9604 / n_items::DOUBLE)
+                             / n_items::DOUBLE))
+              / (1.0 + 3.8416 / n_items::DOUBLE)) * 1000000.0 + 0.5
+           )::BIGINT AS wilson_lb_ppm
+    FROM b
+    """,
+    doc="Per-brand return rate with the Wilson score 95% LOWER bound "
+    "(z = 1.96; z²/2 = 1.9208, z²/4 = 0.9604, z² = 3.8416 as exact "
+    "literals) — the ranking statistic that does not reward "
+    "small-sample flukes, the same correction quality-scoring a "
+    "training corpus by source needs (a 3-document source with 0 "
+    "defects must not outrank a 10k-document source at 0.1%). One "
+    "fact-dim join on partkey (no broadcast hint: part is "
+    "dim-but-data-sized at 100 TB — AQE picks broadcast when it "
+    "fits) into a |brands|-sized aggregate; the Wilson expression is "
+    "an identical exact-int→double tree on both engines.",
+    tags=("relational", "quality"),
+)
+def brand_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("long").alias("n_returned"),
+        )
+    )
+    d = lambda name: F.col(name).cast("double")  # noqa: E731
+    phat = d("n_returned") / d("n_items")
+    lb = (
+        phat
+        + F.lit(1.9208) / d("n_items")
+        - F.lit(1.96)
+        * F.sqrt(
+            (phat * (F.lit(1.0) - phat) + F.lit(0.9604) / d("n_items"))
+            / d("n_items")
+        )
+    ) / (F.lit(1.0) + F.lit(3.8416) / d("n_items"))
+    return b.select(
+        "p_brand",
+        "n_items",
+        "n_returned",
+        F.expr("(n_returned * 1000000) div n_items").cast("long").alias(
+            "return_ppm"
+        ),
+        F.floor(lb * 1000000.0 + 0.5).cast("long").alias("wilson_lb_ppm"),
     )

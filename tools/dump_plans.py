@@ -374,6 +374,47 @@ a partition absent from the written data, so deleting EVERY key in a bucket
 previously left the old files readable (silent failed delete); `delete_keyed`
 now removes emptied bucket directories explicitly through the seam, with a
 crash-replay test on the new window.
+
+## The window-class scaling verdict: collect-bound, not partition-bound (r9)
+
+r8 flagged ffill_events (exp 0.69), sessionize_events (0.67),
+session_window_stats (0.63) as a "window-partition-bounded class" whose
+scaling story was unmeasured. r9 measured it, two ways.
+
+First, the corpora were never key-starved: `gen_scale_data.py` offsets
+`user_id` per replica, so `.scale/sf1` has 15,000 distinct users vs sf0.1's
+1,500 (constant ~67 events/user) — window parallelism-per-key was already
+growing 10× with the data. The partition-width hypothesis could not explain
+the exponents, and decomposition found what does: these queries RETURN one
+row per input event, and bench's contract mode collects the result to the
+driver. At sf1 that is ~1M rows through a single-threaded deserialization —
+re-timing the identical plans into Spark's no-op sink (fully distributed,
+`SPARK_GRAFT_SINK=noop`) drops the exponents to 0.11/0.12–0.20/0.02: the
+OPERATORS are nearly flat at 10× data; the 0.6-class was the O(n) serial
+collect. At 100 TB nobody collects a billion rows to one driver — results
+land in a sink — so exp_dist (now a SCALING.md column) is the
+cluster-shaped number, and the contract exp stays reported for honesty.
+
+Second, the key-width question itself is now measured rather than argued:
+`gen_scale_data.py --mode=rows` builds `.scale/sf1rows` — the SAME 10× event
+volume over a FIXED 1,500-user population (10× rows-per-key) — bracketing
+`.scale/sf1` (10× keys, constant rows-per-key). Distributed exponents for
+the window class are statistically indistinguishable across the two corpus
+shapes (0.11 vs 0.13 for ffill; 0.20 vs 0.12 for sessionize), i.e. at
+local[32] the per-user windows are nowhere near either limit: keys ≫ cores
+in both shapes, and a 10×-deeper per-user partition sorts comfortably
+in-task. The shapes DO separate exactly where theory says they must:
+rolling_dau_7d's work is 7×|user-day grid|, and its distributed exponent is
+0.39 when the grid grows (keys mode) vs 0.15 when the grid is fixed (rows
+mode). sessionize's COLLECT exponent collapses from 0.69 to 0.06 in rows
+mode for the complementary reason: denser per-user streams merge into
+FEWER sessions, so the output (and the collect) stops growing.
+
+Irreducibility note for the remaining 0.6-class collect exponents: a query
+that emits O(n) rows costs O(n) to deliver to any single consumer; that
+cost is the result's size, not the plan's shape. The plans themselves —
+one user-keyed shuffle, in-task sorts, no global window — carry 10× data
+at ≤1.6× distributed wall.
 """
 
 

@@ -114,15 +114,31 @@ def _span(src: str, table: str, col: str, cache: dict) -> int:
     return cache[k]
 
 
-def replicate(src: str, dst: str, table: str, k_factor: int) -> int:
+def replicate(
+    src: str, dst: str, table: str, k_factor: int, mode: str = "keys"
+) -> int:
+    """``mode='keys'`` (default): every identity key is offset per
+    replica — the key SPACES grow K× while rows-per-key stay constant
+    (the shape of a real corpus growing: more users, more customers).
+    ``mode='rows'``: the events table's ``user_id`` is NOT offset —
+    the user population stays fixed and rows-per-user grow K×
+    (event_id still offsets, so rows stay unique). The two corpora
+    bracket the window-partition question the SF audit measures: does
+    a per-user window's cost profile depend on whether growth comes
+    as wider key spaces (more window partitions) or deeper keys
+    (bigger partitions)? All other tables keep key offsets in both
+    modes (referential integrity)."""
     t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+    offset_keys = set(REPLICATE_KEYS[table])
+    if mode == "rows" and table == "events":
+        offset_keys.discard("user_id")
     spans: dict = {}
     chunks = [t]
     for k in range(1, k_factor):
         cols = []
         for name in t.schema.names:
             col = t.column(name)
-            if name in REPLICATE_KEYS[table]:
+            if name in offset_keys:
                 span_t, span_c = KEY_SPAN_TABLE[name]
                 off = k * _span(src, span_t, span_c, spans)
                 col = pc.add(col, pa.scalar(off, type=col.type))
@@ -215,9 +231,17 @@ def gen_embeddings(src: str, dst: str, factor: int) -> int:
 
 
 def main() -> None:
-    src, dst = sys.argv[1], sys.argv[2]
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    emb_factor = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    mode = "keys"
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--mode="):
+            mode = a.split("=", 1)[1]
+            assert mode in ("keys", "rows"), mode
+        else:
+            args.append(a)
+    src, dst = args[0], args[1]
+    factor = int(args[2]) if len(args) > 2 else 10
+    emb_factor = int(args[3]) if len(args) > 3 else 4
     os.makedirs(dst, exist_ok=True)
     for dim in ("region", "nation"):
         pq.write_table(
@@ -226,8 +250,8 @@ def main() -> None:
         )
         print(f"{dim}: copied")
     for table in REPLICATE_KEYS:
-        n = replicate(src, dst, table, factor)
-        print(f"{table}: {n} rows")
+        n = replicate(src, dst, table, factor, mode)
+        print(f"{table}: {n} rows ({mode})")
     print(f"documents: {gen_documents(src, dst, factor)} rows")
     print(f"embeddings: {gen_embeddings(src, dst, emb_factor)} rows")
 
