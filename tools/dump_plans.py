@@ -287,6 +287,25 @@ SHOWCASE = {
         "there is nothing to skew: work is 7×|user-day grid| however "
         "large the raw stream."
     ),
+    "rfm_segmentation": (
+        "Quartile scoring where the rank base is data-sized: three "
+        "two-phase prefix_sum scans (one per metric) each collapse to "
+        "a 1-row nearest-rank threshold tuple, broadcast back onto "
+        "the per-customer aggregate; the per-customer base is "
+        "localCheckpointed once and reused by all four consumers. No "
+        "global row_number window anywhere — the oracle windows "
+        "directly because single-node DuckDB IS one task. Ties score "
+        "via strict threshold comparison, so equal customers land in "
+        "one segment regardless of physical row order."
+    ),
+    "user_activity_streaks": (
+        "Gaps-and-islands at stream scale: the only row-scale pass "
+        "is the exact distinct down to the (user, day) grid; the "
+        "island-id window partitions BY USER over grid rows, so the "
+        "sort is per-user over ≤|days| rows and spreads with the key "
+        "space. Two more grid-sized hash aggregates finish the "
+        "distribution. The plan never sorts or windows raw events."
+    ),
 }
 
 
