@@ -361,3 +361,75 @@ def scd2_apply_keyed(
     merged = new_sub.localCheckpoint(eager=True)
     overwrite_partitions(merged, path, [KB_COL])
     return touched
+
+
+def compact_keyed(
+    spark: SparkSession,
+    path: str,
+    buckets: list[int] | None = None,
+    target_files: int = 1,
+    fs: LakeFS | None = None,
+) -> list[int]:
+    """Small-file compaction for the keyed layout — the OPTIMIZE /
+    rewrite-data-files maintenance op every table format ships.
+
+    Streaming epochs and wide-parallelism merges leave each touched
+    bucket directory with one file PER WRITE TASK that held its rows;
+    at 100 TB that is the classic small-file problem (footer-read and
+    task-schedule overhead per file, not per byte). Compaction
+    rewrites every bucket whose file count exceeds ``target_files``
+    down to at most ``target_files`` files, CONTENT-IDENTICAL —
+    ``operators/integrity.keyed_digest`` before and after is equal by
+    construction (pinned by tests), so a digest baseline stays valid
+    across compactions (no bucket is "touched" in the incremental-
+    digest sense).
+
+    Plan shape: the candidate list comes from a file LISTING through
+    the lakefs seam (metadata-only, no data read); the scan is
+    partition-pruned to the candidate buckets; ``repartition(
+    n_candidates, _kb)`` puts each bucket's rows in one task (hash
+    collisions merge tasks, never split a bucket), so output files
+    per bucket = 1; the rewrite rides the same dynamic-partition-
+    overwrite commit path as the merges — a crash mid-compaction
+    leaves a prefix of buckets compacted and the rest old, every
+    bucket readable and content-correct either way (compaction is a
+    no-op on content, so replay converges trivially).
+
+    ``buckets=None`` considers the whole table; pass a merge's
+    touched-bucket list to compact in its wake. Returns the bucket
+    ids actually rewritten (empty = nothing exceeded
+    ``target_files``).
+    """
+    import os as _os
+
+    f = get_fs(path, fs)
+    if not f.exists(_pjoin(path, _META)):
+        return []
+    want = None if buckets is None else set(buckets)
+    candidates = []
+    for d in f.ls_dirs(path):
+        base = _os.path.basename(d)
+        if not base.startswith(f"{KB_COL}="):
+            continue
+        b = int(base.split("=", 1)[1])
+        if want is not None and b not in want:
+            continue
+        if len(f.ls(d, suffixes=[".parquet"])) > target_files:
+            candidates.append(b)
+    if not candidates:
+        return []
+    candidates.sort()
+    sub = _read_base(spark, path, fs).where(F.col(KB_COL).isin(candidates))
+    if target_files == 1:
+        packed = sub.repartition(len(candidates), F.col(KB_COL))
+    else:
+        # spread each bucket over ≤ target_files tasks: salt the
+        # partitioner, keep bucket affinity dominant
+        packed = sub.repartition(
+            len(candidates) * target_files,
+            F.col(KB_COL),
+            F.pmod(F.spark_partition_id(), F.lit(target_files)),
+        )
+    merged = packed.localCheckpoint(eager=True)
+    overwrite_partitions(merged, path, [KB_COL])
+    return candidates

@@ -1,0 +1,116 @@
+"""compact_keyed — OPTIMIZE for the keyed layout: file counts drop
+to the target, content is bit-identical (digest-equal), untouched
+buckets' files are not rewritten, and a second pass is a no-op."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbm_nca_ph_etl_spark.operators.integrity import diff_digest, keyed_digest
+from dbm_nca_ph_etl_spark.sinks.keyed import (
+    KB_COL,
+    _write_meta,
+    compact_keyed,
+    key_bucket,
+    read_keyed,
+    upsert_keyed,
+    write_keyed,
+)
+
+N_BUCKETS = 4
+CANON = lambda: [F.col("k").cast("string"), F.col("v")]  # noqa: E731
+
+
+def _files_per_bucket(path: str) -> dict[int, int]:
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith(f"{KB_COL}="):
+            b = int(d.split("=", 1)[1])
+            out[b] = len(
+                [x for x in os.listdir(os.path.join(path, d)) if x.endswith(".parquet")]
+            )
+    return out
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """A keyed table whose every bucket holds SEVERAL parquet files —
+    written directly with a non-bucket-aligned repartition (the state
+    a wide-parallelism merge or many streamed epochs leaves)."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k long, v string"
+    ).withColumn(KB_COL, key_bucket(["k"], N_BUCKETS))
+    df.repartition(8).write.mode("overwrite").partitionBy(KB_COL).parquet(path)
+    _write_meta(
+        path,
+        {"keys": ["k"], "num_buckets": N_BUCKETS, "schema": "k BIGINT,v STRING"},
+    )
+    assert max(_files_per_bucket(path).values()) > 1, "fixture not fragmented"
+    return path
+
+
+class TestCompactKeyed:
+    def test_compacts_to_one_file_content_identical(self, spark, fragmented):
+        before = keyed_digest(spark, fragmented, CANON()).localCheckpoint(
+            eager=True
+        )
+        rows_before = sorted(
+            tuple(r) for r in read_keyed(spark, fragmented).collect()
+        )
+        done = compact_keyed(spark, fragmented)
+        assert sorted(done) == sorted(_files_per_bucket(fragmented))
+        assert all(n == 1 for n in _files_per_bucket(fragmented).values())
+        after = keyed_digest(spark, fragmented, CANON())
+        assert diff_digest(before, after).count() == 0
+        assert (
+            sorted(tuple(r) for r in read_keyed(spark, fragmented).collect())
+            == rows_before
+        )
+
+    def test_second_pass_is_noop(self, spark, fragmented):
+        assert compact_keyed(spark, fragmented)
+        assert compact_keyed(spark, fragmented) == []
+
+    def test_bucket_subset_leaves_others_untouched(self, spark, fragmented):
+        all_buckets = sorted(_files_per_bucket(fragmented))
+        target, rest = all_buckets[:1], all_buckets[1:]
+        listing_before = {
+            b: sorted(
+                os.listdir(os.path.join(fragmented, f"{KB_COL}={b}"))
+            )
+            for b in rest
+        }
+        done = compact_keyed(spark, fragmented, buckets=target)
+        assert done == target
+        fpb = _files_per_bucket(fragmented)
+        assert fpb[target[0]] == 1
+        for b in rest:
+            assert (
+                sorted(os.listdir(os.path.join(fragmented, f"{KB_COL}={b}")))
+                == listing_before[b]
+            ), "compaction rewrote an unselected bucket"
+            assert fpb[b] > 1
+
+    def test_upsert_then_compact_in_its_wake(self, spark, fragmented):
+        batch = spark.createDataFrame(
+            [(3, "NEW3"), (777, "v777")], "k long, v string"
+        )
+        touched = upsert_keyed(spark, batch, fragmented, ["k"])
+        assert touched
+        # compact exactly the merge's wake; content must include the
+        # merge's effect and survive compaction unchanged
+        before = keyed_digest(spark, fragmented, CANON()).localCheckpoint(
+            eager=True
+        )
+        compact_keyed(spark, fragmented, buckets=touched)
+        after = keyed_digest(spark, fragmented, CANON())
+        assert diff_digest(before, after).count() == 0
+        got = {r.k: r.v for r in read_keyed(spark, fragmented).collect()}
+        assert got[3] == "NEW3" and got[777] == "v777"
+
+    def test_missing_meta_is_noop(self, spark, tmp_path):
+        assert compact_keyed(spark, str(tmp_path / "nope")) == []
