@@ -13527,3 +13527,80 @@ def brand_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.floor(lb * 1000000.0 + 0.5).cast("long").alias("wilson_lb_ppm"),
     )
+
+
+@register(
+    "compaction_audit",
+    """
+    WITH kb AS (
+      SELECT ('0x' || substr(md5(c_custkey::VARCHAR), 1, 12))::BIGINT % 16
+               AS kb,
+             c_acctbal
+      FROM customer
+    )
+    SELECT kb::INT AS kb, count(*) AS n_rows,
+           sum(floor(c_acctbal * 100 + 0.5))::BIGINT AS acct_cents,
+           true AS fully_compacted
+    FROM kb GROUP BY kb
+    """,
+    doc="Small-file compaction on the keyed layout "
+    "(sinks/keyed.compact_keyed), end-to-end on a scratch dir: build "
+    "the keyed table from customer, FRAGMENT it (a non-bucket-aligned "
+    "repartition(8) rewrite — the file state wide-parallelism merges "
+    "and streamed epochs leave), compact, and read back per-bucket "
+    "row counts and integer-cent balance sums. fully_compacted "
+    "asserts every bucket directory holds exactly one parquet file "
+    "afterwards (seam listing). Content identity is the load-bearing "
+    "claim — the oracle replays only the DATA (bucket assignment via "
+    "the md5-prefix hash + the sums); a compaction that lost or "
+    "duplicated a row hash-mismatches. Scale: candidates from a "
+    "metadata-only listing, scan pruned to them, one task per bucket "
+    "(repartition on _kb), same dynamic-overwrite commit path as the "
+    "merges.",
+    tags=("sink", "merge"),
+)
+def compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from dbm_nca_ph_etl_spark.sinks.keyed import (
+        KB_COL,
+        compact_keyed,
+        write_keyed,
+    )
+    from dbm_nca_ph_etl_spark.sinks.partitioned import overwrite_partitions
+
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    scratch = tempfile.mkdtemp(prefix="compaction_audit_")
+    try:
+        path = f"{scratch}/t"
+        write_keyed(base, path, ["c_custkey"], 16)
+        # fragment: rewrite every bucket from 8 non-aligned tasks
+        frag = spark.read.parquet(path).repartition(8).localCheckpoint(
+            eager=True
+        )
+        overwrite_partitions(frag, path, [KB_COL])
+        compact_keyed(spark, path)
+        ok = all(
+            len([x for x in os.listdir(os.path.join(path, d)) if x.endswith(".parquet")]) == 1
+            for d in os.listdir(path)
+            if d.startswith(f"{KB_COL}=")
+        )
+        out = (
+            spark.read.parquet(path)
+            .groupBy(F.col(KB_COL).alias("kb"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5))
+                .cast("long")
+                .alias("acct_cents"),
+            )
+            .withColumn("fully_compacted", F.lit(bool(ok)))
+            # materialize before the scratch dir disappears: the
+            # caller collects AFTER this function returns
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
