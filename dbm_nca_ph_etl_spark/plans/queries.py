@@ -13369,13 +13369,17 @@ def chi2_dow_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank ceil(q·n/4) in (value, custkey) order; score = 1 + number "
     "of thresholds strictly exceeded, so TIES land in one segment — "
     "rank-splitting ties by custkey would scatter equal customers "
-    "across segments). Scale: customers are data-sized, so the "
-    "three threshold ranks come from operators/windows.prefix_sum "
-    "(two-phase distributed scan, one per metric — the oracle "
-    "windows directly; single-node DuckDB IS one task) and collapse "
-    "to three 1-row threshold tuples broadcast back; the final "
-    "segment rollup is a ≤64-row aggregate. The three cross joins "
-    "are all 1-row broadcast scalars (the guarded scalar-subquery "
+    "across segments). Scale, by metric shape: Recency and Frequency "
+    "live on DOMAIN-BOUNDED grids (epoch days; orders-per-customer), "
+    "so their thresholds come from nearest-rank picks over the "
+    "metadata-sized value grid (grid_rank_picks — the "
+    "value_percentiles discipline); Monetary is DATA-sized (distinct "
+    "cent sums grow with customers), so its threshold rank comes "
+    "from operators/windows.prefix_sum (two-phase distributed scan — "
+    "the oracle windows directly; single-node DuckDB IS one task). "
+    "All three collapse to 1-row threshold tuples broadcast back; "
+    "the final segment rollup is a ≤64-row aggregate; the cross "
+    "joins are 1-row broadcast scalars (the guarded scalar-subquery "
     "pattern).",
     tags=("relational", "bench"),
 )
@@ -13400,7 +13404,23 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # 3 rank scans + final rollup reuse it
     )
 
-    def thresholds(metric: str):
+    def grid_thresholds(metric: str):
+        """Quartile thresholds over a DOMAIN-BOUNDED metric (epoch
+        days, per-customer order counts): aggregate to the value grid
+        first, then nearest-rank picks over the metadata-sized grid —
+        pick(q·25) = min v with cum ≥ ceil(q·n/4), identical to the
+        rank-at-ceil(q·n/4) definition because ranks within equal
+        values never straddle a value boundary."""
+        g = per.groupBy(metric).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        c, pick = W.grid_rank_picks(g, metric, "_c")
+        return c.agg(
+            pick(25).alias("t1"), pick(50).alias("t2"), pick(75).alias("t3")
+        )
+
+    def rank_thresholds(metric: str):
+        """Quartile thresholds over a DATA-SIZED metric (per-customer
+        cent sums — distinct values grow with customers): two-phase
+        prefix_sum rank, never a global window over data rows."""
         ranked = W.prefix_sum(
             per.withColumn("_one", F.lit(1).cast("long")),
             "_one",
@@ -13411,7 +13431,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         j = ranked.withColumn("_j", F.lit(1)).join(
             F.broadcast(n_val.withColumn("_j", F.lit(1))), "_j"
         )
-        agg = j.agg(
+        return j.agg(
             F.min(
                 F.when(F.col("i") >= F.expr("(n + 3) div 4"), F.col(metric))
             ).alias("t1"),
@@ -13422,9 +13442,12 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("i") >= F.expr("(3 * n + 3) div 4"), F.col(metric))
             ).alias("t3"),
         )
-        return agg
 
-    rt, ft, mt = thresholds("r_day"), thresholds("f"), thresholds("m")
+    rt, ft, mt = (
+        grid_thresholds("r_day"),
+        grid_thresholds("f"),
+        rank_thresholds("m"),
+    )
     j = (
         per.withColumn("_j", F.lit(1))
         .join(F.broadcast(rt.select(
