@@ -108,6 +108,61 @@ def session_window_stats(
     )
 
 
+def daily_active_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """EXACT daily distinct active users at ingest — the streaming
+    twin of the batch ``rolling_dau_7d`` discipline: deduplicate down
+    to the (user, event-time day window) GRID first, then count the
+    grid. ``dropDuplicates`` keyed on the window column (event-time
+    derived, so it carries the watermark) lets Spark EVICT dedup
+    state once a day closes — state is one entry per (user, open
+    day), never the raw stream. Works identically on batch frames
+    (no watermark, plain distinct-then-count semantics). Use update
+    output mode on streams: a day's count grows as its batches land
+    and stops changing one watermark past day end."""
+    day = F.window(ts_col, "1 day")
+    grid = (
+        _watermarked(events, ts_col, watermark)
+        .select(F.col(user_col), day.alias("w"))
+        .dropDuplicates([user_col, "w"])
+    )
+    return (
+        grid.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .select(F.date_format("w.start", _FMT).alias("day_start"), "dau")
+    )
+
+
+def daily_active_users_approx(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 day",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """APPROXIMATE daily distinct actives — ``approx_count_distinct``
+    (HyperLogLog++) per event-time day. The scale contrast with the
+    exact twin is the state shape: exact keeps one dedup entry per
+    (user, open day) — O(users/day), real memory at 10⁹ users —
+    while the sketch keeps O(2^p) registers per open day regardless
+    of cardinality, the same estimate-vs-exact trade the hll matview
+    measure makes at rest. ``rsd`` is the target relative standard
+    deviation (0.02 ≈ 2^12 registers)."""
+    day = F.window(ts_col, "1 day")
+    return (
+        _watermarked(events, ts_col, watermark)
+        .groupBy(day.alias("w"))
+        .agg(F.approx_count_distinct(user_col, rsd).alias("dau_approx"))
+        .select(
+            F.date_format("w.start", _FMT).alias("day_start"), "dau_approx"
+        )
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

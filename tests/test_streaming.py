@@ -165,6 +165,70 @@ class TestStreamingWindows:
         )
         assert got == want and len(got) > 0
 
+    def test_daily_active_users_exact_and_approx(self, spark, tmp_path, sf_dir):
+        """Streaming DAU: the grid-dedup exact form equals the batch
+        distinct count per day even when one user's events span
+        micro-batches; the HLL form is exact at this cardinality (a
+        few hundred users/day is far under sketch saturation)."""
+        from dbm_nca_ph_etl_spark.sources.catalog import load_table
+        from dbm_nca_ph_etl_spark.streaming.events import (
+            daily_active_users,
+            daily_active_users_approx,
+        )
+
+        events = (
+            load_table(spark, sf_dir, "events")
+            .limit(2000)
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+            .cache()
+        )
+        src = str(tmp_path / "dau_src")
+        # two files -> two micro-batches (maxFilesPerTrigger=1): the
+        # same (user, day) pair lands in BOTH batches, so a correct
+        # count requires cross-batch dedup state
+        events.coalesce(1).write.mode("append").parquet(src)
+        events.limit(200).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            daily_active_users(stream)
+            .writeStream.format("memory")
+            .queryName("dau_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update mode re-emits a day each time its count changes, and
+        # the memory table keeps every emission; DAU only grows as
+        # dedup state accumulates, so the day's final count is its MAX
+        got = {
+            r.day_start: r.dau
+            for r in spark.sql(
+                "SELECT day_start, max(dau) AS dau FROM dau_test GROUP BY day_start"
+            ).collect()
+        }
+        want = {
+            r.day_start: r.dau for r in daily_active_users(events).collect()
+        }
+        assert got == want and len(want) > 0
+
+        approx = {
+            r.day_start: r.dau_approx
+            for r in daily_active_users_approx(events, rsd=0.01).collect()
+        }
+        assert set(approx) == set(want)
+        for day, exact in want.items():
+            assert abs(approx[day] - exact) <= max(2, 0.05 * exact), (
+                day,
+                exact,
+                approx[day],
+            )
+
 
 class TestStatefulDedup:
     def test_cross_batch_dedup(self, spark, tmp_path):
