@@ -330,3 +330,80 @@ def streaming_last_touch(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_new_vs_returning(
+    stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "cents",
+    conversion_type: str = "purchase",
+    us_per_day: int = 86_400_000_000,
+) -> DataFrame:
+    """Acquisition-vs-retention classification at ingest — the
+    streaming twin of the batch ``new_vs_returning_revenue`` catalog
+    query: each conversion row is emitted once, flagged ``is_new`` =
+    (its epoch day == the user's FIRST-ever conversion day). State
+    per user is one long (first conversion day) — O(users),
+    hash-partitioned across the cluster; downstream a plain
+    per-(day, is_new) aggregation reproduces the batch query's
+    new/returning cents split incrementally.
+
+    Semantics notes, matching the batch twin: every conversion on the
+    user's first day is NEW (the batch form compares days, not row
+    order), later days are RETURNING. The state update keeps the MIN
+    day seen, so within-feed reordering across batches cannot move
+    the first day forward; what it canNOT do is retroactive — rows
+    already emitted as RETURNING are not re-flagged if an EARLIER
+    first day only arrives later (immutable emission, the same
+    at-least-once discipline as ``streaming_last_touch``). Non-
+    conversion events pass through unclassified (filtered out).
+    """
+    out_schema = (
+        f"{user_col} long, {id_col} long, day long, "
+        f"{value_col} long, is_new boolean"
+    )
+
+    def classify(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        first_day = None
+        if state.exists:
+            (first_day,) = state.get
+        chunks = [p for p in pdfs if len(p)]
+        out: list[tuple] = []
+        if chunks:
+            rows = pd.concat(chunks)
+            rows = rows[rows[type_col] == conversion_type]
+            if len(rows):
+                rows = rows.sort_values([ts_col, id_col])
+                for r in rows.itertuples(index=False):
+                    rd = r._asdict()
+                    day = int(rd[ts_col]) // us_per_day
+                    if first_day is None or day < first_day:
+                        first_day = day
+                    out.append(
+                        (
+                            key[0],
+                            rd[id_col],
+                            day,
+                            rd[value_col],
+                            day == first_day,
+                        )
+                    )
+        state.update((first_day,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[user_col, id_col, "day", value_col, "is_new"]
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        classify,
+        outputStructType=out_schema,
+        stateStructType="first_day long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1755,3 +1755,69 @@ class TestStreamingLastTouch:
             for r in spark.sql("SELECT * FROM lt_ooo_test").collect()
         }
         assert got == {12: 9, 14: 4}
+
+
+class TestStreamingNewVsReturning:
+    """Streaming acquisition-vs-retention: first-day state carries
+    across micro-batches; every conversion on the user's first-ever
+    day is NEW (day comparison, not row order), later days RETURNING;
+    the min-day state guard survives same-batch reordering."""
+
+    SCHEMA = (
+        "user_id long, event_id long, ts_us long, event_type string, "
+        "campaign int, cents long"
+    )
+    DAY = 86_400_000_000
+
+    def _feed(self, spark, src, rows):
+        spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def test_cross_batch_first_day_state(self, spark, tmp_path):
+        from dbm_nca_ph_etl_spark.streaming.stateful import (
+            streaming_new_vs_returning,
+        )
+
+        src = str(tmp_path / "nvr_src")
+        d = self.DAY
+        # batch 1: u1 converts twice on day 5 (both NEW — same first
+        # day); a view row passes through unclassified (dropped)
+        self._feed(spark, src, [
+            (1, 10, 5 * d + 100, "purchase", None, 700),
+            (1, 11, 5 * d + 900, "purchase", None, 300),
+            (1, 12, 5 * d + 500, "view", 3, None),
+        ])
+        # batch 2: u1 converts day 7 (RETURNING — state remembers day
+        # 5); u1 converts AGAIN on day 5 late-arriving (still NEW);
+        # u2's first conversion (NEW)
+        self._feed(spark, src, [
+            (1, 20, 7 * d + 50, "purchase", None, 1100),
+            (1, 21, 5 * d + 999, "purchase", None, 200),
+            (2, 22, 7 * d + 10, "purchase", None, 900),
+        ])
+        stream = (
+            spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_new_vs_returning(stream)
+            .writeStream.format("memory")
+            .queryName("nvr_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.event_id: (r.user_id, r.day, r.cents, r.is_new)
+            for r in spark.sql("SELECT * FROM nvr_test").collect()
+        }
+        assert got == {
+            10: (1, 5, 700, True),
+            11: (1, 5, 300, True),
+            20: (1, 7, 1100, False),
+            21: (1, 5, 200, True),
+            22: (2, 7, 900, True),
+        }
