@@ -399,6 +399,13 @@ def compact_keyed(
     touched-bucket list to compact in its wake. Returns the bucket
     ids actually rewritten (empty = nothing exceeded
     ``target_files``).
+
+    SINGLE-WRITER ONLY, like the bare merges: compaction holds the
+    longest read-rewrite window of any op here, so an upsert landing
+    between its read and its overwrite would be silently rolled
+    back. Beside concurrent writers (a streaming ingester, another
+    maintenance job) use ``sinks/txlog.compact_keyed_serialized`` —
+    the lease-serialized, fenced, commit-logged form.
     """
     import os as _os
 

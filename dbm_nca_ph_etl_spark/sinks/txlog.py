@@ -277,3 +277,60 @@ def expire_log(
     for p in victims:
         f.delete_file(p)
     return len(victims)
+
+
+def compact_keyed_serialized(
+    spark,
+    path: str,
+    *,
+    buckets: list[int] | None = None,
+    target_files: int = 1,
+    writer: str = "maintenance",
+    lease_ttl_s: float = 60.0,
+    timeout_s: float = 30.0,
+    fs: LakeFS | None = None,
+    extra: dict | None = None,
+) -> list[int]:
+    """Multi-writer-safe small-file compaction: LEASE → compact →
+    fencing check → LOG append → release.
+
+    Compaction is the read-rewrite span with the LONGEST window for
+    the lost-update interleaving: it reads whole bucket directories
+    and overwrites them with byte-identical content, so an upsert
+    landing between its read and its overwrite would be silently
+    rolled back. Bare :func:`~dbm_nca_ph_etl_spark.sinks.keyed.
+    compact_keyed` is therefore only safe single-writer (its
+    docstring says so); this wrapper serializes it on the SAME lease
+    the merges take, which is what makes running a maintenance
+    compactor beside a streaming ingester
+    (``streaming/agg_stream.stream_into_keyed``) correct: the lease
+    orders them, the fencing check refuses to log a compaction whose
+    lease was stolen mid-rewrite, and the log records
+    ``op="compact"`` with the rewritten buckets — the table history
+    distinguishes content changes (upserts) from layout maintenance.
+    A fenced/crashed compaction re-runs idempotently: compaction is
+    content-free, so replay converges on any state."""
+    from dbm_nca_ph_etl_spark.sinks.keyed import compact_keyed
+
+    lease = WriterLease(path, ttl_s=lease_ttl_s, fs=fs)
+    log = CommitLog(path, fs=fs)
+    lease.acquire(timeout_s=timeout_s)
+    try:
+        done = compact_keyed(
+            spark, path, buckets=buckets, target_files=target_files, fs=fs
+        )
+        if not lease.is_current():
+            raise CommitFenced(
+                f"lease on {path} lost mid-compaction (writer={writer}); "
+                "compaction must be retried"
+            )
+        if done:
+            entry = {"op": "compact", "writer": writer, "buckets": done}
+            entry.update(extra or {})
+            while True:
+                v = log.version()
+                if log.try_commit(entry, v):
+                    break
+        return done
+    finally:
+        lease.release()

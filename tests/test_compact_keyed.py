@@ -115,6 +115,79 @@ class TestCompactKeyed:
     def test_missing_meta_is_noop(self, spark, tmp_path):
         assert compact_keyed(spark, str(tmp_path / "nope")) == []
 
+    def test_serialized_compaction_logs_and_preserves_content(
+        self, spark, fragmented
+    ):
+        from dbm_nca_ph_etl_spark.sinks.txlog import (
+            CommitLog,
+            compact_keyed_serialized,
+        )
+
+        before = keyed_digest(spark, fragmented, CANON()).localCheckpoint(
+            eager=True
+        )
+        done = compact_keyed_serialized(spark, fragmented, writer="opt")
+        assert done
+        after = keyed_digest(spark, fragmented, CANON())
+        assert diff_digest(before, after).count() == 0
+        entries = CommitLog(fragmented).entries()
+        assert [
+            (e["op"], e["writer"], e["buckets"]) for e in entries
+        ] == [("compact", "opt", done)]
+        # a no-op second pass takes the lease but logs nothing
+        assert compact_keyed_serialized(spark, fragmented, writer="opt") == []
+        assert len(CommitLog(fragmented).entries()) == 1
+
+    def test_concurrent_upserts_survive_compactions(self, spark, fragmented):
+        """A maintenance compactor beside a writer, both serialized on
+        the lease: every upserted key must survive — the lost-update
+        interleaving (compactor reads, writer merges, compactor
+        overwrites with stale content) is exactly what the lease
+        forbids."""
+        import threading
+
+        from dbm_nca_ph_etl_spark.sinks.txlog import (
+            compact_keyed_serialized,
+            upsert_keyed_serialized,
+        )
+
+        errors = []
+
+        def upserter():
+            try:
+                for i in range(5):
+                    batch = spark.createDataFrame(
+                        [(1000 + i, f"u{i}")], "k long, v string"
+                    )
+                    upsert_keyed_serialized(
+                        spark, batch, fragmented, ["k"], writer="ingest",
+                        timeout_s=120.0,
+                    )
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+
+        def compactor():
+            try:
+                for _ in range(3):
+                    compact_keyed_serialized(
+                        spark, fragmented, writer="opt", timeout_s=120.0
+                    )
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+
+        ts = [
+            threading.Thread(target=upserter),
+            threading.Thread(target=compactor),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors, errors
+        got = {r.k: r.v for r in read_keyed(spark, fragmented).collect()}
+        for i in range(5):
+            assert got[1000 + i] == f"u{i}", "compaction rolled back an upsert"
+
     def test_streamed_epochs_then_compact_keeps_digest_baseline(
         self, spark, tmp_path
     ):
