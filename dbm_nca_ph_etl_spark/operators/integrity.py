@@ -66,7 +66,9 @@ from pyspark.sql import functions as F
 CANON_COL = "_canon"
 
 
-def canon_fingerprint(canon_cols: Sequence[Column]) -> str:
+def canon_fingerprint(
+    canon_cols: Sequence[Column], spec: str | None = None
+) -> str:
     """Deterministic fingerprint of the canonicalization recipe.
 
     A stored digest is only comparable to a re-digest computed under
@@ -75,19 +77,55 @@ def canon_fingerprint(canon_cols: Sequence[Column]) -> str:
     column would make every UNTOUCHED bucket diff dirty (bucket-level
     false mismatches with no row actually changed). The fingerprint
     is the md5 of the Column expression strings, which PySpark renders
-    deterministically for a given expression tree."""
-    spec = "\x1f".join(str(c) for c in canon_cols)
+    deterministically for a given expression tree — for a given
+    PySpark runtime. That rendering is NOT pinned across PySpark
+    versions (or classic vs Connect), so a stamp also records the
+    version it was rendered under (see :func:`with_canon`): a runtime
+    upgrade that changes the renderer still fails loudly, but the
+    error can then say "renderer changed" instead of masquerading as
+    recipe drift. Callers who need a stamp that survives runtime
+    upgrades entirely pass ``spec`` — an explicit canonical string
+    (column names + canonicalization description) that is fingerprinted
+    verbatim, independent of any Column repr."""
+    if spec is None:
+        spec = "\x1f".join(str(c) for c in canon_cols)
     return hashlib.md5(spec.encode("utf-8")).hexdigest()
 
 
-def with_canon(digest: DataFrame, canon_cols: Sequence[Column]) -> DataFrame:
+def _stamp_version() -> str:
+    import pyspark
+
+    return pyspark.__version__
+
+
+def _split_stamp(stamp: str) -> tuple[str, str | None]:
+    """(fingerprint, renderer-version) — version None on legacy
+    stamps written before versions were recorded."""
+    fp, _, ver = stamp.partition("@")
+    return fp, (ver or None)
+
+
+def with_canon(
+    digest: DataFrame,
+    canon_cols: Sequence[Column],
+    spec: str | None = None,
+) -> DataFrame:
     """Stamp a digest table with its canonicalization fingerprint
     (column ``_canon``) before persisting it. :func:`refresh_digest`
     and :func:`diff_digest` then FAIL LOUDLY on recipe drift instead
     of silently reporting every untouched bucket as corrupt —
     mirroring the ``_keyed_meta`` fail-on-drift contract in
-    ``sinks/keyed.py``."""
-    return digest.withColumn(CANON_COL, F.lit(canon_fingerprint(canon_cols)))
+    ``sinks/keyed.py``.
+
+    The stamp is ``<fingerprint>@<pyspark-version>``; only the
+    fingerprint half participates in equality (a version bump with a
+    stable rendering never fails), the version half upgrades the
+    drift error's diagnosis when fingerprints DO differ across
+    runtimes. Pass ``spec`` to fingerprint an explicit canonical
+    string instead of the runtime's Column rendering — the
+    upgrade-proof form."""
+    stamp = f"{canon_fingerprint(canon_cols, spec=spec)}@{_stamp_version()}"
+    return digest.withColumn(CANON_COL, F.lit(stamp))
 
 
 def _canon_of(df: DataFrame) -> str | None:
@@ -108,17 +146,34 @@ def _canon_of(df: DataFrame) -> str | None:
 
 def _check_canon(a: DataFrame, b: DataFrame, op: str) -> None:
     """Raise when either side is stamped and the stamps disagree
-    (or only one side is stamped — recipe unknown ≠ recipe equal)."""
-    fa, fb = _canon_of(a), _canon_of(b)
-    if fa is None and fb is None:
+    (or only one side is stamped — recipe unknown ≠ recipe equal).
+    Only the fingerprint half of a stamp participates in equality;
+    the recorded renderer version refines the error's diagnosis."""
+    sa, sb = _canon_of(a), _canon_of(b)
+    if sa is None and sb is None:
         return
+    fa, va = _split_stamp(sa) if sa is not None else (None, None)
+    fb, vb = _split_stamp(sb) if sb is not None else (None, None)
     if fa != fb:
+        if va is not None and vb is not None and va != vb:
+            cause = (
+                f"the stamps were rendered under different PySpark "
+                f"versions ({va} vs {vb}) — this is likely RENDERER "
+                f"drift (Column repr changed across runtimes), not a "
+                f"recipe change; re-digest the baseline under the "
+                f"current runtime (or stamp with an explicit spec= to "
+                f"be upgrade-proof)"
+            )
+        else:
+            cause = (
+                "recompute the stored baseline under the current "
+                "canon_cols (e.g. after evolve_schema) instead of "
+                "diffing across recipes, which would report every "
+                "untouched bucket as a mismatch"
+            )
         raise ValueError(
             f"{op}: canonicalization drift — digest recipes differ "
-            f"({fa!r} vs {fb!r}); recompute the stored baseline under "
-            f"the current canon_cols (e.g. after evolve_schema) instead "
-            f"of diffing across recipes, which would report every "
-            f"untouched bucket as a mismatch"
+            f"({sa!r} vs {sb!r}); {cause}"
         )
 
 

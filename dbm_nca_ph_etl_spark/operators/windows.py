@@ -348,6 +348,92 @@ def grid_rank_picks(
     return out, pick
 
 
+def quantile_thresholds(
+    df: DataFrame,
+    metric: str,
+    qs: Sequence[int],
+    *,
+    bounded: bool,
+    tie_break: str | None = None,
+    names: Sequence[str] | None = None,
+) -> DataFrame:
+    """ONE-row DataFrame of exact nearest-rank thresholds over
+    ``metric``: threshold for percent ``q`` = the value at rank
+    ``ceil(q·n/100)`` in ascending order (the percentile_disc
+    definition; ties land on one side by construction). Output
+    columns default to ``t1..tk`` in ``qs`` order.
+
+    This is THE shared home of the nearest-rank threshold idiom —
+    the scale route is picked by the metric's SHAPE, the same split
+    rfm_segmentation's docstring argues:
+
+    - ``bounded=True`` — the metric lives on a DOMAIN-BOUNDED grid
+      (epoch days, per-entity counts, enum codes): aggregate to the
+      (value, count) grid first (one map-side-combining shuffle over
+      data rows), then rank-pick over the metadata-sized grid via
+      :func:`grid_rank_picks`. Never sorts row-scale data.
+    - ``bounded=False`` — the metric is DATA-SIZED (distinct values
+      grow with the corpus, e.g. per-customer cent sums): global
+      ranks come from :func:`prefix_sum`'s two-phase distributed
+      scan (never a global window over data rows); ``tie_break``
+      (required) must complete ``(metric, tie_break)`` into a total
+      order so the rank — and therefore the threshold — is
+      deterministic.
+
+    The partitioned form of the same algebra (per-group thresholds
+    plus extra grid aggregates) stays on :func:`grid_rank_picks`
+    directly — see value_percentiles_by_type / ship_latency_sla.
+
+    The 1-row result is meant to be broadcast-joined back against
+    the data (the guarded scalar-subquery pattern); thresholds are
+    cast to long (exact-integer metrics are the engine-wide digest
+    convention).
+    """
+    names = list(names) if names is not None else [
+        f"t{i + 1}" for i in range(len(qs))
+    ]
+    if len(names) != len(qs):
+        raise ValueError("names and qs must align")
+    if bounded:
+        g = df.groupBy(metric).agg(
+            F.count(F.lit(1)).cast("long").alias("_qt_n")
+        )
+        c, pick = grid_rank_picks(g, metric, "_qt_n")
+        return c.agg(
+            *[pick(q).alias(nm) for q, nm in zip(qs, names)]
+        )
+    if tie_break is None:
+        raise ValueError(
+            "unbounded metrics need tie_break to make (metric, tie_break) "
+            "a total order — without it the threshold at a tied rank is "
+            "partitioning-dependent"
+        )
+    ranked = prefix_sum(
+        df.withColumn("_qt_one", F.lit(1).cast("long")),
+        "_qt_one",
+        [metric, tie_break],
+        out_col="_qt_r0",
+    ).withColumn("_qt_i", F.col("_qt_r0") + 1)
+    n_val = ranked.agg(F.count(F.lit(1)).cast("long").alias("_qt_tot"))
+    j = ranked.withColumn("_qt_j", F.lit(1)).join(
+        F.broadcast(n_val.withColumn("_qt_j", F.lit(1))), "_qt_j"
+    )
+    return j.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_qt_i")
+                    >= F.expr(f"(_qt_tot * {int(q)} + 99) div 100"),
+                    F.col(metric),
+                )
+            )
+            .cast("long")
+            .alias(nm)
+            for q, nm in zip(qs, names)
+        ]
+    )
+
+
 def leading_run_concat(arr: Column, sep: str = " ") -> Column:
     """W3 — join array items with ``sep``, stopping at the first
     null/empty item (keep only the *leading* run).

@@ -13404,49 +13404,15 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # 3 rank scans + final rollup reuse it
     )
 
-    def grid_thresholds(metric: str):
-        """Quartile thresholds over a DOMAIN-BOUNDED metric (epoch
-        days, per-customer order counts): aggregate to the value grid
-        first, then nearest-rank picks over the metadata-sized grid —
-        pick(q·25) = min v with cum ≥ ceil(q·n/4), identical to the
-        rank-at-ceil(q·n/4) definition because ranks within equal
-        values never straddle a value boundary."""
-        g = per.groupBy(metric).agg(F.count(F.lit(1)).cast("long").alias("_c"))
-        c, pick = W.grid_rank_picks(g, metric, "_c")
-        return c.agg(
-            pick(25).alias("t1"), pick(50).alias("t2"), pick(75).alias("t3")
-        )
-
-    def rank_thresholds(metric: str):
-        """Quartile thresholds over a DATA-SIZED metric (per-customer
-        cent sums — distinct values grow with customers): two-phase
-        prefix_sum rank, never a global window over data rows."""
-        ranked = W.prefix_sum(
-            per.withColumn("_one", F.lit(1).cast("long")),
-            "_one",
-            [metric, "o_custkey"],
-            out_col="_r0",
-        ).withColumn("i", F.col("_r0") + 1)
-        n_val = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
-        j = ranked.withColumn("_j", F.lit(1)).join(
-            F.broadcast(n_val.withColumn("_j", F.lit(1))), "_j"
-        )
-        return j.agg(
-            F.min(
-                F.when(F.col("i") >= F.expr("(n + 3) div 4"), F.col(metric))
-            ).alias("t1"),
-            F.min(
-                F.when(F.col("i") >= F.expr("(2 * n + 3) div 4"), F.col(metric))
-            ).alias("t2"),
-            F.min(
-                F.when(F.col("i") >= F.expr("(3 * n + 3) div 4"), F.col(metric))
-            ).alias("t3"),
-        )
-
+    # quartile thresholds via the shared nearest-rank operator —
+    # Recency/Frequency are domain-bounded (grid route), Monetary is
+    # data-sized (prefix_sum route, custkey completes the total order)
     rt, ft, mt = (
-        grid_thresholds("r_day"),
-        grid_thresholds("f"),
-        rank_thresholds("m"),
+        W.quantile_thresholds(per, "r_day", (25, 50, 75), bounded=True),
+        W.quantile_thresholds(per, "f", (25, 50, 75), bounded=True),
+        W.quantile_thresholds(
+            per, "m", (25, 50, 75), bounded=False, tie_break="o_custkey"
+        ),
     )
     j = (
         per.withColumn("_j", F.lit(1))

@@ -369,6 +369,8 @@ def compact_keyed(
     buckets: list[int] | None = None,
     target_files: int = 1,
     fs: LakeFS | None = None,
+    target_bytes: int | None = None,
+    pre_overwrite_check: "Callable[[], None] | None" = None,
 ) -> list[int]:
     """Small-file compaction for the keyed layout — the OPTIMIZE /
     rewrite-data-files maintenance op every table format ships.
@@ -386,34 +388,56 @@ def compact_keyed(
 
     Plan shape: the candidate list comes from a file LISTING through
     the lakefs seam (metadata-only, no data read); the scan is
-    partition-pruned to the candidate buckets; ``repartition(
-    n_candidates, _kb)`` puts each bucket's rows in one task (hash
-    collisions merge tasks, never split a bucket), so output files
-    per bucket = 1; the rewrite rides the same dynamic-partition-
-    overwrite commit path as the merges — a crash mid-compaction
-    leaves a prefix of buckets compacted and the rest old, every
-    bucket readable and content-correct either way (compaction is a
-    no-op on content, so replay converges trivially).
+    partition-pruned to the candidate buckets; the repartition keys
+    on ``_kb`` (plus a bounded salt when a bucket packs to more than
+    one file) so a bucket's rows land in at most its target task
+    count (hash collisions merge tasks, never split a bucket beyond
+    it); the rewrite rides the same dynamic-partition-overwrite
+    commit path as the merges — a crash mid-compaction leaves a
+    prefix of buckets compacted and the rest old, every bucket
+    readable and content-correct either way (compaction is a no-op
+    on content, so replay converges trivially).
+
+    Per-bucket output sizing: with ``target_bytes`` set, each
+    bucket's target file count is ``max(target_files,
+    ceil(bucket_bytes / target_bytes))`` from the same listing's file
+    sizes — a hot bucket compacts to several right-sized files in
+    several tasks instead of one giant task (the 100 TB guard: one
+    task per bucket regardless of bucket bytes is a straggler/OOM at
+    skew), while small buckets still pack to ``target_files``.
+
+    Buckets whose files hold ZERO rows (a writer's empty epoch can
+    leave footer-only files) contribute no rows to the rewrite, so
+    dynamic partition overwrite would never rewrite their directory;
+    they are compacted through the filesystem seam directly (the
+    stale zero-row files are deleted) so the second-pass-no-op
+    contract holds for them too.
 
     ``buckets=None`` considers the whole table; pass a merge's
     touched-bucket list to compact in its wake. Returns the bucket
-    ids actually rewritten (empty = nothing exceeded
-    ``target_files``).
+    ids actually rewritten (empty = nothing exceeded its target).
 
     SINGLE-WRITER ONLY, like the bare merges: compaction holds the
     longest read-rewrite window of any op here, so an upsert landing
     between its read and its overwrite would be silently rolled
     back. Beside concurrent writers (a streaming ingester, another
     maintenance job) use ``sinks/txlog.compact_keyed_serialized`` —
-    the lease-serialized, fenced, commit-logged form.
+    the lease-serialized, fenced, commit-logged form; it passes
+    ``pre_overwrite_check`` (called after the replacement content is
+    materialized, immediately before any destructive write) to fence
+    a lost lease BEFORE the overwrite can clobber a concurrent
+    upsert, not merely before logging.
     """
+    import math as _math
     import os as _os
 
     f = get_fs(path, fs)
     if not f.exists(_pjoin(path, _META)):
         return []
     want = None if buckets is None else set(buckets)
-    candidates = []
+    candidates: list[int] = []
+    n_out: dict[int, int] = {}
+    bucket_files: dict[int, list[str]] = {}
     for d in f.ls_dirs(path):
         base = _os.path.basename(d)
         if not base.startswith(f"{KB_COL}="):
@@ -421,22 +445,50 @@ def compact_keyed(
         b = int(base.split("=", 1)[1])
         if want is not None and b not in want:
             continue
-        if len(f.ls(d, suffixes=[".parquet"])) > target_files:
+        files = f.ls(d, suffixes=[".parquet"])
+        t = target_files
+        if target_bytes is not None:
+            nbytes = sum(f.size(p) for p in files)
+            t = max(target_files, _math.ceil(nbytes / target_bytes))
+        if len(files) > t:
             candidates.append(b)
+            n_out[b] = t
+            bucket_files[b] = files
     if not candidates:
         return []
     candidates.sort()
     sub = _read_base(spark, path, fs).where(F.col(KB_COL).isin(candidates))
-    if target_files == 1:
+    if all(t == 1 for t in n_out.values()):
         packed = sub.repartition(len(candidates), F.col(KB_COL))
     else:
-        # spread each bucket over ≤ target_files tasks: salt the
-        # partitioner, keep bucket affinity dominant
+        # spread each bucket over ≤ its target task count: salt the
+        # partitioner by a per-bucket modulus (a literal map — the
+        # candidate list is metadata-sized), keep bucket affinity
+        # dominant. The salt cycles WITHIN an input partition
+        # (monotonically_increasing_id is partition-offset-based), so
+        # a fat bucket spreads even when the scan packed it into few
+        # input splits; which rows land in which output file is
+        # salt-dependent, but compaction's contract is content
+        # identity of the bucket, not file identity.
+        mod = F.create_map(
+            *[F.lit(x) for b in candidates for x in (b, n_out[b])]
+        )[F.col(KB_COL)]
         packed = sub.repartition(
-            len(candidates) * target_files,
+            sum(n_out.values()),
             F.col(KB_COL),
-            F.pmod(F.spark_partition_id(), F.lit(target_files)),
+            F.pmod(F.monotonically_increasing_id(), mod),
         )
     merged = packed.localCheckpoint(eager=True)
-    overwrite_partitions(merged, path, [KB_COL])
+    present = {r[KB_COL] for r in merged.select(KB_COL).distinct().collect()}
+    if pre_overwrite_check is not None:
+        pre_overwrite_check()
+    # zero-row candidates never appear in `merged`, so the dynamic
+    # overwrite below won't touch their directories — compact them
+    # through the seam: drop the redundant footer-only files.
+    for b in candidates:
+        if b not in present:
+            for p in bucket_files[b][1:]:
+                f.delete_file(p)
+    if present:
+        overwrite_partitions(merged, path, [KB_COL])
     return candidates

@@ -285,14 +285,16 @@ def compact_keyed_serialized(
     *,
     buckets: list[int] | None = None,
     target_files: int = 1,
+    target_bytes: int | None = None,
     writer: str = "maintenance",
     lease_ttl_s: float = 60.0,
     timeout_s: float = 30.0,
     fs: LakeFS | None = None,
     extra: dict | None = None,
 ) -> list[int]:
-    """Multi-writer-safe small-file compaction: LEASE → compact →
-    fencing check → LOG append → release.
+    """Multi-writer-safe small-file compaction: LEASE → read+pack →
+    fencing check (PRE-overwrite) → overwrite → fencing check →
+    LOG append → release.
 
     Compaction is the read-rewrite span with the LONGEST window for
     the lost-update interleaving: it reads whole bucket directories
@@ -304,26 +306,77 @@ def compact_keyed_serialized(
     the merges take, which is what makes running a maintenance
     compactor beside a streaming ingester
     (``streaming/agg_stream.stream_into_keyed``) correct: the lease
-    orders them, the fencing check refuses to log a compaction whose
-    lease was stolen mid-rewrite, and the log records
-    ``op="compact"`` with the rewritten buckets — the table history
-    distinguishes content changes (upserts) from layout maintenance.
-    A fenced/crashed compaction re-runs idempotently: compaction is
-    content-free, so replay converges on any state."""
+    orders them, and the log records ``op="compact"`` with the
+    rewritten buckets — the table history distinguishes content
+    changes (upserts) from layout maintenance.
+
+    Fencing and recovery — compaction is NOT like a fenced merge:
+
+    - The first fencing check runs *inside* ``compact_keyed``, after
+      the replacement content is materialized and immediately before
+      the destructive overwrite. A lease lost by then raises
+      :class:`CommitFenced` with ``clobber_possible=False`` — nothing
+      was written, the table is untouched, and simply re-running the
+      compaction is a complete recovery.
+    - If the lease is found lost only AFTER the overwrite (the resid-
+      ual window is the overwrite itself — unavoidable with non-
+      transactional primitives), the overwrite may have rolled back
+      upserts the new lease holder committed meanwhile. Re-running
+      the compaction does NOT recover those (unlike a fenced merge,
+      where retrying re-applies the data): the raised
+      :class:`CommitFenced` carries ``clobber_possible=True`` and
+      ``possibly_clobbered`` — the commit-log entries appended after
+      this compactor took the lease. Recovery is to RE-APPLY those
+      entries' writes (replay the upserts from their source; merges
+      are idempotent per key, so re-application converges), then
+      retry the compaction.
+
+    Size ``lease_ttl_s`` well above the worst-case compaction
+    duration (read + shuffle + rewrite of every candidate bucket) —
+    the TTL expiring mid-rewrite is the only way the post-overwrite
+    window opens at all."""
     from dbm_nca_ph_etl_spark.sinks.keyed import compact_keyed
 
     lease = WriterLease(path, ttl_s=lease_ttl_s, fs=fs)
     log = CommitLog(path, fs=fs)
     lease.acquire(timeout_s=timeout_s)
+    v0 = log.version()
+
+    def _pre_overwrite_fence() -> None:
+        if not lease.is_current():
+            exc = CommitFenced(
+                f"lease on {path} lost mid-compaction, before overwrite "
+                f"(writer={writer}); nothing was written — retry the "
+                "compaction"
+            )
+            exc.clobber_possible = False
+            exc.possibly_clobbered = []
+            raise exc
+
     try:
         done = compact_keyed(
-            spark, path, buckets=buckets, target_files=target_files, fs=fs
+            spark,
+            path,
+            buckets=buckets,
+            target_files=target_files,
+            target_bytes=target_bytes,
+            fs=fs,
+            pre_overwrite_check=_pre_overwrite_fence,
         )
         if not lease.is_current():
-            raise CommitFenced(
-                f"lease on {path} lost mid-compaction (writer={writer}); "
-                "compaction must be retried"
+            clobbered = log.entries(since=v0)
+            exc = CommitFenced(
+                f"lease on {path} lost mid-compaction, after overwrite "
+                f"(writer={writer}); the overwrite may have rolled back "
+                f"{len(clobbered)} commit(s) made under the new lease — "
+                "RE-APPLY those entries' writes (replay the upserts from "
+                "their source; merges are idempotent), then retry the "
+                f"compaction. Possibly clobbered: "
+                f"{[(e.get('writer'), e.get('op'), e.get('buckets')) for e in clobbered]}"
             )
+            exc.clobber_possible = True
+            exc.possibly_clobbered = clobbered
+            raise exc
         if done:
             entry = {"op": "compact", "writer": writer, "buckets": done}
             entry.update(extra or {})

@@ -41,6 +41,7 @@ import datetime
 import hashlib
 import hmac
 import http.client
+import re
 import time
 import urllib.parse
 import xml.etree.ElementTree as ET
@@ -48,6 +49,11 @@ import xml.etree.ElementTree as ET
 from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS
 
 _NS = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+
+#: A content-md5 ETag (non-multipart S3): exactly 32 hex chars.
+#: Anything else (multipart's ``<hex>-<parts>``, SSE-KMS opaque tags)
+#: cannot prove a CAS loss — see ``put_if_absent``.
+_MD5_HEX = re.compile(r"[0-9a-f]{32}")
 
 
 def _sha256(data: bytes) -> str:
@@ -307,10 +313,19 @@ class HttpCasLakeFS(LakeFS):
         another writer raced us with byte-identical content the
         reclassification is still harmless: who "won" is
         unobservable when the committed bytes are ours either way.
-        A 412 with NO preceding transport error in this call is an
-        unambiguous loss and costs no extra round trip. Callers that
-        still see a transport exception propagate (all retries dead)
-        cannot assume loss OR win — they must re-probe.
+        On stores whose ETag is NOT the content md5 (SSE-KMS,
+        multipart uploads, some S3-compatibles) the ETag check can't
+        prove a loss either — there the fallback is a GET of the
+        committed object and a direct byte comparison, so a
+        dropped-response PUT that actually WON is never reported as
+        a loss (which would, e.g., make the CommitLog CAS loop
+        append the same entry again at version+1, duplicating a
+        commit record). An md5-SHAPED ETag that mismatches is a
+        definite loss (the committed content differs) and skips the
+        GET. A 412 with NO preceding transport error in this call is
+        an unambiguous loss and costs no extra round trip. Callers
+        that still see a transport exception propagate (all retries
+        dead) cannot assume loss OR win — they must re-probe.
         """
         key = self._key(path)
         delay = 0.01
@@ -329,8 +344,18 @@ class HttpCasLakeFS(LakeFS):
             if status in (200, 201):
                 return True
             if status == 412:
-                if ambiguous and self._etag(key) == hashlib.md5(data).hexdigest():
-                    return True  # our own dropped-response PUT won
+                if ambiguous:
+                    etag = self._etag(key)
+                    if etag == hashlib.md5(data).hexdigest():
+                        return True  # our own dropped-response PUT won
+                    if etag is None or not _MD5_HEX.fullmatch(etag):
+                        # ETag isn't content-md5 (SSE-KMS, multipart,
+                        # some S3-compatibles): compare bytes directly
+                        try:
+                            if self.read_bytes(path) == data:
+                                return True
+                        except (OSError, http.client.HTTPException):
+                            pass  # unknown degrades to loss (safe side)
                 return False
             if status == 409:
                 time.sleep(delay)

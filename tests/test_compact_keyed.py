@@ -231,3 +231,214 @@ class TestCompactKeyed:
         compact_keyed(spark, path, buckets=touched)
         full_after_compact = keyed_digest(spark, path, CANON())
         assert diff_digest(refreshed, full_after_compact).count() == 0
+
+
+class TestCompactBytesAware:
+    """target_bytes sizes each bucket's output by its on-disk bytes:
+    a fat bucket compacts to SEVERAL right-sized files (never one
+    giant task at skew), small buckets still pack to one."""
+
+    def _sizes(self, path: str) -> dict[int, int]:
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith(f"{KB_COL}="):
+                b = int(d.split("=", 1)[1])
+                full = os.path.join(path, d)
+                out[b] = sum(
+                    os.path.getsize(os.path.join(full, x))
+                    for x in os.listdir(full)
+                    if x.endswith(".parquet")
+                )
+        return out
+
+    @pytest.fixture()
+    def skewed(self, spark, tmp_path):
+        """One bucket holds ~50× the bytes of the others (incompressible
+        payloads so parquet bytes track logical bytes)."""
+        import hashlib
+
+        path = str(tmp_path / "skewed")
+        probe = spark.createDataFrame(
+            [(i,) for i in range(400)], "k long"
+        ).withColumn(KB_COL, key_bucket(["k"], N_BUCKETS))
+        by_bucket: dict[int, list[int]] = {}
+        for r in probe.collect():
+            by_bucket.setdefault(r[KB_COL], []).append(r["k"])
+        fat = sorted(by_bucket)[0]
+
+        def payload(k: int, n_blocks: int) -> str:
+            return "".join(
+                hashlib.sha256(f"{k}:{j}".encode()).hexdigest()
+                for j in range(n_blocks)
+            )
+
+        rows = [
+            (k, payload(k, 160 if b == fat else 2))
+            for b, ks in by_bucket.items()
+            for k in ks
+        ]
+        df = spark.createDataFrame(rows, "k long, v string").withColumn(
+            KB_COL, key_bucket(["k"], N_BUCKETS)
+        )
+        df.repartition(8).write.mode("overwrite").partitionBy(KB_COL).parquet(
+            path
+        )
+        _write_meta(
+            path,
+            {
+                "keys": ["k"],
+                "num_buckets": N_BUCKETS,
+                "schema": "k BIGINT,v STRING",
+            },
+        )
+        return path, fat
+
+    def test_fat_bucket_splits_small_buckets_pack(self, spark, skewed):
+        path, fat = skewed
+        sizes = self._sizes(path)
+        target_bytes = max(1, sizes[fat] // 3)  # fat needs ≥3 files
+        assert all(
+            sizes[b] < target_bytes for b in sizes if b != fat
+        ), "fixture skew too weak"
+        before = keyed_digest(spark, path, CANON()).localCheckpoint(
+            eager=True
+        )
+        done = compact_keyed(spark, path, target_bytes=target_bytes)
+        assert fat in done
+        fpb = _files_per_bucket(path)
+        assert fpb[fat] > 1, "fat bucket collapsed into one giant file/task"
+        assert all(n == 1 for b, n in fpb.items() if b != fat)
+        after = keyed_digest(spark, path, CANON())
+        assert diff_digest(before, after).count() == 0
+        # converges: at most one resize pass, then a strict no-op
+        second = compact_keyed(spark, path, target_bytes=target_bytes)
+        assert set(second) <= {fat}
+        assert compact_keyed(spark, path, target_bytes=target_bytes) == []
+
+    def test_target_bytes_none_keeps_single_file_behavior(
+        self, spark, skewed
+    ):
+        path, fat = skewed
+        compact_keyed(spark, path)
+        assert all(n == 1 for n in _files_per_bucket(path).values())
+
+
+class TestCompactEmptyBuckets:
+    def test_zero_row_bucket_compacts_and_noops(self, spark, fragmented):
+        """A bucket whose files hold ZERO rows can't be rewritten by
+        dynamic partition overwrite (it contributes no rows) — it must
+        be compacted through the fs seam, and a second pass must be a
+        no-op for it (the re-selected-forever regression)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        b = sorted(_files_per_bucket(fragmented))[0]
+        bdir = os.path.join(fragmented, f"{KB_COL}={b}")
+        for x in os.listdir(bdir):
+            if x.endswith(".parquet"):
+                os.remove(os.path.join(bdir, x))
+        empty = pa.table(
+            {"k": pa.array([], "int64"), "v": pa.array([], "string")}
+        )
+        pq.write_table(empty, os.path.join(bdir, "part-e0.parquet"))
+        pq.write_table(empty, os.path.join(bdir, "part-e1.parquet"))
+
+        others_rows = read_keyed(spark, fragmented).count()
+        done = compact_keyed(spark, fragmented)
+        assert b in done
+        assert _files_per_bucket(fragmented)[b] <= 1
+        assert compact_keyed(spark, fragmented) == [], (
+            "empty bucket re-selected on the second pass"
+        )
+        assert read_keyed(spark, fragmented).count() == others_rows
+
+
+class TestCompactionFencing:
+    """The serialized compactor fences BEFORE the overwrite (a lost
+    lease then clobbers nothing) and, when fenced only after, reports
+    the possibly-clobbered commit-log entries for replay."""
+
+    def _steal(self, path: str) -> None:
+        from dbm_nca_ph_etl_spark.sinks.txlog import LEASE_FILE, WriterLease
+
+        os.remove(os.path.join(path, LEASE_FILE))
+        WriterLease(path, ttl_s=300.0).acquire(timeout_s=5.0)
+
+    def test_pre_overwrite_fence_clobbers_nothing(
+        self, spark, fragmented, monkeypatch
+    ):
+        from dbm_nca_ph_etl_spark.sinks import keyed as keyed_mod
+        from dbm_nca_ph_etl_spark.sinks.txlog import (
+            CommitFenced,
+            CommitLog,
+            compact_keyed_serialized,
+        )
+
+        real = keyed_mod.compact_keyed
+        steal = self._steal
+
+        def stealing(spark_, path_, **kw):
+            inner = kw["pre_overwrite_check"]
+
+            def check():
+                steal(path_)  # TTL expired mid-read; a thief took over
+                inner()
+
+            kw["pre_overwrite_check"] = check
+            return real(spark_, path_, **kw)
+
+        monkeypatch.setattr(keyed_mod, "compact_keyed", stealing)
+        listing = {
+            b: sorted(
+                os.listdir(os.path.join(fragmented, f"{KB_COL}={b}"))
+            )
+            for b in _files_per_bucket(fragmented)
+        }
+        with pytest.raises(CommitFenced) as ei:
+            compact_keyed_serialized(spark, fragmented, writer="opt")
+        assert ei.value.clobber_possible is False
+        assert ei.value.possibly_clobbered == []
+        for b, files in listing.items():
+            assert (
+                sorted(os.listdir(os.path.join(fragmented, f"{KB_COL}={b}")))
+                == files
+            ), "pre-overwrite fence fired but files were rewritten"
+        assert CommitLog(fragmented).entries() == []
+
+    def test_post_overwrite_fence_reports_clobbered_entries(
+        self, spark, fragmented, monkeypatch
+    ):
+        from dbm_nca_ph_etl_spark.sinks import keyed as keyed_mod
+        from dbm_nca_ph_etl_spark.sinks.txlog import (
+            CommitFenced,
+            CommitLog,
+            compact_keyed_serialized,
+        )
+
+        real = keyed_mod.compact_keyed
+        steal = self._steal
+
+        def stealing(spark_, path_, **kw):
+            done = real(spark_, path_, **kw)
+            # lease lost only AFTER the overwrite; the new holder
+            # commits an upsert the compactor may have clobbered
+            steal(path_)
+            log = CommitLog(path_)
+            assert log.try_commit(
+                {"op": "upsert", "writer": "thief", "buckets": [0]},
+                log.version(),
+            )
+            return done
+
+        monkeypatch.setattr(keyed_mod, "compact_keyed", stealing)
+        with pytest.raises(CommitFenced) as ei:
+            compact_keyed_serialized(spark, fragmented, writer="opt")
+        e = ei.value
+        assert e.clobber_possible is True
+        assert [(x["writer"], x["op"]) for x in e.possibly_clobbered] == [
+            ("thief", "upsert")
+        ]
+        assert "RE-APPLY" in str(e)
+        # the compaction itself was NOT logged as applied
+        ops = [x["op"] for x in CommitLog(fragmented).entries()]
+        assert "compact" not in ops

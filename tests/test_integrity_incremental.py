@@ -294,3 +294,54 @@ class TestStreamedEpochIncrementalDigest:
         assert _rows(full) != _rows(stored)
         changed = {r.bucket for r in diff_digest(stored, full).collect()}
         assert changed <= set(touched)
+
+
+class TestCanonStampVersioning:
+    """The stamp records the PySpark renderer version beside the
+    fingerprint: equality compares only the fingerprint (a version
+    bump with a stable rendering never fails), but when fingerprints
+    DO differ across versions the error diagnoses renderer drift
+    instead of masquerading as a recipe change. ``spec=`` stamps are
+    renderer-independent entirely."""
+
+    def test_version_bump_with_stable_rendering_passes(self, spark, table):
+        a = with_canon(keyed_digest(spark, table, CANON()), CANON())
+        fp = canon_fingerprint(CANON())
+        b = keyed_digest(spark, table, CANON()).withColumn(
+            "_canon", F.lit(f"{fp}@9.9.9")
+        )
+        assert diff_digest(a, b).count() == 0
+
+    def test_cross_version_drift_diagnoses_renderer(self, spark, table):
+        fresh = with_canon(keyed_digest(spark, table, CANON()), CANON())
+        old = keyed_digest(spark, table, CANON()).withColumn(
+            "_canon", F.lit("0" * 32 + "@0.0.0")
+        )
+        with pytest.raises(ValueError, match="RENDERER"):
+            diff_digest(old, fresh)
+
+    def test_same_version_drift_stays_recipe_diagnosis(self, spark, table):
+        a = with_canon(keyed_digest(spark, table, CANON()), CANON())
+        b = with_canon(keyed_digest(spark, table, CANON_WIDE()), CANON_WIDE())
+        with pytest.raises(ValueError, match="current canon_cols"):
+            diff_digest(a, b)
+
+    def test_spec_fingerprint_is_renderer_independent(self):
+        s = "k:string|v"
+        assert canon_fingerprint(CANON(), spec=s) == canon_fingerprint(
+            CANON_WIDE(), spec=s
+        )
+        assert canon_fingerprint(CANON(), spec=s) != canon_fingerprint(
+            CANON(), spec="other"
+        )
+
+    def test_spec_stamps_compare_equal_across_column_objects(
+        self, spark, table
+    ):
+        a = with_canon(
+            keyed_digest(spark, table, CANON()), CANON(), spec="recipe-v1"
+        )
+        b = with_canon(
+            keyed_digest(spark, table, CANON()), CANON(), spec="recipe-v1"
+        )
+        assert diff_digest(a, b).count() == 0

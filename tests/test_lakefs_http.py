@@ -717,3 +717,46 @@ class TestAdapterErrorMapping:
         assert fs2._host == "example.test"
         fs3 = HttpCasLakeFS("http://example.test:9000/b")
         assert fs3._host == "example.test:9000"  # non-default kept
+
+
+class TestOpaqueEtagCas:
+    """Stores whose ETag is NOT the content md5 (SSE-KMS, multipart,
+    some S3-compatibles): the ambiguous-412 reclassification must fall
+    back to a GET-and-compare of the committed bytes, never report a
+    dropped-response WIN as a loss (which would, e.g., duplicate a
+    CommitLog entry at version+1)."""
+
+    def test_self_win_reclassified_via_byte_compare(self, fs, store):
+        store.drop_response_once.add("t/kmsdrop")
+        fs._etag = lambda key: "opaque-kms-tag-123"
+        assert fs.put_if_absent("/t/kmsdrop", b"mine") is True
+        assert fs.read_bytes("/t/kmsdrop") == b"mine"
+
+    def test_true_loss_with_opaque_etag_stays_loss(self, fs, store):
+        assert fs.put_if_absent("/t/kmslost", b"theirs") is True
+        store.drop_response_once.add("t/kmslost")
+        fs._etag = lambda key: "0123456789abcdef-2"  # multipart-shaped
+        assert fs.put_if_absent("/t/kmslost", b"mine") is False
+        assert fs.read_bytes("/t/kmslost") == b"theirs"
+
+    def test_absent_etag_falls_back_to_byte_compare(self, fs, store):
+        store.drop_response_once.add("t/noetag")
+        fs._etag = lambda key: None
+        assert fs.put_if_absent("/t/noetag", b"mine") is True
+
+    def test_md5_shaped_mismatch_skips_the_get(self, fs, store):
+        """An md5-SHAPED ETag that mismatches proves the loss — no GET
+        round trip is spent."""
+        assert fs.put_if_absent("/t/md5lost", b"theirs") is True
+        store.drop_response_once.add("t/md5lost")
+        import hashlib as _h
+
+        fs._etag = lambda key: _h.md5(b"theirs").hexdigest()
+        orig = fs.read_bytes
+        fs.read_bytes = lambda path: (_ for _ in ()).throw(
+            AssertionError("GET fallback on a proven md5 mismatch")
+        )
+        try:
+            assert fs.put_if_absent("/t/md5lost", b"mine") is False
+        finally:
+            fs.read_bytes = orig

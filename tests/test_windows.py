@@ -504,3 +504,64 @@ class TestGridCumsums:
         # correctness unchanged
         naive = grid_cumsums(g, "v", ["ca"])
         assert self._rows(guarded) == self._rows(naive)
+
+
+class TestQuantileThresholds:
+    """quantile_thresholds — the one home of the nearest-rank
+    threshold idiom: both routes (bounded grid, unbounded prefix_sum)
+    must agree with each other and with the rank-at-ceil(q·n/100)
+    definition computed in plain Python."""
+
+    def _df(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, rng.randrange(0, 40)) for i in range(500)]
+        return (
+            spark.createDataFrame(rows, "id long, m long"),
+            sorted(v for _, v in rows),
+        )
+
+    def test_routes_agree_and_match_definition(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import quantile_thresholds
+
+        df, vals = self._df(spark)
+        n = len(vals)
+        qs = (25, 50, 75, 90)
+        want = {
+            f"t{i + 1}": vals[-(-n * q // 100) - 1]  # ceil(q·n/100), 1-based
+            for i, q in enumerate(qs)
+        }
+        b = quantile_thresholds(df, "m", qs, bounded=True).collect()[0]
+        u = quantile_thresholds(
+            df, "m", qs, bounded=False, tie_break="id"
+        ).collect()[0]
+        assert b.asDict() == want
+        assert u.asDict() == want
+
+    def test_partition_invariance(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import quantile_thresholds
+
+        df, _ = self._df(spark)
+        a = quantile_thresholds(
+            df.repartition(13), "m", (50,), bounded=False, tie_break="id"
+        ).collect()
+        b = quantile_thresholds(
+            df.coalesce(1), "m", (50,), bounded=False, tie_break="id"
+        ).collect()
+        assert a == b
+
+    def test_names_and_validation(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import quantile_thresholds
+
+        df, _ = self._df(spark)
+        out = quantile_thresholds(
+            df, "m", (50,), bounded=True, names=["median"]
+        )
+        assert out.columns == ["median"]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="tie_break"):
+            quantile_thresholds(df, "m", (50,), bounded=False)
+        with _pytest.raises(ValueError, match="align"):
+            quantile_thresholds(df, "m", (50,), bounded=True, names=["a", "b"])
