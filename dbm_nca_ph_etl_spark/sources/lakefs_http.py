@@ -66,6 +66,20 @@ class HttpCasLakeFS(LakeFS):
     ``endpoint`` is scheme://host[:port][/bucket] (path-style). With
     ``access_key``/``secret_key`` every request is SigV4-signed;
     without them requests go anonymous (local/dev stores).
+
+    Verified against a real, independently implemented S3 endpoint:
+    ``tests/test_lakefs_http_live.py`` runs the adapter round-trip,
+    the CAS thread race, the commit-log/lease protocols, and the
+    Spark two-writer + compactor-beside-ingester merges against
+    moto's ``ThreadedMotoServer`` (SigV4-signed over real HTTP
+    sockets), and ``tests/test_txlog_multiprocess.py`` re-runs its
+    process-level races on the same server. Point the live suite at
+    any other store (MinIO, AWS S3 — conditional PUT is GA since
+    2024-08) via ``SPARK_GRAFT_S3_ENDPOINT`` /
+    ``SPARK_GRAFT_S3_BUCKET`` / ``SPARK_GRAFT_S3_KEY`` /
+    ``SPARK_GRAFT_S3_SECRET`` (optional ``SPARK_GRAFT_S3_REGION``).
+    Required store permissions include ``s3:ListBucket`` (see
+    ``ls``/``exists`` notes) and conditional-write support.
     """
 
     atomic_rename = False  # object store: PUT is the atomicity unit

@@ -37,14 +37,48 @@ from test_lakefs_http import BUCKET, _Store, _make_handler
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.fixture()
-def endpoint():
-    store = _Store()
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(store))
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    yield f"http://127.0.0.1:{srv.server_port}/{BUCKET}"
-    srv.shutdown()
+@pytest.fixture(params=["mini", "moto"])
+def endpoint(request, monkeypatch):
+    """Two arbiters for the same process-level races: the in-file
+    MiniObjectStore-style handler, and moto's ThreadedMotoServer — a
+    REAL, independently implemented S3 endpoint (SigV4-signed; the
+    creds ride env vars into the worker processes). Skips the moto
+    leg when moto is absent."""
+    if request.param == "mini":
+        store = _Store()
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(store))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_port}/{BUCKET}"
+        srv.shutdown()
+        return
+    moto_server = pytest.importorskip("moto.server")
+    import urllib.request
+    import uuid as _uuid
+
+    server = moto_server.ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    _, port = server.get_host_and_port()
+    bucket = "mp-" + _uuid.uuid4().hex[:10]
+    urllib.request.urlopen(
+        urllib.request.Request(
+            f"http://127.0.0.1:{port}/{bucket}", method="PUT"
+        )
+    )
+    monkeypatch.setenv("LAKEFS_TEST_AK", "testing")
+    monkeypatch.setenv("LAKEFS_TEST_SK", "testing")
+    yield f"http://127.0.0.1:{port}/{bucket}"
+    server.stop()
+
+
+def _mk_fs(endpoint):
+    from dbm_nca_ph_etl_spark.sources.lakefs_http import HttpCasLakeFS
+
+    return HttpCasLakeFS(
+        endpoint,
+        access_key=os.environ.get("LAKEFS_TEST_AK"),
+        secret_key=os.environ.get("LAKEFS_TEST_SK"),
+    )
 
 
 def _run_workers(script: str, endpoint: str, n: int, extra_args=()):
@@ -61,9 +95,7 @@ def _run_workers(script: str, endpoint: str, n: int, extra_args=()):
         )
         for i in range(n)
     ]
-    from dbm_nca_ph_etl_spark.sources.lakefs_http import HttpCasLakeFS
-
-    HttpCasLakeFS(endpoint).write_bytes("/go", b"1")
+    _mk_fs(endpoint).write_bytes("/go", b"1")
     outs = []
     for p in procs:
         out, err = p.communicate(timeout=120)
@@ -74,10 +106,14 @@ def _run_workers(script: str, endpoint: str, n: int, extra_args=()):
 
 _PRELUDE = textwrap.dedent(
     """
-    import json, sys, time
+    import json, os, sys, time
     from dbm_nca_ph_etl_spark.sources.lakefs_http import HttpCasLakeFS
     endpoint, wid = sys.argv[1], sys.argv[2]
-    fs = HttpCasLakeFS(endpoint)
+    fs = HttpCasLakeFS(
+        endpoint,
+        access_key=os.environ.get("LAKEFS_TEST_AK"),
+        secret_key=os.environ.get("LAKEFS_TEST_SK"),
+    )
     deadline = time.monotonic() + 60
     while not fs.exists("/go"):
         if time.monotonic() > deadline:
@@ -98,10 +134,7 @@ class TestProcessLevelCas:
         outs = _run_workers(script, endpoint, n=8)
         winners = [o["wid"] for o in outs if o["won"]]
         assert len(winners) == 1, outs
-        from dbm_nca_ph_etl_spark.sources.lakefs_http import HttpCasLakeFS
-
-        fs = HttpCasLakeFS(endpoint)
-        assert fs.read_bytes("/race/winner") == winners[0].encode()
+        assert _mk_fs(endpoint).read_bytes("/race/winner") == winners[0].encode()
 
     def test_commit_log_versions_dense_and_exclusive(self, endpoint):
         n, m = 4, 8
@@ -127,9 +160,8 @@ class TestProcessLevelCas:
         # the log's own read-back agrees: every entry present, each
         # recording the single writer that committed it
         from dbm_nca_ph_etl_spark.sinks.txlog import CommitLog
-        from dbm_nca_ph_etl_spark.sources.lakefs_http import HttpCasLakeFS
 
-        log = CommitLog("/tbl", fs=HttpCasLakeFS(endpoint))
+        log = CommitLog("/tbl", fs=_mk_fs(endpoint))
         entries = log.entries()
         assert len(entries) == n * m
         owner = {o["wid"]: set(o["versions"]) for o in outs}
@@ -159,7 +191,4 @@ class TestProcessLevelCas:
         )
         outs = _run_workers(script, endpoint, n=n, extra_args=[m])
         assert all(o["done"] == m for o in outs)
-        from dbm_nca_ph_etl_spark.sources.lakefs_http import HttpCasLakeFS
-
-        fs = HttpCasLakeFS(endpoint)
-        assert int(fs.read_bytes("/ctr/value")) == n * m
+        assert int(_mk_fs(endpoint).read_bytes("/ctr/value")) == n * m
