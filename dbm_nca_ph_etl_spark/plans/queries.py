@@ -5243,8 +5243,17 @@ def dup_ngram_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     is_dup = (F.col("df") >= 2).cast("int")
+    # dfreq is CORPUS-SIZED (distinct shingles grow ~linearly with
+    # tokens) — an auto-broadcast here is a driver OOM waiting for a
+    # bigger corpus (the static size estimate of an agg undershoots
+    # badly on short strings; at sf10 Spark promoted this join to
+    # BroadcastHash and killed an 8 GiB driver building a ~17M-entry
+    # map). shuffle_hash pins the scale-safe shape: both sides hash
+    # on shingle, the df side builds per-partition maps, no sort, no
+    # driver-side build. Costs ~nothing at small SF (the probe side
+    # shuffles either way once the build side exceeds the threshold).
     return (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq.hint("shuffle_hash"), "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_shingles"),
@@ -13593,3 +13602,389 @@ def compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@register(
+    "order_value_quartile_bands",
+    f"""
+    WITH p AS (
+      SELECT o_orderkey, {_SQL_CENTS.format(v='o_totalprice')} AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS i,
+             count(*) OVER () AS n
+      FROM p
+    ),
+    t AS (
+      SELECT min(CASE WHEN i >= (n * 25 + 99) // 100 THEN cents END) AS t1,
+             min(CASE WHEN i >= (n * 50 + 99) // 100 THEN cents END) AS t2,
+             min(CASE WHEN i >= (n * 75 + 99) // 100 THEN cents END) AS t3
+      FROM r
+    )
+    SELECT (1 + (cents > t.t1)::INT + (cents > t.t2)::INT
+              + (cents > t.t3)::INT)::BIGINT AS band,
+           count(*)::BIGINT AS n_orders,
+           sum(cents)::BIGINT AS revenue_cents,
+           min(cents)::BIGINT AS min_cents,
+           max(cents)::BIGINT AS max_cents
+    FROM p, t
+    GROUP BY band
+    """,
+    doc="Orders bucketed into quartile bands of order value (exact "
+    "cents): thresholds are nearest-rank picks t_q = value at rank "
+    "ceil(q·n/100) in (cents, orderkey) order — the direct catalog "
+    "pin of operators/windows.quantile_thresholds' UNBOUNDED route "
+    "(order values are data-sized: distinct cent sums grow with the "
+    "corpus, so thresholds come from prefix_sum's two-phase "
+    "distributed rank, never a global window over data rows; the "
+    "single-node oracle IS one task, so it windows directly). The "
+    "1-row threshold tuple broadcasts back (guarded scalar-subquery "
+    "pattern); the band rollup is a 4-row aggregate. Ties share a "
+    "band by construction — band edges compare against one threshold "
+    "value, not a rank split.",
+    tags=("relational", "window", "bench"),
+)
+def order_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
+        )
+        .localCheckpoint(eager=True)  # rank scan + band rollup reuse it
+    )
+    t = W.quantile_thresholds(
+        p, "cents", (25, 50, 75), bounded=False, tie_break="o_orderkey"
+    )
+    j = p.withColumn("_j", F.lit(1)).join(
+        F.broadcast(t.withColumn("_j", F.lit(1))), "_j"
+    )
+    band = (
+        F.lit(1)
+        + (F.col("cents") > F.col("t1")).cast("int")
+        + (F.col("cents") > F.col("t2")).cast("int")
+        + (F.col("cents") > F.col("t3")).cast("int")
+    ).cast("long")
+    return (
+        j.select(band.alias("band"), "cents")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )
+
+
+@register(
+    "market_basket_brand_pairs",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS k, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT count(DISTINCT k) AS n_orders FROM ob),
+    bc AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+    pairs AS (
+      SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS n_ab
+      FROM ob a JOIN ob c ON a.k = c.k AND a.b < c.b
+      GROUP BY 1, 2
+    )
+    SELECT pairs.brand_a, pairs.brand_b, pairs.n_ab::BIGINT AS n_ab,
+           (pairs.n_ab * 1000000 // n.n_orders)::BIGINT AS support_ppm,
+           (pairs.n_ab * 1000000 // x.nb)::BIGINT AS conf_a_to_b_ppm,
+           (pairs.n_ab * 1000000 // y.nb)::BIGINT AS conf_b_to_a_ppm
+    FROM pairs
+    CROSS JOIN n
+    JOIN bc x ON pairs.brand_a = x.b
+    JOIN bc y ON pairs.brand_b = y.b
+    WHERE pairs.n_ab >= 5
+    """,
+    doc="Market-basket association mining over order baskets at the "
+    "BRAND granularity: exact pair co-occurrence counts with support "
+    "and both directional confidences as exact ppm. The scale shape "
+    "is the a-priori discipline: dedup to the (order, brand) grid "
+    "first (one distinct shuffle over row-scale data — baskets are "
+    "sets, repeated lineitems of one brand count once), then the "
+    "self-join explodes only WITHIN an order key (co-partitioned "
+    "equi-join, pairs bounded by C(25,2) per basket since the brand "
+    "domain is 25), never across orders. Per-brand counts are a "
+    "≤25-row broadcast; the order total is a 1-row broadcast scalar. "
+    "Confidences stay in int64 (n_ab·10⁶ ≤ orders·10⁶); lift is "
+    "derivable as conf_a_to_b/ (nb_b/n) without materializing the "
+    "overflow-prone triple product.",
+    tags=("relational", "bench"),
+)
+def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # grid feeds 3 scans below
+    )
+    n = ob.agg(F.countDistinct("k").alias("n_orders"))
+    bc = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    a, c = ob.alias("a"), ob.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(
+            F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    return (
+        pairs.withColumn("_j", F.lit(1))
+        .join(F.broadcast(n.withColumn("_j", F.lit(1))), "_j")
+        .join(
+            F.broadcast(bc.select(F.col("b"), F.col("nb").alias("nb_a"))),
+            F.col("brand_a") == F.col("b"),
+        )
+        .drop("b")
+        .join(
+            F.broadcast(bc.select(F.col("b"), F.col("nb").alias("nb_b"))),
+            F.col("brand_b") == F.col("b"),
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr("(n_ab * 1000000) div n_orders").cast("long").alias(
+                "support_ppm"
+            ),
+            F.expr("(n_ab * 1000000) div nb_a").cast("long").alias(
+                "conf_a_to_b_ppm"
+            ),
+            F.expr("(n_ab * 1000000) div nb_b").cast("long").alias(
+                "conf_b_to_a_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "event_type_markov_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_type
+      FROM events
+    ),
+    p AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    f AS (SELECT from_type, sum(n) AS n_from FROM p GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n::BIGINT AS n_transitions,
+           (p.n * 1000000 // f.n_from)::BIGINT AS prob_ppm
+    FROM p JOIN f USING (from_type)
+    """,
+    doc="First-order Markov transition matrix of the per-user event "
+    "stream: P(next event_type | event_type) as exact ppm, from a "
+    "lead() over each user's (ts, event_id)-ordered history — the "
+    "tie-break makes the chain deterministic under equal timestamps. "
+    "Scale: ONE shuffle (the per-user window's own hash partition — "
+    "the sessionize discipline; a user's history is one partition's "
+    "worth, never a global order), then the pair rollup lands on the "
+    "|event_type|² grid (≤64 rows at any corpus size) and the "
+    "row-normalizing denominator join is grid-sized too. The "
+    "training-data use is behavior modeling / anomaly screens: "
+    "transitions with prob_ppm far from the row prior flag bot-like "
+    "repetition.",
+    tags=("window", "events", "bench"),
+)
+def event_type_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    p = s.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    f = p.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        p.join(F.broadcast(f), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n_transitions"),
+            F.expr("(n * 1000000) div n_from").cast("long").alias(
+                "prob_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "benford_value_audit",
+    f"""
+    WITH c AS (
+      SELECT event_type, {_SQL_CENTS.format(v='value')} AS cents
+      FROM events
+    ),
+    d AS (
+      SELECT event_type,
+             CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n
+      FROM c WHERE cents > 0 GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, sum(n) AS n_type FROM d GROUP BY 1)
+    SELECT d.event_type, d.digit, d.n::BIGINT AS n,
+           (d.n * 1000000 // t.n_type)::BIGINT AS share_ppm,
+           (CASE d.digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+             WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+             WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+             WHEN 9 THEN 45757 END)::BIGINT AS benford_ppm,
+           abs((d.n * 1000000 // t.n_type)
+             - CASE d.digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+               WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+               WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+               WHEN 9 THEN 45757 END)::BIGINT AS dev_ppm
+    FROM d JOIN t USING (event_type)
+    """,
+    doc="Benford first-digit audit of the cents value per event type: "
+    "observed leading-digit share vs the Benford expectation "
+    "floor(log10(1+1/d)·10⁶) (integer LITERALS on both engines — no "
+    "runtime log/float), deviation as exact ppm. The leading digit "
+    "comes from the decimal STRING of the exact cents integer "
+    "(substr(cast,1,1)) — integer-exact on both engines, immune to "
+    "the float-log10 boundary flips a pow/log derivation risks at "
+    "10^k edges. Fabricated/synthetic value columns are the classic "
+    "use (fraud screens, generated-data detection). Scale: one "
+    "map-side-combining groupBy onto the (type × 9 digits) grid; "
+    "everything downstream is grid-sized.",
+    tags=("events", "quality", "bench"),
+)
+def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _BENFORD = {
+        1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+        6: 66946, 7: 57991, 8: 51152, 9: 45757,
+    }
+    bmap = F.create_map(
+        *[F.lit(x) for d, p in _BENFORD.items() for x in (d, p)]
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents(F.col("value")).alias("cents")
+    )
+    d = (
+        ev.where(F.col("cents") > 0)
+        .select(
+            "event_type",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = d.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    return (
+        d.join(F.broadcast(t), "event_type")
+        .withColumn("benford_ppm", bmap[F.col("digit")].cast("long"))
+        .select(
+            "event_type",
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 1000000) div n_type").cast("long").alias(
+                "share_ppm"
+            ),
+            "benford_ppm",
+            F.abs(
+                F.expr("(n * 1000000) div n_type") - F.col("benford_ppm")
+            ).cast("long").alias("dev_ppm"),
+        )
+    )
+
+
+@register(
+    "supplier_nation_hhi",
+    f"""
+    WITH r AS (
+      SELECT s_nationkey, l_suppkey,
+             sum({_SQL_CENTS.format(v='l_extendedprice * (1 - l_discount)')})
+               AS cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT s_nationkey, sum(cents) AS tot, count(*) AS n_suppliers,
+             max(cents) AS mx
+      FROM r GROUP BY 1
+    ),
+    sh AS (
+      SELECT r.s_nationkey, (r.cents * 1000000 // t.tot) AS share_ppm
+      FROM r JOIN t USING (s_nationkey)
+    )
+    SELECT n_name,
+           min(t.n_suppliers)::BIGINT AS n_suppliers,
+           min(t.tot)::BIGINT AS total_cents,
+           (sum(sh.share_ppm * sh.share_ppm) // 1000000)::BIGINT AS hhi_ppm,
+           (min(t.mx) * 1000000 // min(t.tot))::BIGINT AS top_share_ppm
+    FROM sh
+    JOIN t ON sh.s_nationkey = t.s_nationkey
+    JOIN nation ON sh.s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Herfindahl–Hirschman supplier-concentration index per "
+    "nation: each supplier's revenue share in exact ppm (row-level "
+    "cents via the shared double tree, floor-div shares), HHI = "
+    "Σ share_ppm² / 10⁶ — 10⁶·(Σ share²), the antitrust-style "
+    "concentration measure; plus the single largest share. Scale: "
+    "one shuffle to the (nation, supplier) rollup (map-side "
+    "combine over lineitem), nation totals are a ≤25-row broadcast "
+    "back, the HHI rollup is supplier-count-sized. Integer bounds: "
+    "share_ppm ≤ 10⁶ so each square ≤ 10¹², and cents·10⁶ stays in "
+    "int64 through ~10¹² total cents per nation; beyond that the "
+    "gini hi/lo-split DECIMAL(38,0) recombination is the documented "
+    "upgrade path.",
+    tags=("relational", "quality", "bench"),
+)
+def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "c"
+        ),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    r = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    t = r.groupBy("s_nationkey").agg(
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("cents").alias("mx"),
+    )
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    sh = r.join(F.broadcast(t), "s_nationkey").withColumn(
+        "share_ppm", F.expr("(cents * 1000000) div tot")
+    )
+    return (
+        sh.join(nation, sh.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.min("n_suppliers").cast("long").alias("n_suppliers"),
+            F.min("tot").cast("long").alias("total_cents"),
+            F.expr("sum(share_ppm * share_ppm) div 1000000")
+            .cast("long")
+            .alias("hhi_ppm"),
+            F.expr("(min(mx) * 1000000) div min(tot)")
+            .cast("long")
+            .alias("top_share_ppm"),
+        )
+    )

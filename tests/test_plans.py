@@ -1151,3 +1151,36 @@ class TestSignSafeCrossEngineArithmetic:
             """
         ).fetchall()
         assert got == {b: (n, d) for b, n, d in oracle}
+
+
+def test_dup_ngram_dfreq_join_never_broadcasts(spark, sf_dir):
+    """The dfreq side of dup_ngram_doc_stats' probe join is
+    CORPUS-SIZED (distinct shingles grow ~linearly with tokens): at
+    sf10 Spark's static size estimate of the agg undershot and
+    promoted the join to BroadcastHash — a serial driver-side build
+    of a ~17M-entry map that OOM'd an 8 GiB driver (r10 decade-2
+    scale audit). The shuffle_hash hint pins the distributed shape;
+    this test keeps it pinned: the shingle join must be a
+    ShuffledHashJoin, never BroadcastHashJoin, at ANY estimate."""
+    p = q(spark, sf_dir, "dup_ngram_doc_stats")
+    assert "ShuffledHashJoin" in p, p
+    assert "BroadcastHashJoin" not in p, (
+        "dfreq join regressed to broadcast — corpus-sized build side"
+    )
+
+
+def test_round10_query_plan_shapes(spark, sf_dir):
+    """The r10 additions keep their engineered shapes under the
+    default session: every small side explicitly broadcast, no
+    cartesian, and the markov window partitioned (per-user, never
+    global)."""
+    p = q(spark, sf_dir, "market_basket_brand_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # the ≤25-row brand counts
+    p = q(spark, sf_dir, "event_type_markov_transitions")
+    assert "CartesianProduct" not in p
+    assert re.search(r"Window.*user_id", p), "markov window lost its partition key"
+    p = q(spark, sf_dir, "supplier_nation_hhi")
+    assert "CartesianProduct" not in p
+    p = q(spark, sf_dir, "order_value_quartile_bands")
+    assert "CartesianProduct" not in p

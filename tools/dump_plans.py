@@ -476,6 +476,11 @@ def main() -> None:
         # plan shapes and their measured scaling live in one document
         with open(scaling, encoding="utf-8") as f:
             out.append(f.read())
+    streambench = os.path.join(root, "STREAMBENCH.md")
+    if os.path.exists(streambench):
+        # tools/stream_bench.py's stateful-op throughput/state table
+        with open(streambench, encoding="utf-8") as f:
+            out.append(f.read())
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md ({len(SHOWCASE)} plans)")

@@ -35,18 +35,148 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import sys
 
 
+def _load_group(spec: str) -> dict:
+    """A comma-separated group of bench JSON files, min-combined per
+    query. A single bench invocation is one sample of that
+    invocation's min-of-5; host throughput swings ~2× BETWEEN
+    invocations on this shared box, so a lone noop pair produced the
+    r9 impossible negatives (gini exp_dist −0.49). Min across ≥3
+    invocations makes the column decision-grade."""
+    parts = [json.load(open(p, encoding="utf-8")) for p in spec.split(",")]
+    out = dict(parts[0])
+    qs: dict[str, float] = {}
+    for p in parts:
+        assert p["sf"] == parts[0]["sf"], "mixed SFs in one group"
+        for q, t in p["queries"].items():
+            qs[q] = min(qs.get(q, float("inf")), t)
+    out["queries"] = qs
+    out["value"] = round(sum(qs.values()), 3)
+    return out
+
+
+def _exp(t0: float, t1: float, ratio_sf: float) -> float:
+    return math.log(t1 / t0) / math.log(ratio_sf)
+
+
+def _decades(points: list[dict], dist: list[dict] | None) -> None:
+    """Three(or more)-point mode: per-query exponent for EACH adjacent
+    SF step, appended to SCALING.md as its own section (the one-decade
+    full table above it is left intact). One 10× step cannot
+    distinguish amortizing constants from an emerging super-linear
+    term; two can — an exponent that RISES across decades is the
+    hidden-quadratic signature and gets flagged for a plan audit."""
+    points = sorted(points, key=lambda p: p["sf"])
+    if dist is not None:
+        dist = sorted(dist, key=lambda p: p["sf"])
+        assert [p["sf"] for p in dist] == [p["sf"] for p in points]
+    sfs = [p["sf"] for p in points]
+    steps = list(zip(sfs, sfs[1:]))
+    qnames = sorted(
+        set.intersection(*(set(p["queries"]) for p in points))
+    )
+    hdr = "| query | " + " | ".join(
+        f"t(sf{sf}) s" for sf in sfs
+    ) + " | " + " | ".join(
+        f"exp {a}→{b}" for a, b in steps
+    )
+    if dist is not None:
+        hdr += " | " + " | ".join(f"exp_dist {a}→{b}" for a, b in steps)
+    hdr += " | trend |"
+    lines = [
+        "## Second-decade audit (exp_dist tail)",
+        "",
+        f"The exp_dist ≥0.3 tail of the one-decade table, re-timed at "
+        f"sf{sfs[0]} / sf{sfs[1]} / sf{sfs[2]}"
+        + (" (noop timings min-combined over 3 bench invocations per SF "
+           "— see _load_group)" if dist is not None else "")
+        + ". Reading the trend: an exponent that FALLS is fixed "
+        "overhead amortizing; one that RISES but stays ≤1.0 is "
+        "amortization completing toward the LINEAR asymptote — the "
+        "healthy terminal shape for linear-work plans (labelled "
+        "rising→linear); only an exponent that rises ABOVE ~1.05 is "
+        "a super-linear term (⚠) demanding a re-plan or an "
+        "irreducibility analysis.",
+        "",
+        hdr,
+        "|" + "---|" * (len(sfs) + 2 * len(steps) + 2),
+    ]
+    rising: list[str] = []
+    for q in qnames:
+        ts = [p["queries"][q] for p in points]
+        exps = [
+            _exp(ts[i], ts[i + 1], sfs[i + 1] / sfs[i])
+            for i in range(len(steps))
+        ]
+        row = f"| {q} | " + " | ".join(f"{t:.3f}" for t in ts)
+        row += " | " + " | ".join(f"{e:.2f}" for e in exps)
+        trend_exps = exps
+        if dist is not None:
+            ds = [p["queries"][q] for p in dist]
+            dexps = [
+                _exp(ds[i], ds[i + 1], sfs[i + 1] / sfs[i])
+                for i in range(len(steps))
+            ]
+            row += " | " + " | ".join(f"{e:.2f}" for e in dexps)
+            trend_exps = dexps
+        rises = trend_exps[-1] > trend_exps[0] + 0.05
+        if rises and trend_exps[-1] > 1.05:
+            rising.append(q)
+            trend = "⚠ SUPER-LINEAR"
+        elif rises:
+            trend = "rising→linear"
+        else:
+            trend = "falling/flat"
+        row += f" | {trend} |"
+        lines.append(row)
+    lines += [
+        "",
+        (
+            f"Super-linear exponents: {', '.join(rising)} — re-plan or "
+            "attach an irreducibility analysis."
+            if rising
+            else "No query's second-decade exponent exceeds 1.0 — nothing "
+            "grows faster than its input; rising-toward-linear rows are "
+            "decade-1 constants finishing their amortization."
+        ),
+        "",
+    ]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "SCALING.md")
+    existing = open(path, encoding="utf-8").read() if os.path.exists(path) else ""
+    existing = re.sub(
+        r"\n## Second-decade audit.*\Z", "\n", existing, flags=re.S
+    ).rstrip("\n")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(existing + "\n\n" + "\n".join(lines))
+    print(
+        f"appended second-decade section to SCALING.md "
+        f"({len(qnames)} queries, rising: {rising or 'none'})"
+    )
+
+
 def main() -> None:
-    small = json.load(open(sys.argv[1], encoding="utf-8"))
-    big = json.load(open(sys.argv[2], encoding="utf-8"))
+    if "--points" in sys.argv:
+        # --points a.json b.json c.json [--noop a1,a2 b1,b2 c1,c2]
+        args = sys.argv[1:]
+        pi = args.index("--points")
+        ni = args.index("--noop") if "--noop" in args else len(args)
+        points = [_load_group(s) for s in args[pi + 1 : ni]]
+        dist = (
+            [_load_group(s) for s in args[ni + 1 :]]
+            if ni < len(args)
+            else None
+        )
+        _decades(points, dist)
+        return
+    small = _load_group(sys.argv[1])
+    big = _load_group(sys.argv[2])
     dist = None
     if len(sys.argv) > 4:
-        dist = (
-            json.load(open(sys.argv[3], encoding="utf-8")),
-            json.load(open(sys.argv[4], encoding="utf-8")),
-        )
+        dist = (_load_group(sys.argv[3]), _load_group(sys.argv[4]))
     ratio_sf = big["sf"] / small["sf"]
     hdr_tail = " exp_dist |" if dist else ""
     sep_tail = "---|" if dist else ""
