@@ -13988,3 +13988,74 @@ def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("top_share_ppm"),
         )
     )
+
+
+@register(
+    "repeat_purchase_intervals",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+      FROM (SELECT DISTINCT user_id, day FROM p)
+    ),
+    g AS (
+      SELECT gap, count(*) AS n FROM gaps WHERE gap IS NOT NULL GROUP BY gap
+    ),
+    c AS (
+      SELECT gap, n,
+             sum(n) OVER (ORDER BY gap
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n) OVER () AS tot
+      FROM g
+    )
+    SELECT min(tot)::BIGINT AS n_gaps,
+           min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN gap END)::BIGINT
+             AS p50_days,
+           min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN gap END)::BIGINT
+             AS p90_days,
+           max(gap)::BIGINT AS max_days
+    FROM c
+    """,
+    doc="Repeat-purchase cadence: exact nearest-rank p50/p90 of the "
+    "day gaps between a user's consecutive purchase DAYS (distinct "
+    "days first — N same-day purchases are one visit, not N zero "
+    "gaps). The gap percentiles are the BOUNDED route of "
+    "operators/windows.quantile_thresholds (its catalog pin, beside "
+    "order_value_quartile_bands' unbounded route): day gaps live on "
+    "a domain-bounded grid (≤ the corpus day span), so thresholds "
+    "are rank picks over the metadata-sized (gap, count) grid — the "
+    "only row-scale passes are the purchase filter, the (user, day) "
+    "distinct, and the per-user lag window (the sessionize "
+    "discipline: one hash shuffle, a user's history never globally "
+    "ordered).",
+    tags=("window", "events", "bench"),
+)
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    ud = ev.select(
+        "user_id", F.expr(f"ts_us div {_US_PER_DAY}").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = (
+        ud.withColumn("gap", F.col("day") - F.lag("day").over(w))
+        .where(F.col("gap").isNotNull())
+        .select("gap")
+        .localCheckpoint(eager=True)  # grid pick + count + max reuse it
+    )
+    t = W.quantile_thresholds(
+        gaps, "gap", (50, 90), bounded=True, names=["p50_days", "p90_days"]
+    )
+    stats = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.max("gap").cast("long").alias("max_days"),
+    )
+    return (
+        stats.withColumn("_j", F.lit(1))
+        .join(F.broadcast(t.withColumn("_j", F.lit(1))), "_j")
+        .select("n_gaps", "p50_days", "p90_days", "max_days")
+    )
