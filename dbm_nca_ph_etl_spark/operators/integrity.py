@@ -131,17 +131,25 @@ def with_canon(
 def _canon_of(df: DataFrame) -> str | None:
     """The (single) fingerprint a stamped digest table carries, or
     None when unstamped. Digest tables are metadata-sized (≤ one row
-    per bucket), so the collect here is O(num_buckets)."""
+    per bucket), so the collect here is O(num_buckets).
+
+    Mixedness is judged on the FINGERPRINT half of the stamp only: a
+    baseline refreshed across a PySpark upgrade legitimately carries
+    rows stamped under two renderer versions with the same
+    fingerprint (refresh_digest splices old and new rows) — that is
+    one recipe, not a mixed table. Two distinct fingerprints remain
+    a hard error whatever the versions."""
     if CANON_COL not in df.columns:
         return None
     vals = [r[0] for r in df.select(CANON_COL).distinct().collect()]
-    if len(vals) > 1:
+    fps = {_split_stamp(v)[0] for v in vals}
+    if len(fps) > 1:
         raise ValueError(
-            f"digest table carries {len(vals)} distinct {CANON_COL} "
+            f"digest table carries {len(fps)} distinct {CANON_COL} "
             f"fingerprints — it was built from mixed canonicalization "
             f"recipes and cannot be trusted: {sorted(vals)}"
         )
-    return vals[0] if vals else None
+    return max(vals) if vals else None  # newest version suffix wins
 
 
 def _check_canon(a: DataFrame, b: DataFrame, op: str) -> None:

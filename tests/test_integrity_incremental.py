@@ -345,3 +345,28 @@ class TestCanonStampVersioning:
             keyed_digest(spark, table, CANON()), CANON(), spec="recipe-v1"
         )
         assert diff_digest(a, b).count() == 0
+
+    def test_refresh_across_versions_same_recipe_stays_valid(
+        self, spark, table
+    ):
+        """A baseline refreshed across a PySpark upgrade carries rows
+        stamped under TWO versions with one fingerprint — that is one
+        recipe, not a mixed table: the spliced digest must keep
+        working (diff clean vs a fresh stamp), while two distinct
+        FINGERPRINTS still raise."""
+        fp = canon_fingerprint(CANON())
+        stored = keyed_digest(spark, table, CANON()).withColumn(
+            "_canon", F.lit(f"{fp}@0.0.0")  # written under an old runtime
+        ).localCheckpoint(eager=True)
+        touched = upsert_keyed(
+            spark,
+            spark.createDataFrame([(3, "x")], "k long, v string"),
+            table,
+            ["k"],
+        )
+        partial = with_canon(
+            keyed_digest(spark, table, CANON(), buckets=touched), CANON()
+        )
+        spliced = refresh_digest(stored, partial, touched)
+        full = with_canon(keyed_digest(spark, table, CANON()), CANON())
+        assert diff_digest(spliced, full).count() == 0
