@@ -149,7 +149,23 @@ def _canon_of(df: DataFrame) -> str | None:
             f"fingerprints — it was built from mixed canonicalization "
             f"recipes and cannot be trusted: {sorted(vals)}"
         )
-    return max(vals) if vals else None  # newest version suffix wins
+    # Newest RENDERER version wins among same-fingerprint stamps, and
+    # "newest" is the parsed version tuple, not the lexicographic
+    # string ('10.0.0' > '9.9.9'). Legacy unversioned stamps sort
+    # oldest; non-numeric segments fall back to string order.
+    return max(vals, key=_stamp_sort_key) if vals else None
+
+
+def _stamp_sort_key(stamp: str) -> tuple:
+    ver = _split_stamp(stamp)[1]
+    if ver is None:
+        return (0,)
+    parts: list[tuple[int, int | str]] = []
+    for seg in ver.split("."):
+        # numeric segments before same-position strings, each
+        # comparable only within its kind (mirrors PEP 440 loosely)
+        parts.append((1, int(seg)) if seg.isdigit() else (0, seg))
+    return (1, parts)
 
 
 def _check_canon(a: DataFrame, b: DataFrame, op: str) -> None:

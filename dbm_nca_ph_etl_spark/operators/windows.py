@@ -16,6 +16,7 @@ these collect to the driver.
 from __future__ import annotations
 
 import decimal as _decimal
+import functools
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -348,6 +349,24 @@ def grid_rank_picks(
     return out, pick
 
 
+#: Largest bucket the multi-select below will hand to a single window
+#: task before refining it further: ~4M rows sort in-task in seconds
+#: and bound the task's memory regardless of total table size.
+_SELECT_CAP = 1 << 22
+
+
+def _bucket_counts(df: DataFrame, key: Column) -> dict[int, int]:
+    """Exact per-bucket row counts, collected — callers only pass
+    bounded-cardinality keys (≤127 octaves / ≤1024 sub-ranges), so
+    the driver state is metadata-sized by construction."""
+    return {
+        r["k"]: r["n"]
+        for r in df.groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
 def quantile_thresholds(
     df: DataFrame,
     metric: str,
@@ -373,12 +392,16 @@ def quantile_thresholds(
       data rows), then rank-pick over the metadata-sized grid via
       :func:`grid_rank_picks`. Never sorts row-scale data.
     - ``bounded=False`` — the metric is DATA-SIZED (distinct values
-      grow with the corpus, e.g. per-customer cent sums): global
-      ranks come from :func:`prefix_sum`'s two-phase distributed
-      scan (never a global window over data rows); ``tie_break``
-      (required) must complete ``(metric, tie_break)`` into a total
-      order so the rank — and therefore the threshold — is
-      deterministic.
+      grow with the corpus, e.g. per-customer cent sums): an exact
+      distributed k-way SELECTION — octave-bucket counts locate each
+      rank's bucket, over-``_SELECT_CAP`` buckets refine through
+      capped integer sub-ranges, and the (metric, tie_break) window
+      runs over ONLY the ≤k surviving buckets (never a global
+      window, never a sort of the full table; a bucket that
+      collapses to one value IS its threshold with no window at
+      all); ``tie_break`` (required) must complete ``(metric,
+      tie_break)`` into a total order so the rank — and therefore
+      the threshold — is deterministic.
 
     The partitioned form of the same algebra (per-group thresholds
     plus extra grid aggregates) stays on :func:`grid_rank_picks`
@@ -408,30 +431,161 @@ def quantile_thresholds(
             "a total order — without it the threshold at a tied rank is "
             "partitioning-dependent"
         )
-    ranked = prefix_sum(
-        df.withColumn("_qt_one", F.lit(1).cast("long")),
-        "_qt_one",
-        [metric, tie_break],
-        out_col="_qt_r0",
-    ).withColumn("_qt_i", F.col("_qt_r0") + 1)
-    n_val = ranked.agg(F.count(F.lit(1)).cast("long").alias("_qt_tot"))
-    j = ranked.withColumn("_qt_j", F.lit(1)).join(
-        F.broadcast(n_val.withColumn("_qt_j", F.lit(1))), "_qt_j"
+    # SELECTION, not ranking: k order statistics don't need a per-row
+    # global rank (what prefix_sum builds — a window over EVERY row).
+    # Exact distributed multi-select instead:
+    #   1. one counts pass over OCTAVE buckets of the (integer)
+    #      metric — an exact, data-independent, monotone blocking
+    #      (63 long comparisons, no doubles, no approxQuantile
+    #      pre-job), collected to ≤127 driver longs;
+    #   2. each target rank lands in exactly one bucket at a known
+    #      local rank; buckets holding more than ``_SELECT_CAP`` rows
+    #      are REFINED (one filtered counts pass per round, splitting
+    #      the bucket into ≤1024 equal integer sub-ranges) until every
+    #      pick's bucket is single-task-sortable or single-valued —
+    #      the per-round cap is what keeps the final window from
+    #      sorting a 100 TB hot bucket in one task, and a bucket that
+    #      collapses to ONE value IS its threshold (no window at all,
+    #      however many duplicate rows it holds);
+    #   3. only the surviving ≤k buckets get the (metric, tie_break)
+    #      row_number window — k small slices of the table, never a
+    #      global sort.
+    # Driver state is bounded (≤1024 counts per round, ~6 rounds worst
+    # case for a 2^62 range); the counts pass makes this call EAGER,
+    # like the approxQuantile pass the earlier rank route paid anyway.
+    # Exact-integer metrics are the engine-wide digest convention
+    # (thresholds are cast to long on return).
+    sess = df.sparkSession
+    m = F.col(metric).cast("long")
+    # sign-mirrored octave: 0 for m==0, ±(1+floor(log2(|m|))) else.
+    # Monotone in m even under double rounding (long→double, log2,
+    # floor all preserve order), which is all correctness needs: the
+    # octave's nominal bounds only SEED refinement, whose integer
+    # `div` sub-ranges are exact for whatever rows the bucket really
+    # holds; the single-value shortcut applies only to b ∈ {-1,0,1},
+    # where doubles are exact.
+    octave = (
+        F.when(m > 0, (F.floor(F.log2(m)) + 1).cast("int"))
+        .when(m < 0, (-F.floor(F.log2(-m)) - 1).cast("int"))
+        .otherwise(F.lit(0))
     )
-    return j.agg(
-        *[
+    counts = _bucket_counts(df, octave)
+    tot = sum(counts.values())
+    if tot == 0:
+        return sess.range(1).select(
+            *[F.lit(None).cast("long").alias(nm) for nm in names]
+        )
+
+    def _octave_bounds(b: int) -> tuple[int, int]:
+        if b == 0:
+            return (0, 0)
+        if b > 0:  # m in [2^(b-1), 2^b)
+            return (1 << (b - 1), (1 << b) - 1)
+        return (-(1 << (-b)) + 1, -(1 << (-b - 1)))  # mirror
+
+    # (name, cond, lo, hi, local_rank, bucket_count)
+    picks: list[tuple[str, Column, int, int, int, int]] = []
+    for q, nm in zip(qs, names):
+        rank = (tot * int(q) + 99) // 100  # ceil(q·n/100), 1-based
+        off = 0
+        for b in sorted(counts):
+            if rank <= off + counts[b]:
+                lo, hi = _octave_bounds(b)
+                picks.append(
+                    (nm, octave == F.lit(b), lo, hi, rank - off, counts[b])
+                )
+                break
+            off += counts[b]
+    # refinement rounds: split any too-big multi-valued bucket into
+    # ≤1024 equal integer sub-ranges and re-locate the rank (picks
+    # sharing a bucket share the pass — conditions compare equal by
+    # construction only when (lo, hi) match, so group on bounds)
+    while True:
+        todo = {
+            (lo, hi): cond
+            for (_, cond, lo, hi, _, n) in picks
+            if n > _SELECT_CAP and lo < hi
+        }
+        if not todo:
+            break
+        for (lo, hi), cond in todo.items():
+            width = hi - lo + 1
+            step = (width + 1023) // 1024
+            # integer floor-div (SQL `div`): within the bucket m ≥ lo,
+            # so the numerator is non-negative — no toward-zero bias
+            sub = F.expr(
+                f"(cast(`{metric}` as bigint) - ({lo})) div ({step})"
+            )
+            sub_counts = _bucket_counts(df.where(cond), sub.cast("int"))
+            for i, (nm, c0, l0, h0, r0, n0) in enumerate(picks):
+                if (l0, h0) != (lo, hi) or n0 <= _SELECT_CAP:
+                    continue
+                off = 0
+                for s in sorted(sub_counts):
+                    if r0 <= off + sub_counts[s]:
+                        nlo = lo + s * step
+                        nhi = min(lo + (s + 1) * step - 1, hi)
+                        picks[i] = (
+                            nm,
+                            c0 & (sub == F.lit(s)),
+                            nlo,
+                            nhi,
+                            r0 - off,
+                            sub_counts[s],
+                        )
+                        break
+                    off += sub_counts[s]
+    exprs: dict[str, Column] = {}  # name -> aggregate expression
+    # picks sharing a bucket share ONE tag (a row carries a single
+    # tag, so per-pick tags would shadow each other) and differ only
+    # in local rank
+    buckets: dict[tuple[int, int], tuple[int, Column]] = {}
+    windowed: list[tuple[str, int, int]] = []  # (name, bucket_id, rank)
+    for nm, cond, lo, hi, r, _n in picks:
+        if lo == hi:  # single-valued bucket IS the threshold
+            exprs[nm] = F.max(F.lit(lo)).cast("long").alias(nm)
+        else:
+            if (lo, hi) not in buckets:
+                buckets[(lo, hi)] = (len(buckets), cond)
+            windowed.append((nm, buckets[(lo, hi)][0], r))
+    if not windowed:
+        return sess.range(1).select(
+            *[F.lit(lo).cast("long").alias(nm)
+              for nm, _, lo, _, _, _ in picks]
+        )
+    # one window job over the surviving buckets (disjoint by
+    # construction), partitioned by the bucket tag
+    tag = F.lit(None).cast("int")
+    for i, cond in buckets.values():
+        tag = F.when(cond, F.lit(i)).otherwise(tag)
+    w = Window.partitionBy("_qt_tag").orderBy(metric, tie_break)
+    ranked = (
+        df.withColumn("_qt_tag", tag)
+        .where(F.col("_qt_tag").isNotNull())
+        .withColumn("_qt_rn", F.row_number().over(w))
+        .where(
+            functools.reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col("_qt_tag") == F.lit(i)) & (F.col("_qt_rn") == F.lit(r))
+                    for _, i, r in windowed
+                ],
+            )
+        )
+    )
+    for nm, i, r in windowed:
+        exprs[nm] = (
             F.min(
                 F.when(
-                    F.col("_qt_i")
-                    >= F.expr(f"(_qt_tot * {int(q)} + 99) div 100"),
+                    (F.col("_qt_tag") == F.lit(i))
+                    & (F.col("_qt_rn") == F.lit(r)),
                     F.col(metric),
                 )
             )
             .cast("long")
             .alias(nm)
-            for q, nm in zip(qs, names)
-        ]
-    )
+        )
+    return ranked.agg(*[exprs[nm] for nm in names])  # qs order
 
 
 def leading_run_concat(arr: Column, sep: str = " ") -> Column:

@@ -13637,9 +13637,11 @@ def compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ceil(q·n/100) in (cents, orderkey) order — the direct catalog "
     "pin of operators/windows.quantile_thresholds' UNBOUNDED route "
     "(order values are data-sized: distinct cent sums grow with the "
-    "corpus, so thresholds come from prefix_sum's two-phase "
-    "distributed rank, never a global window over data rows; the "
-    "single-node oracle IS one task, so it windows directly). The "
+    "corpus, so thresholds come from the blocked k-way SELECTION — "
+    "per-block counts locate each rank's block, only those ≤k blocks "
+    "get windowed — never a global window or full sort over data "
+    "rows; the single-node oracle IS one task, so it windows "
+    "directly). The "
     "1-row threshold tuple broadcasts back (guarded scalar-subquery "
     "pattern); the band rollup is a 4-row aggregate. Ties share a "
     "band by construction — band edges compare against one threshold "
@@ -13647,12 +13649,13 @@ def compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "window", "bench"),
 )
 def order_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
-        )
-        .localCheckpoint(eager=True)  # rank scan + band rollup reuse it
+    # Shared by the rank scan and the band rollup, but NOT
+    # checkpointed: at 100 TB an eager localCheckpoint would
+    # materialize a table-sized artifact to executor disk just to
+    # share a 2-column projection — a second column-pruned parquet
+    # scan is cheaper than writing + reading the whole set once.
+    p = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
     )
     t = W.quantile_thresholds(
         p, "cents", (25, 50, 75), bounded=False, tie_break="o_orderkey"
@@ -14011,7 +14014,7 @@ def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n) OVER () AS tot
       FROM g
     )
-    SELECT min(tot)::BIGINT AS n_gaps,
+    SELECT coalesce(min(tot), 0)::BIGINT AS n_gaps,
            min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN gap END)::BIGINT
              AS p50_days,
            min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN gap END)::BIGINT

@@ -445,11 +445,16 @@ def compact_keyed(
         b = int(base.split("=", 1)[1])
         if want is not None and b not in want:
             continue
-        files = f.ls(d, suffixes=[".parquet"])
         t = target_files
         if target_bytes is not None:
-            nbytes = sum(f.size(p) for p in files)
+            # sized listing: one LIST per bucket, never an N+1 HEAD
+            # per file (object-store listings already carry sizes)
+            sized = f.ls_with_sizes(d, suffixes=[".parquet"])
+            files = [p for p, _ in sized]
+            nbytes = sum(sz for _, sz in sized)
             t = max(target_files, _math.ceil(nbytes / target_bytes))
+        else:
+            files = f.ls(d, suffixes=[".parquet"])
         if len(files) > t:
             candidates.append(b)
             n_out[b] = t

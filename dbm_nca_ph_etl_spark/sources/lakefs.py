@@ -77,6 +77,17 @@ class LakeFS:
     def size(self, path: str) -> int:
         raise NotImplementedError
 
+    def ls_with_sizes(
+        self, path: str, suffixes: Sequence[str] | None = None
+    ) -> list[tuple[str, int]]:
+        """``(path, bytes)`` for every file :meth:`ls` would return.
+        The default composes ``ls`` + ``size``; object-store adapters
+        override it to surface the sizes their listing response
+        already carries (ListObjectsV2 ``<Size>``, pyarrow FileInfo)
+        — one LIST instead of an N+1 HEAD per file, which is what a
+        whole-table compaction pass would otherwise pay."""
+        return [(p, self.size(p)) for p in self.ls(path, suffixes)]
+
     def mkdirs(self, path: str) -> None:
         raise NotImplementedError
 
@@ -263,6 +274,29 @@ class ArrowLakeFS(LakeFS):
     def size(self, path):
         fsys, p = self._resolve(path)
         return fsys.get_file_info(p).size
+
+    def ls_with_sizes(self, path, suffixes=None):
+        from pyarrow import fs as pafs
+
+        fsys, p = self._resolve(path)
+        info = fsys.get_file_info(p)
+        if info.type == pafs.FileType.NotFound:
+            return []
+        if info.type != pafs.FileType.Directory:
+            if suffixes is not None and not p.lower().endswith(tuple(suffixes)):
+                return []
+            return [(path, info.size)]
+        sel = pafs.FileSelector(p, recursive=False)
+        base_uri, base_p = path.rstrip("/"), p.rstrip("/")
+        out = []
+        for fi in fsys.get_file_info(sel):
+            if fi.type != pafs.FileType.File:
+                continue
+            if suffixes is not None and not fi.path.lower().endswith(tuple(suffixes)):
+                continue
+            child = fi.path[len(base_p):] if fi.path.startswith(base_p) else fi.path
+            out.append((base_uri + "/" + child.lstrip("/"), fi.size))
+        return sorted(out)
 
     def mkdirs(self, path):
         fsys, p = self._resolve(path)

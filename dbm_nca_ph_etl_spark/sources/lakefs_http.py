@@ -41,7 +41,6 @@ import datetime
 import hashlib
 import hmac
 import http.client
-import re
 import time
 import urllib.parse
 import xml.etree.ElementTree as ET
@@ -49,12 +48,6 @@ import xml.etree.ElementTree as ET
 from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS
 
 _NS = "{http://s3.amazonaws.com/doc/2006-03-01/}"
-
-#: A content-md5 ETag (non-multipart S3): exactly 32 hex chars.
-#: Anything else (multipart's ``<hex>-<parts>``, SSE-KMS opaque tags)
-#: cannot prove a CAS loss — see ``put_if_absent``.
-_MD5_HEX = re.compile(r"[0-9a-f]{32}")
-
 
 def _sha256(data: bytes) -> str:
     return hashlib.sha256(data).hexdigest()
@@ -194,8 +187,16 @@ class HttpCasLakeFS(LakeFS):
 
     def _list(self, prefix: str, delimiter: str | None):
         """All (keys, common_prefixes) under ``prefix``, following
-        continuation tokens (ListObjectsV2)."""
-        keys: list[str] = []
+        continuation tokens (ListObjectsV2). Sizes from the same
+        response are cached per call via :meth:`_list_sized`."""
+        entries, prefixes = self._list_sized(prefix, delimiter)
+        return [k for k, _ in entries], prefixes
+
+    def _list_sized(self, prefix: str, delimiter: str | None):
+        """All ((key, size), common_prefixes) under ``prefix`` —
+        ListObjectsV2 carries ``<Size>`` per object, so a sized
+        listing costs the same round trips as a bare one."""
+        keys: list[tuple[str, int]] = []
         prefixes: list[str] = []
         token = None
         while True:
@@ -209,7 +210,10 @@ class HttpCasLakeFS(LakeFS):
                 raise OSError(f"LIST {prefix!r} -> HTTP {status}")
             root = ET.fromstring(body)
             for c in root.iter(f"{_NS}Contents"):
-                keys.append(c.findtext(f"{_NS}Key"))
+                sz = c.findtext(f"{_NS}Size")
+                keys.append(
+                    (c.findtext(f"{_NS}Key"), int(sz) if sz else 0)
+                )
             for c in root.iter(f"{_NS}CommonPrefixes"):
                 prefixes.append(c.findtext(f"{_NS}Prefix"))
             if root.findtext(f"{_NS}IsTruncated") == "true":
@@ -241,6 +245,20 @@ class HttpCasLakeFS(LakeFS):
         for k in keys:
             if suffixes is None or k.lower().endswith(tuple(suffixes)):
                 out.append(self._restore(path, k))
+        return sorted(out)
+
+    def ls_with_sizes(self, path, suffixes=None):
+        key = self._key(path)
+        out = []
+        if suffixes is None or path.lower().endswith(tuple(suffixes)):
+            try:
+                out.append((path, self.size(path)))  # single-"file" path
+            except FileNotFoundError:
+                pass
+        entries, _ = self._list_sized(key.rstrip("/") + "/", "/")
+        for k, sz in entries:
+            if suffixes is None or k.lower().endswith(tuple(suffixes)):
+                out.append((self._restore(path, k), sz))
         return sorted(out)
 
     def is_dir(self, path):
@@ -327,16 +345,18 @@ class HttpCasLakeFS(LakeFS):
         another writer raced us with byte-identical content the
         reclassification is still harmless: who "won" is
         unobservable when the committed bytes are ours either way.
-        On stores whose ETag is NOT the content md5 (SSE-KMS,
-        multipart uploads, some S3-compatibles) the ETag check can't
-        prove a loss either — there the fallback is a GET of the
-        committed object and a direct byte comparison, so a
-        dropped-response PUT that actually WON is never reported as
-        a loss (which would, e.g., make the CommitLog CAS loop
-        append the same entry again at version+1, duplicating a
-        commit record). An md5-SHAPED ETag that mismatches is a
-        definite loss (the committed content differs) and skips the
-        GET. A 412 with NO preceding transport error in this call is
+        Only a MATCH is conclusive: an ETag that mismatches md5(data)
+        proves nothing, because stores exist whose ETag is 32-hex
+        SHAPED yet is not the content md5 (AWS SSE-KMS single-part
+        PUTs, notably, besides multipart's ``<hex>-N`` and opaque
+        S3-compatibles). Any mismatch therefore falls through to a
+        GET of the committed object and a direct byte comparison —
+        one extra round trip on this already-rare ambiguous path —
+        so a dropped-response PUT that actually WON is never
+        reported as a loss (which would, e.g., make the CommitLog
+        CAS loop append the same entry again at version+1,
+        duplicating a commit record).
+        A 412 with NO preceding transport error in this call is
         an unambiguous loss and costs no extra round trip. Callers
         that still see a transport exception propagate (all retries
         dead) cannot assume loss OR win — they must re-probe.
@@ -362,14 +382,15 @@ class HttpCasLakeFS(LakeFS):
                     etag = self._etag(key)
                     if etag == hashlib.md5(data).hexdigest():
                         return True  # our own dropped-response PUT won
-                    if etag is None or not _MD5_HEX.fullmatch(etag):
-                        # ETag isn't content-md5 (SSE-KMS, multipart,
-                        # some S3-compatibles): compare bytes directly
-                        try:
-                            if self.read_bytes(path) == data:
-                                return True
-                        except (OSError, http.client.HTTPException):
-                            pass  # unknown degrades to loss (safe side)
+                    # A mismatching ETag proves NOTHING: SSE-KMS
+                    # single-part ETags are 32-hex shaped yet not the
+                    # content md5, so only a match is conclusive.
+                    # Compare the committed bytes directly.
+                    try:
+                        if self.read_bytes(path) == data:
+                            return True
+                    except (OSError, http.client.HTTPException):
+                        pass  # unknown degrades to loss (safe side)
                 return False
             if status == 409:
                 time.sleep(delay)

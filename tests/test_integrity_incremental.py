@@ -370,3 +370,20 @@ class TestCanonStampVersioning:
         spliced = refresh_digest(stored, partial, touched)
         full = with_canon(keyed_digest(spark, table, CANON()), CANON())
         assert diff_digest(spliced, full).count() == 0
+
+    def test_newest_version_pick_is_numeric_not_lexicographic(self):
+        """'fp@10.0.0' must beat 'fp@9.9.9' (and legacy unversioned
+        stamps sort oldest) so the drift diagnosis cites the true
+        newest renderer once PySpark versions reach double digits."""
+        from dbm_nca_ph_etl_spark.operators.integrity import (
+            _stamp_sort_key,
+        )
+
+        fp = "a" * 32
+        vals = [f"{fp}@9.9.9", f"{fp}@10.0.0", fp, f"{fp}@4.1.2"]
+        assert max(vals, key=_stamp_sort_key) == f"{fp}@10.0.0"
+        assert min(vals, key=_stamp_sort_key) == fp  # legacy oldest
+        # non-numeric segments fall back without raising
+        assert _stamp_sort_key(f"{fp}@4.1.0rc1") < _stamp_sort_key(
+            f"{fp}@4.1.2"
+        )

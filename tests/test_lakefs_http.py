@@ -233,7 +233,12 @@ def _make_handler(store: _Store):
             )
             xml.append("<IsTruncated>false</IsTruncated>")
             for k in contents:
-                xml.append(f"<Contents><Key>{sx.escape(k)}</Key></Contents>")
+                with store.lock:
+                    sz = len(store.get(k) or b"")
+                xml.append(
+                    f"<Contents><Key>{sx.escape(k)}</Key>"
+                    f"<Size>{sz}</Size></Contents>"
+                )
             for p in prefixes:
                 xml.append(
                     f"<CommonPrefixes><Prefix>{sx.escape(p)}</Prefix>"
@@ -296,6 +301,30 @@ class TestAdapterBasics:
         assert fs.ls("/t/_log/readme.txt") == ["/t/_log/readme.txt"]
         assert fs.ls("/t/_log/readme.txt", suffixes=[".json"]) == []
         assert fs.ls("/t/nope") == []
+
+    def test_ls_with_sizes_spends_no_heads(self, fs):
+        """ListObjectsV2 already carries <Size>: a sized listing must
+        not degrade into an N+1 HEAD per file (what a whole-table
+        compaction pass would pay on compact_keyed's candidate
+        loop)."""
+        fs.write_bytes("/t/szd/a.parquet", b"x" * 7)
+        fs.write_bytes("/t/szd/b.parquet", b"y" * 11)
+        fs.write_bytes("/t/szd/readme.txt", b"z")
+        orig, heads = fs._request, []
+
+        def spy(method, key, **kw):
+            if method == "HEAD":
+                heads.append(key)
+            return orig(method, key, **kw)
+
+        fs._request = spy
+        try:
+            got = fs.ls_with_sizes("/t/szd", suffixes=[".parquet"])
+        finally:
+            del fs._request  # unshadow the class method
+        assert got == [("/t/szd/a.parquet", 7), ("/t/szd/b.parquet", 11)]
+        # at most the one single-"file"-path probe — never one per file
+        assert len(heads) <= 1
 
     def test_dirs_are_prefixes(self, fs):
         assert not fs.is_dir("/t/v")
@@ -744,19 +773,26 @@ class TestOpaqueEtagCas:
         fs._etag = lambda key: None
         assert fs.put_if_absent("/t/noetag", b"mine") is True
 
-    def test_md5_shaped_mismatch_skips_the_get(self, fs, store):
-        """An md5-SHAPED ETag that mismatches proves the loss — no GET
-        round trip is spent."""
+    def test_md5_shaped_mismatch_still_byte_compares(self, fs, store):
+        """SSE-KMS single-part ETags are 32-hex SHAPED yet NOT the
+        content md5 — a shape-based skip would misreport a
+        dropped-response WIN as a loss. A mismatching ETag (whatever
+        its shape) must fall through to the GET byte-compare."""
+        store.drop_response_once.add("t/kmsshaped")
+        import hashlib as _h
+
+        # md5-shaped, but of unrelated bytes (a KMS-style opaque tag)
+        fs._etag = lambda key: _h.md5(b"not-the-content").hexdigest()
+        assert fs.put_if_absent("/t/kmsshaped", b"mine") is True
+        assert fs.read_bytes("/t/kmsshaped") == b"mine"
+
+    def test_md5_shaped_mismatch_true_loss_stays_loss(self, fs, store):
+        """...and when the committed bytes genuinely differ, the GET
+        byte-compare still reports the loss."""
         assert fs.put_if_absent("/t/md5lost", b"theirs") is True
         store.drop_response_once.add("t/md5lost")
         import hashlib as _h
 
         fs._etag = lambda key: _h.md5(b"theirs").hexdigest()
-        orig = fs.read_bytes
-        fs.read_bytes = lambda path: (_ for _ in ()).throw(
-            AssertionError("GET fallback on a proven md5 mismatch")
-        )
-        try:
-            assert fs.put_if_absent("/t/md5lost", b"mine") is False
-        finally:
-            fs.read_bytes = orig
+        assert fs.put_if_absent("/t/md5lost", b"mine") is False
+        assert fs.read_bytes("/t/md5lost") == b"theirs"

@@ -551,6 +551,53 @@ class TestQuantileThresholds:
         ).collect()
         assert a == b
 
+    def test_refinement_rounds_preserve_exactness(self, spark, monkeypatch):
+        """Force the multi-select's capped refinement to actually run
+        (every octave bucket over a tiny cap) — the refined picks must
+        still match the plain-Python nearest-rank definition."""
+        import dbm_nca_ph_etl_spark.operators.windows as W
+
+        monkeypatch.setattr(W, "_SELECT_CAP", 8)
+        df, vals = self._df(spark)
+        n = len(vals)
+        qs = (25, 50, 75, 90)
+        want = {
+            f"t{i + 1}": vals[-(-n * q // 100) - 1]
+            for i, q in enumerate(qs)
+        }
+        u = W.quantile_thresholds(
+            df, "m", qs, bounded=False, tie_break="id"
+        ).collect()[0]
+        assert u.asDict() == want
+
+    def test_duplicate_heavy_bucket_short_circuits(self, spark, monkeypatch):
+        """A bucket that collapses to ONE value is its own threshold —
+        however many duplicate rows it holds, no window sorts them
+        (the tie-mountain case a rank-based route would sort whole)."""
+        import dbm_nca_ph_etl_spark.operators.windows as W
+
+        monkeypatch.setattr(W, "_SELECT_CAP", 8)
+        rows = [(i, 17) for i in range(400)] + [
+            (400 + i, v) for i, v in enumerate((1, 2, 3, 900, 950))
+        ]
+        df = spark.createDataFrame(rows, "id long, m long")
+        vals = sorted(v for _, v in rows)
+        n = len(vals)
+        got = W.quantile_thresholds(
+            df, "m", (50, 99), bounded=False, tie_break="id"
+        ).collect()[0]
+        assert got["t1"] == vals[-(-n * 50 // 100) - 1] == 17
+        assert got["t2"] == vals[-(-n * 99 // 100) - 1]
+
+    def test_empty_input_yields_null_thresholds(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import quantile_thresholds
+
+        df = spark.createDataFrame([], "id long, m long")
+        row = quantile_thresholds(
+            df, "m", (50,), bounded=False, tie_break="id"
+        ).collect()
+        assert len(row) == 1 and row[0]["t1"] is None
+
     def test_names_and_validation(self, spark):
         from dbm_nca_ph_etl_spark.operators.windows import quantile_thresholds
 
