@@ -21,3 +21,167 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def clobber_recovery_drill(
+    spark, raced, twin, monkeypatch, fs=None, resync=None
+):
+    """Execute the post-overwrite clobber RECOVERY playbook documented
+    on ``sinks/txlog.compact_keyed_serialized`` end-to-end, against a
+    REAL clobber (the thief's upsert genuinely lands and is genuinely
+    rolled back by the compactor's stale overwrite):
+
+    1. raced table: the compactor's lease expires inside the residual
+       window (after the fence check passed, before the overwrite); a
+       thief acquires the lease, upserts, logs — then the compactor's
+       overwrite rolls the upsert back and its post-overwrite fence
+       raises CommitFenced(clobber_possible=True, possibly_clobbered=
+       [thief's entry]).
+    2. recovery: RE-APPLY each possibly_clobbered entry's upsert from
+       its source frame (serialized — merges are idempotent per key),
+       then RETRY the compaction.
+    3. convergence: the raced table must equal a never-raced twin that
+       saw upsert-then-compact cleanly — full sorted-row equality plus
+       bucket-digest equality (the engine's content-identity surface;
+       parquet bytes themselves embed nondeterministic row order), and
+       the commit log must narrate thief → recovery → compact.
+
+    ``fs``/``resync`` parametrize the sidecar seam: ``resync(path)``
+    re-mirrors Spark-written local files into a remote store so its
+    listings stay truthful (the live-S3 variant).
+    """
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dbm_nca_ph_etl_spark.operators.integrity import (
+        diff_digest,
+        keyed_digest,
+    )
+    from dbm_nca_ph_etl_spark.sinks import keyed as keyed_mod
+    from dbm_nca_ph_etl_spark.sinks.keyed import (
+        KB_COL,
+        _write_meta,
+        key_bucket,
+        read_keyed,
+        upsert_keyed,
+    )
+    from dbm_nca_ph_etl_spark.sinks.txlog import (
+        LEASE_FILE,
+        CommitFenced,
+        CommitLog,
+        WriterLease,
+        compact_keyed_serialized,
+        upsert_keyed_serialized,
+    )
+    from dbm_nca_ph_etl_spark.sources.lakefs import get_fs
+
+    NB = 4
+    canon = lambda: [F.col("k").cast("string"), F.col("v")]  # noqa: E731
+
+    def build(p):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(200)], "k long, v string"
+        ).withColumn(KB_COL, key_bucket(["k"], NB))
+        df.repartition(8).write.mode("overwrite").partitionBy(
+            KB_COL
+        ).parquet(p)
+        _write_meta(
+            p,
+            {"keys": ["k"], "num_buckets": NB, "schema": "k BIGINT,v STRING"},
+            fs,
+        )
+
+    build(raced)
+    build(twin)
+    if resync:
+        resync(raced), resync(twin)
+    thief_df = spark.createDataFrame(
+        [(3, "THIEF3"), (999, "v999")], "k long, v string"
+    )
+
+    # the never-raced control: the thief's upsert lands, THEN the
+    # compactor runs — the ordering the lease exists to guarantee
+    upsert_keyed(spark, thief_df, twin, ["k"], fs=fs)
+    if resync:
+        resync(twin)
+    keyed_mod.compact_keyed(spark, twin, fs=fs)
+
+    real = keyed_mod.compact_keyed
+    thief_lease: list[WriterLease] = []
+
+    def racing(spark_, path_, **kw):
+        inner = kw["pre_overwrite_check"]
+
+        def hook():
+            inner()  # fence PASSES — the lease was still ours here
+            # ...then the TTL expires inside the residual window:
+            f = get_fs(path_, fs)
+            f.delete_file(os.path.join(path_, LEASE_FILE))
+            thief = WriterLease(path_, ttl_s=300.0, fs=fs)
+            thief.acquire(timeout_s=5.0)
+            thief_lease.append(thief)
+            touched = upsert_keyed(spark_, thief_df, path_, ["k"], fs=fs)
+            log = CommitLog(path_, fs=fs)
+            assert log.try_commit(
+                {"op": "upsert", "writer": "thief", "buckets": touched},
+                log.version(),
+            )
+
+        kw["pre_overwrite_check"] = hook
+        return real(spark_, path_, **kw)
+
+    monkeypatch.setattr(keyed_mod, "compact_keyed", racing)
+    try:
+        with _pytest.raises(CommitFenced) as ei:
+            compact_keyed_serialized(spark, raced, writer="opt", fs=fs)
+    finally:
+        monkeypatch.setattr(keyed_mod, "compact_keyed", real)
+    e = ei.value
+    assert e.clobber_possible is True
+    assert [x["writer"] for x in e.possibly_clobbered] == ["thief"]
+    # the clobber is REAL: the thief's committed rows are gone
+    got = {r.k: r.v for r in read_keyed(spark, raced, fs=fs).collect()}
+    assert got[3] == "v3" and 999 not in got
+    thief_lease[0].release()  # the thief finished; its lease is free
+
+    # ---- the documented recovery playbook ----
+    if resync:
+        resync(raced)
+    for entry in e.possibly_clobbered:
+        assert entry["op"] == "upsert"
+        upsert_keyed_serialized(
+            spark,
+            thief_df,  # the entry's source frame
+            raced,
+            ["k"],
+            writer=f"recover:{entry['writer']}",
+            fs=fs,
+        )
+    if resync:
+        resync(raced)
+    assert compact_keyed_serialized(spark, raced, writer="opt", fs=fs)
+
+    # convergence with the never-raced twin
+    rows_r = sorted(
+        tuple(r) for r in read_keyed(spark, raced, fs=fs).collect()
+    )
+    rows_t = sorted(
+        tuple(r) for r in read_keyed(spark, twin, fs=fs).collect()
+    )
+    assert rows_r == rows_t
+    assert (
+        diff_digest(
+            keyed_digest(spark, raced, canon()),
+            keyed_digest(spark, twin, canon()),
+        ).count()
+        == 0
+    )
+    # the log narrates the whole story
+    story = [
+        (x["op"], x["writer"]) for x in CommitLog(raced, fs=fs).entries()
+    ]
+    assert story == [
+        ("upsert", "thief"),
+        ("upsert", "recover:thief"),
+        ("compact", "opt"),
+    ]

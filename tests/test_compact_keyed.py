@@ -442,3 +442,20 @@ class TestCompactionFencing:
         # the compaction itself was NOT logged as applied
         ops = [x["op"] for x in CommitLog(fragmented).entries()]
         assert "compact" not in ops
+
+    def test_clobber_recovery_playbook_converges(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The docstring's recovery is executable, not prose: a REAL
+        clobber (thief's upsert lands, stale overwrite rolls it back),
+        then re-apply the possibly_clobbered entries' upserts and retry
+        the compaction — the table must equal the never-raced twin and
+        the commit log must narrate thief → recovery → compact."""
+        from conftest import clobber_recovery_drill
+
+        clobber_recovery_drill(
+            spark,
+            str(tmp_path / "raced"),
+            str(tmp_path / "twin"),
+            monkeypatch,
+        )

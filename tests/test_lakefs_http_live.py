@@ -318,3 +318,31 @@ class TestSparkMergesAgainstRealS3:
             assert got[100 + i] == f"u{i}", "compaction rolled back an upsert"
         ops = {e["op"] for e in CommitLog(path, fs=fs).entries()}
         assert "upsert" in ops
+
+    def test_clobber_recovery_playbook_converges_live(
+        self, spark, tmp_path, fs, monkeypatch
+    ):
+        """The post-overwrite clobber RECOVERY drill (see
+        tests/conftest.clobber_recovery_drill) with every sidecar and
+        listing arbitrated by the live endpoint: lease steal, commit
+        log, fencing, re-apply, retry — all over real SigV4 HTTP.
+        Spark-written parquet stays on local disk (the suite-wide
+        split), so ``resync`` mirrors the local tree into the store to
+        keep its listings truthful."""
+        from conftest import clobber_recovery_drill
+
+        def resync(path):
+            for d, _, files in os.walk(path):
+                for x in files:
+                    p = os.path.join(d, x)
+                    with open(p, "rb") as fh:
+                        fs.write_bytes(p, fh.read())
+
+        clobber_recovery_drill(
+            spark,
+            str(tmp_path / "raced"),
+            str(tmp_path / "twin"),
+            monkeypatch,
+            fs=fs,
+            resync=resync,
+        )
