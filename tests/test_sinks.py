@@ -1120,6 +1120,216 @@ class TestDdMeasure:
             Measure("d", "v", "dd", lo=5.0, hi=5.0, bins=8)
 
 
+class TestQMeasure:
+    """kind='q': the no-pre-known-bins mergeable quantile sketch —
+    sparse sign-mirrored log buckets (DDSketch unbounded store), the
+    KLL/t-digest slot filled with merge-path-invariant, retractable
+    algebra instead of a compacting sketch."""
+
+    def _measures(self, alpha=0.01, min_mag=1e-9):
+        from dbm_nca_ph_etl_spark.sinks.matview import Measure
+
+        return ["k"], [
+            Measure("s", "v", "q", alpha=alpha, min_mag=min_mag)
+        ]
+
+    def _df(self, spark):
+        # spans 16 decades, both signs, zero, sub-min_mag, and null —
+        # nothing a [lo, hi) sketch could hold in one parametrization
+        vals = [10.0**i for i in range(-6, 10)] + [
+            -42.0,
+            -3.1e7,
+            0.0,
+            1e-12,  # collapses into the zero bucket
+        ]
+        rows = [("a", float(v)) for v in vals] + [("b", 7.0), ("b", None)]
+        return spark.createDataFrame(rows, "k string, v double")
+
+    def test_merge_equals_one_shot_any_order_bitwise(self, spark):
+        """Not just equal estimates — the canonicalized stored MAPS
+        are identical whatever the batch split or fold order."""
+        import pyspark.sql.functions as F
+
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            merge_partials,
+            partial_agg,
+        )
+
+        keys, ms = self._measures()
+        df = self._df(spark)
+        parts = [
+            partial_agg(
+                df.where(F.abs(F.hash("v")) % 3 == i), keys, ms
+            )
+            for i in range(3)
+        ]
+        direct = {
+            r.k: sorted(r.s.items())
+            for r in merge_partials(
+                [partial_agg(df, keys, ms)], keys, ms
+            ).collect()
+        }
+        fwd = {
+            r.k: sorted(r.s.items())
+            for r in merge_partials(parts, keys, ms).collect()
+        }
+        rev = {
+            r.k: sorted(r.s.items())
+            for r in merge_partials(parts[::-1], keys, ms).collect()
+        }
+        assert fwd == direct == rev
+
+    def test_retraction_restores_canonical_bytes(self, spark):
+        """A+B−A equals a fresh build of B — including the pruning of
+        zero-count keys, so retraction leaves no residue in the
+        stored form (the algebra KLL/t-digest cannot offer)."""
+        import pyspark.sql.functions as F
+
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            merge_partials,
+            negate_partial,
+            partial_agg,
+        )
+
+        keys, ms = self._measures()
+        df = self._df(spark)
+        a = partial_agg(df.where(F.col("v") > 1), keys, ms)
+        b = partial_agg(df.where(~(F.col("v") > 1)), keys, ms)
+        both = merge_partials([a, b], keys, ms)
+        back = merge_partials([both, negate_partial(a, ms)], keys, ms)
+        got = {r.k: sorted(r.s.items()) for r in back.collect()}
+        want = {
+            r.k: sorted(r.s.items())
+            for r in merge_partials([b], keys, ms).collect()
+        }
+        # a group whose contribution is FULLY retracted keeps its row
+        # with a canonical EMPTY map (group existence is not
+        # retractable — matview semantics); every surviving group's
+        # stored map is bit-identical to the never-merged build
+        emptied = {k for k, v in got.items() if v == []}
+        assert {k: v for k, v in got.items() if k not in emptied} == want
+        assert emptied == set(got) - set(want)
+
+    def test_zero_sign_and_null_semantics(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import partial_agg
+
+        keys, ms = self._measures()
+        out = {
+            r.k: dict(r.s)
+            for r in partial_agg(self._df(spark), keys, ms).collect()
+        }
+        # b: the null contributed nothing
+        assert sum(out["b"].values()) == 1
+        # a: zero bucket holds exactly {0.0, 1e-12}; negatives have
+        # negative keys; every non-null value counted
+        assert out["a"].get(0) == 2
+        assert sum(1 for k in out["a"] if k < 0) >= 1
+        assert sum(out["a"].values()) == 20
+
+    def test_quantile_relative_error_bound(self, spark):
+        import numpy as np
+
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            derived_q_quantile,
+            partial_agg,
+            q_alpha,
+        )
+
+        keys, ms = self._measures(alpha=0.01, min_mag=1e-6)
+        m = ms[0]
+        rng = np.random.default_rng(5)
+        vals = np.exp(rng.normal(3.0, 2.5, size=4000))  # no clipping:
+        # the sketch has no [lo, hi) to stay inside of
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in vals], "k string, v double"
+        )
+        sk = partial_agg(df, keys, ms)
+        for q in (0.05, 0.5, 0.9, 0.99):
+            est = sk.select(derived_q_quantile(m, q)).collect()[0][0]
+            true = float(np.quantile(vals, q, method="inverted_cdf"))
+            assert abs(est - true) / true <= q_alpha(m), (q, est, true)
+
+    def test_negative_quantiles_mirror(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            derived_q_quantile,
+            partial_agg,
+        )
+
+        keys, ms = self._measures()
+        m = ms[0]
+        vals = [-1000.0, -100.0, -10.0, -1.0, 5.0]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "k string, v double"
+        )
+        sk = partial_agg(df, keys, ms)
+        # rank ceil(0.4*5)=2 → −100
+        est = sk.select(derived_q_quantile(m, 0.4)).collect()[0][0]
+        assert abs(est - (-100.0)) / 100.0 <= m.alpha
+
+    def test_empty_sketch_null_quantile_and_validation(self, spark):
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            Measure,
+            derived_q_quantile,
+            partial_agg,
+        )
+
+        keys, ms = self._measures()
+        df = spark.createDataFrame(
+            [("z", None)], "k string, v double"
+        )
+        out = (
+            partial_agg(df, keys, ms)
+            .select(derived_q_quantile(ms[0], 0.5))
+            .collect()
+        )
+        assert out[0][0] is None
+        with pytest.raises(ValueError, match="q needs"):
+            Measure("s", "v", "q", alpha=1.5)
+        with pytest.raises(ValueError, match="q needs"):
+            Measure("s", "v", "q", min_mag=0.0)
+
+    def test_materialized_persistence_round_trip(self, spark, tmp_path):
+        """The sparse map survives the versioned parquet store: two
+        refreshes (one a retraction) fold to the same state a direct
+        build of the surviving batch holds."""
+        import pyspark.sql.functions as F
+
+        from dbm_nca_ph_etl_spark.sinks.matview import (
+            MaterializedAgg,
+            derived_q_quantile,
+            merge_partials,
+            partial_agg,
+        )
+
+        keys, ms = self._measures()
+        df = self._df(spark)
+        view = MaterializedAgg(
+            spark, str(tmp_path / "qview"), keys, ms
+        )
+        hi = df.where(F.col("v") > 1)
+        lo = df.where(~(F.col("v") > 1))
+        assert view.refresh(hi, "b1")
+        assert view.refresh(lo, "b2")
+        assert not view.refresh(hi, "b1")  # replay detected
+        assert view.refresh(hi, "b3", retract=True)
+        got = {
+            r.k: sorted(r.s.items())
+            for r in view.read_partials().collect()
+            if sorted(r.s.items())
+        }
+        want = {
+            r.k: sorted(r.s.items())
+            for r in merge_partials(
+                [partial_agg(lo, keys, ms)], keys, ms
+            ).collect()
+        }
+        assert got == want
+        est = view.read_partials().select(
+            "k", derived_q_quantile(ms[0], 0.5).alias("p50")
+        )
+        assert est.count() >= 1
+
+
 class TestMatviewConcurrentRefresh:
     """VERDICT r6 #2: MaterializedAgg.refresh is serialized through
     sinks/txlog.WriterLease — two concurrent refreshers must not read
