@@ -61,6 +61,48 @@ def run_nca_pipeline(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(inbox_dir)
+    return run_nca_stream(
+        raw,
+        store,
+        checkpoint_dir,
+        available_now=available_now,
+        max_concurrency=max_concurrency,
+    )
+
+
+def _is_cancellation(exc: Exception) -> bool:
+    """True when a foreachBatch action failed because the QUERY was
+    stopped — job-group cancellation (SPARK_JOB_CANCELLED) or the
+    stop interrupting the stream thread mid-action
+    (java.lang.InterruptedException) — not because the data is bad:
+    the one failure class the DLQ must never swallow. Matching leans
+    permissive: misreading a rare real failure as cancellation only
+    re-raises it, so the batch retries under at-least-once instead
+    of dead-lettering — the safe direction."""
+    low = str(exc).lower()
+    return "cancel" in low or "interrupt" in low
+
+
+def run_nca_stream(
+    raw: DataFrame,
+    store: NCAStore,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    max_concurrency: int | None = None,
+):
+    """The same topology over ANY streaming source of raw rows — the
+    S16/T1 contract is source-agnostic: :func:`run_nca_pipeline`
+    feeds it a watched file inbox, tests also drive it from a
+    ``rate-micro-batch`` source, and a deployment would pass a Kafka
+    reader projected onto ``RAW_ROWS_SCHEMA``. The per-batch body
+    (cleaner → idempotent store load, DLQ on failure) never sees the
+    source.
+
+    With ``available_now`` the call drains the source and returns
+    None (teardown semantics, bounded sources); otherwise the started
+    ``StreamingQuery`` is returned for the caller to manage (T5
+    trigger lifecycle — stop it to disable the trigger)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -72,7 +114,14 @@ def run_nca_pipeline(
         try:
             records, allocations = clean_raw_rows(batch_df)
             store.load_batch(records, allocations)
-        except Exception:
+        except Exception as exc:
+            if _is_cancellation(exc):
+                # an orderly stop/shutdown cancelled the in-flight
+                # batch — NOT a data failure: re-raise so the batch
+                # stays uncommitted in the checkpoint and replays on
+                # restart (dead-lettering it would break the
+                # at-least-once contract for a healthy batch)
+                raise
             # dead-letter the raw rows (maxReceiveCount:1 semantics)
             append_parquet(batch_df, os.path.join(store.base, "dlq"))
 
@@ -82,5 +131,5 @@ def run_nca_pipeline(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-    else:  # pragma: no cover - long-running mode
-        writer.start()
+        return None
+    return writer.start()

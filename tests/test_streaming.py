@@ -124,6 +124,94 @@ class TestNcaPipeline:
         assert seen and all(n <= 2 for n in seen)
         assert store.read("record").count() == 12
 
+    def test_rate_source_drives_same_topology(self, spark, tmp_path):
+        """S16/T1 source-agnosticism, proven, not prose: the SAME
+        foreachBatch topology (cleaner → idempotent store load → DLQ)
+        fed from a rate source instead of the file inbox — the
+        micro-batch body never sees which source produced the rows.
+        Same assertions as the file-based twin: records and
+        allocations land cleaned, and nothing dead-letters."""
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from dbm_nca_ph_etl_spark.streaming.nca_stream import run_nca_stream
+
+        ckpt = str(tmp_path / "ckpt")
+        store = NCAStore(spark, str(tmp_path / "lake"))
+        rate = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 3)
+            .option("numPartitions", 1)
+            .load()
+        )
+        # project ticks onto the raw-rows contract: each tick becomes
+        # the header + amount row pair the cleaner reassembles
+        half = F.col("half")
+        v = F.col("value")
+        raw = (
+            rate.select(
+                v, F.explode(F.array(F.lit(0), F.lit(1))).alias("half")
+            )
+            .select(
+                F.lit("rate_feed").alias("release_id"),
+                F.lit(0).cast("int").alias("page_num"),
+                (v * 10 + half).cast("long").alias("row_idx"),
+                F.when(half == 0, F.concat(F.lit("N"), v)).otherwise(
+                    F.lit("")
+                ).alias("nca_number"),
+                F.when(half == 0, F.lit("Regular")).otherwise(F.lit("")).alias(
+                    "nca_type"
+                ),
+                F.when(half == 0, F.lit("01/15/2024")).otherwise(
+                    F.lit("")
+                ).alias("released_date"),
+                F.when(half == 0, F.lit("DepEd")).otherwise(F.lit("")).alias(
+                    "department"
+                ),
+                F.when(half == 1, F.lit("AG-1")).otherwise(F.lit("")).alias(
+                    "agency"
+                ),
+                F.when(half == 1, F.lit("OU-1")).otherwise(F.lit("")).alias(
+                    "operating_unit"
+                ),
+                F.when(half == 1, (v + 1).cast("string")).otherwise(
+                    F.lit("")
+                ).alias("amount"),
+                F.when(half == 0, F.lit("To cover")).otherwise(F.lit("")).alias(
+                    "purpose"
+                ),
+            )
+        )
+        q = run_nca_stream(raw, store, ckpt, available_now=False)
+        try:
+            deadline = _time.time() + 90
+            while _time.time() < deadline:
+                try:
+                    n = store.read("record").count()
+                except Exception:  # store not created yet
+                    n = 0
+                if n >= 6:  # ≥2 micro-batches landed
+                    break
+                _time.sleep(0.5)
+        finally:
+            try:
+                q.stop()
+            except Exception:
+                # stopping mid-batch cancels the in-flight job; the
+                # cancellation surfacing through py4j is expected —
+                # the topology re-raises it (no DLQ) and the batch
+                # stays uncommitted for replay
+                pass
+        recs = {r.nca_number for r in store.read("record").collect()}
+        assert {"N0", "N1", "N2"} <= recs and len(recs) >= 6
+        allocs = {
+            (a.nca_number, a.amount)
+            for a in store.read("allocation").collect()
+        }
+        assert ("N0", 1.0) in allocs and ("N2", 3.0) in allocs
+        assert not os.path.exists(os.path.join(store.base, "dlq"))
+
 
 class TestStreamingWindows:
     def test_tumbling_on_stream(self, spark, tmp_path, sf_dir):
