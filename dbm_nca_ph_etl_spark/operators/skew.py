@@ -16,6 +16,25 @@ broadcast but far smaller than the skewed fact.
 
 Salting is deterministic (``pmod(hash(cols), n)``): rerunning a task
 reshuffles identically, so recovery/retry semantics are unaffected.
+
+Measured interplay with AQE (tools/skew_aqe_probe.py, 20M rows with
+95% on one key, broadcast disabled, salt_n=16 — SCALING.md r11):
+
+- JOIN skew: ``salted_join`` beat the plain sort-merge 3.4×/4.2×
+  (AQE off/on), and AQE's skew-join splitting did NOT rescue the
+  plain plan (7.05 s ≈ 6.56 s) — splitting is gated by
+  partition-byte thresholds a hot-but-compact key ducks under, and
+  it cannot help a downstream agg keyed on the hot key. The salted
+  plan is unhurt by AQE staying on, so the session keeps skewJoin
+  enabled as a runtime BACKSTOP for unpredicted skew while
+  ``salted_join`` stays the designed path for known-hot
+  broadcast-ineligible joins.
+- AGG skew: plain ``groupBy`` beat ``salted_agg`` 0.21 s vs 0.56 s —
+  Spark's map-side partial aggregation already pre-combines a hot
+  key for decomposable aggregates, so the salted extra exchange only
+  adds cost. Reach for ``salted_agg`` when the aggregation buffer
+  CANNOT shrink map-side (collect_list/set builders, very wide
+  buffers), not for sum/count/min/max.
 """
 
 from __future__ import annotations
