@@ -41,6 +41,11 @@ TOUCHED_THIS_ROUND = {
     "order_value_quartile_bands",  # r11: unbounded quantile route
     # rewritten as exact octave multi-select; localCheckpoint removed
     "repeat_purchase_intervals",  # r11: oracle empty-edge coalesce
+    "spatial_neighbor_segments",  # new (r11): grid-cell distance join
+    "spatial_nearest_customer",  # new (r11): bounded-radius NN join
+    "dsir_importance_resample",  # new (r11): DSIR Gumbel top-k
+    "ewma_user_value",  # new (r11): exact integer EWMA
+    "bootstrap_ci_order_value",  # new (r11): Poisson bootstrap CI
 }
 
 

@@ -995,3 +995,65 @@ def ohlc_bars(
         )
         .withColumnRenamed("_bar", "bar")
     )
+
+
+def ewma_scaled(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value: str,
+    terms: int = 40,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (alpha = 1/2) of
+    an int64 ``value``, in EXACT integer arithmetic — the smoothing
+    primitive behind anomaly baselines and rate limiters.
+
+    EWMA is a recursion (s_t = a*x_t + (1-a)*s_{t-1}) that SQL window
+    frames cannot express directly; with a = 1/2 the expansion
+    ``s_t = sum_j x_{t-j} / 2^(j+1)`` has exactly representable
+    weights, and truncating at ``terms`` lags (the tail beyond 40
+    halvings contributes < 2^-40 — sub-cent on any realistic scale)
+    makes it a FIXED window:
+
+        ewma_scaled_t = sum_{j=0..terms-1} x_{t-j} * 2^(terms-1-j)
+
+    i.e. the EWMA numerator scaled by 2^terms, a pure int64 sum (no
+    floating point), identical on every engine and partitioning —
+    divide by 2^terms to read it as a value. Keys with fewer than
+    ``terms`` rows use the natural truncated expansion (missing lags
+    contribute 0), matching the SQL twin of ``terms`` coalesced
+    ``lag`` columns term for term.
+
+    Returns one row per key at its LAST event: keys + ``n_obs``
+    (total rows for the key) + ``ewma_scaled``. Scale shape: one
+    shuffle on the key; the window pass prunes each key's history to
+    its newest ``terms`` rows (row_number over the same partitioning
+    — Catalyst reuses the exchange for the final groupBy), each row
+    is pre-weighted by its rank's power of two, and the numerator is
+    a plain map-side-combined SUM — executor state per key is one
+    int64 accumulator, never the key's history.
+
+    Overflow: |value| * 2^terms must fit int64 — for terms=40 that is
+    |value| < 2^23 cents per observation; pre-scale or lower
+    ``terms`` beyond that.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_by]
+    )
+    pruned = (
+        df.select(*keys, *order_by, F.col(value).cast("bigint").alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .where(F.col("_rn") <= terms)
+    )
+    # each row's weight is a pure function of its row_number (1 =
+    # newest -> 2^(terms-1)), so the EWMA numerator is a plain SUM of
+    # pre-weighted rows — whole-stage-codegen'd, map-side-combined,
+    # and commutative (int64 addition), no collect_list/HOF needed.
+    weighted = pruned.withColumn(
+        "_wv", F.expr(f"_v * shiftleft(CAST(1 AS BIGINT), {int(terms)} - _rn)")
+    )
+    return weighted.groupBy(*keys).agg(
+        F.max("_n").cast("long").alias("n_obs"),
+        F.sum("_wv").cast("bigint").alias("ewma_scaled"),
+    )

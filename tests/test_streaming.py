@@ -1909,3 +1909,59 @@ class TestStreamingNewVsReturning:
             21: (1, 5, 200, True),
             22: (2, 7, 900, True),
         }
+
+
+class TestStreamingEwma:
+    def test_matches_batch_operator_out_of_order(self, spark, tmp_path):
+        """Cross-batch EWMA equals the batch operator on the union of
+        all micro-batches — including out-of-order delivery (the
+        newest-40 retained set is associative, so arrival order can't
+        move the answer)."""
+        from dbm_nca_ph_etl_spark.operators.windows import ewma_scaled
+        from dbm_nca_ph_etl_spark.streaming.stateful import streaming_ewma
+
+        rows = [
+            (k, o, 0, ((k * 17 + o * 31) % 777) + 1)
+            for k in range(4)
+            for o in range(60)
+        ]
+        schema = "k long, o1 long, o2 long, v long"
+        # batch 1 gets the MIDDLE third, batch 2 the newest, batch 3
+        # the OLDEST (late data older than everything retained)
+        src = str(tmp_path / "ewma_src")
+        thirds = (rows[80:160], rows[160:], rows[:80])
+        for part in thirds:
+            spark.createDataFrame(part, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_ewma(stream, "k", ("o1", "o2"), "v")
+            .writeStream.format("memory")
+            .queryName("ewma_stream_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.sql("SELECT * FROM ewma_stream_test").collect()
+        # the final emission per key is the one with the largest n_obs
+        final: dict[int, tuple[int, int]] = {}
+        for r in emitted:
+            if r.k not in final or r.n_obs > final[r.k][0]:
+                final[r.k] = (r.n_obs, r.ewma_scaled)
+
+        batch = {
+            r.k: (r.n_obs, r.ewma_scaled)
+            for r in ewma_scaled(
+                spark.createDataFrame(rows, schema), ["k"], ["o1", "o2"], "v"
+            ).collect()
+        }
+        assert final == batch
+        # every key was re-emitted as its batches arrived
+        assert len(emitted) > len(batch)

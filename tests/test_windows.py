@@ -612,3 +612,101 @@ class TestQuantileThresholds:
             quantile_thresholds(df, "m", (50,), bounded=False)
         with _pytest.raises(ValueError, match="align"):
             quantile_thresholds(df, "m", (50,), bounded=True, names=["a", "b"])
+
+
+class TestEwmaScaled:
+    """Exact integer EWMA (alpha=1/2, truncated expansion)."""
+
+    @staticmethod
+    def _reference(rows, terms=40):
+        # rows: (key, ord1, ord2, value) — python ground truth
+        byk = {}
+        for k, o1, o2, v in rows:
+            byk.setdefault(k, []).append((o1, o2, v))
+        out = {}
+        for k, obs in byk.items():
+            obs.sort()
+            tail = obs[-terms:]
+            s = sum(
+                v * (1 << (terms - 1 - age))
+                for age, (_, _, v) in enumerate(reversed(tail))
+            )
+            out[k] = (len(obs), s)
+        return out
+
+    def _run(self, spark, rows, terms=40):
+        from dbm_nca_ph_etl_spark.operators.windows import ewma_scaled
+
+        df = spark.createDataFrame(
+            rows, "k long, o1 long, o2 long, v long"
+        )
+        got = {
+            r.k: (r.n_obs, r.ewma_scaled)
+            for r in ewma_scaled(
+                df, ["k"], ["o1", "o2"], "v", terms=terms
+            ).collect()
+        }
+        assert got == self._reference(rows, terms)
+
+    def test_matches_reference_short_series(self, spark):
+        rows = [
+            (1, 1, 0, 100),
+            (1, 2, 0, 200),
+            (1, 3, 0, 50),
+            (2, 5, 0, 7),
+        ]
+        self._run(spark, rows)
+
+    def test_truncates_to_newest_terms(self, spark):
+        # 120 observations, terms=40: only the newest 40 contribute
+        rows = [(1, i, 0, (i * 37) % 900 + 1) for i in range(120)]
+        self._run(spark, rows, terms=40)
+        self._run(spark, rows, terms=8)
+
+    def test_tie_break_second_order_column(self, spark):
+        # same o1, order decided by o2 — weights must follow (o1, o2)
+        rows = [(1, 10, 2, 300), (1, 10, 1, 100), (1, 10, 3, 900)]
+        self._run(spark, rows)
+
+    def test_partitioning_invariance(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import ewma_scaled
+
+        rows = [
+            (k, i, 0, ((k * 13 + i * 7) % 500) + 1)
+            for k in range(6)
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "k long, o1 long, o2 long, v long")
+        a = {
+            r.k: r.ewma_scaled
+            for r in ewma_scaled(
+                df.repartition(1), ["k"], ["o1", "o2"], "v"
+            ).collect()
+        }
+        b = {
+            r.k: r.ewma_scaled
+            for r in ewma_scaled(
+                df.repartition(16), ["k"], ["o1", "o2"], "v"
+            ).collect()
+        }
+        assert a == b == {
+            k: s for k, (_, s) in self._reference(rows).items()
+        }
+
+    def test_single_shuffle_exchange_reuse(self, spark):
+        from dbm_nca_ph_etl_spark.operators.windows import ewma_scaled
+
+        df = spark.createDataFrame(
+            [(1, 1, 0, 10)], "k long, o1 long, o2 long, v long"
+        )
+        plan = (
+            ewma_scaled(df, ["k"], ["o1", "o2"], "v")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re as _re
+
+        # window prune + groupBy share the hash partitioning on k:
+        # one real exchange (plus whatever the tiny local input needs)
+        assert len(_re.findall(r"\bExchange hashpartitioning", plan)) <= 1, plan
