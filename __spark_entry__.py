@@ -46,6 +46,8 @@ TOUCHED_THIS_ROUND = {
     "dsir_importance_resample",  # new (r11): DSIR Gumbel top-k
     "ewma_user_value",  # new (r11): exact integer EWMA
     "bootstrap_ci_order_value",  # new (r11): Poisson bootstrap CI
+    "spatial_hotspot_cells",  # new (r11): cell-stencil density top-k
+    "nation_monthly_trend",  # new (r11): exact-int grouped OLS slope
 }
 
 

@@ -105,18 +105,20 @@ def hash_bucket(c: Column, seed: int) -> Column:
 
 
 def floor_div_sql(num_sql: str, den_sql: str) -> Column:
-    """Exact int64 FLOOR division — DuckDB's ``//`` for every operand
-    sign (``den > 0``), from SQL fragment strings.
-
-    Spark's ``div`` truncates toward zero while DuckDB's ``//``
-    floors, so they disagree on negative numerators (−150 div 100 =
-    −1 vs −150 // 100 = −2): a latent cross-engine oracle mismatch
-    the moment refunds/adjustments put negative values in a cents
-    column. ``(num − pmod(num, den)) div den`` is floor for den > 0
+    """Exact int64 FLOOR division (``den > 0``), from SQL fragment
+    strings. ``(num − pmod(num, den)) div den`` is floor for den > 0
     (the numerator becomes an exact multiple of den, so truncation ==
     floor), and stays in int64 end-to-end — no double round-trip,
     exact above 2^53 where ``floor(num/den)`` on doubles is off ±1.
     ``num_sql`` is inlined twice; pass a deterministic expression.
+
+    Cross-engine pairing caveat (measured r11): DuckDB's integer
+    ``//`` TRUNCATES toward zero exactly like Spark's ``div``
+    (−7 // 2 = −3), so an oracle twin written with ``//`` matches
+    this helper only on NON-NEGATIVE numerators. On a signed domain
+    either mirror the pmod floor spelling in the SQL twin, or use
+    plain ``div`` on the Spark side (nation_monthly_trend does the
+    latter for its signed slope).
     """
     return F.expr(
         f"((({num_sql}) - pmod(({num_sql}), ({den_sql}))) div ({den_sql}))"

@@ -14639,3 +14639,191 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ci.withColumn("_j", F.lit(1))), "_j")
         .select("n_orders", "mean_cents", "ci_lo_cents", "ci_hi_cents")
     )
+
+
+@register(
+    "spatial_hotspot_cells",
+    f"""
+    WITH pts AS (
+      SELECT {_SQL_COORD.format(k='c_custkey', s='#x')} AS x,
+             {_SQL_COORD.format(k='c_custkey', s='#y')} AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT x // 2000 AS cx, y // 2000 AS cy, count(*) AS n
+      FROM pts GROUP BY 1, 2
+    ),
+    nb AS (
+      SELECT a.cx, a.cy, min(a.n)::BIGINT AS n_points,
+             sum(b.n)::BIGINT AS nbhd_points
+      FROM cells a JOIN cells b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+      GROUP BY a.cx, a.cy
+    )
+    SELECT cx, cy, n_points, nbhd_points
+    FROM nb
+    ORDER BY nbhd_points DESC, n_points DESC, cx, cy
+    LIMIT 10
+    """,
+    doc="Spatial hotspot detection (Getis-Ord-style local density): "
+    "top-10 occupied 2000-unit grid cells by 3x3-neighbourhood point "
+    "count on the customer frame — the raster STENCIL/convolution "
+    "pattern done relationally: aggregate points to cells FIRST (one "
+    "point-level shuffle with map-side combine), then explode each "
+    "occupied CELL's count to its 9 neighbour cells and re-aggregate "
+    "— the stencil runs on O(occupied cells) rows, never on points, "
+    "so a 100 TB point set costs one rollup plus a cell-count-sized "
+    "shuffle. Exact int cell ids (floor div on the non-negative "
+    "frame), total-order tiebreak, TakeOrderedAndProject top-k. The "
+    "oracle's neighbourhood join (abs<=1 on both axes) replays the "
+    "same stencil quadratically over cells.",
+    tags=("spatial", "agg", "bench"),
+)
+def spatial_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _t(spark, sf_dir, "customer").select(
+        _coord(F.col("c_custkey"), "#x").alias("x"),
+        _coord(F.col("c_custkey"), "#y").alias("y"),
+    )
+    cells = (
+        pts.select(
+            F.expr("x div 2000").alias("cx"), F.expr("y div 2000").alias("cy")
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # stencil: each occupied cell contributes its count to the 9
+    # cells of its neighbourhood; is_self tags the home contribution
+    # so the re-aggregation recovers both n_points and nbhd_points
+    # in ONE pass (and only occupied target cells survive the
+    # n_points IS NOT NULL filter, mirroring the oracle's join).
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    sp = cells.select("cx", "cy", "n", F.explode(offsets).alias("o")).select(
+        "n",
+        (F.col("cx") + F.col("o.dx")).alias("tx"),
+        (F.col("cy") + F.col("o.dy")).alias("ty"),
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("is_self"),
+    )
+    nb = (
+        sp.groupBy("tx", "ty")
+        .agg(
+            F.sum("n").cast("long").alias("nbhd_points"),
+            F.max(F.when(F.col("is_self"), F.col("n")))
+            .cast("long")
+            .alias("n_points"),
+        )
+        .where(F.col("n_points").isNotNull())
+    )
+    return (
+        nb.select(
+            F.col("tx").alias("cx"),
+            F.col("ty").alias("cy"),
+            "n_points",
+            "nbhd_points",
+        )
+        .orderBy(
+            F.col("nbhd_points").desc(), F.col("n_points").desc(), "cx", "cy"
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "nation_monthly_trend",
+    f"""
+    WITH om AS (
+      SELECT c_nationkey AS nk,
+             (year(o_orderdate) - 1990) * 12 + month(o_orderdate) - 1 AS mx,
+             sum({_SQL_CENTS.format(v='o_totalprice')}) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT nk, count(*)::BIGINT AS n, sum(mx)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(mx * y)::BIGINT AS sxy,
+             sum(mx * mx)::BIGINT AS sxx
+      FROM om GROUP BY nk
+    )
+    SELECT n_name, n AS n_months, sy AS total_cents,
+           (sy // n)::BIGINT AS avg_month_cents,
+           (n * sxy - sx * sy)::BIGINT AS slope_num,
+           (n * sxx - sx * sx)::BIGINT AS slope_den,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (n * sxy - sx * sy) // (n * sxx - sx * sx)
+           END::BIGINT AS slope_cents_pm
+    FROM s JOIN nation ON nk = n_nationkey
+    """,
+    doc="Per-nation revenue trend: ordinary-least-squares slope of "
+    "monthly revenue over a month index, from EXACT integer "
+    "sufficient statistics (n, Sx, Sy, Sxy, Sxx — the "
+    "distributed-regression discipline the PCA pass also uses: one "
+    "shuffle to nation-month cells with map-side combine, then an "
+    "O(nations x months) rollup; no per-row float ever). The slope "
+    "is reported as the exact rational (slope_num, slope_den) plus "
+    "its truncating quotient in cents/month (Spark div == DuckDB //, "
+    "both toward zero — they DIFFER from floor on negative numerators, "
+    "which downward trends produce). Month index is anchored at "
+    "1990-01 to keep Sxy products small: |slope_num| <= n^2*var(x)*"
+    "|slope| ~ 1e13 at sf0.1, int64-safe through ~10^12 total cents "
+    "per nation; beyond that the gini hi/lo DECIMAL split is the "
+    "upgrade path. Degenerate single-month nations yield NULL slope "
+    "on both engines.",
+    tags=("relational", "stats", "bench"),
+)
+def nation_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate") - 1
+        ).cast("bigint").alias("mx"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    om = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), "mx")
+        .agg(F.sum("cents").alias("y"))
+    )
+    s = om.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("mx") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("sxx"),
+    )
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        s.join(nation, s.nk == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("n").alias("n_months"),
+            F.col("sy").alias("total_cents"),
+            floor_div_sql("sy", "n").cast("long").alias("avg_month_cents"),
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("long")
+            .alias("slope_num"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("long")
+            .alias("slope_den"),
+            # truncating div on BOTH engines (Spark `div` == DuckDB
+            # `//`, both toward zero): the numerator goes negative on
+            # downward trends, where floor and truncation differ by
+            # one — floor_div_sql would floor only the Spark side
+            F.when(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0,
+                F.lit(None),
+            )
+            .otherwise(
+                F.expr("(n * sxy - sx * sy) div (n * sxx - sx * sx)")
+            )
+            .cast("long")
+            .alias("slope_cents_pm"),
+        )
+    )
