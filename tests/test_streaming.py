@@ -146,7 +146,13 @@ class TestNcaPipeline:
             .load()
         )
         # project ticks onto the raw-rows contract: each tick becomes
-        # the header + amount row pair the cleaner reassembles
+        # the header + amount row pair the cleaner reassembles. Each
+        # tick is its OWN release: load_batch's allocation contract is
+        # delete-then-insert per incoming release_id (a batch carries
+        # the complete row set for the releases it names), so a shared
+        # release_id across micro-batches would make every batch wipe
+        # the previous one's allocations — a contract violation, not a
+        # store bug (the file twin drops one release per file).
         half = F.col("half")
         v = F.col("value")
         raw = (
@@ -154,7 +160,7 @@ class TestNcaPipeline:
                 v, F.explode(F.array(F.lit(0), F.lit(1))).alias("half")
             )
             .select(
-                F.lit("rate_feed").alias("release_id"),
+                F.concat(F.lit("rate_feed_"), v).alias("release_id"),
                 F.lit(0).cast("int").alias("page_num"),
                 (v * 10 + half).cast("long").alias("row_idx"),
                 F.when(half == 0, F.concat(F.lit("N"), v)).otherwise(
