@@ -179,6 +179,38 @@ def prefix_sum(
     or even stale cuts never change the result, only the skew. The
     same ``cuts`` always yield bit-identical plans and results.
     """
+    return prefix_sums(
+        df,
+        [value_col],
+        order_by,
+        out_cols=[out_col],
+        num_partitions=num_partitions,
+        cuts=cuts,
+    )
+
+
+def prefix_sums(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    order_by: Sequence[str],
+    out_cols: Sequence[str],
+    num_partitions: int | None = None,
+    cuts: Sequence[float] | None = None,
+) -> DataFrame:
+    """Multi-column form of :func:`prefix_sum`: exclusive prefix sums
+    for EVERY ``value_cols[i]`` → ``out_cols[i]`` over ONE shared
+    block window and ONE offsets pass. Callers needing several
+    running sums over the same total order (pareto's cumulative
+    revenue + rank, grid_cumsums' unbounded route) previously chained
+    :func:`prefix_sum` per column, which re-sorted and re-joined the
+    table once per column; every added column here costs only one
+    more aggregate inside the same Window/HashAggregate operators —
+    the per-column algebra (and its bit-exact result) is unchanged.
+    Same eager-``approxQuantile``-unless-``cuts`` contract as
+    :func:`prefix_sum`.
+    """
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_cols and out_cols must align")
     first = order_by[0]
     if cuts is None:
         n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -194,21 +226,32 @@ def prefix_sum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = with_blk.withColumn("_local_incl", F.sum(F.col(value_col)).over(w))
-    woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        with_blk.groupBy("_blk")
-        .agg(F.sum(F.col(value_col)).alias("_t"))
-        .withColumn("_offset", F.coalesce(F.sum("_t").over(woff), F.lit(0)))
-        .drop("_t")
+    local = with_blk.select(
+        "*",
+        *[
+            F.sum(F.col(v)).over(w).alias(f"_li_{o}")
+            for v, o in zip(value_cols, out_cols)
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), "_blk")
-        .withColumn(
-            out_col,
-            (F.col("_offset") + F.col("_local_incl") - F.col(value_col)).cast("long"),
+    woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = with_blk.groupBy("_blk").agg(
+        *[F.sum(F.col(v)).alias(f"_t_{o}") for v, o in zip(value_cols, out_cols)]
+    )
+    offsets = offsets.select(
+        "_blk",
+        *[
+            F.coalesce(F.sum(f"_t_{o}").over(woff), F.lit(0)).alias(f"_off_{o}")
+            for o in out_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "_blk")
+    for v, o in zip(value_cols, out_cols):
+        out = out.withColumn(
+            o,
+            (F.col(f"_off_{o}") + F.col(f"_li_{o}") - F.col(v)).cast("long"),
         )
-        .drop("_blk", "_local_incl", "_offset")
+    return out.drop(
+        "_blk", *[f"_li_{o}" for o in out_cols], *[f"_off_{o}" for o in out_cols]
     )
 
 
@@ -287,10 +330,15 @@ def grid_cumsums(
     cuts = df.stat.approxQuantile(
         order_col, [i / n_blk for i in range(1, n_blk)], 0.001
     )
-    out = df
-    for v in value_cols:
-        out = prefix_sum(out, v, [order_col], out_col=cum_prefix + v, cuts=cuts)
-        if inclusive:
+    out = prefix_sums(
+        df,
+        list(value_cols),
+        [order_col],
+        out_cols=[cum_prefix + v for v in value_cols],
+        cuts=cuts,
+    )
+    if inclusive:
+        for v in value_cols:
             out = out.withColumn(
                 cum_prefix + v,
                 (F.col(cum_prefix + v) + F.col(v)).cast("long"),

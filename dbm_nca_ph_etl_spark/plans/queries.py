@@ -13103,11 +13103,16 @@ def pareto_revenue_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = neg.stat.approxQuantile(
         "_nr", [i / n_blk for i in range(1, n_blk)], 0.001
     )
-    with_cum = W.prefix_sum(
-        neg, "r", ["_nr", "o_custkey"], out_col="_cum0", cuts=cuts
-    )
-    with_rank = W.prefix_sum(
-        with_cum, "_one", ["_nr", "o_custkey"], out_col="_rank0", cuts=cuts
+    # ONE two-phase scan carries both running sums (cumulative
+    # revenue AND rank) — prefix_sums shares the block window and
+    # offsets pass across columns, where the old per-column chain
+    # re-sorted and re-joined the table for the second sum.
+    with_rank = W.prefix_sums(
+        neg,
+        ["r", "_one"],
+        ["_nr", "o_custkey"],
+        out_cols=["_cum0", "_rank0"],
+        cuts=cuts,
     )
     ranked = with_rank.select(
         (F.col("_cum0") + F.col("r")).alias("cum"),
@@ -14386,10 +14391,13 @@ _DSIR_B = 512  # hashed feature buckets (Xie et al. 2023 use 10^4 for
     "int64 first (per-bucket lw_ppm, per-doc Gumbel), so doc scores "
     "are exact integer sums — identical across engines, partition "
     "counts and fold orders; the only floats live in the 512-row "
-    "bucket table and one log per doc. Scale: tokenize once, two "
-    "O(B) aggregates broadcast back, per-doc weight is one shuffle "
-    "(map-side combined), top-k is TakeOrderedAndProject — the "
-    "100 TB corpus is never sorted.",
+    "bucket table and one log per doc. Scale: tokenize exactly "
+    "twice (one O(B) bucket rollup carrying both marginals as a "
+    "conditional sum, checkpointed at 512 rows; one per-doc weight "
+    "pass against the broadcast ratio table — r11 cut the plan from "
+    "10 corpus scans to 2), per-doc weight is one shuffle (map-side "
+    "combined), top-k is TakeOrderedAndProject — the 100 TB corpus "
+    "is never sorted.",
     tags=("llm", "sampling", "bench"),
 )
 def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14403,26 +14411,40 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.pmod(hash64(F.col("tok")), F.lit(_DSIR_B)).alias("bkt"),
     )
-    tgt = (
-        b.where(F.col("lang") == "en")
-        .groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # ONE bucket rollup carries both marginals: sc = all tokens,
+    # tc = the English slice (conditional sum; a bucket with no en
+    # tokens gets NULL tc, exactly the missing-row NULL the old
+    # src⟕tgt left join produced). The previous derivation built
+    # src and tgt as separate aggregates over `b` and then referenced
+    # each twice more (totals + the ratio table) — Catalyst expands
+    # every reference, so the tokenize+md5 scan ran ~6× (the plan
+    # held 10 parquet scans of documents). The 512-row rollup is
+    # localCheckpoint'ed (bounded, metadata-sized at any corpus
+    # scale) so totals and ratios derive from it for free, and the
+    # corpus is tokenized exactly TWICE: once into this rollup, once
+    # in the per-doc weight pass below — the two passes DSIR
+    # fundamentally needs.
+    sg = (
+        b.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("sc"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.lit(1)).cast("long")
+            ).alias("tc"),
+        )
+        .localCheckpoint(eager=True)
     )
-    src = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("sc"))
-    tot = src.agg(F.sum("sc").cast("double").alias("s_total")).crossJoin(
-        F.broadcast(tgt.agg(F.sum("tc").cast("double").alias("t_total")))
+    tot = sg.agg(
+        F.sum("sc").cast("double").alias("s_total"),
+        F.sum(F.coalesce(F.col("tc"), F.lit(0))).cast("double").alias("t_total"),
     )
     lw = F.log(
         (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
         / (F.col("t_total") + float(_DSIR_B))
     ) - F.log((F.col("sc") + 1.0) / (F.col("s_total") + float(_DSIR_B)))
-    lr = (
-        src.join(tgt, "bkt", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bkt",
-            F.floor(lw * 1000000.0 + 0.5).cast("bigint").alias("lw_ppm"),
-        )
+    lr = sg.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.floor(lw * 1000000.0 + 0.5).cast("bigint").alias("lw_ppm"),
     )
     dw = (
         b.join(F.broadcast(lr), "bkt")
