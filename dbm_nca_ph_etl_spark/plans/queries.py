@@ -9479,19 +9479,32 @@ def winnow_plagiarism_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbm_nca_ph_etl_spark.operators.dedup import winnow_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(d, k=5, w=4).select("doc_id", "fp").distinct()
-    ok = (
+    # Posting-list form (the minhash_lsh_pairs idiom): the old
+    # distinct→df-filter→self-join referenced the fingerprint lineage
+    # four times, so Catalyst ran the tokenize+winnow HOF subtree 4×
+    # (4 corpus scans, 4 Generates). collect_set per fp dedups
+    # (doc_id, fp) map-side AND groups in ONE exchange; the df cap
+    # (≤16) becomes a size filter on the posting list, and pairs are
+    # an in-list HOF — Σ df² work, identical (doc_a < doc_b, count of
+    # shared fps) result, one corpus scan.
+    fps = winnow_fingerprints(d, k=5, w=4).select("doc_id", "fp")
+    grouped = (
         fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .where(F.col("_nd") <= 16)
-        .select("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= 16))
     )
-    pruned = fps.join(ok, "fp")
+    pairs_in_list = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        pruned.select(F.col("doc_id").alias("doc_a"), "fp")
-        .join(pruned.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        grouped.select(F.explode(pairs_in_list).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
     return pairs.orderBy(F.col("n_shared").desc(), "doc_a", "doc_b").limit(20)
