@@ -13848,23 +13848,56 @@ def order_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    # Posting-list shape: the basket grid's distinct folds into
+    # collect_set (map-side dedup, ONE exchange on orderkey), and one
+    # explode emits per basket a marker row (null, null), a singleton
+    # (b, null) per brand, and every a<b pair — so ONE grid-sized
+    # rollup carries n_orders, every nb, and every n_ab at once. The
+    # old shape materialized the corpus-sized (k, b) grid to executor
+    # disk (eager localCheckpoint) and re-scanned it 3×, with a
+    # sort-merge self-join (2 more corpus exchanges) for the pairs.
+    # The rollup is ≤ 1 + 25 + C(25,2) = 326 rows (the brand domain
+    # is 25 at any corpus size) — THAT is what gets checkpointed now,
+    # metadata-sized, so the three derivations below don't re-expand
+    # the corpus subtree (the dsir 512-row-rollup discipline).
+    baskets = (
         li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)  # grid feeds 3 scans below
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.array_sort(F.collect_set(F.col("p_brand"))).alias("bs"))
     )
-    n = ob.agg(F.countDistinct("k").alias("n_orders"))
-    bc = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
-    a, c = ob.alias("a"), ob.alias("c")
-    pairs = (
-        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.b") < F.col("c.b")))
-        .groupBy(
-            F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= 5)
+    nul = F.lit(None).cast("string")
+    entries = F.concat(
+        F.array(F.struct(nul.alias("a"), nul.alias("b"))),
+        F.transform(
+            F.col("bs"), lambda x: F.struct(x.alias("a"), nul.alias("b"))
+        ),
+        F.flatten(
+            F.transform(
+                F.col("bs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("bs"), i + 2, F.size(F.col("bs"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        ),
     )
+    rollup = (
+        baskets.select(F.explode(entries).alias("e"))
+        .groupBy(F.col("e.a").alias("ba"), F.col("e.b").alias("bb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # ≤326 rows at any corpus size
+    )
+    n = rollup.where(F.col("ba").isNull() & F.col("bb").isNull()).select(
+        F.col("cnt").alias("n_orders")
+    )
+    bc = rollup.where(F.col("ba").isNotNull() & F.col("bb").isNull()).select(
+        F.col("ba").alias("b"), F.col("cnt").alias("nb")
+    )
+    pairs = rollup.where(F.col("bb").isNotNull()).select(
+        F.col("ba").alias("brand_a"),
+        F.col("bb").alias("brand_b"),
+        F.col("cnt").alias("n_ab"),
+    ).where(F.col("n_ab") >= 5)
     return (
         pairs.withColumn("_j", F.lit(1))
         .join(F.broadcast(n.withColumn("_j", F.lit(1))), "_j")
