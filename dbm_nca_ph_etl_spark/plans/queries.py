@@ -972,21 +972,41 @@ def _ann_recall_audit(appr: DataFrame, exact: DataFrame, floor_hits: int) -> Dat
     regression (bad seeds, broken bucketing, lost candidates) drops
     hits below the floor and flips the verdict → hash mismatch.
     Floors are set at ~½ the measured minimum across sf0.01/sf0.1 so
-    they trip on regressions, not on data-scale variance."""
-    hits = (
-        appr.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .agg(F.count(F.lit(1)).alias("_hits"))
+    they trip on regressions, not on data-scale variance.
+
+    Each pair-set lineage is consumed EXACTLY ONCE: the old
+    hits-intersection + kth-row shape referenced ``exact`` twice, so
+    Catalyst expanded the brute-force query×corpus scoring subtree —
+    the most expensive lineage in every ANN audit — 2×. One left
+    join marks which exact neighbors the approximate top-k
+    recovered, a per-query aggregate carries the k-th similarity and
+    the per-query hit count together, and the global hit total comes
+    from an unpartitioned window over that ≤|queries|-row aggregate
+    (bounded at any corpus size — the single partition holds ~10
+    rows, never data)."""
+    j = exact.join(
+        appr.select("query_id", "neighbor_id").withColumn("_a", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
     )
+    per_q = j.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 10, F.col("cos_sim"))).alias(
+            "exact_kth_sim"
+        ),
+        F.count("_a").alias("_hits_q"),
+    )
+    total_hits = F.sum("_hits_q").over(Window.partitionBy())
     return (
-        exact.where(F.col("rank") == 10)
-        .select("query_id", F.col("cos_sim").alias("exact_kth_sim"))
-        .crossJoin(F.broadcast(hits))
-        .select(
+        per_q.select(
             "query_id",
             "exact_kth_sim",
-            (F.col("_hits") >= floor_hits).alias("recall_ok"),
+            (total_hits >= floor_hits).alias("recall_ok"),
         )
+        # the window runs BEFORE this filter, so the hit total counts
+        # every intersected pair exactly like the old global
+        # intersection count — including hits of a query that lacks a
+        # rank-k row (possible only on a sub-k corpus)
+        .where(F.col("exact_kth_sim").isNotNull())
     )
 
 
