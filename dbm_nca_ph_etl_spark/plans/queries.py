@@ -1101,14 +1101,63 @@ _SQL_STOP_DE = "['der','die','das','und','ist','von','den','im','ein','mit']"
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.select(
+    # Staged let-binding (the shape the DuckDB twin already has): the
+    # flat one-select form repeated the tokenize subtree 6× and each
+    # regexp_replace 2-4× per row — HOF lambdas carry fresh variable
+    # ids, so codegen subexpression elimination can't unify them, and
+    # the corpus paid 6 tokenize passes in one Project. Two stacked
+    # Projects share the arrays/lengths as local variables inside one
+    # WholeStageCodegen span; CollapseProject keeps them apart because
+    # the aliases are non-cheap and multiply referenced. Arithmetic
+    # (and therefore every emitted value) is unchanged.
+    from dbm_nca_ph_etl_spark.operators.dedup import tokens as _tokens
+
+    sw = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
+    base = d.select(
         "doc_id",
         F.length(t).alias("n_chars_actual"),
-        T.token_count(t).alias("n_tokens"),
-        T.word_token_count(t).alias("n_subtokens"),
-        _round6(T.punct_ratio(t)).alias("punct_ratio"),
-        _round6(T.stopword_ratio(t)).alias("stopword_ratio_en"),
-        T.quality_score(t).alias("quality"),
+        _tokens(t).alias("_toks"),
+        F.length(F.regexp_replace(t, r"\s", "")).alias("_nonspace"),
+        F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")).alias("_punct"),
+        F.size(
+            F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_subtokens"),
+    )
+    ntok = F.size(F.col("_toks"))
+    hits = F.size(F.filter(F.col("_toks"), lambda x: F.array_contains(sw, x)))
+    m = base.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_subtokens",
+        ntok.alias("n_tokens"),
+        F.when(
+            F.col("_nonspace") > 0,
+            F.col("_punct").cast("double") / F.col("_nonspace").cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("_pr"),
+        F.when(
+            ntok > 0, hits.cast("double") / ntok.cast("double")
+        )
+        .otherwise(0.0)
+        .alias("_swr"),
+    )
+    quality = _round6(
+        (
+            F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+            + F.greatest(F.lit(1.0) - F.col("_pr") * 5.0, F.lit(0.0))
+            + F.least(F.col("_swr") * 5.0, F.lit(1.0))
+        )
+        / 3.0
+    )
+    return m.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        "n_subtokens",
+        _round6(F.col("_pr")).alias("punct_ratio"),
+        _round6(F.col("_swr")).alias("stopword_ratio_en"),
+        quality.alias("quality"),
     )
 
 
