@@ -74,11 +74,17 @@ def lang_scores(text: Column) -> list[Column]:
     return cols
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, toks: Column | None = None) -> Column:
     """Heuristic language ID: argmax of stopword votes, 'und' when no
     stopword hits at all. Ties broken by fixed language order
-    (en > es > fr > de) — deterministic and oracle-replayable."""
-    toks = tokens(text)
+    (en > es > fr > de) — deterministic and oracle-replayable.
+
+    Pass ``toks`` (an already-projected token array column) when the
+    caller has let-bound tokenization: inlined here, the token HOF
+    would otherwise be re-evaluated once per language filter (4×/row —
+    lambda ids defeat codegen subexpression elimination)."""
+    if toks is None:
+        toks = tokens(text)
     best_lang = F.lit("und")
     best_score = F.lit(0)
     # forward iteration with strict '>' means the FIRST language in

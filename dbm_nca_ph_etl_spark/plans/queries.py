@@ -1187,9 +1187,17 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbm_nca_ph_etl_spark.operators.dedup import tokens as _tokens
+
     d = _t(spark, sf_dir, "documents")
+    # let-bind the token array so the 4 per-language stopword filters
+    # share ONE tokenization (inlined, the HOF re-evaluated 4×/row)
+    toksed = d.select("lang", _tokens(F.col("text")).alias("_toks"))
     return (
-        d.select("lang", T.lang_id(F.col("text")).alias("lang_pred"))
+        toksed.select(
+            "lang",
+            T.lang_id(F.col("_toks"), toks=F.col("_toks")).alias("lang_pred"),
+        )
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -8010,15 +8018,33 @@ def audio_clip_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = M2.fp_bigrams(
         M2.hk_fingerprints(M2.audio_band_energy(_assets(spark, sf_dir)))
     )
-    clip0 = bg.where(
-        (F.col("asset_id") % 30 == 1) & F.col("frame_idx").between(2, 4)
-    ).select(
+    # Clip side: the same per-asset pipeline over ONLY the 1/30 clip
+    # slice. Predicates cannot cross the opaque mapInPandas decode, so
+    # filtering bg AFTER the decode (the old shape) re-decoded the
+    # whole corpus for the clip branch; taking the slice at the
+    # documents scan (asset_id IS doc_id in synthesize_assets) decodes
+    # 1/30 of the blobs for identical rows.
+    clip_docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 30 == 1)
+    bgc = M2.fp_bigrams(
+        M2.hk_fingerprints(
+            M2.audio_band_energy(M2.synthesize_assets(clip_docs))
+        )
+    )
+    clip0 = bgc.where(F.col("frame_idx").between(2, 4)).select(
         F.col("asset_id").alias("clip_id"),
         (F.col("frame_idx") - 2).alias("qpos"),
         "bg",
     )
-    whole = clip0.groupBy("clip_id").count().where("count = 3").select("clip_id")
-    clips = clip0.join(whole, "clip_id")
+    # whole-clip guard via a window count — one reference to the clip
+    # lineage instead of the groupBy + self-join (which expanded the
+    # clip decode subtree a second time)
+    clips = (
+        clip0.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("clip_id"))
+        )
+        .where(F.col("_n") == 3)
+        .drop("_n")
+    )
     votes = (
         clips.join(
             bg.select(F.col("asset_id").alias("track"), "frame_idx", "bg"), "bg"

@@ -30,6 +30,29 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session-scoped table-SCHEMA memo (StructType only — never rows, never
+# plans). A bare ``spark.read.parquet`` re-infers the schema from file
+# footers on EVERY call (~0.4-0.6 s per table on this box even with the
+# file listing cached), so each query construction paid footer reads
+# per table reference, per run. Real deployments declare schemas (a
+# metastore / Iceberg manifest is exactly this cache); passing the
+# known StructType via ``reader.schema(...)`` skips inference while
+# every byte of data is still read and computed per invocation. Keyed
+# by applicationId like the plan/index memos so a fresh session always
+# re-infers.
+_SCHEMA_MEMO: dict = {}
+
+
+def _table_schema(spark: SparkSession, path: str, name: str):
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    return schema
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table. Filters/projections applied by the
@@ -47,9 +70,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(path)
+        return spark.read.schema(_table_schema(spark, path, name)).parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(path)
+    raw = spark.read.schema(_table_schema(spark, path, name)).parquet(path)
     if isinstance(raw.schema["ts"].dataType, LongType):
         # `ts div 1000`, NOT `ts / 1000`: the nanosecond epoch (~1.7e18)
         # exceeds double's 2^53 exact-integer range, so float division is
