@@ -14460,14 +14460,30 @@ def spatial_nearest_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = SP.join_within(
         sp, cp, "s_suppkey", "c_custkey", radius=2000, broadcast_probes=True
     )
-    w = Window.partitionBy("s_suppkey").orderBy("d2", "c_custkey")
+    # argmin as a PACKED-LONG AGGREGATE, not a window: the radius
+    # filter guarantees d2 <= 4e6 (< 2^22), so min(d2 * 2^41 +
+    # c_custkey) is the lexicographic minimum of (d2, c_custkey) —
+    # exactly row_number() over (ORDER BY d2, c_custkey) = 1 — for
+    # any c_custkey < 2^41 (max pack 4e6*2^41 + 2^41 < 2^63). The
+    # window form sorted the full candidate set twice (map-side
+    # WindowGroupLimit sort + post-exchange sort); min(struct(...))
+    # falls back to SortAggregate (struct agg buffers aren't
+    # hash-mutable); min(long) is a HashAggregate with MAP-SIDE
+    # PARTIAL aggregation — one pre-reduced row per (task, supplier)
+    # crosses the exchange, O(probes) shuffle rows instead of
+    # O(candidates), and nothing is ever sorted (guide §2.3
+    # "aggregate before you shuffle", §2.4).
+    pack_base = F.lit(1 << 41).cast("long")
+    best = F.min(F.col("d2") * pack_base + F.col("c_custkey")).alias("_best")
     return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        cand.groupBy("s_suppkey")
+        .agg(best)
         .select(
             "s_suppkey",
-            F.col("c_custkey").alias("nearest_custkey"),
-            F.col("d2").cast("long").alias("d2"),
+            F.pmod(F.col("_best"), pack_base).alias("nearest_custkey"),
+            # integer `div`, NOT `/`: packs exceed 2^53, double
+            # division would round the quotient
+            F.expr(f"_best div {1 << 41}").cast("long").alias("d2"),
         )
     )
 
