@@ -111,7 +111,23 @@ def bm25_search(
       rows — never a global window over the matched-doc set.
     """
     uniq = sorted(set(terms))
-    probed = postings.where(F.col("token").isin(uniq))
+    # Materialize the two multiply-consumed intermediates (r11):
+    # Catalyst expands every reference, so without this the plan
+    # re-tokenized the corpus FOUR times — once for `probed` in the
+    # score join, once more inside `dfreq` (whose lineage re-derives
+    # probed), and twice for doc_lens (the 1-row stats agg + the
+    # doc_len join). `probed` is the matched posting lists — the
+    # query's retrieval working set, O(posting lists of the terms),
+    # never the corpus; `doc_lens` is two longs per document (the
+    # guide-§8 "decide on small rows" table). Both checkpoints are
+    # executor-local and scoped to this query's run; LAZY (eager
+    # would serialize two extra driver barriers before the score
+    # job — measured slower at sf0.1 — while lazy materializes
+    # inside the first job that touches each).
+    probed = postings.where(F.col("token").isin(uniq)).localCheckpoint(
+        eager=False
+    )
+    doc_lens = doc_lens.localCheckpoint(eager=False)
     dfreq = probed.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = doc_lens.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -202,8 +218,34 @@ def phrase_search(
     )
 
 
+def df_caps(postings: DataFrame, max_df_ratio: float = 0.5) -> DataFrame:
+    """(token, df, n_docs) for the tokens surviving the df cap — the
+    vocabulary-side statistics a TF-IDF index keeps next to its
+    postings. Split out of :func:`tfidf_weights` so a caller with
+    several weight consumers can materialize it ONCE (see
+    :func:`more_like_this`): both aggregates cost a full corpus pass,
+    and Catalyst re-expands them into every reference of the weights
+    lineage."""
+    n_docs = postings.agg(
+        F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs")
+    )
+    return (
+        postings.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        # integer-math df cap (3dp ratio resolution, oracle-replayable)
+        .where(
+            F.col("df") * F.lit(1000)
+            <= F.lit(int(max_df_ratio * 1000)) * F.col("n_docs")
+        )
+    )
+
+
 def tfidf_weights(
-    postings: DataFrame, max_df_ratio: float = 0.5, quantum: int = 1_000_000
+    postings: DataFrame,
+    max_df_ratio: float = 0.5,
+    quantum: int = 1_000_000,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """(token, doc_id, w) integer micro-unit TF-IDF weights — the
     sparse document-vector table a "more like this" index persists
@@ -221,20 +263,9 @@ def tfidf_weights(
 
     The df join is token-keyed; at 100 TB build it once per corpus
     snapshot and denormalize df into the postings layout (same
-    advice as bm25_search's doc_len)."""
-    n_docs = postings.agg(
-        F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs")
-    )
-    dfreq = (
-        postings.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        # integer-math df cap (3dp ratio resolution, oracle-replayable)
-        .where(
-            F.col("df") * F.lit(1000)
-            <= F.lit(int(max_df_ratio * 1000)) * F.col("n_docs")
-        )
-    )
+    advice as bm25_search's doc_len). ``stats`` lets the caller pass
+    a pre-built (and materialized) :func:`df_caps` table instead."""
+    dfreq = stats if stats is not None else df_caps(postings, max_df_ratio)
     idf = F.log(F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df").cast("double"))
     return postings.join(dfreq, "token").select(
         "token",
@@ -285,7 +316,25 @@ def more_like_this(
     qids = sorted(int(i) for i in query_ids)
     if not qids:
         raise ValueError("query_ids must be non-empty")
-    weights = tfidf_weights(postings, max_df_ratio=max_df_ratio)
+    # Materialize the vocab statistics ONCE. The weights lineage is
+    # referenced four times below (norms, dots, and the doc_id-pruned
+    # query vectors/norms), and Catalyst expands every reference — so
+    # without this the df aggregate and the n_docs count-distinct each
+    # re-scanned and re-tokenized the FULL corpus four times (~10
+    # corpus passes for one query; measured 13 Spark jobs at r11).
+    # df_caps is the vocabulary-side index metadata — sublinear in the
+    # corpus (Heaps' law) and exactly what the operator's own contract
+    # says to "build once per corpus snapshot"; checkpointing it makes
+    # every consumer read the 3-column table instead of re-deriving
+    # it. The corpus-sized weights rows are NOT materialized: norms
+    # and dots still stream them (guide §1.2 step 1, §5 caching).
+    # LAZY checkpoint: an eager one serializes an extra driver
+    # barrier before the main job; lazy materializes inside the
+    # first job that touches it (bm25_search has the same note).
+    stats = df_caps(postings, max_df_ratio=max_df_ratio).localCheckpoint(
+        eager=False
+    )
+    weights = tfidf_weights(postings, max_df_ratio=max_df_ratio, stats=stats)
     norms = doc_norms(weights)
     qw = weights.where(F.col("doc_id").isin(qids)).select(
         F.col("doc_id").alias("query_doc"), "token", F.col("w").alias("qw")
