@@ -6194,7 +6194,7 @@ def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one scan for both batch halves (a filter-union would read the
     # text column twice); CASE picks the perturbed-dup vs fresh shape
-    batch = corpus.where(F.col("doc_id") % 25 < 2).select(
+    batch_derived = corpus.where(F.col("doc_id") % 25 < 2).select(
         F.when(
             F.col("doc_id") % 25 == 0, F.col("doc_id") + 100000
         ).otherwise(F.col("doc_id") + 200000).alias("doc_id"),
@@ -6209,6 +6209,14 @@ def incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("text"),
     )
+    # Materialize the synthetic delivery once (lazy, run-scoped): the
+    # probe consumes the batch three times (signature pipeline,
+    # shingle sets for Jaccard verification, the final 1:1 left
+    # join), and each reference re-derived it from a full documents
+    # scan — a fixture artifact. In production the arriving batch IS
+    # a materialized input file; this keeps the benched cost the
+    # operator's real per-delivery cost (3 corpus scans → 1).
+    batch = batch_derived.localCheckpoint(eager=True)
     return D.lsh_probe_new(
         corpus,
         batch,
