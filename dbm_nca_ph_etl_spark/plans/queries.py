@@ -12252,10 +12252,19 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    per_c = o.groupBy("o_custkey").agg(
-        F.sum(
-            _cents(F.col("o_totalprice"))
-        ).alias("r")
+    # checkpoint the per-customer rollup (the rfm discipline): the
+    # two-phase prefix_sum consumes it three times (the eager
+    # approxQuantile cuts pass + both block branches) and each
+    # reference re-ran the orders aggregation — 3 corpus agg passes
+    # for one customer-sized artifact (~10× smaller than orders).
+    per_c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                _cents(F.col("o_totalprice"))
+            ).alias("r")
+        )
+        .localCheckpoint(eager=True)
     )
     ranked = W.prefix_sum(
         per_c.withColumn("_one", F.lit(1).cast("long")),
@@ -12998,14 +13007,20 @@ def rolling_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr(f"ts_us div {_US_PER_DAY}").alias("day")
     )
     ud = ev.distinct()  # (user, day) grid — the only row-scale pass
-    days = ud.select("day").distinct()
     contrib = ud.select(
         "user_id",
         F.col("day").alias("src_day"),
         F.explode(
             F.sequence(F.col("day"), F.col("day") + F.lit(6))
         ).alias("day"),
-    ).join(days, "day", "left_semi")
+    )
+    # Clip to observed days with HAVING dau >= 1 instead of the old
+    # semi-join against a distinct-days grid: a target day is
+    # observed iff some user has src_day == day, and exactly those
+    # users are the ones dau counts — so dau >= 1 ⟺ day observed.
+    # The grid subtree was a SECOND full events scan + distinct +
+    # exchange (Catalyst re-expands the shared ud lineage); the
+    # filter is free (guide §2.4 — remove shuffles outright).
     return (
         contrib.groupBy("day")
         .agg(
@@ -13014,6 +13029,7 @@ def rolling_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dau"),
             F.countDistinct("user_id").cast("long").alias("dau7"),
         )
+        .where(F.col("dau") >= 1)
         .select(
             F.col("day").cast("long").alias("day"),
             "dau",
@@ -13643,14 +13659,37 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # quartile thresholds via the shared nearest-rank operator —
     # Recency/Frequency are domain-bounded (grid route), Monetary is
-    # data-sized (prefix_sum route, custkey completes the total order)
-    rt, ft, mt = (
-        W.quantile_thresholds(per, "r_day", (25, 50, 75), bounded=True),
-        W.quantile_thresholds(per, "f", (25, 50, 75), bounded=True),
-        W.quantile_thresholds(
-            per, "m", (25, 50, 75), bounded=False, tie_break="o_custkey"
-        ),
-    )
+    # data-sized (selection route, custkey completes the total order).
+    # The three are INDEPENDENT jobs over the checkpointed rollup and
+    # the selection route issues eager counts passes, so build them
+    # from a small driver thread pool (guide §2.6): the next metric's
+    # tasks back-fill executors freed by the previous one's tail
+    # instead of serializing three barrier chains.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_rt = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: W.quantile_thresholds(
+                    per, "r_day", (25, 50, 75), bounded=True
+                )
+            )
+        )
+        f_ft = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: W.quantile_thresholds(per, "f", (25, 50, 75), bounded=True)
+            )
+        )
+        f_mt = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: W.quantile_thresholds(
+                    per, "m", (25, 50, 75), bounded=False, tie_break="o_custkey"
+                )
+            )
+        )
+        rt, ft, mt = f_rt.result(), f_ft.result(), f_mt.result()
     j = (
         per.withColumn("_j", F.lit(1))
         .join(F.broadcast(rt.select(
@@ -14799,32 +14838,40 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_u", F.expr(u_i64))
         .withColumn("m", mult)
     )
+    # Carry the point estimate THROUGH the replicate rollup instead of
+    # a second orders scan + broadcast join (r11): within every
+    # replicate b, count(*) is exactly n_orders (each order emits one
+    # row per b) and sum(cents) is exactly the global cents total, so
+    # min() over the 32-row grid recovers both — same values, one
+    # scan, one map-side-combined shuffle, no join (guide §2.4).
     reps = (
         m.groupBy("b")
         .agg(
             F.sum(F.col("m") * F.col("cents")).alias("num"),
             F.sum("m").alias("den"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").alias("tot"),
         )
-        .select("b", floor_div_sql("num", "den").cast("long").alias("mean_cents"))
+        .select(
+            "b",
+            floor_div_sql("num", "den").cast("long").alias("mean_cents"),
+            "cnt",
+            "tot",
+        )
     )
-    ci = reps.agg(
+    return reps.agg(
         F.array_sort(
             F.collect_list(F.struct("mean_cents", "b"))
-        ).alias("sorted")
+        ).alias("sorted"),
+        F.min("cnt").alias("_n"),
+        F.min("tot").alias("_tot"),
     ).select(
+        F.col("_n").cast("long").alias("n_orders"),
+        floor_div_sql("_tot", "_n").cast("long").alias("mean_cents"),
         F.element_at("sorted", 2)["mean_cents"].cast("long").alias("ci_lo_cents"),
         F.element_at("sorted", _BOOT_B - 1)["mean_cents"]
         .cast("long")
         .alias("ci_hi_cents"),
-    )
-    point = o.agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        floor_div_sql("sum(cents)", "count(1)").cast("long").alias("mean_cents"),
-    )
-    return (
-        point.withColumn("_j", F.lit(1))
-        .join(F.broadcast(ci.withColumn("_j", F.lit(1))), "_j")
-        .select("n_orders", "mean_cents", "ci_lo_cents", "ci_hi_cents")
     )
 
 
