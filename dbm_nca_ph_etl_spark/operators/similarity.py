@@ -597,33 +597,46 @@ def _centroids(n: int, dim: int, seed: int) -> list[list[float]]:
     return [_hyperplane(dim, seed + 7777 + i) for i in range(n)]
 
 
-def _scored_cells(vec: Column, cents: list[list[float]]) -> Column:
-    """Array of (−score, cell_idx) structs, one per centroid.
+def _scored_cells(vec: str, cents: list[list[float]]) -> Column:
+    """Array of (−score, cell_idx) structs, one per centroid, over the
+    vector COLUMN NAME ``vec``.
 
     argmax of cos(v, c) == argmax of dot(v, c)/|c| (|v| is constant
-    per row); |c| are Python-side literals. Shape matters twice here:
-    an iterative when-chain duplicates fold subtrees exponentially
-    (OOM at plan build), and nesting the folds inside an outer
-    ``transform`` lambda forces slow interpreted evaluation (~45x) —
-    a flat array of independent per-centroid folds is linear in plan
-    size AND stays on the fast eval path.
+    per row); |c| are Python-side literals. Shape matters three times
+    here: an iterative when-chain duplicates fold subtrees
+    exponentially (OOM at plan build); nesting the folds inside an
+    outer ``transform`` lambda forces slow interpreted evaluation
+    (~45x) — a flat array of independent per-centroid folds is linear
+    in plan size AND stays on the fast eval path; and building those
+    16-64 folds through the Column API is hundreds of py4j round
+    trips (~0.5 s of driver time per query CONSTRUCTION, measured
+    r11 on ann_ivfpq), so the whole array is emitted as ONE parsed
+    SQL expression — operator-for-operator the tree the Column form
+    built (same casts, same sequential fold, same double literals via
+    repr round-trip), so every emitted value is bit-identical.
     """
     cells = []
     for i, c in enumerate(cents):
         norm = float(sum(x * x for x in c) ** 0.5)
-        score = dot(vec, _plane_lit(c)) / F.lit(norm)
-        cells.append(F.struct((-score).alias("neg"), F.lit(i).alias("i")))
-    return F.array(*cells)
+        d = (
+            f"aggregate(zip_with(`{vec}`, {_array_lit_sql(c)}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        cells.append(f"struct(-({d} / {float(norm)!r}D) AS neg, {i} AS i)")
+    return F.expr("array(" + ", ".join(cells) + ")")
 
 
-def probe_clusters(vec: Column, cents: list[list[float]], n_probe: int) -> Column:
+def probe_clusters(vec: str, cents: list[list[float]], n_probe: int) -> Column:
     """Array of the n_probe nearest centroid indices (score desc,
-    index asc tiebreak) — the cells a query fans out to."""
+    index asc tiebreak) — the cells a query fans out to. ``vec`` is
+    the vector column's NAME (the scored-cells SQL fast path)."""
     return F.slice(F.array_sort(_scored_cells(vec, cents)), 1, n_probe).getField("i")
 
 
-def assign_cluster(vec: Column, cents: list[list[float]]) -> Column:
-    """Index of the nearest (max cosine) centroid; first wins ties."""
+def assign_cluster(vec: str, cents: list[list[float]]) -> Column:
+    """Index of the nearest (max cosine) centroid; first wins ties.
+    ``vec`` is the vector column's NAME."""
     return F.element_at(probe_clusters(vec, cents, 1), 1)
 
 
@@ -660,13 +673,13 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         l2_norm(F.col(vec_col)).alias("_cn"),
-        assign_cluster(F.col(vec_col), cents).alias("cell"),
+        assign_cluster(vec_col, cents).alias("cell"),
     ).repartition("cell")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         l2_norm(F.col(vec_col)).alias("_qn"),
-        F.explode(probe_clusters(F.col(vec_col), cents, n_probe)).alias("cell"),
+        F.explode(probe_clusters(vec_col, cents, n_probe)).alias("cell"),
     )
     scored = (
         F.broadcast(q)
@@ -877,7 +890,7 @@ def kmeans_train(
     objectives: list[float] = []
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for _ in range(iters):
-        best = F.element_at(F.array_sort(_scored_cells(F.col("_v"), cents)), 1)
+        best = F.element_at(F.array_sort(_scored_cells("_v", cents)), 1)
         assigned = corpus.select(vec_d.alias("_v")).select(
             "_v",
             best.getField("i").alias("cell"),
@@ -1414,7 +1427,7 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
         l2_norm(F.col(vec_col)).alias("_qn"),
-        F.explode(probe_clusters(F.col(vec_col), cents, n_probe)).alias("cell"),
+        F.explode(probe_clusters(vec_col, cents, n_probe)).alias("cell"),
     )
     scored = (
         F.broadcast(q)
@@ -1451,7 +1464,7 @@ def ivfpq_encode(
         id_col,
         "neighbor_id",
         vec_col,
-        extra_cols=[assign_cluster(F.col(vec_col), cents).alias("cell")],
+        extra_cols=[assign_cluster(vec_col, cents).alias("cell")],
     ).repartition("cell")
 
 
