@@ -273,11 +273,13 @@ def _first_collision_cond(a: str, b: str, t: int) -> Column:
     each candidate pair survives in exactly one branch. Static column
     predicates (the table index is known per branch), so pair dedup
     costs no HOF evaluation and no distinct shuffle over
-    vector-carrying candidate rows."""
-    cond = F.col(f"{a}._b{t}") == F.col(f"{b}._b{t}")
-    for s in range(t):
-        cond = cond & (F.col(f"{a}._b{s}") != F.col(f"{b}._b{s}"))
-    return cond
+    vector-carrying candidate rows. One parsed expression per branch:
+    the Column-API form was ~60 py4j round trips across the branch
+    set (driver plan-construction tax; the _scored_cells note)."""
+    parts = [f"`{a}`._b{t} = `{b}`._b{t}"] + [
+        f"`{a}`._b{s} != `{b}`._b{s}" for s in range(t)
+    ]
+    return F.expr(" AND ".join(parts))
 
 
 def lsh_bucket_topk(
