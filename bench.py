@@ -7,11 +7,16 @@ Runs the bench-tagged headline queries from the catalog at
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": <sf>}
 
-Each query is executed to completion (collect of the result) so the
-measured time covers scan→shuffle→agg, not plan construction. Every
-query runs once untimed (one-time whole-stage-codegen / Janino
-compilation and parquet footer reads, which amortize to zero on any
-real workload), then five timed runs. ``queries`` reports the
+The timed region is ``run_once`` — ``q.fn()`` (DataFrame
+CONSTRUCTION: py4j round-trips, analysis, any eager driver jobs the
+operators issue) PLUS execution to completion (collect of the
+result). Construction is deliberately inside the timer: at 100 TB
+the driver's plan-construction tax is a real per-query cost (it
+serializes every submission), and several r11 wins (schema
+declaration, F.expr batching) are construct-side. Every query runs
+once untimed (one-time whole-stage-codegen / Janino compilation and
+parquet footer reads, which amortize to zero on any real workload),
+then five timed runs. ``queries`` reports the
 MINIMUM (the standard steady-state estimator, robust to co-tenant
 noise on a shared box) and ``value`` stays sum-of-min for contract
 compatibility. On top of that, the default invocation is MIN OF 3

@@ -125,6 +125,16 @@ def floor_div_sql(num_sql: str, den_sql: str) -> Column:
     )
 
 
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column name for splicing into a parsed SQL
+    fragment, doubling embedded backticks (Spark's identifier escape)
+    — so the F.expr fast paths (similarity._scored_cells,
+    spatial._with_neighbour_cells, windows' refinement sub-range)
+    resolve exactly the column the caller named even when the name
+    itself contains a backtick."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def let(value: Column, body) -> Column:
     """Bind ``value`` once and reference it many times in ``body``.
 

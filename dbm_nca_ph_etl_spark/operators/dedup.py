@@ -1079,11 +1079,29 @@ def levenshtein_blocked_pairs(
     )
     pair_a = F.least(F.col("_l"), F.col("_r"))
     pair_b = F.greatest(F.col("_l"), F.col("_r"))
+    # Evaluate the DP distance ONCE per surviving pair (r12): a
+    # `.where` on a projected dist column gets pushed below the
+    # Project by Catalyst, which substitutes the levenshtein
+    # expression into the filter — every pair then pays the DP twice
+    # (filter + projection), and levenshtein is the most expensive
+    # scalar in this path. Computing and range-testing inside one
+    # explode(filter(array(...))) keeps the distance a GENERATED
+    # column (predicates cannot be pushed into a Generate's output),
+    # so the plan holds exactly one levenshtein per pair; rows out of
+    # range yield an empty array — row-identical to the old filter.
     dist = F.levenshtein(F.col("text_a"), F.col("text_b"), max_dist)
     return (
         left.join(right, "_blk")
         .where(keep)
         .select(pair_a.alias("text_a"), pair_b.alias("text_b"))
-        .select("text_a", "text_b", dist.alias("dist"))
-        .where((F.col("dist") >= 1) & (F.col("dist") <= F.lit(max_dist)))
+        .select(
+            "text_a",
+            "text_b",
+            F.explode(
+                F.filter(
+                    F.array(dist),
+                    lambda d: (d >= 1) & (d <= F.lit(max_dist)),
+                )
+            ).alias("dist"),
+        )
     )

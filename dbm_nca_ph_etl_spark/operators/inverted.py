@@ -123,7 +123,15 @@ def bm25_search(
     # executor-local and scoped to this query's run; LAZY (eager
     # would serialize two extra driver barriers before the score
     # job — measured slower at sf0.1 — while lazy materializes
-    # inside the first job that touches each).
+    # inside the first job that touches each). Deployment caveat:
+    # localCheckpoint blocks are NOT fault-tolerant — an executor
+    # loss (or dynamic-allocation decommission) after
+    # materialization fails the consuming job instead of
+    # recomputing, and the pinned blocks live until the DataFrame
+    # is driver-GC'd. On a dynamic-allocation cluster, persist the
+    # postings/doc_lens probe set to storage instead (the
+    # build_postings index artifact) — these in-query checkpoints
+    # model that artifact for the self-contained query shape.
     probed = postings.where(F.col("token").isin(uniq)).localCheckpoint(
         eager=False
     )

@@ -617,11 +617,14 @@ def _scored_cells(vec: str, cents: list[list[float]]) -> Column:
     built (same casts, same sequential fold, same double literals via
     repr round-trip), so every emitted value is bit-identical.
     """
+    from dbm_nca_ph_etl_spark.functions.scalars import quote_ident
+
+    vec_q = quote_ident(vec)
     cells = []
     for i, c in enumerate(cents):
         norm = float(sum(x * x for x in c) ** 0.5)
         d = (
-            f"aggregate(zip_with(`{vec}`, {_array_lit_sql(c)}, "
+            f"aggregate(zip_with({vec_q}, {_array_lit_sql(c)}, "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "0.0D, (acc, x) -> acc + x)"
         )

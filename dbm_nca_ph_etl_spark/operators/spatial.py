@@ -81,13 +81,16 @@ def _with_neighbour_cells(df: DataFrame, x: str, y: str, cell: int) -> DataFrame
     coercions), so the analyzed plan — and every emitted value — is
     unchanged."""
 
+    from dbm_nca_ph_etl_spark.functions.scalars import quote_ident
+
     def _cid(xs: str, ys: str) -> str:
         qx = f"CAST(({xs} - pmod({xs}, {cell})) / {cell} AS BIGINT)"
         qy = f"CAST(({ys} - pmod({ys}, {cell})) / {cell} AS BIGINT)"
         return f"{qx} * {1 << 31} + {qy}"
 
+    x_q, y_q = quote_ident(x), quote_ident(y)
     ids = ", ".join(
-        _cid(f"(`{x}` + {dx * cell})", f"(`{y}` + {dy * cell})")
+        _cid(f"({x_q} + {dx * cell})", f"({y_q} + {dy * cell})")
         for dx, dy in _NEIGHBOURHOOD
     )
     return df.withColumn("_cell", F.expr(f"explode(array({ids}))"))

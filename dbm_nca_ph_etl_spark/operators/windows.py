@@ -561,8 +561,10 @@ def quantile_thresholds(
             step = (width + 1023) // 1024
             # integer floor-div (SQL `div`): within the bucket m ≥ lo,
             # so the numerator is non-negative — no toward-zero bias
+            from dbm_nca_ph_etl_spark.functions.scalars import quote_ident
+
             sub = F.expr(
-                f"(cast(`{metric}` as bigint) - ({lo})) div ({step})"
+                f"(cast({quote_ident(metric)} as bigint) - ({lo})) div ({step})"
             )
             sub_counts = _bucket_counts(df.where(cond), sub.cast("int"))
             for i, (nm, c0, l0, h0, r0, n0) in enumerate(picks):

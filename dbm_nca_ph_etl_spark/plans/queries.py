@@ -13667,26 +13667,29 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of serializing three barrier chains.
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import inheritable_thread_target
+    from dbm_nca_ph_etl_spark.session import thread_target
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_rt = pool.submit(
-            inheritable_thread_target(spark)(
+            thread_target(
+                spark,
                 lambda: W.quantile_thresholds(
                     per, "r_day", (25, 50, 75), bounded=True
-                )
+                ),
             )
         )
         f_ft = pool.submit(
-            inheritable_thread_target(spark)(
-                lambda: W.quantile_thresholds(per, "f", (25, 50, 75), bounded=True)
+            thread_target(
+                spark,
+                lambda: W.quantile_thresholds(per, "f", (25, 50, 75), bounded=True),
             )
         )
         f_mt = pool.submit(
-            inheritable_thread_target(spark)(
+            thread_target(
+                spark,
                 lambda: W.quantile_thresholds(
                     per, "m", (25, 50, 75), bounded=False, tie_break="o_custkey"
-                )
+                ),
             )
         )
         rt, ft, mt = f_rt.result(), f_ft.result(), f_mt.result()

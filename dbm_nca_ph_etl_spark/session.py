@@ -60,3 +60,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def thread_target(spark: SparkSession, fn):
+    """Wrap ``fn`` for submission from a driver thread pool
+    (guide §2.6 job overlap), robust to the py4j gateway mode.
+
+    ``pyspark.inheritable_thread_target(session)`` is only a
+    decorator under pinned-thread mode (the ClientServer gateway,
+    PySpark's default); with ``PYSPARK_PIN_THREAD=false`` the
+    fallback branch returns the session itself, so calling it with
+    ``fn`` raises TypeError. In that mode JVM thread-locals are
+    shared process-wide anyway, so the bare ``fn`` is already
+    correct — fall through to it.
+    """
+    from pyspark.util import inheritable_thread_target
+
+    wrapped = inheritable_thread_target(spark)
+    if isinstance(wrapped, SparkSession) or not callable(wrapped):
+        return fn
+    return wrapped(fn)

@@ -16,10 +16,17 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from dbm_nca_ph_etl_spark.nca.cleaner import clean_allocations, clean_records
+
+# Gated (r12): slow integration suite — hypothesis fuzz vs the reference model (~20 s).
+# Skipped by a plain `pytest tests/` (driver budget); SPARK_GRAFT_SLOW_TESTS=1
+# (set by tools/gate.py) runs it.
+pytestmark = pytest.mark.slow
+
 
 COLS = [
     "nca_number", "nca_type", "released_date", "department",

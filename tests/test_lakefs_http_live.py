@@ -43,6 +43,12 @@ from dbm_nca_ph_etl_spark.sinks.txlog import (
     upsert_keyed_serialized,
 )
 
+# Gated (r12): slow integration suite — live HTTP-store E2E (in-process S3 twin).
+# Skipped by a plain `pytest tests/` (driver budget); SPARK_GRAFT_SLOW_TESTS=1
+# (set by tools/gate.py) runs it.
+pytestmark = pytest.mark.slow
+
+
 
 def _external_conf() -> dict | None:
     ep = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")

@@ -24,6 +24,12 @@ from dbm_nca_ph_etl_spark.sinks.matview import MaterializedAgg, Measure
 from dbm_nca_ph_etl_spark.sinks.txlog import upsert_keyed_serialized
 from dbm_nca_ph_etl_spark.sources.lakefs import PosixLakeFS
 
+# Gated (r12): slow integration suite — exhaustive crash-point sweeps (~60 s).
+# Skipped by a plain `pytest tests/` (driver budget); SPARK_GRAFT_SLOW_TESTS=1
+# (set by tools/gate.py) runs it.
+pytestmark = pytest.mark.slow
+
+
 
 class _CountingCrashFS:
     atomic_rename = False

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -19,6 +21,12 @@ from dbm_nca_ph_etl_spark.streaming import (
     run_nca_pipeline,
     tumbling_window_counts,
 )
+
+# Gated (r12): slow integration suite — micro-batch E2E suites: every test spins a streaming query with checkpoint dirs (~5-20 s each, ~450 s total).
+# Skipped by a plain `pytest tests/` (driver budget); SPARK_GRAFT_SLOW_TESTS=1
+# (set by tools/gate.py) runs it.
+pytestmark = pytest.mark.slow
+
 
 
 class TestMessages:

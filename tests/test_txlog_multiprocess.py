@@ -34,6 +34,12 @@ from http.server import ThreadingHTTPServer
 
 from test_lakefs_http import BUCKET, _Store, _make_handler
 
+# Gated (r12): slow integration suite — real multi-process lease/commit races (~60 s).
+# Skipped by a plain `pytest tests/` (driver budget); SPARK_GRAFT_SLOW_TESTS=1
+# (set by tools/gate.py) runs it.
+pytestmark = pytest.mark.slow
+
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -25,8 +25,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run(name: str, cmd: list[str]) -> tuple[str, bool, float, str]:
     t0 = time.time()
+    # the gate runs the FULL suite, including the slow-marked
+    # integration tests a plain `pytest tests/` skips (conftest gate)
+    env = {**os.environ, "SPARK_GRAFT_SLOW_TESTS": "1"}
     p = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=7200
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=7200, env=env
     )
     tail = (p.stdout or "").strip().splitlines()[-1:] or [""]
     return name, p.returncode == 0, time.time() - t0, tail[0]
